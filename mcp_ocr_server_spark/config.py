@@ -1,0 +1,94 @@
+"""Job configuration with defaults matching the reference exactly.
+
+Reference: internal/config/config.go:179-227 (defaults) and
+configs/config.yaml.  The reference loads YAML into nested structs and
+validates; here the config is a frozen dataclass broadcast to executors
+(a Spark job parameter set, not per-request arguments — see SURVEY.md
+§1 "Tool request" row).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass(frozen=True)
+class OCRConfig:
+    """internal/config/config.go:186-196."""
+
+    language: str = "eng+chi_sim+chi_tra+jpn"  # config.go:188
+    psm: int = 3  # config.go:190 (PageSegMode AUTO)
+    oem: int = 3  # config.go:191 (OcrEngineMode DEFAULT)
+    char_whitelist: str = ""  # config.go:192
+    max_image_size: int = 10 * 1024 * 1024  # 10 MiB, config.go:194
+    timeout_seconds: int = 30  # config.go:195
+
+
+@dataclass(frozen=True)
+class PreprocessingConfig:
+    """internal/config/config.go:197-212."""
+
+    enabled: bool = True
+    auto_mode: bool = True  # config.go:201 — quality-driven pipeline
+    grayscale: bool = True
+    denoise: bool = True
+    binarization_mode: str = "otsu"  # config.go:204 (default mode)
+    adaptive_block_size: int = 11  # config.go:205
+    adaptive_c: float = 2.0  # config.go:206
+    deskew_enabled: bool = True
+    deskew_angle_limit: float = 10.0  # config.go:209
+    # Quality thresholds: analyzer.go:116-133 + configs/config.yaml:36-39
+    sharpness_threshold: float = 100.0
+    contrast_threshold: float = 30.0
+    brightness_min: float = 50.0
+    brightness_max: float = 200.0  # hardcoded at analyzer.go:33
+
+
+@dataclass(frozen=True)
+class CacheConfig:
+    """internal/config/config.go:213-219 — retained for parity of the
+    memoization *key* (cache.go:188-198).  TTL / max-entries / sweep are
+    service-loop artifacts replaced by durable exactly-once memoization
+    (SURVEY.md §2.5 C2)."""
+
+    enabled: bool = True
+    ttl_seconds: int = 3600
+    max_entries: int = 100
+
+
+@dataclass(frozen=True)
+class JobConfig:
+    ocr: OCRConfig = field(default_factory=OCRConfig)
+    preprocessing: PreprocessingConfig = field(default_factory=PreprocessingConfig)
+    cache: CacheConfig = field(default_factory=CacheConfig)
+    # Spark-side knobs (new — no reference equivalent):
+    media_partitions: int = 32  # target partitions for the media UDF stage
+    arrow_max_records_per_batch: int = 64  # large binaries → small batches
+    checkpoint_buckets: int = 32  # resume granularity (plans/checkpoint.py)
+
+
+# Error codes: pkg/errors/errors.go:9-17 — all eight, verbatim.
+INVALID_INPUT = "INVALID_INPUT"
+FILE_NOT_FOUND = "FILE_NOT_FOUND"
+UNSUPPORTED_FORMAT = "UNSUPPORTED_FORMAT"
+IMAGE_TOO_LARGE = "IMAGE_TOO_LARGE"
+PREPROCESSING_FAILED = "PREPROCESSING_FAILED"
+OCR_ENGINE_FAILED = "OCR_ENGINE_FAILED"
+TIMEOUT = "TIMEOUT"
+INTERNAL_ERROR = "INTERNAL_ERROR"
+
+ERROR_CODES = (
+    INVALID_INPUT,
+    FILE_NOT_FOUND,
+    UNSUPPORTED_FORMAT,
+    IMAGE_TOO_LARGE,
+    PREPROCESSING_FAILED,
+    OCR_ENGINE_FAILED,
+    TIMEOUT,
+    INTERNAL_ERROR,
+)
+
+# Supported languages: internal/ocr/tesseract.go:26,153-157.
+SUPPORTED_LANGUAGES = ("eng", "chi_sim", "chi_tra", "jpn")
+
+DEFAULT_CONFIG = JobConfig()

@@ -1,0 +1,233 @@
+"""OCR engine interface + deterministic template-matching implementation.
+
+The reference defines an `Engine` interface (internal/ocr/engine.go:9-21)
+with a pooled Tesseract implementation (tesseract.go:24-292).  This
+container ships no Tesseract, so — exactly as SURVEY.md §7 prescribes —
+we keep the same seam and provide a deterministic engine that recognizes
+the fixture font (imaging/font.py) by template matching.  A real
+Tesseract-backed engine can be dropped in behind the same interface
+(gated on `import tesserocr`/`pytesseract` availability).
+
+Result shape mirrors RecognizeResult (engine.go:42-48): text,
+confidence 0-100 (mean per-glyph match score, analogous to Tesseract
+MeanConfidence, tesseract.go:195-203 — 0 on failure), language,
+duration seconds.  Word boxes mirror the latent DetailedResult
+(engine.go:51-66, tesseract.go:206-278).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from ..config import OCRConfig
+from ..imaging import kernels
+from ..imaging.font import CHARSET, GLYPH_H, GLYPH_W, GLYPHS
+
+
+@dataclass
+class RecognizeResult:
+    text: str
+    confidence: float  # 0-100
+    language: str
+    duration_s: float
+    metadata: dict[str, str] = field(default_factory=dict)
+
+
+@dataclass
+class WordBox:
+    x: int
+    y: int
+    width: int
+    height: int
+    text: str
+    confidence: float
+
+
+class TemplateMatchEngine:
+    """Deterministic glyph recognizer for the 5x7 fixture font.
+
+    Segmentation: horizontal ink-projection for line bands, per-line
+    vertical projection for glyph cells; gaps wider than half a glyph
+    are spaces.  Each cell is normalized to 5x7 and scored against every
+    template; confidence is the mean best-match score * 100.
+    """
+
+    # matching grid = 2x the template resolution: keeps more shape detail
+    # after the render-rotate -> deskew-rotate double resample
+    MATCH_SCALE = 2
+
+    def __init__(self, cfg: OCRConfig | None = None) -> None:
+        self.cfg = cfg or OCRConfig()
+        up = np.ones((self.MATCH_SCALE, self.MATCH_SCALE))
+        self._templates = {
+            c: np.kron(GLYPHS[c].astype(np.float64), up) for c in CHARSET
+        }
+
+    # -- segmentation ------------------------------------------------------
+
+    @staticmethod
+    def _bands(mask: np.ndarray) -> list[tuple[int, int]]:
+        """Contiguous True runs in a 1-D boolean mask → [(start, stop))."""
+        idx = np.flatnonzero(mask)
+        if idx.size == 0:
+            return []
+        splits = np.flatnonzero(np.diff(idx) > 1)
+        starts = np.concatenate([[idx[0]], idx[splits + 1]])
+        stops = np.concatenate([idx[splits] + 1, [idx[-1] + 1]])
+        return list(zip(starts.tolist(), stops.tolist()))
+
+    @staticmethod
+    def _area_resample(crop: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+        """Box-average a boolean ink mask onto an out_h x out_w float grid.
+
+        Area averaging (vs nearest-neighbor) makes matching robust to the
+        blur of render-rotate → deskew-rotate double resampling."""
+        h, w = crop.shape
+        ii = np.zeros((h + 1, w + 1), dtype=np.float64)
+        ii[1:, 1:] = np.cumsum(np.cumsum(crop.astype(np.float64), axis=0), axis=1)
+        yb = np.round(np.linspace(0, h, out_h + 1)).astype(int)
+        xb = np.round(np.linspace(0, w, out_w + 1)).astype(int)
+        # guarantee non-empty bins
+        yb = np.maximum.accumulate(np.maximum(yb, np.arange(out_h + 1) * 0))
+        out = np.zeros((out_h, out_w), dtype=np.float64)
+        for i in range(out_h):
+            y0, y1 = yb[i], max(yb[i + 1], yb[i] + 1)
+            y1 = min(y1, h)
+            y0 = min(y0, y1 - 1) if y1 > 0 else 0
+            for j in range(out_w):
+                x0, x1 = xb[j], max(xb[j + 1], xb[j] + 1)
+                x1 = min(x1, w)
+                x0 = min(x0, x1 - 1) if x1 > 0 else 0
+                s = ii[y1, x1] - ii[y0, x1] - ii[y1, x0] + ii[y0, x0]
+                out[i, j] = s / max((y1 - y0) * (x1 - x0), 1)
+        return out
+
+    def _match_glyph(self, cell: np.ndarray) -> tuple[str, float]:
+        """cell: 2-D boolean ink mask cropped to its bounding box."""
+        ys, xs = np.nonzero(cell)
+        if ys.size == 0:
+            return " ", 0.0
+        crop = cell[ys.min() : ys.max() + 1, xs.min() : xs.max() + 1]
+        norm = self._area_resample(
+            crop, GLYPH_H * self.MATCH_SCALE, GLYPH_W * self.MATCH_SCALE
+        )
+        best_c, best_s = "?", -1.0
+        for c, t in self._templates.items():
+            score = 1.0 - float(np.abs(norm - t).mean())
+            if score > best_s or (score == best_s and c < best_c):
+                best_c, best_s = c, score
+        return best_c, best_s
+
+    # -- public API (Engine seam, engine.go:9-21) --------------------------
+
+    def recognize(self, img: np.ndarray, language: str | None = None) -> RecognizeResult:
+        t0 = time.monotonic()
+        lang = language or self.cfg.language
+        gray = kernels.grayscale(img) if img.ndim == 3 else img
+        # engine expects a binarized page; re-binarize defensively (cheap,
+        # idempotent on already-binary input)
+        t = kernels.otsu_threshold_value(gray)
+        ink = gray <= t
+        # guard: blank page => empty text, confidence 0 (tesseract.go:195-203)
+        if not ink.any():
+            return RecognizeResult("", 0.0, lang, time.monotonic() - t0)
+        lines: list[str] = []
+        scores: list[float] = []
+        row_mask = ink.any(axis=1)
+        for y0, y1 in self._bands(row_mask):
+            band = ink[y0:y1]
+            col_mask = band.any(axis=0)
+            cells = self._bands(col_mask)
+            if not cells:
+                continue
+            # geometry estimates: median glyph width and median inter-cell
+            # gap (most gaps are intra-word character gaps).  A run of n
+            # spaces produces a gap of n*(glyph+chargap) + chargap pixels.
+            widths = [b - a for a, b in cells]
+            med_w = float(np.median(widths))
+            gaps = [cells[i + 1][0] - cells[i][1] for i in range(len(cells) - 1)]
+            med_gap = float(np.median(gaps)) if gaps else med_w * 0.4
+            chars: list[str] = []
+            prev_end: int | None = None
+            for a, b in cells:
+                if prev_end is not None:
+                    gap = a - prev_end
+                    if gap > med_gap + med_w * 0.5:
+                        n_spaces = max(
+                            1, int(round((gap - med_gap) / (med_w + med_gap)))
+                        )
+                        chars.append(" " * n_spaces)
+                ch, s = self._match_glyph(band[:, a:b])
+                chars.append(ch)
+                scores.append(s)
+                prev_end = b
+            lines.append("".join(chars))
+        text = "\n".join(lines)
+        conf = float(np.mean(scores) * 100.0) if scores else 0.0
+        return RecognizeResult(text, conf, lang, time.monotonic() - t0)
+
+    def recognize_with_details(
+        self, img: np.ndarray, language: str | None = None
+    ) -> tuple[RecognizeResult, list[WordBox]]:
+        """Latent word-box API (tesseract.go:206-278, never exposed by a
+        reference tool — kept as an optional column for v2)."""
+        gray = kernels.grayscale(img) if img.ndim == 3 else img
+        t = kernels.otsu_threshold_value(gray)
+        ink = gray <= t
+        result = self.recognize(img, language)
+        boxes: list[WordBox] = []
+        row_mask = ink.any(axis=1)
+        for y0, y1 in self._bands(row_mask):
+            band = ink[y0:y1]
+            col_mask = band.any(axis=0)
+            cells = self._bands(col_mask)
+            if not cells:
+                continue
+            widths = [b - a for a, b in cells]
+            med_w = float(np.median(widths))
+            # group cells into words on space-sized gaps
+            word_start = cells[0][0]
+            word_chars: list[tuple[str, float]] = []
+            prev_end = None
+            for a, b in cells:
+                if prev_end is not None and (a - prev_end) > med_w * 0.9 and word_chars:
+                    boxes.append(self._word_box(word_chars, word_start, prev_end, y0, y1))
+                    word_chars = []
+                    word_start = a
+                ch, s = self._match_glyph(band[:, a:b])
+                word_chars.append((ch, s))
+                prev_end = b
+            if word_chars:
+                boxes.append(self._word_box(word_chars, word_start, prev_end, y0, y1))
+        return result, boxes
+
+    @staticmethod
+    def _word_box(
+        chars: list[tuple[str, float]], x0: int, x1: int, y0: int, y1: int
+    ) -> WordBox:
+        text = "".join(c for c, _ in chars)
+        conf = float(np.mean([s for _, s in chars]) * 100.0)
+        return WordBox(int(x0), int(y0), int(x1 - x0), int(y1 - y0), text, conf)
+
+    @staticmethod
+    def supported_languages() -> list[str]:
+        """tesseract.go:153-157."""
+        from ..config import SUPPORTED_LANGUAGES
+
+        return list(SUPPORTED_LANGUAGES)
+
+
+_ENGINE: TemplateMatchEngine | None = None
+
+
+def get_engine(cfg: OCRConfig | None = None) -> TemplateMatchEngine:
+    """Per-process engine singleton — the analogue of the reference's
+    sync.Pool of gosseract clients (tesseract.go:27-32): init once per
+    Spark python worker, reuse across all Arrow batches (P3)."""
+    global _ENGINE
+    if _ENGINE is None:
+        _ENGINE = TemplateMatchEngine(cfg)
+    return _ENGINE
