@@ -1,0 +1,375 @@
+"""Deterministic synthetic corpus of interleaved text + media documents.
+
+Input-table shape is exactly BASELINE.json `input_hint`:
+
+    docs(doc_id: string,
+         spans: array<struct<kind:string, text:string,
+                             media_ref:string, offset:int>>)
+
+plus the `media(media_ref, bytes, degradation)` sidecar and the
+`expected_spans` golden table (FIXTURES.md §1-§3).  Replaces the
+reference's ad-hoc manual test image (test/simple/main.go:15-71 reads
+one file from disk) with a seeded, reproducible corpus.
+
+Scale design: every row is a pure function of (seed, index) via
+counter-based Philox streams, so generation is embarrassingly parallel
+— `spark.range(n).mapInPandas(...)` with NO driver-side loops, no
+shared state, no shuffle.  The same functions generate 100 docs for a
+pytest fixture or 10^12 docs on a cluster; only `n_docs` changes.
+
+Skew profile (FIXTURES.md §1): ~90% of docs are light (1-4 spans, <=1
+image); ~10% are media-heavy (8-12 spans, >=6 images) — this is the
+skew the pipeline's image-granularity repartitioning must break
+(north_rule; SURVEY.md §4 item 1).
+
+Degradations map one-to-one onto the adaptive-analyzer branches of the
+reference (analyzer.go:136-166; FIXTURES.md §2): clean, low_contrast
+(=> contrast_enhance), dark (=> brighten), bright (=> darken), blurry
+(=> denoise), skewed_3deg / skewed_8deg (0.5 < a < 10 => deskew
+applies, preprocessor.go:246-252), skewed_15deg (> limit => NOT
+corrected), oversize (> max_image_size => IMAGE_TOO_LARGE error row,
+handler.go:252-254).  Some media_refs are byte-duplicated across docs
+(content-hash memoization path, cache.go:188-198); some point at
+missing media rows (FILE_NOT_FOUND path, handler.go:304-306).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import lru_cache
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+
+from ..config import FILE_NOT_FOUND, IMAGE_TOO_LARGE, DEFAULT_CONFIG, JobConfig
+from ..imaging import kernels
+from ..imaging.analyzer import preprocess
+from ..imaging.font import render_text
+from ..imaging.png import encode_png
+
+# ---------------------------------------------------------------------------
+# configuration
+
+@dataclass(frozen=True)
+class CorpusConfig:
+    seed: int = 42
+    n_docs: int = 200
+    # universe of media indices docs may reference; indices where
+    # j % missing_modulo == missing_modulo - 1 exist in docs but NOT in
+    # the media table (FILE_NOT_FOUND rows).
+    n_media: int = 0  # 0 => max(16, n_docs // 2)
+    missing_modulo: int = 41
+    hot_pool: int = 8          # first K media indices are "hot" (byte dups)
+    p_hot: float = 0.25
+    heavy_frac: float = 0.10   # media-heavy doc fraction
+    oversize_bytes: int = 96_000  # noise payload for 'oversize' images
+
+    @property
+    def media_universe(self) -> int:
+        return self.n_media or max(16, self.n_docs // 2)
+
+
+# streams for Philox keys — one namespace per generator family
+_S_DOC, _S_MEDIA, _S_TEXT = 1, 2, 3
+
+_DEGRADATIONS = (
+    "clean", "clean", "clean",        # weight 3
+    "low_contrast", "dark", "bright", "blurry",
+    "skewed_3deg", "skewed_8deg", "skewed_15deg",
+    "oversize",
+)
+
+# words renderable by the fixture font (A-Z only) for image text
+_FONT_WORDS = (
+    "SCAN TABLE QUERY SPARK BATCH MERGE INDEX SHARD TOKEN PIXEL GLYPH "
+    "IMAGE OTSU DESKEW DENOISE KERNEL ARROW PANDAS ICEBERG SPAN DOC "
+    "HASH CACHE POOL WORKER ENGINE OCR TEXT PAGE LINE WORD"
+).split()
+
+# prose words for text spans / html main content
+_PROSE_WORDS = (
+    "the quick analytic engine reads every span and writes extracted "
+    "content back to the table while partitions stay balanced across "
+    "executors because media heavy documents are broken into image "
+    "granularity work units with content hash memoization and ordered "
+    "reassembly preserving offsets exactly as the reference server "
+    "returns results in input order for each batch request"
+).split()
+
+_BOILER_LINKS = ("home", "about", "contact", "login", "search", "terms")
+
+
+def _rng(seed: int, stream: int, idx: int) -> np.random.Generator:
+    # Philox takes a 2x64-bit key; fold (seed, stream, idx) injectively
+    return np.random.Generator(
+        np.random.Philox(key=[(seed << 8) | stream, idx])
+    )
+
+
+def _words(rng: np.random.Generator, vocab: tuple | list, n: int) -> str:
+    return " ".join(str(vocab[int(i)]) for i in rng.integers(0, len(vocab), n))
+
+
+# ---------------------------------------------------------------------------
+# media generation (pure function of (cfg, j))
+
+def media_exists(cfg: CorpusConfig, j: int) -> bool:
+    return (j % cfg.missing_modulo) != cfg.missing_modulo - 1
+
+
+def media_ref(j: int) -> str:
+    return f"img-{j:08d}"
+
+
+def _degrade(img: np.ndarray, deg: str, rng: np.random.Generator,
+             oversize_bytes: int) -> np.ndarray:
+    f = img.astype(np.float64)
+    if deg == "low_contrast":
+        f = 128.0 + (f - 128.0) * 0.15
+    elif deg == "dark":
+        f = f * 0.15
+    elif deg == "bright":
+        f = 255.0 - (255.0 - f) * 0.15
+    elif deg == "blurry":
+        # repeated box blur + ink-contrast squeeze: Laplacian variance
+        # falls under the sharpness threshold (denoise branch) while
+        # strokes stay recoverable at the blurry render scale
+        for _ in range(4):
+            pad = np.pad(f, 1, mode="edge")
+            f = sum(
+                pad[dy : dy + f.shape[0], dx : dx + f.shape[1]]
+                for dy in range(3)
+                for dx in range(3)
+            ) / 9.0
+        f = 255.0 - (255.0 - f) * 0.55
+    elif deg.startswith("skewed_"):
+        angle = {"skewed_3deg": -3.0, "skewed_8deg": 8.0, "skewed_15deg": 15.0}[deg]
+        # pad so rotation keeps all text on-canvas (same-size warp would
+        # clip line ends before the pipeline ever sees them)
+        h, w = img.shape[:2]
+        p = int(max(h, w) * abs(np.sin(np.deg2rad(angle)))) // 2 + 6
+        padded = np.pad(img, p, mode="constant", constant_values=255)
+        return kernels.rotate(padded, angle)
+    elif deg == "oversize":
+        # incompressible noise => PNG bigger than the size guard
+        return rng.integers(0, 256, (oversize_bytes // 300, 300),
+                            dtype=np.int64).astype(np.uint8)
+    return np.clip(np.round(f), 0, 255).astype(np.uint8)
+
+
+def media_item(cfg: CorpusConfig, j: int) -> tuple[str, bytes, str, str]:
+    """(media_ref, png_bytes, degradation, true_rendered_text)."""
+    rng = _rng(cfg.seed, _S_MEDIA, j)
+    n_lines = int(rng.integers(1, 3))
+    lines = [
+        _words(rng, _FONT_WORDS, int(rng.integers(2, 5))) for _ in range(n_lines)
+    ]
+    true_text = "\n".join(lines)
+    deg = _DEGRADATIONS[int(rng.integers(0, len(_DEGRADATIONS)))]
+    # blurry needs thick strokes to survive smoothing; skew needs >=3 so
+    # glyphs survive the render-rotate -> deskew-rotate double resample
+    scale = 4 if deg == "blurry" else (3 if deg.startswith("skewed") else int(rng.integers(2, 4)))
+    img = render_text(true_text, scale=scale)
+    img = _degrade(img, deg, rng, cfg.oversize_bytes)
+    return media_ref(j), encode_png(img), deg, true_text
+
+
+@lru_cache(maxsize=16384)
+def golden_media(cfg: CorpusConfig, job: JobConfig, j: int) -> tuple[str, float, str, str | None]:
+    """Fixture-build-time golden OCR result for media index j.
+
+    (text, confidence, degradation, error_code).  Runs the same
+    preprocess + engine the pipeline runs (engine-version-stable,
+    SURVEY.md §7 "OCR determinism") — the pytest oracle for the *Spark
+    plumbing* (explode/route/dedup/join/reassemble), while engine
+    quality is separately guarded by tests asserting recovered text ==
+    rendered text on clean images.
+    """
+    from ..ocr.engine import get_engine
+    from ..imaging.png import decode_png
+
+    _, png, deg, _true = media_item(cfg, j)
+    if len(png) > job.ocr.max_image_size:
+        return "", 0.0, deg, IMAGE_TOO_LARGE
+    img = decode_png(png)
+    try:
+        processed, _q, _steps = preprocess(img, job.preprocessing)
+    except Exception:
+        processed = img  # fail-soft, handler.go:271-275
+    res = get_engine(job.ocr).recognize(processed)
+    return res.text, res.confidence, deg, None
+
+
+# ---------------------------------------------------------------------------
+# html generation
+
+def make_html(rng: np.random.Generator) -> tuple[str, str]:
+    """(html_doc, golden_main_text).  Boilerplate = short/link-heavy
+    blocks; main content = 2 long paragraphs (>= extractor MIN_WORDS)."""
+    nav = "".join(
+        f'<li><a href="/{w}">{w}</a></li>'
+        for w in rng.choice(_BOILER_LINKS, 3, replace=False)
+    )
+    title = _words(rng, _PROSE_WORDS, 3)
+    paras = [
+        _words(rng, _PROSE_WORDS, int(rng.integers(14, 26))) for _ in range(2)
+    ]
+    aside = f'<a href="/ad">{_words(rng, _PROSE_WORDS, 2)}</a> sponsored'
+    footer = f'copyright <a href="/terms">terms</a> {int(rng.integers(2000, 2030))}'
+    html_doc = (
+        "<html><head><title>t</title><style>p{margin:0}</style></head><body>"
+        f"<nav><ul>{nav}</ul></nav>"
+        f'<div class="content"><h1>{title}</h1>'
+        + "".join(f"<p>{p}</p>" for p in paras)
+        + f"</div><aside>{aside}</aside><footer><p>{footer}</p></footer>"
+        "</body></html>"
+    )
+    return html_doc, "\n".join(paras)
+
+
+# ---------------------------------------------------------------------------
+# doc generation (pure function of (cfg, i))
+
+def doc_item(cfg: CorpusConfig, i: int) -> tuple[str, list[dict]]:
+    """(doc_id, spans).  Span dicts: kind, text, media_ref, offset,
+    plus generator-private keys (golden text for html, media index)."""
+    rng = _rng(cfg.seed, _S_DOC, i)
+    heavy = rng.random() < cfg.heavy_frac
+    if heavy:
+        n_spans = int(rng.integers(8, 13))
+        n_images = int(rng.integers(6, n_spans + 1))
+    else:
+        n_spans = int(rng.integers(1, 5))
+        n_images = int(rng.random() < 0.35)
+    img_positions = set(
+        rng.choice(n_spans, size=min(n_images, n_spans), replace=False).tolist()
+    )
+    spans: list[dict] = []
+    offset = 0
+    for p in range(n_spans):
+        if p in img_positions:
+            if rng.random() < cfg.p_hot:
+                j = int(rng.integers(0, cfg.hot_pool))
+            else:
+                j = int(rng.integers(0, cfg.media_universe))
+            spans.append(
+                dict(kind="image", text="", media_ref=media_ref(j),
+                     offset=offset, _j=j)
+            )
+        elif rng.random() < 0.27:
+            html_doc, golden = make_html(rng)
+            spans.append(
+                dict(kind="html", text=html_doc, media_ref="",
+                     offset=offset, _golden=golden)
+            )
+        else:
+            txt = _words(rng, _PROSE_WORDS, int(rng.integers(5, 30)))
+            spans.append(dict(kind="text", text=txt, media_ref="", offset=offset))
+        offset += int(rng.integers(1, 40)) + (
+            len(spans[-1]["text"]) if spans[-1]["kind"] != "image" else 1
+        )
+    return f"doc-{i:010d}", spans
+
+
+def expected_rows(cfg: CorpusConfig, job: JobConfig, i: int) -> list[dict]:
+    """Golden output rows for doc i (FIXTURES.md §3)."""
+    doc_id, spans = doc_item(cfg, i)
+    out = []
+    for order, sp in enumerate(spans):
+        row = dict(
+            doc_id=doc_id, order=order, kind=sp["kind"],
+            media_ref=sp["media_ref"], text=None, confidence=None,
+            language=None, error_code=None,
+        )
+        if sp["kind"] == "text":
+            row["text"] = sp["text"]
+        elif sp["kind"] == "html":
+            row["text"] = sp["_golden"]
+        else:
+            j = sp["_j"]
+            if not media_exists(cfg, j):
+                row["text"] = ""
+                row["error_code"] = FILE_NOT_FOUND
+            else:
+                text, conf, _deg, err = golden_media(cfg, job, j)
+                row["text"] = text
+                if err is None:
+                    row["confidence"] = conf
+                    row["language"] = job.ocr.language
+                else:
+                    row["error_code"] = err
+        out.append(row)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Spark-distributed materialization (mapInPandas over spark.range — no
+# driver-side generation, no shuffle; scales to any n_docs)
+
+DOCS_SCHEMA = (
+    "doc_id string, spans array<struct<kind:string,text:string,"
+    "media_ref:string,offset:int>>"
+)
+MEDIA_SCHEMA = "media_ref string, bytes binary, degradation string, true_text string"
+EXPECTED_SCHEMA = (
+    "doc_id string, order int, kind string, media_ref string, text string, "
+    "confidence double, language string, error_code string"
+)
+
+
+def docs_df(spark, cfg: CorpusConfig):
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                doc_id, spans = doc_item(cfg, int(i))
+                rows.append(
+                    (doc_id,
+                     [(s["kind"], s["text"], s["media_ref"], s["offset"])
+                      for s in spans])
+                )
+            yield pd.DataFrame(rows, columns=["doc_id", "spans"])
+
+    n_parts = max(4, min(256, cfg.n_docs // 64 or 4))
+    return (
+        spark.range(0, cfg.n_docs, numPartitions=n_parts)
+        .mapInPandas(gen, schema=DOCS_SCHEMA)
+    )
+
+
+def media_df(spark, cfg: CorpusConfig):
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [
+                media_item(cfg, int(j))
+                for j in pdf["id"]
+                if media_exists(cfg, int(j))
+            ]
+            yield pd.DataFrame(
+                rows, columns=["media_ref", "bytes", "degradation", "true_text"]
+            )
+
+    n = cfg.media_universe
+    n_parts = max(4, min(256, n // 32 or 4))
+    return spark.range(0, n, numPartitions=n_parts).mapInPandas(
+        gen, schema=MEDIA_SCHEMA
+    )
+
+
+def expected_df(spark, cfg: CorpusConfig, job: JobConfig = DEFAULT_CONFIG):
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: list[dict] = []
+            for i in pdf["id"]:
+                rows.extend(expected_rows(cfg, job, int(i)))
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "order", "kind", "media_ref", "text",
+                         "confidence", "language", "error_code"],
+            )
+
+    n_parts = max(4, min(256, cfg.n_docs // 64 or 4))
+    return spark.range(0, cfg.n_docs, numPartitions=n_parts).mapInPandas(
+        gen, schema=EXPECTED_SCHEMA
+    )
