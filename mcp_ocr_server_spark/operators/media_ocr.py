@@ -1,0 +1,120 @@
+"""Batched analyze + preprocess + OCR stage (`mapInPandas`).
+
+Spark re-expression of the reference's core operator chain
+`recognizeImage` (internal/tools/handler.go:250-296): decode ->
+quality-analyze -> adaptive preprocess -> OCR, with the reference's
+fail-soft and guard semantics:
+
+- decode/preprocess failure  => OCR the ORIGINAL bytes with a WARN,
+  never fail the row (handler.go:271-275, F5);
+- engine failure             => OCR_ENGINE_FAILED error row, batch
+  continues (handler.go:200-216 error isolation, P1);
+- per-image soft timeout     => TIMEOUT error row (tesseract.go:94-138;
+  cooperative monotonic-clock check — Spark's task reaper is the hard
+  backstop, SURVEY.md §2.6 P4).
+
+One engine per python worker, initialized in the generator prologue and
+reused across every Arrow batch — the analogue of the reference's
+sync.Pool of gosseract clients (tesseract.go:27-32, P3).
+
+The stage consumes ONE ROW PER DISTINCT content_hash (the memoization
+dedup happens upstream in plans/pipeline.py), so work units are
+image-granularity and uniformly hash-distributed — this, not row-count
+balancing, is what breaks media-heavy document skew (north_rule).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+
+from ..config import (
+    OCR_ENGINE_FAILED,
+    PREPROCESSING_FAILED,
+    TIMEOUT,
+    JobConfig,
+)
+from ..imaging.analyzer import preprocess
+from ..imaging.png import decode_png
+
+# Output schema of the OCR stage: one row per distinct content_hash.
+OCR_RESULT_SCHEMA = (
+    "content_hash string, text string, confidence double, language string,"
+    " duration_s double, error_code string, error_msg string,"
+    " sharpness double, contrast double, brightness double,"
+    " applied_steps array<string>"
+)
+
+
+def make_ocr_map(cfg: JobConfig):
+    """Build the mapInPandas function over (content_hash, bytes)."""
+
+    def ocr_map(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # engine init once per python worker (P3); imported here so the
+        # import happens on the executor, not at plan-build time
+        from ..ocr.engine import get_engine
+
+        engine = get_engine(cfg.ocr)
+        timeout_s = float(cfg.ocr.timeout_seconds)
+        for pdf in batches:
+            rows: list[dict] = []
+            for h, data in zip(pdf["content_hash"], pdf["bytes"]):
+                t0 = time.monotonic()
+                row = dict(
+                    content_hash=h, text="", confidence=None,
+                    language=None, duration_s=None, error_code=None,
+                    error_msg=None, sharpness=None, contrast=None,
+                    brightness=None, applied_steps=None,
+                )
+                img = None
+                try:
+                    img = decode_png(bytes(data))
+                except Exception as exc:  # F4 empty/bad decode
+                    row["error_code"] = PREPROCESSING_FAILED
+                    row["error_msg"] = f"decode: {exc}"
+                    rows.append(row)
+                    continue
+                processed = img
+                try:
+                    processed, quality, steps = preprocess(img, cfg.preprocessing)
+                    row["applied_steps"] = list(steps)
+                    if quality is not None:
+                        row["sharpness"] = quality.sharpness
+                        row["contrast"] = quality.contrast
+                        row["brightness"] = quality.brightness
+                except Exception:
+                    # F5 fail-soft: OCR the original bytes
+                    processed = img
+                    row["applied_steps"] = []
+                if time.monotonic() - t0 > timeout_s:
+                    row["error_code"] = TIMEOUT
+                    row["error_msg"] = f"preprocess exceeded {timeout_s}s"
+                    rows.append(row)
+                    continue
+                try:
+                    res = engine.recognize(processed)
+                    if time.monotonic() - t0 > timeout_s:
+                        row["error_code"] = TIMEOUT
+                        row["error_msg"] = f"ocr exceeded {timeout_s}s"
+                    else:
+                        row["text"] = res.text
+                        row["confidence"] = res.confidence
+                        row["language"] = res.language
+                except Exception as exc:
+                    row["error_code"] = OCR_ENGINE_FAILED
+                    row["error_msg"] = str(exc)
+                row["duration_s"] = time.monotonic() - t0
+                rows.append(row)
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "content_hash", "text", "confidence", "language",
+                    "duration_s", "error_code", "error_msg", "sharpness",
+                    "contrast", "brightness", "applied_steps",
+                ],
+            )
+
+    return ocr_map

@@ -1,0 +1,234 @@
+"""End-to-end extraction plan over interleaved text + media documents.
+
+The Spark restatement of the reference's whole request lifecycle
+(SURVEY.md §3): where the reference runs one JSON-RPC handler per image
+(handler.go:93-296), this is ONE declarative job:
+
+    docs --array_sort--> posexplode(spans) --route by kind-->
+      non-media: identity / boilerplate-strip           (new text path)
+      media:     join media bytes -> guards (F1/F2) ->
+                 content-hash (C1) -> dropDuplicates + memo anti-join (C2) ->
+                 uniform repartition -> mapInPandas[analyze+preprocess+OCR]
+                 -> join results back to every referencing span
+    --> union -> span rows (doc_id, order, kind, media_ref, text,
+                 confidence, language, error_code, ...)
+
+Output invariant: per-doc span sequence (kind, text, media_ref, order)
+equals the reference server's per-request results in input order
+(handler.go:188-232 writes results[index]; SURVEY.md §2.8).
+
+Scale notes (100 TB / 10^12 docs):
+- the ONLY shuffles are: media_ref join, the dropDuplicates on
+  content_hash, the uniform repartition of distinct work units, and the
+  results re-join.  No doc-level window, no global sort: span order is
+  recovered per-row from the input array position after an intra-row
+  `array_sort` by offset (no shuffle).
+- filters (kind routing, size guard) sit BEFORE the UDF stages so
+  Catalyst pushes them into the scan; bytes columns are pruned before
+  any re-shuffle of span rows.
+- skew: see operators/partitioning.py — explode-to-image granularity +
+  content dedup + uniform hash redistribution.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+from ..config import (
+    FILE_NOT_FOUND,
+    IMAGE_TOO_LARGE,
+    DEFAULT_CONFIG,
+    JobConfig,
+)
+from ..functions.text_extract import extract_batch
+from ..operators.media_ocr import OCR_RESULT_SCHEMA, make_ocr_map
+from ..operators.partitioning import repartition_media
+
+SPAN_COLS = [
+    "doc_id", "order", "kind", "media_ref", "text",
+    "confidence", "language", "error_code", "error_msg", "content_hash",
+]
+
+
+@dataclass
+class ExtractResult:
+    spans: DataFrame        # one row per input span, SPAN_COLS
+    ocr_results: DataFrame  # one row per distinct content_hash actually computed
+
+
+def _extract_main_udf():
+    # built lazily: pandas_udf type parsing needs an active session
+    @F.pandas_udf("string")
+    def udf(s: pd.Series) -> pd.Series:
+        return pd.Series(extract_batch(s.tolist()))
+
+    return udf
+
+
+def explode_spans(docs: DataFrame) -> DataFrame:
+    """docs(doc_id, spans) -> span rows with `order` = offset rank.
+
+    `array_sort` with an offset comparator runs inside the row (no
+    shuffle), so `posexplode` position == offset rank even if a writer
+    stored spans out of order.
+    """
+    ordered = docs.withColumn(
+        "spans",
+        F.expr("array_sort(spans, (a, b) -> a.offset - b.offset)"),
+    )
+    return ordered.select(
+        "doc_id", F.posexplode("spans").alias("order", "span")
+    ).select(
+        "doc_id",
+        "order",
+        F.col("span.kind").alias("kind"),
+        F.col("span.text").alias("text"),
+        F.col("span.media_ref").alias("media_ref"),
+        F.col("span.offset").alias("offset"),
+    )
+
+
+def content_hash_col(cfg: JobConfig) -> F.Column:
+    """C1 cache key parity: hex(sha256(bytes || language || bool-string))
+    (cache.go:188-198; auto_mode deliberately NOT in the key)."""
+    return F.sha2(
+        F.concat(
+            F.col("bytes"),
+            F.lit(cfg.ocr.language.encode("utf-8")),
+            F.lit(
+                ("true" if cfg.preprocessing.enabled else "false").encode("utf-8")
+            ),
+        ),
+        256,
+    )
+
+
+def _null(dtype: str) -> F.Column:
+    return F.lit(None).cast(dtype)
+
+
+def extract(
+    docs: DataFrame,
+    media: DataFrame,
+    cfg: JobConfig = DEFAULT_CONFIG,
+    memo: DataFrame | None = None,
+    total_media_bytes: int | None = None,
+) -> ExtractResult:
+    """Run the full extraction dataflow. Lazy — returns DataFrames.
+
+    `memo` is a prior ocr_results table (or slice of it); distinct work
+    units anti-join it so previously computed hashes are never
+    recomputed (durable replacement for the reference's TTL cache,
+    SURVEY.md §2.5 C2).  `total_media_bytes` is the partition-sizing
+    hint (Iceberg table stats at scale).
+    """
+    spans = explode_spans(docs)
+
+    # ---- non-media branch: identity for text, boilerplate-strip for html
+    non_media = spans.filter(F.col("kind") != "image").select(
+        "doc_id", "order", "kind", "media_ref",
+        F.when(F.col("kind") == "html", _extract_main_udf()(F.col("text")))
+        .otherwise(F.col("text"))
+        .alias("text"),
+        _null("double").alias("confidence"),
+        _null("string").alias("language"),
+        _null("string").alias("error_code"),
+        _null("string").alias("error_msg"),
+        _null("string").alias("content_hash"),
+    )
+
+    # ---- media branch
+    media_spans = (
+        spans.filter(F.col("kind") == "image")
+        .join(media.select("media_ref", "bytes"), "media_ref", "left")
+        .withColumn(
+            "guard_error",
+            F.when(F.col("bytes").isNull(), F.lit(FILE_NOT_FOUND)).when(
+                F.length("bytes") > cfg.ocr.max_image_size,
+                F.lit(IMAGE_TOO_LARGE),
+            ),
+        )
+        .withColumn(
+            "content_hash",
+            F.when(F.col("guard_error").isNull(), content_hash_col(cfg)),
+        )
+    )
+
+    # distinct work units (memoization + hot-key de-skew)
+    work = (
+        media_spans.filter(F.col("guard_error").isNull())
+        .select("content_hash", "bytes")
+        .dropDuplicates(["content_hash"])
+    )
+    if memo is not None:
+        work = work.join(
+            memo.select("content_hash"), "content_hash", "left_anti"
+        )
+    work = repartition_media(work, total_cost_bytes=total_media_bytes)
+    ocr_results = work.mapInPandas(make_ocr_map(cfg), schema=OCR_RESULT_SCHEMA)
+
+    lookup = ocr_results
+    if memo is not None:
+        lookup = lookup.unionByName(
+            memo.select(*ocr_results.columns), allowMissingColumns=False
+        )
+
+    media_out = (
+        media_spans.select(
+            "doc_id", "order", "kind", "media_ref", "guard_error", "content_hash"
+        )  # bytes pruned BEFORE the results shuffle
+        .join(
+            lookup.withColumnRenamed("text", "ocr_text").withColumnRenamed(
+                "error_msg", "ocr_error_msg"
+            ),
+            "content_hash",
+            "left",
+        )
+        .select(
+            "doc_id", "order", "kind", "media_ref",
+            F.when(F.col("guard_error").isNotNull(), F.lit(""))
+            .otherwise(F.coalesce(F.col("ocr_text"), F.lit("")))
+            .alias("text"),
+            F.when(
+                F.col("guard_error").isNull() & F.col("error_code").isNull(),
+                F.col("confidence"),
+            ).alias("confidence"),
+            F.when(
+                F.col("guard_error").isNull() & F.col("error_code").isNull(),
+                F.col("language"),
+            ).alias("language"),
+            F.coalesce(F.col("guard_error"), F.col("error_code")).alias(
+                "error_code"
+            ),
+            F.col("ocr_error_msg").alias("error_msg"),
+            "content_hash",
+        )
+    )
+
+    out = non_media.unionByName(media_out).select(*SPAN_COLS)
+    return ExtractResult(spans=out, ocr_results=ocr_results)
+
+
+def reassemble_docs(spans: DataFrame) -> DataFrame:
+    """Span rows -> one row per doc with the ordered extracted sequence.
+
+    Shuffles once on doc_id; `array_sort` restores offset order inside
+    each row (struct comparison leads with `order`), replacing the
+    reference's mutex-guarded results[index] slot writes
+    (handler.go:188-232) without a window function.
+    """
+    return (
+        spans.groupBy("doc_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct("order", "kind", "text", "media_ref",
+                             "confidence", "language", "error_code")
+                )
+            ).alias("extracted"),
+            F.count(F.lit(1)).alias("n_spans"),  # G4 batch count
+        )
+    )

@@ -59,7 +59,7 @@ class CorpusConfig:
     # j % missing_modulo == missing_modulo - 1 exist in docs but NOT in
     # the media table (FILE_NOT_FOUND rows).
     n_media: int = 0  # 0 => max(16, n_docs // 2)
-    missing_modulo: int = 41
+    missing_modulo: int = 13
     hot_pool: int = 8          # first K media indices are "hot" (byte dups)
     p_hot: float = 0.25
     heavy_frac: float = 0.10   # media-heavy doc fraction
