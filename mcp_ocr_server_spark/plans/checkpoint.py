@@ -1,0 +1,186 @@
+"""Resumable extraction: per-bucket watermarks + atomic commits.
+
+The reference's only durability story is graceful shutdown
+(main.go:62-86) — a killed batch loses everything and the TTL cache
+(cache.go:29-198) is in-memory.  The north rule instead demands:
+"resumable from checkpoint with per-partition lineage + metrics"
+— a killed job must NOT reprocess committed partitions.
+
+Design (SURVEY.md §4 item 2):
+
+- Work is split into B deterministic **buckets**:
+  ``bucket = pmod(xxhash64(doc_id), B)``.  Buckets, not Spark partition
+  ids, are the commit unit: they are stable across runs, cluster sizes
+  and AQE decisions.
+- Each bucket commits atomically: span rows land under
+  ``out/spans/bucket=K/`` and a **watermark row** (bucket id, counts,
+  timestamps) is appended to the watermark table only after the data
+  write succeeds.  On Iceberg this is one transactional append; on the
+  local parquet stand-in, directory + marker-file ordering gives the
+  same observable semantics (watermark written last).
+- On (re)start, the driver anti-joins the bucket list against committed
+  watermarks and processes only the remainder.  Re-running a committed
+  bucket is impossible; re-running a half-written bucket overwrites it
+  (dynamic partition overwrite), so the invariant is exactly-once
+  OUTPUT per bucket (C3 idempotency: same bytes+params => same rows).
+- The memo table (prior ocr_results) doubles as cross-bucket
+  memoization: hashes computed by committed buckets are never
+  recomputed by later ones.
+
+Lineage: every watermark row records bucket id, run id, span/doc/error
+counts and wall time — the per-partition lineage + metrics table.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..config import DEFAULT_CONFIG, JobConfig
+from .pipeline import SPAN_COLS, extract
+
+WATERMARK_SCHEMA = (
+    "bucket int, run_id string, n_docs long, n_spans long, n_errors long,"
+    " n_ocr_computed long, wall_s double, committed_at double"
+)
+
+
+def bucket_col(b: int) -> F.Column:
+    return F.pmod(F.xxhash64(F.col("doc_id")), F.lit(b)).cast("int")
+
+
+@dataclass
+class CheckpointedRun:
+    out_dir: str
+    buckets_total: int
+    buckets_done_before: int
+    buckets_committed: int
+    spans_written: int
+
+
+class CheckpointStore:
+    """Watermark + output layout rooted at a directory.
+
+    Layout:
+      root/spans/bucket=K/*.parquet     committed span rows
+      root/ocr/bucket=K/*.parquet       committed ocr results (memo source)
+      root/watermarks/K.json            watermark row, written LAST
+    """
+
+    def __init__(self, root: str):
+        self.root = root
+        self.spans_dir = os.path.join(root, "spans")
+        self.ocr_dir = os.path.join(root, "ocr")
+        self.wm_dir = os.path.join(root, "watermarks")
+        os.makedirs(self.wm_dir, exist_ok=True)
+
+    def committed_buckets(self) -> set[int]:
+        return {
+            int(f.split(".")[0])
+            for f in os.listdir(self.wm_dir)
+            if f.endswith(".json")
+        }
+
+    def commit(self, bucket: int, stats: dict) -> None:
+        path = os.path.join(self.wm_dir, f"{bucket}.json")
+        tmp = path + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(stats, fh)
+        os.replace(tmp, path)  # atomic rename = commit point
+
+    def watermarks_df(self, spark: SparkSession) -> DataFrame:
+        rows = []
+        for b in sorted(self.committed_buckets()):
+            with open(os.path.join(self.wm_dir, f"{b}.json")) as fh:
+                rows.append(json.load(fh))
+        return spark.createDataFrame(rows, schema=WATERMARK_SCHEMA) if rows else (
+            spark.createDataFrame([], schema=WATERMARK_SCHEMA)
+        )
+
+    def memo_df(self, spark: SparkSession) -> DataFrame | None:
+        if not os.path.isdir(self.ocr_dir) or not self.committed_buckets():
+            return None
+        # only committed buckets count as memo (half-written ones are
+        # re-run and overwritten)
+        paths = [
+            os.path.join(self.ocr_dir, f"bucket={b}")
+            for b in sorted(self.committed_buckets())
+            if os.path.isdir(os.path.join(self.ocr_dir, f"bucket={b}"))
+        ]
+        if not paths:
+            return None
+        return spark.read.parquet(*paths)
+
+    def spans_df(self, spark: SparkSession) -> DataFrame:
+        paths = [
+            os.path.join(self.spans_dir, f"bucket={b}")
+            for b in sorted(self.committed_buckets())
+        ]
+        return spark.read.parquet(*paths)
+
+
+def run_checkpointed(
+    spark: SparkSession,
+    docs: DataFrame,
+    media: DataFrame,
+    store: CheckpointStore,
+    cfg: JobConfig = DEFAULT_CONFIG,
+    n_buckets: int | None = None,
+    run_id: str = "run-0",
+    fail_after_buckets: int | None = None,
+) -> CheckpointedRun:
+    """Process docs bucket-by-bucket, committing a watermark per bucket.
+
+    ``fail_after_buckets`` injects a mid-job crash for the resume test.
+    At cluster scale each bucket is a full multi-partition Spark job
+    (B ~ 100s-1000s, each covering ~1/B of the corpus); the loop is
+    driver-side but O(B), never O(rows).
+    """
+    b = n_buckets or cfg.checkpoint_buckets
+    done = store.committed_buckets()
+    docs_b = docs.withColumn("bucket", bucket_col(b))
+    committed = 0
+    total_spans = 0
+    for k in range(b):
+        if k in done:
+            continue
+        if fail_after_buckets is not None and committed >= fail_after_buckets:
+            raise RuntimeError(f"injected failure after {committed} buckets")
+        t0 = time.monotonic()
+        part = docs_b.filter(F.col("bucket") == k).drop("bucket")
+        memo = store.memo_df(spark)
+        res = extract(part, media, cfg, memo=memo)
+        spans_path = os.path.join(store.spans_dir, f"bucket={k}")
+        ocr_path = os.path.join(store.ocr_dir, f"bucket={k}")
+        res.ocr_results.write.mode("overwrite").parquet(ocr_path)
+        # re-read instead of recomputing the OCR stage for the span join
+        ocr_cached = spark.read.parquet(ocr_path)
+        res2 = extract(part, media, cfg, memo=(
+            ocr_cached if memo is None else memo.unionByName(ocr_cached)
+        ))
+        res2.spans.write.mode("overwrite").parquet(spans_path)
+        written = spark.read.parquet(spans_path)
+        stats = dict(
+            bucket=k,
+            run_id=run_id,
+            n_docs=written.select("doc_id").distinct().count(),
+            n_spans=written.count(),
+            n_errors=written.filter(F.col("error_code").isNotNull()).count(),
+            n_ocr_computed=ocr_cached.count(),
+            wall_s=time.monotonic() - t0,
+            committed_at=time.time(),
+        )
+        store.commit(k, stats)
+        committed += 1
+        total_spans += stats["n_spans"]
+    return CheckpointedRun(
+        out_dir=store.root,
+        buckets_total=b,
+        buckets_done_before=len(done),
+        buckets_committed=committed,
+        spans_written=total_spans,
+    )

@@ -1,0 +1,66 @@
+"""Kill-and-resume semantics (north_rule): a killed job must resume
+without reprocessing committed buckets and produce exactly the same
+output rows as an uninterrupted run — no duplicates, no gaps."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from mcp_ocr_server_spark.plans.checkpoint import (
+    CheckpointStore,
+    run_checkpointed,
+)
+from mcp_ocr_server_spark.plans.pipeline import extract
+from mcp_ocr_server_spark.sources import synthetic as S
+
+from conftest import FIXTURE_JOB
+
+CORPUS = S.CorpusConfig(n_docs=40)
+N_BUCKETS = 4
+
+
+def _key_rows(df):
+    return sorted(
+        (r.doc_id, r.order, r.kind, r.text, r.media_ref, r.error_code)
+        for r in df.collect()
+    )
+
+
+def test_kill_and_resume_no_reprocessing(spark, tmp_path):
+    docs = S.docs_df(spark, CORPUS)
+    media = S.media_df(spark, CORPUS)
+
+    store = CheckpointStore(str(tmp_path / "ckpt"))
+    with pytest.raises(RuntimeError, match="injected failure"):
+        run_checkpointed(
+            spark, docs, media, store, FIXTURE_JOB,
+            n_buckets=N_BUCKETS, fail_after_buckets=2,
+        )
+    assert len(store.committed_buckets()) == 2
+
+    # resume: only the remaining buckets run
+    second = run_checkpointed(
+        spark, docs, media, store, FIXTURE_JOB, n_buckets=N_BUCKETS,
+        run_id="run-1",
+    )
+    assert second.buckets_done_before == 2
+    assert second.buckets_committed == N_BUCKETS - 2
+    assert len(store.committed_buckets()) == N_BUCKETS
+
+    # output == single uninterrupted run, row-for-row
+    resumed = store.spans_df(spark)
+    oneshot = extract(docs, media, FIXTURE_JOB).spans
+    assert _key_rows(resumed) == _key_rows(oneshot)
+
+    # no doc appears in two buckets; no span row duplicated
+    dups = (
+        resumed.groupBy("doc_id", "order").count().filter(F.col("count") > 1)
+    )
+    assert dups.count() == 0
+
+    # lineage table: one watermark per bucket with counts
+    wm = store.watermarks_df(spark)
+    assert wm.count() == N_BUCKETS
+    assert wm.agg(F.sum("n_spans")).first()[0] == resumed.count()
+    # later buckets reuse earlier buckets' OCR results via the memo table
+    runs = {r.run_id for r in wm.collect()}
+    assert runs == {"run-0", "run-1"}
