@@ -92,3 +92,10 @@ ERROR_CODES = (
 SUPPORTED_LANGUAGES = ("eng", "chi_sim", "chi_tra", "jpn")
 
 DEFAULT_CONFIG = JobConfig()
+
+# Fixture/test job config: identical semantics to the reference defaults
+# (config.go:186-219) except max_image_size scaled 10 MiB -> 64 KiB so the
+# oversize-guard path (handler.go:252-254) is exercised without multi-MB
+# noise fixtures.  The guard THRESHOLD is config, the guard SEMANTICS are
+# what parity requires.
+FIXTURE_JOB = JobConfig(ocr=OCRConfig(max_image_size=64_000))

@@ -1,0 +1,86 @@
+"""Generate the committed golden fixtures (FIXTURES.md §2-§3).
+
+Pure-python (no Spark): the corpus is a deterministic function of
+(seed, index), so the goldens are stable across machines and Spark
+versions and are committed to git.  Regenerate with:
+
+    python scripts/gen_fixtures.py
+
+Outputs (under fixtures/):
+  expected_spans.parquet  — golden extraction output for the flagship
+                            corpus (CorpusConfig(n_docs=120), FIXTURE_JOB)
+  media_meta.parquet      — per-media golden: degradation, byte length,
+                            rendered text, analyzer metrics (A1-A4) and
+                            suggested pipeline (A5)
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pandas as pd
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from mcp_ocr_server_spark.config import FIXTURE_JOB  # noqa: E402
+from mcp_ocr_server_spark.imaging.analyzer import analyze  # noqa: E402
+from mcp_ocr_server_spark.imaging.png import decode_png  # noqa: E402
+from mcp_ocr_server_spark.sources import synthetic as S  # noqa: E402
+
+FLAGSHIP_CORPUS = S.CorpusConfig(n_docs=120)
+FIXTURES_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "fixtures"
+)
+
+
+def gen_expected_spans() -> pd.DataFrame:
+    rows: list[dict] = []
+    for i in range(FLAGSHIP_CORPUS.n_docs):
+        rows.extend(S.expected_rows(FLAGSHIP_CORPUS, FIXTURE_JOB, i))
+    df = pd.DataFrame(
+        rows,
+        columns=["doc_id", "order", "kind", "media_ref", "text",
+                 "confidence", "language", "error_code"],
+    )
+    df["order"] = df["order"].astype("int32")
+    return df
+
+
+def gen_media_meta() -> pd.DataFrame:
+    rows = []
+    for j in range(FLAGSHIP_CORPUS.media_universe):
+        if not S.media_exists(FLAGSHIP_CORPUS, j):
+            continue
+        ref, png, deg, true_text = S.media_item(FLAGSHIP_CORPUS, j)
+        img = decode_png(png)
+        q = analyze(img, FIXTURE_JOB.preprocessing)
+        rows.append(
+            dict(
+                media_ref=ref, degradation=deg, n_bytes=len(png),
+                true_text=true_text,
+                sharpness=round(q.sharpness, 6),
+                contrast=round(q.contrast, 6),
+                brightness=round(q.brightness, 6),
+                needs_preprocessing=q.needs_preprocessing,
+                pipeline=",".join(q.suggested_pipeline),
+            )
+        )
+    df = pd.DataFrame(rows)
+    df["n_bytes"] = df["n_bytes"].astype("int64")
+    return df
+
+
+def main() -> None:
+    os.makedirs(FIXTURES_DIR, exist_ok=True)
+    spans = gen_expected_spans()
+    spans.to_parquet(os.path.join(FIXTURES_DIR, "expected_spans.parquet"), index=False)
+    meta = gen_media_meta()
+    meta.to_parquet(os.path.join(FIXTURES_DIR, "media_meta.parquet"), index=False)
+    print(f"expected_spans: {len(spans)} rows; media_meta: {len(meta)} rows")
+    print("error codes:", spans.error_code.value_counts(dropna=True).to_dict())
+    print("degradations:", meta.degradation.value_counts().to_dict())
+
+
+if __name__ == "__main__":
+    main()
