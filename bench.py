@@ -1,0 +1,100 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
+line:
+
+    {"metric": "...", "value": N, "unit": "sec",
+     "queries": {...per-query seconds...}, "sf": ...,
+     "docs_per_sec": ..., "n_docs": ..., "cpus": ...}
+
+The flagship entry is the end-to-end extraction job over the synthetic
+interleaved-docs corpus (size via $BENCH_DOCS, default 600 — media
+universe scales with it); its throughput in docs/sec is the
+BASELINE.json north-star metric.  $BENCH_QUERIES=comma,list restricts
+which queries run (used by scripts/bench_scaling.py to isolate the
+extraction job for the two-parallelism scaling measurement).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from mcp_ocr_server_spark.config import FIXTURE_JOB  # noqa: E402
+from mcp_ocr_server_spark.session import get_spark  # noqa: E402
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    n_docs = int(os.environ.get("BENCH_DOCS", "600"))
+    only = os.environ.get("BENCH_QUERIES", "")
+    selected = set(only.split(",")) if only else None
+
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    spark = get_spark(
+        app_name="bench",
+        master=f"local[{cpus}]",
+        cfg=FIXTURE_JOB,
+        shuffle_partitions=max(cpus, 8),
+    )
+
+    from mcp_ocr_server_spark.plans.pipeline import extract
+    from mcp_ocr_server_spark.sources import synthetic as S
+    from mcp_ocr_server_spark import queries as Q
+
+    corpus = S.CorpusConfig(n_docs=n_docs)
+
+    def bench_extract():
+        docs = S.docs_df(spark, corpus)
+        media = S.media_df(spark, corpus)
+        res = extract(docs, media, FIXTURE_JOB)
+        return res.spans.count()
+
+    analytics = [
+        "dedup_exact", "dedup_ngram_jaccard", "dedup_minhash",
+        "dedup_simhash", "dedup_embedding", "ann_topk", "lang_id",
+        "text_quality", "doc_fingerprint", "events_hourly",
+        "pricing_summary", "top_suppliers",
+    ]
+
+    timings: dict[str, float] = {}
+    n_rows: dict[str, int] = {}
+
+    def run(name, fn):
+        if selected is not None and name not in selected:
+            return
+        t0 = time.monotonic()
+        n = fn()
+        timings[name] = round(time.monotonic() - t0, 3)
+        n_rows[name] = n
+
+    run("extract_e2e", bench_extract)
+    for name in analytics:
+        qfn, _ = Q.QUERIES[name]
+        run(name, lambda qfn=qfn: qfn(spark, sf_dir).count())
+
+    total = round(sum(timings.values()), 3)
+    out = {
+        "metric": "headline_queries_total_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "cpus": cpus,
+        "n_docs": n_docs,
+        "rows": n_rows,
+    }
+    if "extract_e2e" in timings and timings["extract_e2e"] > 0:
+        out["docs_per_sec"] = round(n_docs / timings["extract_e2e"], 2)
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
