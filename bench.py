@@ -63,6 +63,14 @@ def main() -> None:
         "pricing_summary", "top_suppliers",
     ]
 
+    # Warm-up: spawn/reuse python workers, trigger codegen + Arrow path
+    # JIT once, so timings measure the job, not JVM/worker bring-up.
+    warm = S.CorpusConfig(n_docs=64)
+    extract(
+        S.docs_df(spark, warm), S.media_df(spark, warm), FIXTURE_JOB
+    ).spans.count()
+    spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+
     timings: dict[str, float] = {}
     n_rows: dict[str, int] = {}
 
