@@ -1,0 +1,108 @@
+"""Streaming ingestion: continuous extraction over arriving documents.
+
+The reference is a request/response service — its "streaming" is a
+stdio loop (server.go:98).  The Spark-native equivalent of "documents
+keep arriving" is Structured Streaming over the docs table's landing
+zone: each micro-batch runs the SAME batch dataflow (plans/pipeline.py)
+via foreachBatch, so batch and streaming share one code path and one
+output schema — the recommended Spark pattern for reusing a complex
+batch plan (joins + mapInPandas stages) in a stream.
+
+Exactly-once: foreachBatch appends with per-batch parquet sub-dirs
+keyed by batch id (idempotent re-writes on retry); on Iceberg this
+would be a transactional append per micro-batch.
+
+Also provides a watermarked tumbling-window aggregation over the
+events stream — the stateful-streaming shape (late data bounded by the
+watermark) whose batch twin is queries.q_events_hourly.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..config import DEFAULT_CONFIG, JobConfig
+from ..plans.pipeline import extract
+from ..sources.synthetic import DOCS_SCHEMA
+
+
+def stream_extract(
+    spark: SparkSession,
+    docs_dir: str,
+    media: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    cfg: JobConfig = DEFAULT_CONFIG,
+    available_now: bool = True,
+):
+    """readStream(docs landing dir) -> foreachBatch(batch extract) -> parquet.
+
+    `available_now=True` drains what's currently in the directory and
+    stops (test/backfill mode); False runs continuously.
+    Returns the StreamingQuery.
+    """
+    docs_stream = (
+        spark.readStream.schema(DOCS_SCHEMA)
+        .option("maxFilesPerTrigger", 8)
+        .parquet(docs_dir)
+    )
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        res = extract(batch_df, media, cfg)
+        res.spans.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"batch_id={batch_id}")
+        )
+
+    writer = (
+        docs_stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def stream_events_hourly(
+    spark: SparkSession,
+    events_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    watermark: str = "2 hours",
+    available_now: bool = True,
+):
+    """Watermarked tumbling-window counts per event_type.
+
+    Late events older than the watermark are dropped; state for closed
+    windows is evicted — bounded state at unbounded input, which a
+    batch job can't express.
+    """
+    events = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, event_type string,"
+            " value double, props string"
+        )
+        .parquet(events_dir)
+    )
+    agg = (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("hour_start"),
+            "event_type", "n", "sum_value",
+        )
+    )
+    writer = (
+        agg.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -1,0 +1,78 @@
+"""spark-submit entry point for the extraction pipeline.
+
+Cluster usage (north rule: "runs via spark-submit --py-files on
+multi-executor clusters"):
+
+    zip -r mcp_ocr_server_spark.zip mcp_ocr_server_spark
+    spark-submit --py-files mcp_ocr_server_spark.zip \\
+        scripts/run_extract.py \\
+        --docs  <path/to/docs parquet|iceberg table> \\
+        --media <path/to/media table> \\
+        --out   <checkpoint+output root> \\
+        [--buckets 256] [--synthetic-docs N]
+
+Resumable by construction: rerunning with the same --out continues
+from the last committed bucket watermark (plans/checkpoint.py).  With
+--synthetic-docs N the job generates the deterministic corpus instead
+of reading tables (benchmark / smoke mode).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from mcp_ocr_server_spark.config import DEFAULT_CONFIG, FIXTURE_JOB  # noqa: E402
+from mcp_ocr_server_spark.plans.checkpoint import (  # noqa: E402
+    CheckpointStore,
+    run_checkpointed,
+)
+from mcp_ocr_server_spark.session import get_spark  # noqa: E402
+from mcp_ocr_server_spark.sources import synthetic as S  # noqa: E402
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--docs", help="input docs table path (parquet)")
+    ap.add_argument("--media", help="media sidecar table path (parquet)")
+    ap.add_argument("--out", required=True, help="output + checkpoint root")
+    ap.add_argument("--buckets", type=int, default=32)
+    ap.add_argument("--synthetic-docs", type=int, default=0,
+                    help="generate N synthetic docs instead of reading --docs")
+    ap.add_argument("--run-id", default=f"run-{int(time.time())}")
+    args = ap.parse_args()
+
+    spark = get_spark(app_name="extract")
+    if args.synthetic_docs:
+        corpus = S.CorpusConfig(n_docs=args.synthetic_docs)
+        docs = S.docs_df(spark, corpus)
+        media = S.media_df(spark, corpus)
+        cfg = FIXTURE_JOB
+    else:
+        if not args.docs or not args.media:
+            ap.error("--docs and --media required without --synthetic-docs")
+        docs = spark.read.parquet(args.docs)
+        media = spark.read.parquet(args.media)
+        cfg = DEFAULT_CONFIG
+
+    store = CheckpointStore(args.out)
+    t0 = time.monotonic()
+    result = run_checkpointed(
+        spark, docs, media, store, cfg,
+        n_buckets=args.buckets, run_id=args.run_id,
+    )
+    dt = time.monotonic() - t0
+    print(
+        f"committed {result.buckets_committed} buckets "
+        f"({result.buckets_done_before} already done), "
+        f"{result.spans_written} spans in {dt:.1f}s"
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
