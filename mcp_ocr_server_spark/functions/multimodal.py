@@ -1,0 +1,158 @@
+"""Multimodal column handling: opaque binary media + typed metadata.
+
+Images are FIRST-CLASS here (the whole engine is an image pipeline:
+decode via imaging/png.py, features via imaging/kernels.py).  Audio and
+video are treated the way a 100 TB training-data pipeline treats them:
+opaque `binary` columns + typed metadata structs, processed by
+Arrow-batched `mapInPandas` stages.  This container ships no
+audio/video codecs, so — as the round rules direct — the DECODE step is
+stubbed behind an import-try with a clearly-marked deterministic fake,
+while everything Spark-side (schemas, batch shapes, partitioning, UDF
+signatures) is real and tested.
+
+Schemas:
+    media(media_ref string, kind string, bytes binary,
+          meta struct<mime:string, width:int, height:int,
+                      duration_s:double, sample_rate:int>)
+
+Stages (each a mapInPandas over an Arrow batch iterator):
+    image_features   — REAL: decode PNG -> quality metrics + dims
+    audio_features   — stub decode -> frame-energy summary
+    video_keyframes  — stub decode -> every-Nth-frame sample refs
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+
+MEDIA_SCHEMA = (
+    "media_ref string, kind string, bytes binary,"
+    " meta struct<mime:string, width:int, height:int,"
+    " duration_s:double, sample_rate:int>"
+)
+
+IMAGE_FEATURES_SCHEMA = (
+    "media_ref string, width int, height int, sharpness double,"
+    " contrast double, brightness double, error string"
+)
+
+AUDIO_FEATURES_SCHEMA = (
+    "media_ref string, n_samples long, rms double, peak double, error string"
+)
+
+VIDEO_KEYFRAMES_SCHEMA = (
+    "media_ref string, frame_idx int, frame_sha string, error string"
+)
+
+
+def _decode_audio(data: bytes, sample_rate: int) -> np.ndarray:
+    """Audio decode seam.  Real implementation would use soundfile /
+    ffmpeg; this container has neither, so: deterministic fake that maps
+    bytes -> a pseudo-PCM float array (STUB, clearly marked)."""
+    try:
+        import soundfile  # noqa: F401  (absent in this container)
+    except ImportError:
+        # STUB: bytes -> repeatable float32 signal in [-1, 1]
+        raw = np.frombuffer(
+            hashlib.sha256(data).digest() * max(1, len(data) // 32), dtype=np.uint8
+        )
+        return (raw.astype(np.float32) - 127.5) / 127.5
+    raise NotImplementedError("real audio decode requires soundfile/ffmpeg")
+
+
+def _decode_video_frames(data: bytes, every_n: int) -> list[tuple[int, bytes]]:
+    """Video decode seam (STUB — no codecs in container): deterministic
+    fake that treats each 4 KiB chunk as one 'frame'."""
+    try:
+        import av  # noqa: F401  (absent in this container)
+    except ImportError:
+        chunks = [data[i : i + 4096] for i in range(0, max(len(data), 1), 4096)]
+        return [(i, c) for i, c in enumerate(chunks) if i % every_n == 0]
+    raise NotImplementedError("real video decode requires PyAV/ffmpeg")
+
+
+def image_features(media: DataFrame) -> DataFrame:
+    """REAL path: decode + analyzer metrics per image, Arrow-batched."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..config import DEFAULT_CONFIG
+        from ..imaging.analyzer import analyze
+        from ..imaging.png import decode_png
+
+        for pdf in batches:
+            rows = []
+            for ref, data in zip(pdf["media_ref"], pdf["bytes"]):
+                row = dict(media_ref=ref, width=None, height=None,
+                           sharpness=None, contrast=None, brightness=None,
+                           error=None)
+                try:
+                    img = decode_png(bytes(data))
+                    row["height"], row["width"] = img.shape[:2]
+                    q = analyze(img, DEFAULT_CONFIG.preprocessing)
+                    row.update(sharpness=q.sharpness, contrast=q.contrast,
+                               brightness=q.brightness)
+                except Exception as exc:
+                    row["error"] = str(exc)
+                rows.append(row)
+            yield pd.DataFrame(rows, columns=[
+                "media_ref", "width", "height", "sharpness", "contrast",
+                "brightness", "error"])
+
+    return media.select("media_ref", "bytes").mapInPandas(
+        run, schema=IMAGE_FEATURES_SCHEMA
+    )
+
+
+def audio_features(media: DataFrame, sample_rate: int = 16_000) -> DataFrame:
+    """Stub-decode -> per-clip energy summary (batch shape is real)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for ref, data in zip(pdf["media_ref"], pdf["bytes"]):
+                row = dict(media_ref=ref, n_samples=None, rms=None,
+                           peak=None, error=None)
+                try:
+                    pcm = _decode_audio(bytes(data), sample_rate)
+                    row["n_samples"] = int(pcm.size)
+                    row["rms"] = float(np.sqrt(np.mean(pcm**2)))
+                    row["peak"] = float(np.abs(pcm).max())
+                except Exception as exc:
+                    row["error"] = str(exc)
+                rows.append(row)
+            yield pd.DataFrame(rows, columns=[
+                "media_ref", "n_samples", "rms", "peak", "error"])
+
+    return media.select("media_ref", "bytes").mapInPandas(
+        run, schema=AUDIO_FEATURES_SCHEMA
+    )
+
+
+def video_keyframes(media: DataFrame, every_n: int = 4) -> DataFrame:
+    """Stub-decode -> sampled frame fingerprints (1:N row fan-out — the
+    real plumbing a frame-sampling stage needs)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for ref, data in zip(pdf["media_ref"], pdf["bytes"]):
+                try:
+                    for idx, frame in _decode_video_frames(bytes(data), every_n):
+                        rows.append(dict(
+                            media_ref=ref, frame_idx=idx,
+                            frame_sha=hashlib.sha256(frame).hexdigest(),
+                            error=None))
+                except Exception as exc:
+                    rows.append(dict(media_ref=ref, frame_idx=None,
+                                     frame_sha=None, error=str(exc)))
+            yield pd.DataFrame(rows, columns=[
+                "media_ref", "frame_idx", "frame_sha", "error"])
+
+    return media.select("media_ref", "bytes").mapInPandas(
+        run, schema=VIDEO_KEYFRAMES_SCHEMA
+    )
