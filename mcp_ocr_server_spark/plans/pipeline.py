@@ -141,32 +141,50 @@ def extract(
     )
 
     # ---- media branch
+    # Content hash + byte length are computed IN THE MEDIA SCAN
+    # projection, so the span<->media join and the distinct-work-unit
+    # aggregation move only (media_ref, n_bytes, content_hash) — never
+    # the bytes.  A naive dropDuplicates(hash, bytes) compiles to a
+    # SortAggregate over the binary column (first(bytes) is sort-based),
+    # i.e. sorting and shuffling the entire media corpus — fatal at
+    # 100 TB.  Instead: pick min(media_ref) per hash (HashAggregate over
+    # strings), then fetch that representative's bytes with one join;
+    # bytes cross the wire exactly once, into the OCR stage.
+    media_hashed = media.select(
+        "media_ref",
+        F.length("bytes").alias("n_bytes"),
+        content_hash_col(cfg).alias("content_hash"),
+    )
     media_spans = (
         spans.filter(F.col("kind") == "image")
-        .join(media.select("media_ref", "bytes"), "media_ref", "left")
+        .join(media_hashed, "media_ref", "left")
         .withColumn(
             "guard_error",
-            F.when(F.col("bytes").isNull(), F.lit(FILE_NOT_FOUND)).when(
-                F.length("bytes") > cfg.ocr.max_image_size,
+            F.when(F.col("n_bytes").isNull(), F.lit(FILE_NOT_FOUND)).when(
+                F.col("n_bytes") > cfg.ocr.max_image_size,
                 F.lit(IMAGE_TOO_LARGE),
             ),
         )
         .withColumn(
             "content_hash",
-            F.when(F.col("guard_error").isNull(), content_hash_col(cfg)),
+            F.when(F.col("guard_error").isNull(), F.col("content_hash")),
         )
     )
 
-    # distinct work units (memoization + hot-key de-skew)
-    work = (
+    # distinct work units (memoization + hot-key de-skew): one
+    # representative media_ref per content hash
+    work_refs = (
         media_spans.filter(F.col("guard_error").isNull())
-        .select("content_hash", "bytes")
-        .dropDuplicates(["content_hash"])
+        .groupBy("content_hash")
+        .agg(F.min("media_ref").alias("media_ref"))
     )
     if memo is not None:
-        work = work.join(
+        work_refs = work_refs.join(
             memo.select("content_hash"), "content_hash", "left_anti"
         )
+    work = work_refs.join(media.select("media_ref", "bytes"), "media_ref").select(
+        "content_hash", "bytes"
+    )
     work = repartition_media(work, total_cost_bytes=total_media_bytes)
     ocr_results = work.mapInPandas(make_ocr_map(cfg), schema=OCR_RESULT_SCHEMA)
 
