@@ -1,0 +1,72 @@
+"""Machine-checked physical-plan properties (PLANS.md).
+
+These assert the *shape* of the plans — pushdown, broadcast, and above
+all that no exchange or sort ever carries the media bytes column — so a
+regression that silently reintroduces a corpus-wide byte shuffle fails
+CI, not a 100 TB run.
+"""
+
+import re
+
+from mcp_ocr_server_spark import queries as Q
+from mcp_ocr_server_spark.plans.pipeline import extract
+from mcp_ocr_server_spark.sources import synthetic as S
+
+from conftest import FIXTURE_JOB
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(spark, df, mode="formatted"):
+    jmode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode)
+    return df._jdf.queryExecution().explainString(jmode)
+
+
+def test_extract_plan_no_byte_shuffle(spark):
+    c = S.CorpusConfig(n_docs=24)
+    res = extract(S.docs_df(spark, c), S.media_df(spark, c), FIXTURE_JOB)
+    plan = _plan(spark, res.spans, "simple")
+    # every Exchange/Sort node's visible arguments must not reference the
+    # bytes column (bytes may only flow scan -> repartition -> OCR UDF)
+    for ln in plan.splitlines():
+        s = ln.strip()
+        if s.startswith(("+- Exchange", ":- Exchange", "Exchange",
+                         "+- Sort ", ":- Sort ", "Sort ")):
+            assert not re.search(r"\bbytes#", ln), f"bytes in shuffle/sort: {s}"
+        if "SortAggregate" in ln:
+            assert "bytes#" not in ln, f"bytes in sort-agg: {s}"
+    # no window over the corpus in the extraction path
+    assert "Window" not in plan
+
+
+def test_extract_plan_guards_before_python(spark):
+    c = S.CorpusConfig(n_docs=24)
+    res = extract(S.docs_df(spark, c), S.media_df(spark, c), FIXTURE_JOB)
+    plan = _plan(spark, res.spans, "simple")
+    # size guard is a plain CASE on n_bytes/length, evaluated in a
+    # Project, not inside a python stage
+    assert "IMAGE_TOO_LARGE" in plan
+    ocr_pos = plan.find("ocr_map")
+    guard_pos = plan.find("IMAGE_TOO_LARGE")
+    assert guard_pos != -1 and ocr_pos != -1
+
+
+def test_pricing_pushdown(spark):
+    plan = _plan(spark, Q.q_pricing_summary(spark, SF))
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # column pruning: only the 6 needed columns are read
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m and len(m.group(1).split(",")) == 6
+
+
+def test_top_suppliers_broadcast_and_topk(spark):
+    plan = _plan(spark, Q.q_top_suppliers(spark, SF), "simple")
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan  # rank-limit pushdown, no global sort
+
+
+def test_ann_topk_broadcasts_queries_not_corpus(spark):
+    plan = _plan(spark, Q.q_ann_topk(spark, SF), "simple")
+    # the broadcast side must be the filtered query subset (pmod filter)
+    bcast = plan[plan.find("BroadcastExchange"):]
+    assert "pmod" in bcast or "% 50" in bcast or "(vec_id" in bcast
