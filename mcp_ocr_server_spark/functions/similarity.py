@@ -41,6 +41,86 @@ def cosine_udf():
     return cos
 
 
+def cosine_pairs_blocked(
+    emb: DataFrame,
+    threshold: float,
+    n_blocks: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+) -> DataFrame:
+    """All-pairs cosine >= threshold via block-matrix products.
+
+    The naive pair join materializes O(n^2) rows EACH carrying two full
+    vectors through Arrow (measured: 2M pairs x 2x64 doubles ~ 2 GB of
+    transfer for 2k vectors).  Blocking moves each vector
+    O(n_blocks) times instead of O(n): vectors are grouped into B
+    deterministic blocks (collect_list per block), the B*(B+1)/2 block
+    pairs cross-join, and one numpy matmul per block pair scores every
+    combination, emitting only pairs over the threshold.
+
+    At cluster scale B is chosen so a block (~n/B vectors) fits a task
+    comfortably; the block cross join is the standard DIMSUM-style
+    shuffle (each block replicated B times, not n times).
+    """
+    import pandas as pd  # local: runs on executors
+
+    blocks = (
+        emb.select(
+            F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).alias("block"),
+            F.col(id_col).alias("id"),
+            F.col(vec_col).alias("v"),
+        )
+        .groupBy("block")
+        .agg(
+            F.collect_list("id").alias("ids"),
+            F.collect_list("v").alias("vs"),
+        )
+    )
+    a = blocks.select(
+        F.col("block").alias("block_a"),
+        F.col("ids").alias("ids_a"),
+        F.col("vs").alias("vs_a"),
+    )
+    b = blocks.select(
+        F.col("block").alias("block_b"),
+        F.col("ids").alias("ids_b"),
+        F.col("vs").alias("vs_b"),
+    )
+    pairs = a.join(b, F.col("block_a") <= F.col("block_b"))
+
+    def score(batches):
+        for pdf in batches:
+            out_a, out_b, out_c = [], [], []
+            for _, row in pdf.iterrows():
+                A = np.array([np.asarray(x) for x in row["vs_a"]])
+                B = np.array([np.asarray(x) for x in row["vs_b"]])
+                ia = np.asarray(row["ids_a"])
+                ib = np.asarray(row["ids_b"])
+                An = A / np.maximum(np.linalg.norm(A, axis=1, keepdims=True), 1e-30)
+                Bn = B / np.maximum(np.linalg.norm(B, axis=1, keepdims=True), 1e-30)
+                C = np.round(An @ Bn.T, 6)
+                ii, jj = np.nonzero(C >= threshold)
+                va, vb, cs = ia[ii], ib[jj], C[ii, jj]
+                if row["block_a"] == row["block_b"]:
+                    # same block: each unordered pair appears twice in C
+                    keep = va < vb
+                    va, vb, cs = va[keep], vb[keep], cs[keep]
+                else:
+                    # cross block: each unordered pair appears once —
+                    # emit it in canonical (min, max) orientation
+                    va, vb = np.minimum(va, vb), np.maximum(va, vb)
+                out_a.extend(va)
+                out_b.extend(vb)
+                out_c.extend(cs)
+            yield pd.DataFrame(
+                {"vec_a": out_a, "vec_b": out_b, "cosine": out_c}
+            )
+
+    return pairs.mapInPandas(
+        score, schema="vec_a long, vec_b long, cosine double"
+    )
+
+
 def _planes(seed: int, table: int, n_planes: int, dim: int) -> np.ndarray:
     """Deterministic hyperplane matrix (n_planes x dim) from md5 bits."""
     out = np.empty((n_planes, dim), dtype=np.float64)
