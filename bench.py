@@ -50,9 +50,26 @@ def main() -> None:
 
     corpus = S.CorpusConfig(n_docs=n_docs)
 
+    # Materialize the corpus to parquet ONCE (untimed): the production
+    # input is an Iceberg/parquet table, and the pipeline deliberately
+    # scans media twice (hash projection + representative-bytes fetch) —
+    # cheap against columnar storage, but against the in-line generator
+    # it would re-render every image and time corpus synthesis instead
+    # of extraction.
+    corpus_dir = os.environ.get(
+        "BENCH_INPUT_DIR", f"/tmp/bench_corpus_{n_docs}"
+    )
+    if not os.path.exists(os.path.join(corpus_dir, "docs", "_SUCCESS")):
+        S.docs_df(spark, corpus).write.mode("overwrite").parquet(
+            os.path.join(corpus_dir, "docs")
+        )
+        S.media_df(spark, corpus).write.mode("overwrite").parquet(
+            os.path.join(corpus_dir, "media")
+        )
+
     def bench_extract():
-        docs = S.docs_df(spark, corpus)
-        media = S.media_df(spark, corpus)
+        docs = spark.read.parquet(os.path.join(corpus_dir, "docs"))
+        media = spark.read.parquet(os.path.join(corpus_dir, "media"))
         res = extract(docs, media, FIXTURE_JOB)
         return res.spans.count()
 
