@@ -65,6 +65,10 @@ class TemplateMatchEngine:
         self._templates = {
             c: np.kron(GLYPHS[c].astype(np.float64), up) for c in CHARSET
         }
+        # stacked (n_chars, H, W) template tensor for vectorized scoring;
+        # CHARSET is sorted, so argmax's first-index tie-break == the
+        # smallest-character tie-break
+        self._tstack = np.stack([self._templates[c] for c in CHARSET])
 
     # -- segmentation ------------------------------------------------------
 
@@ -90,20 +94,20 @@ class TemplateMatchEngine:
         ii[1:, 1:] = np.cumsum(np.cumsum(crop.astype(np.float64), axis=0), axis=1)
         yb = np.round(np.linspace(0, h, out_h + 1)).astype(int)
         xb = np.round(np.linspace(0, w, out_w + 1)).astype(int)
-        # guarantee non-empty bins
-        yb = np.maximum.accumulate(np.maximum(yb, np.arange(out_h + 1) * 0))
-        out = np.zeros((out_h, out_w), dtype=np.float64)
-        for i in range(out_h):
-            y0, y1 = yb[i], max(yb[i + 1], yb[i] + 1)
-            y1 = min(y1, h)
-            y0 = min(y0, y1 - 1) if y1 > 0 else 0
-            for j in range(out_w):
-                x0, x1 = xb[j], max(xb[j + 1], xb[j] + 1)
-                x1 = min(x1, w)
-                x0 = min(x0, x1 - 1) if x1 > 0 else 0
-                s = ii[y1, x1] - ii[y0, x1] - ii[y1, x0] + ii[y0, x0]
-                out[i, j] = s / max((y1 - y0) * (x1 - x0), 1)
-        return out
+        # vectorized bin edges with non-empty-bin clamping (same op order
+        # as the original per-cell loop, so outputs are bit-identical)
+        y1 = np.minimum(np.maximum(yb[1:], yb[:-1] + 1), h)
+        y0 = np.where(y1 > 0, np.minimum(yb[:-1], y1 - 1), 0)
+        x1 = np.minimum(np.maximum(xb[1:], xb[:-1] + 1), w)
+        x0 = np.where(x1 > 0, np.minimum(xb[:-1], x1 - 1), 0)
+        s = (
+            ii[np.ix_(y1, x1)] - ii[np.ix_(y0, x1)]
+            - ii[np.ix_(y1, x0)] + ii[np.ix_(y0, x0)]
+        )
+        area = np.maximum(
+            (y1 - y0)[:, None] * (x1 - x0)[None, :], 1
+        ).astype(np.float64)
+        return s / area
 
     def _match_glyph(self, cell: np.ndarray) -> tuple[str, float]:
         """cell: 2-D boolean ink mask cropped to its bounding box."""
@@ -114,12 +118,11 @@ class TemplateMatchEngine:
         norm = self._area_resample(
             crop, GLYPH_H * self.MATCH_SCALE, GLYPH_W * self.MATCH_SCALE
         )
-        best_c, best_s = "?", -1.0
-        for c, t in self._templates.items():
-            score = 1.0 - float(np.abs(norm - t).mean())
-            if score > best_s or (score == best_s and c < best_c):
-                best_c, best_s = c, score
-        return best_c, best_s
+        # one vectorized pass over the stacked templates; argmax's
+        # first-index rule reproduces the smallest-char tie-break
+        scores = 1.0 - np.abs(norm[None, :, :] - self._tstack).mean(axis=(1, 2))
+        k = int(np.argmax(scores))
+        return CHARSET[k], float(scores[k])
 
     # -- public API (Engine seam, engine.go:9-21) --------------------------
 
