@@ -42,6 +42,14 @@ _BLOCK_SPLIT_RE = re.compile(
 _ANCHOR_RE = re.compile(r"<a\b[^>]*>(.*?)</a\s*>", re.IGNORECASE | re.DOTALL)
 _TAG_RE = re.compile(r"<[^>]+>")
 _WS_RE = re.compile(r"\s+")
+# HTML sniff: require an actual known tag, so prose containing stray
+# comparison operators ("a < b and c > d") stays on the identity path
+_HTML_SNIFF_RE = re.compile(
+    r"<\s*/?\s*(?:html|head|body|div|p|a|br|span|h[1-6]|ul|ol|li|table|"
+    r"tr|td|nav|header|footer|aside|article|section|main|title|img|"
+    r"blockquote|pre|script|style)\b",
+    re.IGNORECASE,
+)
 
 
 def _clean_text(fragment: str) -> str:
@@ -57,7 +65,7 @@ def extract_main_content(doc: str) -> str:
     Not-obviously-HTML input is returned as-is (identity) so the same
     function is safe on the text branch too.
     """
-    if "<" not in doc or ">" not in doc:
+    if "<" not in doc or ">" not in doc or not _HTML_SNIFF_RE.search(doc):
         return doc
     stripped = _DROP_RE.sub(" ", doc)
     blocks = _BLOCK_SPLIT_RE.split(stripped)

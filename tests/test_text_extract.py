@@ -1,0 +1,72 @@
+"""Boilerplate-strip extractor unit tests (the new text path mandated
+by the north rule — no reference oracle exists, so these golden cases
+ARE the spec)."""
+
+from mcp_ocr_server_spark.functions.text_extract import (
+    MIN_WORDS,
+    extract_batch,
+    extract_main_content,
+)
+
+MAIN = "the quick analytic engine reads every span and writes extracted content back"
+
+
+def _page(main=MAIN):
+    return (
+        "<html><head><title>t</title><style>p{x}</style>"
+        "<script>var a = '<p>sneaky</p>';</script></head><body>"
+        '<nav><ul><li><a href="/">home</a></li><li><a href="/a">about</a></li></ul></nav>'
+        f'<div id="c"><h1>short title</h1><p>{main}</p></div>'
+        '<aside><a href="/ad">buy things now</a></aside>'
+        "<footer><p>copyright <a>terms</a> 2026</p></footer>"
+        "</body></html>"
+    )
+
+
+def test_keeps_main_drops_boilerplate():
+    out = extract_main_content(_page())
+    assert out == MAIN
+
+
+def test_script_style_comments_removed():
+    html = _page() + "<!-- " + " ".join(["hidden"] * 20) + " -->"
+    assert "sneaky" not in extract_main_content(html)
+    assert "hidden" not in extract_main_content(html)
+
+
+def test_link_dense_long_block_dropped():
+    words = " ".join(["word"] * 20)
+    html = f'<html><body><p><a href="/x">{words}</a></p><p>{MAIN}</p></body></html>'
+    assert extract_main_content(html) == MAIN
+
+
+def test_short_blocks_dropped():
+    short = " ".join(["w"] * (MIN_WORDS - 1))
+    html = f"<html><body><p>{short}</p><p>{MAIN}</p></body></html>"
+    assert extract_main_content(html) == MAIN
+
+
+def test_multiple_content_blocks_joined_in_order():
+    a = " ".join(["alpha"] * MIN_WORDS)
+    b = " ".join(["beta"] * MIN_WORDS)
+    html = f"<html><body><p>{a}</p><p>{b}</p></body></html>"
+    assert extract_main_content(html) == a + "\n" + b
+
+
+def test_entities_unescaped_and_ws_normalized():
+    txt = "rock &amp; roll " + " ".join(["x"] * MIN_WORDS)
+    html = f"<html><body><p>  {txt}\n\t</p></body></html>"
+    out = extract_main_content(html)
+    assert out.startswith("rock & roll")
+    assert "  " not in out
+
+
+def test_plain_text_identity():
+    assert extract_main_content("no markup at all") == "no markup at all"
+    assert extract_main_content("a < b and c > d is fine") == (
+        "a < b and c > d is fine"
+    )
+
+
+def test_batch_none_safe():
+    assert extract_batch([None, "plain"]) == ["", "plain"]
