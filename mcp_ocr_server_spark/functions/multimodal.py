@@ -50,6 +50,24 @@ VIDEO_KEYFRAMES_SCHEMA = (
 )
 
 
+def parse_pdf_pages(data: bytes) -> list[np.ndarray]:
+    """PDF container seam (north rule "PDF/layout parse").
+
+    Real implementation rasterizes each page (pypdf + a renderer, or
+    poppler) and feeds it to imaging.layout.parse_page — which is fully
+    implemented and tested on rendered pages.  This container ships no
+    PDF codec, so the container decode is an explicit stub.
+    """
+    try:
+        import pypdf  # noqa: F401  (absent in this container)
+    except ImportError:
+        raise NotImplementedError(
+            "PDF container decode requires pypdf/poppler; rasterized "
+            "pages go through imaging.layout.parse_page"
+        ) from None
+    raise NotImplementedError("rasterization backend not available")
+
+
 def _decode_audio(data: bytes, sample_rate: int) -> np.ndarray:
     """Audio decode seam.  Real implementation would use soundfile /
     ffmpeg; this container has neither, so: deterministic fake that maps

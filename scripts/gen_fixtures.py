@@ -71,13 +71,34 @@ def gen_media_meta() -> pd.DataFrame:
     return df
 
 
+def gen_layout_meta() -> pd.DataFrame:
+    from mcp_ocr_server_spark.imaging.layout import layout_summary
+
+    rows = []
+    for j in range(FLAGSHIP_CORPUS.media_universe):
+        if not S.media_exists(FLAGSHIP_CORPUS, j):
+            continue
+        ref, png, _deg, _ = S.media_item(FLAGSHIP_CORPUS, j)
+        s = layout_summary(decode_png(png))
+        rows.append(dict(media_ref=ref, **s))
+    df = pd.DataFrame(rows)
+    for c in ("n_blocks", "n_lines", "n_words"):
+        df[c] = df[c].astype("int64")
+    for c in ("first_block_y", "last_block_bottom"):
+        df[c] = df[c].astype("Int64")
+    return df
+
+
 def main() -> None:
     os.makedirs(FIXTURES_DIR, exist_ok=True)
     spans = gen_expected_spans()
     spans.to_parquet(os.path.join(FIXTURES_DIR, "expected_spans.parquet"), index=False)
     meta = gen_media_meta()
     meta.to_parquet(os.path.join(FIXTURES_DIR, "media_meta.parquet"), index=False)
-    print(f"expected_spans: {len(spans)} rows; media_meta: {len(meta)} rows")
+    layout = gen_layout_meta()
+    layout.to_parquet(os.path.join(FIXTURES_DIR, "layout_meta.parquet"), index=False)
+    print(f"expected_spans: {len(spans)} rows; media_meta: {len(meta)} rows;"
+          f" layout_meta: {len(layout)} rows")
     print("error codes:", spans.error_code.value_counts(dropna=True).to_dict())
     print("degradations:", meta.degradation.value_counts().to_dict())
 
