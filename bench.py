@@ -32,7 +32,7 @@ from mcp_ocr_server_spark.session import get_spark  # noqa: E402
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    n_docs = int(os.environ.get("BENCH_DOCS", "600"))
+    n_docs = int(os.environ.get("BENCH_DOCS", "2400"))
     only = os.environ.get("BENCH_QUERIES", "")
     selected = set(only.split(",")) if only else None
 
