@@ -45,7 +45,7 @@ OCR_RESULT_SCHEMA = (
     "content_hash string, text string, confidence double, language string,"
     " duration_s double, error_code string, error_msg string,"
     " sharpness double, contrast double, brightness double,"
-    " applied_steps array<string>"
+    " applied_steps array<string>, partition_id int"
 )
 
 
@@ -57,8 +57,12 @@ def make_ocr_map(cfg: JobConfig):
         # import happens on the executor, not at plan-build time
         from ..ocr.engine import get_engine
 
+        from pyspark import TaskContext
+
         engine = get_engine(cfg.ocr)
         timeout_s = float(cfg.ocr.timeout_seconds)
+        tc = TaskContext.get()
+        pid = tc.partitionId() if tc is not None else -1
         for pdf in batches:
             rows: list[dict] = []
             for h, data in zip(pdf["content_hash"], pdf["bytes"]):
@@ -67,7 +71,7 @@ def make_ocr_map(cfg: JobConfig):
                     content_hash=h, text="", confidence=None,
                     language=None, duration_s=None, error_code=None,
                     error_msg=None, sharpness=None, contrast=None,
-                    brightness=None, applied_steps=None,
+                    brightness=None, applied_steps=None, partition_id=pid,
                 )
                 img = None
                 try:
@@ -114,6 +118,7 @@ def make_ocr_map(cfg: JobConfig):
                     "content_hash", "text", "confidence", "language",
                     "duration_s", "error_code", "error_msg", "sharpness",
                     "contrast", "brightness", "applied_steps",
+                    "partition_id",
                 ],
             )
 

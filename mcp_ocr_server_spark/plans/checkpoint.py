@@ -68,6 +68,7 @@ class CheckpointStore:
     Layout:
       root/spans/bucket=K/*.parquet     committed span rows
       root/ocr/bucket=K/*.parquet       committed ocr results (memo source)
+      root/metrics/bucket=K/*.parquet   per-compute-partition metrics
       root/watermarks/K.json            watermark row, written LAST
     """
 
@@ -75,6 +76,7 @@ class CheckpointStore:
         self.root = root
         self.spans_dir = os.path.join(root, "spans")
         self.ocr_dir = os.path.join(root, "ocr")
+        self.metrics_dir = os.path.join(root, "metrics")
         self.wm_dir = os.path.join(root, "watermarks")
         os.makedirs(self.wm_dir, exist_ok=True)
 
@@ -113,6 +115,14 @@ class CheckpointStore:
         ]
         if not paths:
             return None
+        return spark.read.parquet(*paths)
+
+    def metrics_df(self, spark: SparkSession) -> DataFrame:
+        paths = [
+            os.path.join(self.metrics_dir, f"bucket={b}")
+            for b in sorted(self.committed_buckets())
+            if os.path.isdir(os.path.join(self.metrics_dir, f"bucket={b}"))
+        ]
         return spark.read.parquet(*paths)
 
     def spans_df(self, spark: SparkSession) -> DataFrame:
@@ -159,6 +169,11 @@ def run_checkpointed(
         res.ocr_results.write.mode("overwrite").parquet(ocr_path)
         # re-read instead of recomputing the OCR stage for the span join
         ocr_cached = spark.read.parquet(ocr_path)
+        from .metrics import partition_metrics
+
+        partition_metrics(ocr_cached).write.mode("overwrite").parquet(
+            os.path.join(store.metrics_dir, f"bucket={k}")
+        )
         res2 = extract(part, media, cfg, memo=(
             ocr_cached if memo is None else memo.unionByName(ocr_cached)
         ))

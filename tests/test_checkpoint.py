@@ -64,3 +64,12 @@ def test_kill_and_resume_no_reprocessing(spark, tmp_path):
     # later buckets reuse earlier buckets' OCR results via the memo table
     runs = {r.run_id for r in wm.collect()}
     assert runs == {"run-0", "run-1"}
+
+    # per-partition metrics table (north_star lineage+metrics): image
+    # counts reconcile with the committed OCR results, and partition ids
+    # were stamped by the compute tasks
+    metrics = store.metrics_df(spark)
+    assert metrics.agg(F.sum("n_images")).first()[0] == sum(
+        r.n_ocr_computed for r in wm.collect()
+    )
+    assert all(r.partition_id >= 0 for r in metrics.collect())
