@@ -75,3 +75,31 @@ def test_stream_events_watermarked_window(spark, tmp_path):
     assert got, "no windows closed — watermark/trigger wiring broken"
     for k, v in got.items():
         assert want[k] == v
+
+
+def test_stateful_streaming_dedup(spark, tmp_path):
+    """applyInPandasWithState first-seen dedup: duplicates across
+    micro-batches are suppressed by per-shard state."""
+    from pyspark.sql import functions as F2
+    from mcp_ocr_server_spark.streaming.stateful_dedup import run_streaming_dedup
+
+    media = S.media_df(spark, S.CorpusConfig(n_docs=40))
+    landing = str(tmp_path / "media_landing")
+    # two drops with overlap: second drop re-delivers every row plus none new
+    media.write.parquet(landing, mode="append")
+    media.write.parquet(landing, mode="append")
+
+    q = run_streaming_dedup(
+        spark, landing,
+        out_dir=str(tmp_path / "dedup_out"),
+        checkpoint_dir=str(tmp_path / "dedup_ckpt"),
+    )
+    q.awaitTermination(300)
+
+    out = spark.read.parquet(str(tmp_path / "dedup_out"))
+    rows = out.collect()
+    hashes = [r.content_hash for r in rows]
+    # every distinct hash exactly once despite 2x delivery
+    assert len(hashes) == len(set(hashes))
+    n_distinct = media.select(F2.sha2("bytes", 256)).distinct().count()
+    assert len(hashes) == n_distinct
