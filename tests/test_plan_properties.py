@@ -70,3 +70,23 @@ def test_ann_topk_broadcasts_queries_not_corpus(spark):
     # the broadcast side must be the filtered query subset (pmod filter)
     bcast = plan[plan.find("BroadcastExchange"):]
     assert "pmod" in bcast or "% 50" in bcast or "(vec_id" in bcast
+
+
+def test_ocr_stage_partition_balance(spark):
+    """Skew evidence (north rule): media-heavy docs must NOT produce
+    straggler partitions.  The corpus is 10% heavy docs (8-12 spans,
+    >=6 images each); after explode+dedup+uniform redistribution the
+    OCR stage's per-partition work counts should be near-uniform."""
+    import statistics
+
+    c = S.CorpusConfig(n_docs=1200)
+    res = extract(S.docs_df(spark, c), S.media_df(spark, c), FIXTURE_JOB)
+    counts = {}
+    for r in res.ocr_results.select("partition_id").collect():
+        counts[r.partition_id] = counts.get(r.partition_id, 0) + 1
+    sizes = list(counts.values())
+    assert len(sizes) >= 4, "OCR work not spread across partitions"
+    mean = statistics.mean(sizes)
+    assert max(sizes) <= mean * 2, (
+        f"straggler partition: max={max(sizes)} mean={mean:.1f} sizes={sizes}"
+    )
