@@ -48,9 +48,21 @@ def main() -> None:
 
     spark = get_spark(app_name="extract")
     if args.synthetic_docs:
+        # materialize the synthetic corpus to parquet once — the bucket
+        # loop scans each table several times per bucket, which is cheap
+        # against columnar storage but would re-render every image if
+        # read straight from the generator
         corpus = S.CorpusConfig(n_docs=args.synthetic_docs)
-        docs = S.docs_df(spark, corpus)
-        media = S.media_df(spark, corpus)
+        in_dir = os.path.join(args.out, "input")
+        if not os.path.exists(os.path.join(in_dir, "docs", "_SUCCESS")):
+            S.docs_df(spark, corpus).write.mode("overwrite").parquet(
+                os.path.join(in_dir, "docs")
+            )
+            S.media_df(spark, corpus).write.mode("overwrite").parquet(
+                os.path.join(in_dir, "media")
+            )
+        docs = spark.read.parquet(os.path.join(in_dir, "docs"))
+        media = spark.read.parquet(os.path.join(in_dir, "media"))
         cfg = FIXTURE_JOB
     else:
         if not args.docs or not args.media:
