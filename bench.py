@@ -75,8 +75,9 @@ def main() -> None:
 
     analytics = [
         "dedup_exact", "dedup_ngram_jaccard", "dedup_minhash",
-        "dedup_simhash", "dedup_embedding", "ann_topk", "lang_id",
-        "text_quality", "doc_fingerprint", "events_hourly",
+        "dedup_simhash", "dedup_embedding", "ann_topk", "ann_lsh",
+        "lang_id", "text_quality", "token_stats", "doc_fingerprint",
+        "events_hourly", "events_cube", "orders_window",
         "pricing_summary", "top_suppliers",
     ]
 
