@@ -68,9 +68,12 @@ def main() -> None:
         )
 
     def bench_extract():
+        from mcp_ocr_server_spark.sources.tables import table_size_bytes
+
         docs = spark.read.parquet(os.path.join(corpus_dir, "docs"))
         media = spark.read.parquet(os.path.join(corpus_dir, "media"))
-        res = extract(docs, media, FIXTURE_JOB)
+        hint = table_size_bytes(spark, os.path.join(corpus_dir, "media"))
+        res = extract(docs, media, FIXTURE_JOB, total_media_bytes=hint)
         return res.spans.count()
 
     analytics = [

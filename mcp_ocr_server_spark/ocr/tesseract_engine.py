@@ -1,0 +1,74 @@
+"""Optional real-Tesseract engine behind the same Engine seam.
+
+The reference's production engine is pooled gosseract (tesseract.go:24-292)
+with config defaults language eng+chi_sim+chi_tra+jpn, PSM 3, OEM 3, no
+whitelist (config.go:186-196).  This container ships no Tesseract, so the
+deterministic TemplateMatchEngine is the default; when `pytesseract` (or
+`tesserocr`) IS available — e.g. on a production cluster image — this class
+drops in behind the identical interface, preserving the reference's exact
+engine configuration.  Import is lazy and failure-safe: `available()` is
+the capability probe, mirroring the reference's Engine seam pluggability
+(engine.go:9-21).
+"""
+
+from __future__ import annotations
+
+import time
+
+import numpy as np
+
+from ..config import OCRConfig
+from .engine import RecognizeResult
+
+
+def available() -> bool:
+    try:
+        import pytesseract  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+class PytesseractEngine:
+    """pytesseract-backed engine with reference config parity.
+
+    One instance per python worker (same pooling pattern as
+    ocr/engine.get_engine); pytesseract itself shells out per call, so a
+    production deployment should prefer tesserocr's persistent API —
+    the interface here is identical either way.
+    """
+
+    def __init__(self, cfg: OCRConfig | None = None) -> None:
+        if not available():
+            raise ImportError("pytesseract is not installed")
+        self.cfg = cfg or OCRConfig()
+
+    def _tess_config(self) -> str:
+        # PSM 3 / OEM 3 defaults (config.go:190-191); whitelist only if set
+        parts = [f"--psm {self.cfg.psm}", f"--oem {self.cfg.oem}"]
+        if self.cfg.char_whitelist:
+            parts.append(
+                f"-c tessedit_char_whitelist={self.cfg.char_whitelist}"
+            )
+        return " ".join(parts)
+
+    def recognize(
+        self, img: np.ndarray, language: str | None = None
+    ) -> RecognizeResult:
+        import pytesseract
+
+        t0 = time.monotonic()
+        lang = language or self.cfg.language
+        data = pytesseract.image_to_data(
+            img, lang=lang, config=self._tess_config(),
+            output_type=pytesseract.Output.DICT,
+        )
+        words = [w for w in data["text"] if w.strip()]
+        confs = [
+            float(c) for c, w in zip(data["conf"], data["text"])
+            if w.strip() and float(c) >= 0
+        ]
+        text = " ".join(words)
+        conf = float(np.mean(confs)) if confs else 0.0  # tesseract.go:195-203
+        return RecognizeResult(text, conf, lang, time.monotonic() - t0)
