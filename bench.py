@@ -80,8 +80,8 @@ def main() -> None:
         "dedup_exact", "dedup_ngram_jaccard", "dedup_minhash",
         "dedup_simhash", "dedup_embedding", "ann_topk", "ann_lsh",
         "lang_id", "text_quality", "token_stats", "doc_fingerprint",
-        "events_hourly", "events_cube", "orders_window",
-        "pricing_summary", "top_suppliers",
+        "events_hourly", "events_cube", "events_sliding", "orders_window",
+        "customer_set_ops", "pricing_summary", "top_suppliers",
     ]
 
     # Warm-up: spawn/reuse python workers, trigger codegen + Arrow path
