@@ -48,6 +48,19 @@ WATERMARK_SCHEMA = (
     " n_ocr_computed long, wall_s double, committed_at double"
 )
 
+# Typed empty-result schemas: reading an empty store must yield an empty
+# DataFrame of the right shape, not an opaque "empty path list" error.
+SPANS_SCHEMA = (
+    "doc_id string, order int, kind string, media_ref string, text string,"
+    " confidence double, language string, error_code string,"
+    " error_msg string, content_hash string"
+)
+METRICS_SCHEMA = (
+    "partition_id int, n_images long, n_errors long, total_duration_s double,"
+    " avg_duration_s double, max_duration_s double, avg_sharpness double,"
+    " avg_contrast double, avg_brightness double, n_preprocessed long"
+)
+
 
 def bucket_col(b: int) -> F.Column:
     return F.pmod(F.xxhash64(F.col("doc_id")), F.lit(b)).cast("int")
@@ -123,13 +136,18 @@ class CheckpointStore:
             for b in sorted(self.committed_buckets())
             if os.path.isdir(os.path.join(self.metrics_dir, f"bucket={b}"))
         ]
+        if not paths:
+            return spark.createDataFrame([], schema=METRICS_SCHEMA)
         return spark.read.parquet(*paths)
 
     def spans_df(self, spark: SparkSession) -> DataFrame:
         paths = [
             os.path.join(self.spans_dir, f"bucket={b}")
             for b in sorted(self.committed_buckets())
+            if os.path.isdir(os.path.join(self.spans_dir, f"bucket={b}"))
         ]
+        if not paths:
+            return spark.createDataFrame([], schema=SPANS_SCHEMA)
         return spark.read.parquet(*paths)
 
 
@@ -163,29 +181,42 @@ def run_checkpointed(
         t0 = time.monotonic()
         part = docs_b.filter(F.col("bucket") == k).drop("bucket")
         memo = store.memo_df(spark)
+        # ONE extract() per bucket.  The OCR stage output is persisted:
+        # `res.spans`' lookup join is built over the SAME ocr_results
+        # DataFrame subtree (pipeline.extract ties them), so the spans
+        # write hits the cache instead of re-running mapInPandas — the
+        # round-1 double-extract re-ran the whole explode/join plan and
+        # cost ~3-4 s of fixed overhead per bucket.
         res = extract(part, media, cfg, memo=memo)
         spans_path = os.path.join(store.spans_dir, f"bucket={k}")
         ocr_path = os.path.join(store.ocr_dir, f"bucket={k}")
-        res.ocr_results.write.mode("overwrite").parquet(ocr_path)
-        # re-read instead of recomputing the OCR stage for the span join
-        ocr_cached = spark.read.parquet(ocr_path)
+        ocr = res.ocr_results.persist()
+        ocr.write.mode("overwrite").parquet(ocr_path)
         from .metrics import partition_metrics
 
-        partition_metrics(ocr_cached).write.mode("overwrite").parquet(
+        partition_metrics(ocr).write.mode("overwrite").parquet(
             os.path.join(store.metrics_dir, f"bucket={k}")
         )
-        res2 = extract(part, media, cfg, memo=(
-            ocr_cached if memo is None else memo.unionByName(ocr_cached)
-        ))
-        res2.spans.write.mode("overwrite").parquet(spans_path)
+        res.spans.write.mode("overwrite").parquet(spans_path)
+        # all span stats in ONE aggregation pass over the written bucket
+        # (round 1 issued four separate actions / three re-scans)
         written = spark.read.parquet(spans_path)
+        srow = written.agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum(
+                F.when(F.col("error_code").isNotNull(), 1).otherwise(0)
+            ).alias("n_errors"),
+        ).first()
+        n_ocr = ocr.count()  # persisted — no recompute
+        ocr.unpersist()
         stats = dict(
             bucket=k,
             run_id=run_id,
-            n_docs=written.select("doc_id").distinct().count(),
-            n_spans=written.count(),
-            n_errors=written.filter(F.col("error_code").isNotNull()).count(),
-            n_ocr_computed=ocr_cached.count(),
+            n_docs=srow["n_docs"],
+            n_spans=srow["n_spans"],
+            n_errors=int(srow["n_errors"] or 0),
+            n_ocr_computed=n_ocr,
             wall_s=time.monotonic() - t0,
             committed_at=time.time(),
         )

@@ -66,6 +66,14 @@ def test_query_matches_oracle(spark, name):
     con = _duck()
     res = con.sql(oracles[name])
     dcols = [c.lower() for c in res.columns]
+    # the driver's value hash is TYPE-sensitive: DuckDB sum(int) yields
+    # HUGEINT, which Spark can never emit — any oracle producing one is
+    # guaranteed to hash-mismatch even with identical values (round-1
+    # failure mode; fix is a ::BIGINT cast in the oracle SQL)
+    for c, t in zip(res.columns, res.types):
+        assert "HUGEINT" not in str(t).upper(), (
+            f"{name}: oracle column {c} is {t}; cast it to ::BIGINT"
+        )
     drows = res.fetchall()
     assert sorted(scols) == sorted(dcols), (
         f"{name}: column sets differ: spark={scols} duck={dcols}"
