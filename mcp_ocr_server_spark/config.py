@@ -37,6 +37,13 @@ class PreprocessingConfig:
     adaptive_c: float = 2.0  # config.go:206
     deskew_enabled: bool = True
     deskew_angle_limit: float = 10.0  # config.go:209
+    # K5 estimator: "hough" (strict analyzer.go:169-232 parity),
+    # "profile" (projection-profile), or "hough+profile" (reference
+    # estimator first, profile refinement when it reports no evidence)
+    skew_method: str = "hough+profile"
+    # K2 kernel: "nlmeans" (live path, preprocessor.go:140-150 —
+    # FastNlMeansDenoising h=3/7/21) or "median" (dead path denoise.go)
+    denoise_method: str = "nlmeans"
     # Quality thresholds: analyzer.go:116-133 + configs/config.yaml:36-39
     sharpness_threshold: float = 100.0
     contrast_threshold: float = 30.0

@@ -99,13 +99,13 @@ def apply_step(img: np.ndarray, step: str, cfg: PreprocessingConfig) -> np.ndarr
     if step == "contrast_enhance":
         return kernels.clahe(img)
     if step == "denoise":
-        return kernels.median_denoise(img)
+        return kernels.denoise(img, cfg.denoise_method)
     if step == "binarization":
         return kernels.binarize(
             img, cfg.binarization_mode, cfg.adaptive_block_size, cfg.adaptive_c
         )
     if step == "deskew":
-        return kernels.deskew(img, cfg.deskew_angle_limit)
+        return kernels.deskew(img, cfg.deskew_angle_limit, cfg.skew_method)
     if step == "resize":
         return kernels.resize(img)  # no target dims configured => identity
     return img

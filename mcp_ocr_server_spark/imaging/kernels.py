@@ -55,11 +55,17 @@ def darken(img: np.ndarray) -> np.ndarray:
 
 
 # --------------------------------------------------------------------------
-# K2 denoise — the live path uses FastNlMeansDenoising (preprocessor.go:
-# 140-150); the reference's own alternative-generation code offers median
-# blur (internal/preprocessing/denoise.go:44-57).  NL-means is impractical
-# in pure numpy at batch scale, so we implement the sanctioned median-blur
-# variant (kernel 3) — same contract: edge-preserving noise removal.
+# K2 denoise — the live path uses FastNlMeansDenoising with OpenCV
+# defaults h=3, template 7, search 21 (preprocessor.go:140-150);
+# `nl_means_denoise` is a from-scratch numpy implementation of the
+# underlying Buades/Coll/Morel 2005 algorithm with those parameters.
+# Known divergence from OpenCV (documented for the parity audit):
+# OpenCV's "fast" variant uses integer LUT-approximated exponentials
+# and a sliding-sum recurrence; we compute exact float weights, so
+# outputs differ at the unit-rounding level but follow the same
+# weighting semantics.  The reference's dead-path median blur
+# (internal/preprocessing/denoise.go:44-57) is kept as the cheap
+# alternative, dispatched by PreprocessingConfig.denoise_method.
 
 
 def median_denoise(img: np.ndarray, ksize: int = 3) -> np.ndarray:
@@ -69,6 +75,64 @@ def median_denoise(img: np.ndarray, ksize: int = 3) -> np.ndarray:
     h, w = gray.shape
     windows = np.lib.stride_tricks.sliding_window_view(padded, (ksize, ksize))
     return np.median(windows.reshape(h, w, -1), axis=2).astype(np.uint8)
+
+
+def nl_means_denoise(
+    img: np.ndarray, h: float = 3.0, template: int = 7, search: int = 21
+) -> np.ndarray:
+    """Non-local means: each pixel is the weight-averaged value of every
+    pixel in its search window, weighted by 7x7 patch similarity.
+
+    Per-offset patch distances use the box-filter identity
+    D_v = B2(x+v) + B2(x) - 2*box(I * I_v)  (B2 = box(I^2) precomputed
+    once), so each of the search^2 offsets costs one product + one
+    integral image instead of a fresh patch convolution.  float32
+    throughout; ~0.1-0.3 s on fixture-sized pages, run only for images
+    the analyzer flags blurry (sharpness < threshold)."""
+    gray = _ensure_gray(img)
+    t = template // 2
+    s = search // 2
+    H, W = gray.shape
+    pad = s + t
+    p = np.pad(gray, pad, mode="reflect").astype(np.float32)
+    area = float(template * template)
+    inv_h2 = 1.0 / (h * h)
+
+    def box(a: np.ndarray) -> np.ndarray:
+        # box-sum over the template window; output indexed by padded
+        # coords minus t (valid for any center in [t, size-t))
+        ii = np.cumsum(np.cumsum(a, axis=0, dtype=np.float32), axis=1)
+        ii = np.pad(ii, ((1, 0), (1, 0)))
+        return (
+            ii[template:, template:] - ii[:-template, template:]
+            - ii[template:, :-template] + ii[:-template, :-template]
+        )
+
+    b2 = box(p * p)  # b2[y, x] = patch-sq-sum centered at padded (y+t, x+t)
+    num = np.zeros((H, W), dtype=np.float32)
+    den = np.zeros((H, W), dtype=np.float32)
+    c0 = p[pad : pad + H, pad : pad + W]
+    b2c = b2[s : s + H, s : s + W]  # patch-sq-sum at image centers
+    for dy in range(-s, s + 1):
+        for dx in range(-s, s + 1):
+            if dy == 0 and dx == 0:
+                num += c0
+                den += 1.0
+                continue
+            sh = p[pad + dy - t : pad + dy + H + t, pad + dx - t : pad + dx + W + t]
+            cross = box(p[pad - t : pad + H + t, pad - t : pad + W + t] * sh)
+            d2 = b2c + b2[s + dy : s + dy + H, s + dx : s + dx + W] - 2.0 * cross
+            w = np.exp(np.maximum(d2, 0.0) * (-inv_h2 / area), dtype=np.float32)
+            num += w * p[pad + dy : pad + dy + H, pad + dx : pad + dx + W]
+            den += w
+    return np.clip(np.round(num / den), 0, 255).astype(np.uint8)
+
+
+def denoise(img: np.ndarray, method: str = "nlmeans") -> np.ndarray:
+    """K2 dispatch: 'nlmeans' = live-path parity, 'median' = dead-path."""
+    if method == "median":
+        return median_denoise(img)
+    return nl_means_denoise(img)
 
 
 # --------------------------------------------------------------------------
@@ -289,10 +353,35 @@ def estimate_skew(img: np.ndarray, max_angle: float = 15.0) -> float:
 
 # K6+K5 combined deskew step with the reference's apply-thresholds:
 # rotate only if 0.5 < |angle| < deskew_angle_limit (preprocessor.go:246-252).
+#
+# Estimator selection (skew_method):
+#   "hough"         — strict reference parity: Canny -> HoughLinesP ->
+#                     median (imaging/hough.py, analyzer.go:169-232).
+#                     NOTE: with the reference's literal parameters
+#                     (vote threshold 100, maxLineGap 0) the estimator
+#                     returns 0.0 on small/fine-rastered pages — the
+#                     reference server leaves such pages uncorrected.
+#   "profile"       — projection-profile search (north_star-sanctioned
+#                     alternative; near-exact on the fixture corpus).
+#   "hough+profile" — DEFAULT: run the reference estimator first; when
+#                     it reports no evidence (0.0), refine with the
+#                     profile search.  Identical to the reference
+#                     whenever its estimator fires; strictly better
+#                     when it gives up.  Both estimators share the
+#                     rotate()-render sign convention (verified:
+#                     rotate(img, +8) => estimate ~ +8 from each).
 
 
-def deskew(img: np.ndarray, angle_limit: float = 10.0) -> np.ndarray:
-    angle = estimate_skew(img)
+def deskew(
+    img: np.ndarray, angle_limit: float = 10.0, method: str = "hough+profile"
+) -> np.ndarray:
+    angle = 0.0
+    if method in ("hough", "hough+profile"):
+        from .hough import skew_angle_hough
+
+        angle = skew_angle_hough(_ensure_gray(img))
+    if angle == 0.0 and method in ("profile", "hough+profile"):
+        angle = estimate_skew(img)
     if 0.5 < abs(angle) < angle_limit:
         return rotate(img, -angle)
     return img

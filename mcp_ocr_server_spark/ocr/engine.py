@@ -27,6 +27,12 @@ from ..imaging import kernels
 from ..imaging.font import CHARSET, GLYPH_H, GLYPH_W, GLYPHS
 
 
+class OCRDeadlineExceeded(Exception):
+    """Raised by recognize() when the cooperative deadline passes
+    mid-decode (P4: tesseract.go:94-138 timeout semantics — the Spark
+    task reaper is the hard backstop, session.py)."""
+
+
 @dataclass
 class RecognizeResult:
     text: str
@@ -65,10 +71,23 @@ class TemplateMatchEngine:
         self._templates = {
             c: np.kron(GLYPHS[c].astype(np.float64), up) for c in CHARSET
         }
+        # K10 char_whitelist parity (tesseract.go:84-92 sets
+        # tessedit_char_whitelist): matching is restricted to the
+        # whitelisted subset of the charset.  Empty whitelist = all.
+        if self.cfg.char_whitelist:
+            self._charset = "".join(
+                c for c in CHARSET if c in set(self.cfg.char_whitelist)
+            )
+        else:
+            self._charset = CHARSET
         # stacked (n_chars, H, W) template tensor for vectorized scoring;
-        # CHARSET is sorted, so argmax's first-index tie-break == the
+        # the charset is sorted, so argmax's first-index tie-break == the
         # smallest-character tie-break
-        self._tstack = np.stack([self._templates[c] for c in CHARSET])
+        self._tstack = (
+            np.stack([self._templates[c] for c in self._charset])
+            if self._charset
+            else np.zeros((0, GLYPH_H * self.MATCH_SCALE, GLYPH_W * self.MATCH_SCALE))
+        )
 
     # -- segmentation ------------------------------------------------------
 
@@ -112,7 +131,7 @@ class TemplateMatchEngine:
     def _match_glyph(self, cell: np.ndarray) -> tuple[str, float]:
         """cell: 2-D boolean ink mask cropped to its bounding box."""
         ys, xs = np.nonzero(cell)
-        if ys.size == 0:
+        if ys.size == 0 or not self._charset:
             return " ", 0.0
         crop = cell[ys.min() : ys.max() + 1, xs.min() : xs.max() + 1]
         norm = self._area_resample(
@@ -122,11 +141,20 @@ class TemplateMatchEngine:
         # first-index rule reproduces the smallest-char tie-break
         scores = 1.0 - np.abs(norm[None, :, :] - self._tstack).mean(axis=(1, 2))
         k = int(np.argmax(scores))
-        return CHARSET[k], float(scores[k])
+        return self._charset[k], float(scores[k])
 
     # -- public API (Engine seam, engine.go:9-21) --------------------------
 
-    def recognize(self, img: np.ndarray, language: str | None = None) -> RecognizeResult:
+    def recognize(
+        self,
+        img: np.ndarray,
+        language: str | None = None,
+        deadline: float | None = None,
+    ) -> RecognizeResult:
+        """`deadline` is an absolute time.monotonic() timestamp; the band
+        loop checks it between text lines and raises OCRDeadlineExceeded,
+        so a pathological page cannot hold the task past its budget
+        (round-1 P4 gap: the timeout was only checked between stages)."""
         t0 = time.monotonic()
         lang = language or self.cfg.language
         gray = kernels.grayscale(img) if img.ndim == 3 else img
@@ -140,10 +168,27 @@ class TemplateMatchEngine:
         lines: list[str] = []
         scores: list[float] = []
         row_mask = ink.any(axis=1)
-        for y0, y1 in self._bands(row_mask):
+        # K10 psm parity (tesseract.go:84-92 SetPageSegMode): 3/6 = full
+        # auto/block segmentation (default); 7 = treat the page as ONE
+        # text line; 10 = ONE character.  Other modes fall back to auto,
+        # like Tesseract degrades unsupported combinations.
+        if self.cfg.psm in (7, 10):
+            rows = np.flatnonzero(row_mask)
+            bands = [(int(rows[0]), int(rows[-1]) + 1)]
+        else:
+            bands = self._bands(row_mask)
+        for y0, y1 in bands:
+            if deadline is not None and time.monotonic() > deadline:
+                raise OCRDeadlineExceeded(
+                    f"deadline exceeded after {time.monotonic() - t0:.3f}s"
+                )
             band = ink[y0:y1]
             col_mask = band.any(axis=0)
-            cells = self._bands(col_mask)
+            if self.cfg.psm == 10:
+                cols = np.flatnonzero(col_mask)
+                cells = [(int(cols[0]), int(cols[-1]) + 1)]
+            else:
+                cells = self._bands(col_mask)
             if not cells:
                 continue
             # geometry estimates: median glyph width and median inter-cell
@@ -223,14 +268,18 @@ class TemplateMatchEngine:
         return list(SUPPORTED_LANGUAGES)
 
 
-_ENGINE: TemplateMatchEngine | None = None
+_ENGINES: dict[OCRConfig, TemplateMatchEngine] = {}
 
 
 def get_engine(cfg: OCRConfig | None = None) -> TemplateMatchEngine:
-    """Per-process engine singleton — the analogue of the reference's
-    sync.Pool of gosseract clients (tesseract.go:27-32): init once per
-    Spark python worker, reuse across all Arrow batches (P3)."""
-    global _ENGINE
-    if _ENGINE is None:
-        _ENGINE = TemplateMatchEngine(cfg)
-    return _ENGINE
+    """Per-process engine pool keyed by config — the analogue of the
+    reference's sync.Pool of gosseract clients (tesseract.go:27-32):
+    init once per Spark python worker PER CONFIG, reuse across Arrow
+    batches (P3).  Keying on the frozen OCRConfig (hashable dataclass)
+    means two jobs with different psm/whitelist in one worker process
+    can never share a misconfigured engine."""
+    key = cfg or OCRConfig()
+    eng = _ENGINES.get(key)
+    if eng is None:
+        eng = _ENGINES[key] = TemplateMatchEngine(key)
+    return eng

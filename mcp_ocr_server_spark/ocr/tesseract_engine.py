@@ -18,7 +18,7 @@ import time
 import numpy as np
 
 from ..config import OCRConfig
-from .engine import RecognizeResult
+from .engine import OCRDeadlineExceeded, RecognizeResult
 
 
 def available() -> bool:
@@ -28,6 +28,17 @@ def available() -> bool:
         return True
     except ImportError:
         return False
+
+
+def tess_config_string(cfg: OCRConfig) -> str:
+    """Tesseract CLI config matching the reference's engine setup
+    (tesseract.go:84-92: SetPageSegMode, OEM, tessedit_char_whitelist;
+    defaults config.go:190-192).  Module-level so the construction is
+    unit-testable without Tesseract installed."""
+    parts = [f"--psm {cfg.psm}", f"--oem {cfg.oem}"]
+    if cfg.char_whitelist:
+        parts.append(f"-c tessedit_char_whitelist={cfg.char_whitelist}")
+    return " ".join(parts)
 
 
 class PytesseractEngine:
@@ -45,25 +56,31 @@ class PytesseractEngine:
         self.cfg = cfg or OCRConfig()
 
     def _tess_config(self) -> str:
-        # PSM 3 / OEM 3 defaults (config.go:190-191); whitelist only if set
-        parts = [f"--psm {self.cfg.psm}", f"--oem {self.cfg.oem}"]
-        if self.cfg.char_whitelist:
-            parts.append(
-                f"-c tessedit_char_whitelist={self.cfg.char_whitelist}"
-            )
-        return " ".join(parts)
+        return tess_config_string(self.cfg)
 
     def recognize(
-        self, img: np.ndarray, language: str | None = None
+        self,
+        img: np.ndarray,
+        language: str | None = None,
+        deadline: float | None = None,
     ) -> RecognizeResult:
+        """Same seam as TemplateMatchEngine.recognize.  pytesseract
+        shells out, so the deadline is checked at call boundaries only;
+        the Spark task reaper (session.py) is the mid-call backstop."""
         import pytesseract
 
         t0 = time.monotonic()
+        if deadline is not None and t0 > deadline:
+            raise OCRDeadlineExceeded("deadline passed before engine call")
         lang = language or self.cfg.language
         data = pytesseract.image_to_data(
             img, lang=lang, config=self._tess_config(),
             output_type=pytesseract.Output.DICT,
         )
+        if deadline is not None and time.monotonic() > deadline:
+            raise OCRDeadlineExceeded(
+                f"engine call exceeded deadline ({time.monotonic() - t0:.3f}s)"
+            )
         words = [w for w in data["text"] if w.strip()]
         confs = [
             float(c) for c, w in zip(data["conf"], data["text"])

@@ -1,0 +1,41 @@
+"""S2: base64 media ingestion with INVALID_INPUT rows.
+
+The reference's second recognize tool accepts base64 payloads instead of
+file paths (`ocr_recognize_text_base64`, internal/tools/handler.go:138-162;
+schemas.go:42-66) and maps decode failures to INVALID_INPUT
+(pkg/errors/errors.go).  Spark restatement: a column-level decode over
+the whole table — `unbase64` runs JVM-side inside whole-stage codegen,
+no UDF.
+
+Validity is an EXPLICIT regex (canonical standard-alphabet groups of 4
+with correct `=` padding — the shape Go's base64.StdEncoding.DecodeString
+accepts), not whatever the engine's decoder tolerates: Spark's unbase64
+is lenient and DuckDB's from_base64 is strict, so parity between query,
+oracle, and the reference requires pinning validation independently of
+decode.  Invalid rows keep NULL bytes and carry INVALID_INPUT, flowing
+through the pipeline's fail-soft error-row semantics (P1).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..config import INVALID_INPUT
+
+# groups of 4 standard-alphabet chars; optional canonical padded tail
+B64_CANONICAL_RE = (
+    "^([A-Za-z0-9+/]{4})*([A-Za-z0-9+/]{2}==|[A-Za-z0-9+/]{3}=)?$"
+)
+
+
+def decode_base64_media(
+    df: DataFrame, b64_col: str = "data_b64", ref_col: str = "media_ref"
+) -> DataFrame:
+    """(media_ref, bytes, error_code): decoded payloads for valid rows,
+    NULL bytes + INVALID_INPUT for anything non-canonical."""
+    valid = F.col(b64_col).rlike(B64_CANONICAL_RE)
+    return df.select(
+        F.col(ref_col).alias("media_ref"),
+        F.when(valid, F.unbase64(F.col(b64_col))).alias("bytes"),
+        F.when(~valid, F.lit(INVALID_INPUT)).alias("error_code"),
+    )

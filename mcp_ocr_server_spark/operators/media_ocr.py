@@ -55,7 +55,7 @@ def make_ocr_map(cfg: JobConfig):
     def ocr_map(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         # engine init once per python worker (P3); imported here so the
         # import happens on the executor, not at plan-build time
-        from ..ocr.engine import get_engine
+        from ..ocr.engine import OCRDeadlineExceeded, get_engine
 
         from pyspark import TaskContext
 
@@ -99,7 +99,10 @@ def make_ocr_map(cfg: JobConfig):
                     rows.append(row)
                     continue
                 try:
-                    res = engine.recognize(processed)
+                    # cooperative deadline: recognize() checks it inside
+                    # its band loop (P4 — a pathological page raises
+                    # OCRDeadlineExceeded instead of running on)
+                    res = engine.recognize(processed, deadline=t0 + timeout_s)
                     if time.monotonic() - t0 > timeout_s:
                         row["error_code"] = TIMEOUT
                         row["error_msg"] = f"ocr exceeded {timeout_s}s"
@@ -107,6 +110,9 @@ def make_ocr_map(cfg: JobConfig):
                         row["text"] = res.text
                         row["confidence"] = res.confidence
                         row["language"] = res.language
+                except OCRDeadlineExceeded as exc:
+                    row["error_code"] = TIMEOUT
+                    row["error_msg"] = f"ocr: {exc}"
                 except Exception as exc:
                     row["error_code"] = OCR_ENGINE_FAILED
                     row["error_msg"] = str(exc)

@@ -66,6 +66,17 @@ def bucket_col(b: int) -> F.Column:
     return F.pmod(F.xxhash64(F.col("doc_id")), F.lit(b)).cast("int")
 
 
+def _parquet_num_rows(path: str) -> int:
+    """Exact row count from parquet footers — no Spark job."""
+    import pyarrow.parquet as pq
+
+    return sum(
+        pq.ParquetFile(os.path.join(path, f)).metadata.num_rows
+        for f in os.listdir(path)
+        if f.endswith(".parquet")
+    )
+
+
 @dataclass
 class CheckpointedRun:
     out_dir: str
@@ -128,7 +139,11 @@ class CheckpointStore:
         ]
         if not paths:
             return None
-        return spark.read.parquet(*paths)
+        from ..operators.media_ocr import OCR_RESULT_SCHEMA
+
+        # explicit schema: skips the per-call footer-inference job (the
+        # bucket loop builds this once per bucket)
+        return spark.read.schema(OCR_RESULT_SCHEMA).parquet(*paths)
 
     def metrics_df(self, spark: SparkSession) -> DataFrame:
         paths = [
@@ -170,7 +185,65 @@ def run_checkpointed(
     """
     b = n_buckets or cfg.checkpoint_buckets
     done = store.committed_buckets()
-    docs_b = docs.withColumn("bucket", bucket_col(b))
+    # Storage-aligned bucketing: if the docs table already carries a
+    # `bucket` column (written with partitionBy("bucket") using the SAME
+    # bucket_col(b) expression — run_extract.py does this; at cluster
+    # scale it's an Iceberg bucket(doc_id, B) partition transform), the
+    # per-bucket filter becomes partition PRUNING: each bucket reads
+    # 1/B of the files.  A computed bucket column cannot prune, so a
+    # plain table costs B full scans per run.
+    if "bucket" in docs.columns:
+        docs_b = docs
+    else:
+        docs_b = docs.withColumn("bucket", bucket_col(b))
+    committed = 0
+    total_spans = 0
+    # Hoisted once per run (round-1 re-did both per bucket, twice per
+    # bucket for the hash projection — 2B media-corpus scans per run):
+    # - (ref, n_bytes, content_hash) projection, persisted: sha256 over
+    #   the media bytes runs exactly once
+    # - partition-sizing hint (at cluster scale: Iceberg table metadata)
+    from .pipeline import content_hash_col
+
+    media_hashed = media.select(
+        "media_ref",
+        F.length("bytes").alias("n_bytes"),
+        content_hash_col(cfg).alias("content_hash"),
+    ).persist()
+    try:
+        total_bytes = media_hashed.agg(F.sum("n_bytes")).first()[0] or 0
+        bucket_cost = max(1, int(total_bytes) // b)
+    except Exception:
+        bucket_cost = None
+    try:
+        committed, total_spans = _bucket_loop(
+            spark, docs_b, media, media_hashed, store, cfg, b, done,
+            bucket_cost, run_id, fail_after_buckets,
+        )
+    finally:
+        media_hashed.unpersist()
+    return CheckpointedRun(
+        out_dir=store.root,
+        buckets_total=b,
+        buckets_done_before=len(done),
+        buckets_committed=committed,
+        spans_written=total_spans,
+    )
+
+
+def _bucket_loop(
+    spark: SparkSession,
+    docs_b: DataFrame,
+    media: DataFrame,
+    media_hashed: DataFrame,
+    store: CheckpointStore,
+    cfg: JobConfig,
+    b: int,
+    done: set[int],
+    bucket_cost: int | None,
+    run_id: str,
+    fail_after_buckets: int | None,
+) -> tuple[int, int]:
     committed = 0
     total_spans = 0
     for k in range(b):
@@ -187,7 +260,10 @@ def run_checkpointed(
         # write hits the cache instead of re-running mapInPandas — the
         # round-1 double-extract re-ran the whole explode/join plan and
         # cost ~3-4 s of fixed overhead per bucket.
-        res = extract(part, media, cfg, memo=memo)
+        res = extract(
+            part, media, cfg, memo=memo,
+            total_media_bytes=bucket_cost, media_hashed=media_hashed,
+        )
         spans_path = os.path.join(store.spans_dir, f"bucket={k}")
         ocr_path = os.path.join(store.ocr_dir, f"bucket={k}")
         ocr = res.ocr_results.persist()
@@ -208,7 +284,9 @@ def run_checkpointed(
                 F.when(F.col("error_code").isNotNull(), 1).otherwise(0)
             ).alias("n_errors"),
         ).first()
-        n_ocr = ocr.count()  # persisted — no recompute
+        # n_ocr from the written files' parquet footers: exact row count
+        # with NO Spark job (footer metadata, bytes of IO per file)
+        n_ocr = _parquet_num_rows(ocr_path)
         ocr.unpersist()
         stats = dict(
             bucket=k,
@@ -223,10 +301,4 @@ def run_checkpointed(
         store.commit(k, stats)
         committed += 1
         total_spans += stats["n_spans"]
-    return CheckpointedRun(
-        out_dir=store.root,
-        buckets_total=b,
-        buckets_done_before=len(done),
-        buckets_committed=committed,
-        spans_written=total_spans,
-    )
+    return committed, total_spans

@@ -116,6 +116,7 @@ def extract(
     cfg: JobConfig = DEFAULT_CONFIG,
     memo: DataFrame | None = None,
     total_media_bytes: int | None = None,
+    media_hashed: DataFrame | None = None,
 ) -> ExtractResult:
     """Run the full extraction dataflow. Lazy — returns DataFrames.
 
@@ -123,7 +124,10 @@ def extract(
     units anti-join it so previously computed hashes are never
     recomputed (durable replacement for the reference's TTL cache,
     SURVEY.md §2.5 C2).  `total_media_bytes` is the partition-sizing
-    hint (Iceberg table stats at scale).
+    hint (Iceberg table stats at scale).  `media_hashed` lets a caller
+    inject a precomputed (ref, n_bytes, content_hash) projection — the
+    checkpoint loop persists it ONCE per run instead of re-hashing the
+    media corpus twice per bucket.
     """
     spans = explode_spans(docs)
 
@@ -150,11 +154,12 @@ def extract(
     # 100 TB.  Instead: pick min(media_ref) per hash (HashAggregate over
     # strings), then fetch that representative's bytes with one join;
     # bytes cross the wire exactly once, into the OCR stage.
-    media_hashed = media.select(
-        "media_ref",
-        F.length("bytes").alias("n_bytes"),
-        content_hash_col(cfg).alias("content_hash"),
-    )
+    if media_hashed is None:
+        media_hashed = media.select(
+            "media_ref",
+            F.length("bytes").alias("n_bytes"),
+            content_hash_col(cfg).alias("content_hash"),
+        )
     media_spans = (
         spans.filter(F.col("kind") == "image")
         .join(media_hashed, "media_ref", "left")

@@ -54,6 +54,11 @@ def get_spark(
             str(cfg.arrow_batch_rows),
         )
         .config("spark.sql.session.timeZone", "UTC")
+        # P4 hard backstop (SURVEY.md §2.6): the per-image timeout is
+        # cooperative (engine deadline checks); the reaper guarantees a
+        # truly hung task is killed rather than wedging the executor
+        .config("spark.task.reaper.enabled", "true")
+        .config("spark.task.reaper.killTimeout", "120s")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.executorEnv.PYTHONPATH", os.environ["PYTHONPATH"])

@@ -312,6 +312,45 @@ DOCS_SCHEMA = (
     "media_ref:string,offset:int>>"
 )
 MEDIA_SCHEMA = "media_ref string, bytes binary, degradation string, true_text string"
+B64_MEDIA_SCHEMA = "media_ref string, data_b64 string, corrupted boolean"
+
+
+def b64_media_item(cfg: CorpusConfig, j: int) -> tuple[str, str, bool]:
+    """(media_ref, data_b64, corrupted) — the base64 ingestion variant of
+    media_item (S2: handler.go:138-162 `ocr_recognize_text_base64`).
+    Same PNG payloads, base64-encoded; deterministic corruption exercises
+    the INVALID_INPUT path (errors.go):
+      j % 5 == 3  => illegal characters injected
+      j % 5 == 1  => truncated (length no longer a multiple of 4)
+    """
+    import base64
+
+    ref, png, _deg, _txt = media_item(cfg, j)
+    b64 = base64.b64encode(png).decode("ascii")
+    if j % 5 == 3:
+        return ref, "!!" + b64[2:], True
+    if j % 5 == 1:
+        return ref, b64[:-1], True
+    return ref, b64, False
+
+
+def b64_media_df(spark, cfg: CorpusConfig):
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [
+                b64_media_item(cfg, int(j))
+                for j in pdf["id"]
+                if media_exists(cfg, int(j))
+            ]
+            yield pd.DataFrame(
+                rows, columns=["media_ref", "data_b64", "corrupted"]
+            )
+
+    n = cfg.media_universe
+    n_parts = max(4, min(256, n // 32 or 4))
+    return spark.range(0, n, numPartitions=n_parts).mapInPandas(
+        gen, schema=B64_MEDIA_SCHEMA
+    )
 EXPECTED_SCHEMA = (
     "doc_id string, order int, kind string, media_ref string, text string, "
     "confidence double, language string, error_code string"

@@ -11,68 +11,99 @@ operators Spark's built-in streaming aggregations can't express):
 
 - stream is keyed by a hash prefix (bounded key cardinality; state
   scales with distinct prefixes × hashes, sharded across executors);
-- per-key state = the set of content hashes already admitted;
+- per-key state = the admission-ordered list of content hashes already
+  admitted;
 - each micro-batch emits only rows whose hash wasn't in state, then
-  folds the new hashes into state.
+  folds the new hashes into state;
+- retention: an optional per-shard cap evicts the OLDEST admissions
+  first — the streaming analogue of the reference cache's max-entries
+  eviction (cache.go:29-198, config.go cache_size).  An evicted hash
+  that reappears is re-admitted (recomputed), exactly like a TTL-cache
+  miss; correctness is preserved because admission is a cache policy,
+  not an exactly-once guarantee (that lives in the batch memo table).
+
+The stream key is `content_hash_col(cfg)` — sha256(bytes‖language‖
+preprocess-bool), the SAME key space as the batch memo (C1,
+cache.go:188-198) — so streaming-admitted hashes can be joined against
+and reused by the batch memo table and vice versa.
 
 `dropDuplicates` on a stream would grow unbounded state with no
 control and no timeout hook; the explicit operator owns its state
-shape and can evict (GroupStateTimeout) when a retention policy is
-added.
+shape and eviction policy.
 """
 
 from __future__ import annotations
 
-from typing import Any, Iterable, Iterator, Tuple
+from typing import Iterable, Iterator, Tuple
 
 import pandas as pd
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+from ..config import DEFAULT_CONFIG, JobConfig
+from ..plans.pipeline import content_hash_col
+
 OUTPUT_SCHEMA = "content_hash string, media_ref string, admit_ordinal long"
-STATE_SCHEMA = "seen array<string>"
+STATE_SCHEMA = "seen array<string>, n_admitted long"
 
 
-def _dedup_fn(
-    key: Tuple[str],
-    pdfs: Iterator[pd.DataFrame],
-    state: GroupState,
-) -> Iterable[pd.DataFrame]:
-    seen: set[str] = set(state.get[0]) if state.exists else set()
-    out_hash: list[str] = []
-    out_ref: list[str] = []
-    out_ord: list[int] = []
-    for pdf in pdfs:
-        for h, ref in zip(pdf["content_hash"], pdf["media_ref"]):
-            if h not in seen:
-                out_ord.append(len(seen))  # admission ordinal within shard
-                seen.add(h)
-                out_hash.append(h)
-                out_ref.append(ref)
-    state.update((sorted(seen),))
-    yield pd.DataFrame(
-        {
-            "content_hash": out_hash,
-            "media_ref": out_ref,
-            "admit_ordinal": out_ord,
-        }
-    )
+def _make_dedup_fn(max_state_per_shard: int | None):
+    def _dedup_fn(
+        key: Tuple[str],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterable[pd.DataFrame]:
+        if state.exists:
+            order: list[str] = list(state.get[0])  # admission order
+            n_admitted = int(state.get[1])
+        else:
+            order, n_admitted = [], 0
+        seen = set(order)
+        out_hash: list[str] = []
+        out_ref: list[str] = []
+        out_ord: list[int] = []
+        for pdf in pdfs:
+            for h, ref in zip(pdf["content_hash"], pdf["media_ref"]):
+                if h not in seen:
+                    out_ord.append(n_admitted)  # shard admission ordinal
+                    n_admitted += 1
+                    seen.add(h)
+                    order.append(h)
+                    out_hash.append(h)
+                    out_ref.append(ref)
+        if max_state_per_shard is not None and len(order) > max_state_per_shard:
+            order = order[-max_state_per_shard:]  # FIFO eviction
+        state.update((order, n_admitted))
+        yield pd.DataFrame(
+            {
+                "content_hash": out_hash,
+                "media_ref": out_ref,
+                "admit_ordinal": out_ord,
+            }
+        )
+
+    return _dedup_fn
 
 
-def streaming_first_seen(media_stream: DataFrame) -> DataFrame:
+def streaming_first_seen(
+    media_stream: DataFrame,
+    cfg: JobConfig = DEFAULT_CONFIG,
+    max_state_per_shard: int | None = None,
+) -> DataFrame:
     """media stream (media_ref, bytes) -> first-seen (hash, ref) rows.
 
     Key = 2-hex-char hash prefix: 256 state shards, each holding its
     own seen-set — the state is partitioned exactly like a shuffle.
     """
     hashed = media_stream.select(
-        F.sha2(F.col("bytes"), 256).alias("content_hash"),
+        content_hash_col(cfg).alias("content_hash"),
         "media_ref",
     ).withColumn("shard", F.substring("content_hash", 1, 2))
     return (
         hashed.groupBy("shard")
         .applyInPandasWithState(
-            _dedup_fn,
+            _make_dedup_fn(max_state_per_shard),
             outputStructType=OUTPUT_SCHEMA,
             stateStructType=STATE_SCHEMA,
             outputMode="append",

@@ -89,6 +89,17 @@ def gen_layout_meta() -> pd.DataFrame:
     return df
 
 
+def gen_b64_media() -> pd.DataFrame:
+    """S2 base64-ingestion golden: (media_ref, data_b64, corrupted)."""
+    rows = []
+    for j in range(FLAGSHIP_CORPUS.media_universe):
+        if not S.media_exists(FLAGSHIP_CORPUS, j):
+            continue
+        ref, b64, corrupted = S.b64_media_item(FLAGSHIP_CORPUS, j)
+        rows.append(dict(media_ref=ref, data_b64=b64, corrupted=corrupted))
+    return pd.DataFrame(rows)
+
+
 def main() -> None:
     os.makedirs(FIXTURES_DIR, exist_ok=True)
     spans = gen_expected_spans()
@@ -97,8 +108,11 @@ def main() -> None:
     meta.to_parquet(os.path.join(FIXTURES_DIR, "media_meta.parquet"), index=False)
     layout = gen_layout_meta()
     layout.to_parquet(os.path.join(FIXTURES_DIR, "layout_meta.parquet"), index=False)
+    b64 = gen_b64_media()
+    b64.to_parquet(os.path.join(FIXTURES_DIR, "b64_media.parquet"), index=False)
     print(f"expected_spans: {len(spans)} rows; media_meta: {len(meta)} rows;"
-          f" layout_meta: {len(layout)} rows")
+          f" layout_meta: {len(layout)} rows; b64_media: {len(b64)} rows"
+          f" ({int(b64.corrupted.sum())} corrupted)")
     print("error codes:", spans.error_code.value_counts(dropna=True).to_dict())
     print("degradations:", meta.degradation.value_counts().to_dict())
 

@@ -43,33 +43,65 @@ def main() -> None:
     ap.add_argument("--buckets", type=int, default=32)
     ap.add_argument("--synthetic-docs", type=int, default=0,
                     help="generate N synthetic docs instead of reading --docs")
+    ap.add_argument("--config", help="YAML job config (configs/job.yaml shape)")
     ap.add_argument("--run-id", default=f"run-{int(time.time())}")
     args = ap.parse_args()
 
-    spark = get_spark(app_name="extract")
+    file_cfg = None
+    if args.config:
+        from mcp_ocr_server_spark.config_io import load_job_config
+
+        file_cfg = load_job_config(args.config)
+
+    spark = get_spark(app_name="extract", cfg=file_cfg or DEFAULT_CONFIG)
     if args.synthetic_docs:
         # materialize the synthetic corpus to parquet once — the bucket
         # loop scans each table several times per bucket, which is cheap
         # against columnar storage but would re-render every image if
-        # read straight from the generator
+        # read straight from the generator.  Both tables must be
+        # complete before reuse: a crash between the two writes would
+        # otherwise leave a half-materialized input dir that resume runs
+        # never repair, so gate on BOTH _SUCCESS markers.
         corpus = S.CorpusConfig(n_docs=args.synthetic_docs)
         in_dir = os.path.join(args.out, "input")
-        if not os.path.exists(os.path.join(in_dir, "docs", "_SUCCESS")):
-            S.docs_df(spark, corpus).write.mode("overwrite").parquet(
+        bmarker = os.path.join(in_dir, "BUCKETS")
+        complete = all(
+            os.path.exists(os.path.join(in_dir, t, "_SUCCESS"))
+            for t in ("docs", "media")
+        )
+        # the docs partitioning bakes in the bucket count; a resume with
+        # a different --buckets must rematerialize, not misroute
+        if complete and os.path.exists(bmarker):
+            with open(bmarker) as fh:
+                complete = int(fh.read().strip()) == args.buckets
+        elif complete:
+            complete = False
+        if not complete:
+            from mcp_ocr_server_spark.plans.checkpoint import bucket_col
+
+            # partitionBy the checkpoint bucket key: the bucket loop's
+            # per-bucket filter then PRUNES to 1/B of the files instead
+            # of scanning the corpus B times (Iceberg bucket transform
+            # at cluster scale)
+            S.docs_df(spark, corpus).withColumn(
+                "bucket", bucket_col(args.buckets)
+            ).write.mode("overwrite").partitionBy("bucket").parquet(
                 os.path.join(in_dir, "docs")
             )
             S.media_df(spark, corpus).write.mode("overwrite").parquet(
                 os.path.join(in_dir, "media")
             )
+            with open(bmarker, "w") as fh:
+                fh.write(str(args.buckets))
         docs = spark.read.parquet(os.path.join(in_dir, "docs"))
         media = spark.read.parquet(os.path.join(in_dir, "media"))
-        cfg = FIXTURE_JOB
+        cfg = file_cfg or FIXTURE_JOB
     else:
         if not args.docs or not args.media:
             ap.error("--docs and --media required without --synthetic-docs")
         docs = spark.read.parquet(args.docs)
         media = spark.read.parquet(args.media)
-        cfg = DEFAULT_CONFIG
+        cfg = file_cfg or DEFAULT_CONFIG
 
     store = CheckpointStore(args.out)
     t0 = time.monotonic()

@@ -77,3 +77,113 @@ def test_supported_languages():
 
 def test_engine_singleton():
     assert get_engine() is get_engine()
+
+
+def test_engine_pool_keyed_on_config():
+    """Two configs => two engines; same config => same engine (P3 pool
+    semantics without the round-1 single-global misconfiguration trap)."""
+    from mcp_ocr_server_spark.config import OCRConfig
+
+    a = get_engine(OCRConfig(psm=3))
+    b = get_engine(OCRConfig(psm=6))
+    assert a is not b
+    assert get_engine(OCRConfig(psm=6)) is b
+
+
+def test_recognize_deadline_raises():
+    """P4: a deadline already in the past aborts inside the band loop."""
+    import time
+
+    import pytest
+
+    from mcp_ocr_server_spark.ocr.engine import OCRDeadlineExceeded
+
+    img = render_text("SOME TEXT", scale=3)
+    with pytest.raises(OCRDeadlineExceeded):
+        ENG.recognize(img, deadline=time.monotonic() - 1.0)
+
+
+def test_deadline_maps_to_timeout_row(monkeypatch):
+    """A mid-decode deadline abort becomes a TIMEOUT error row, not
+    OCR_ENGINE_FAILED (the map function is a plain generator — driven
+    directly, no Spark session needed)."""
+    import pandas as pd
+
+    import mcp_ocr_server_spark.ocr.engine as engmod
+    from mcp_ocr_server_spark.config import TIMEOUT, JobConfig
+    from mcp_ocr_server_spark.imaging.png import encode_png
+    from mcp_ocr_server_spark.operators.media_ocr import make_ocr_map
+
+    class HangingEngine:
+        def recognize(self, img, language=None, deadline=None):
+            raise engmod.OCRDeadlineExceeded("deadline exceeded after 31.0s")
+
+    monkeypatch.setattr(engmod, "get_engine", lambda cfg: HangingEngine())
+    png = encode_png(render_text("HI", scale=2))
+    pdf = pd.DataFrame({"content_hash": ["h1"], "bytes": [png]})
+    out = pd.concat(list(make_ocr_map(JobConfig())(iter([pdf]))))
+    assert out["error_code"].tolist() == [TIMEOUT]
+    assert "deadline" in out["error_msg"].iloc[0]
+
+
+def test_char_whitelist_restricts_matching():
+    """K10 whitelist parity (tesseract.go:84-92): matching only selects
+    whitelisted glyphs."""
+    from mcp_ocr_server_spark.config import OCRConfig
+
+    img = render_text("ABC", scale=3)
+    eng = get_engine(OCRConfig(char_whitelist="ACDEFG"))
+    out = eng.recognize(img).text
+    assert "B" not in out and len(out) == 3
+    assert out[0] == "A" and out[2] == "C"
+
+
+def test_psm_single_line_merges_bands():
+    """psm 7: the page is ONE text line even if rendered as two."""
+    from mcp_ocr_server_spark.config import OCRConfig
+
+    img = render_text("AB\nCD", scale=3)
+    assert "\n" in ENG.recognize(img).text
+    out = get_engine(OCRConfig(psm=7)).recognize(img).text
+    assert "\n" not in out
+
+
+def test_psm_single_char():
+    """psm 10: the whole ink region is ONE character cell."""
+    from mcp_ocr_server_spark.config import OCRConfig
+
+    img = render_text("WORD", scale=3)
+    out = get_engine(OCRConfig(psm=10)).recognize(img).text
+    assert len(out) == 1
+
+
+def test_tesseract_config_string_parity():
+    """Reference engine setup (config.go:186-196 + tesseract.go:84-92)
+    is reproduced in the optional pytesseract engine's CLI config —
+    testable without tesseract installed."""
+    from mcp_ocr_server_spark.config import OCRConfig
+    from mcp_ocr_server_spark.ocr.tesseract_engine import tess_config_string
+
+    assert tess_config_string(OCRConfig()) == "--psm 3 --oem 3"
+    assert (
+        tess_config_string(OCRConfig(psm=6, char_whitelist="0123456789"))
+        == "--psm 6 --oem 3 -c tessedit_char_whitelist=0123456789"
+    )
+
+
+def test_pytesseract_engine_if_available():
+    """Exercised wherever tesseract exists (production image); no-op
+    skip in this container."""
+    import pytest
+
+    from mcp_ocr_server_spark.ocr import tesseract_engine as te
+
+    if not te.available():
+        pytest.skip("pytesseract not installed in this environment")
+    from mcp_ocr_server_spark.config import OCRConfig
+
+    eng = te.PytesseractEngine(OCRConfig(language="eng"))
+    img = render_text("HELLO", scale=4)
+    res = eng.recognize(img)
+    assert isinstance(res.text, str)
+    assert 0.0 <= res.confidence <= 100.0

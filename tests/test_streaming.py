@@ -101,5 +101,47 @@ def test_stateful_streaming_dedup(spark, tmp_path):
     hashes = [r.content_hash for r in rows]
     # every distinct hash exactly once despite 2x delivery
     assert len(hashes) == len(set(hashes))
-    n_distinct = media.select(F2.sha2("bytes", 256)).distinct().count()
-    assert len(hashes) == n_distinct
+    # key parity with the batch memo (C1): the stream key IS
+    # content_hash_col, so admitted hashes join the batch cache space
+    from mcp_ocr_server_spark.config import DEFAULT_CONFIG
+    from mcp_ocr_server_spark.plans.pipeline import content_hash_col
+
+    batch_hashes = {
+        r[0]
+        for r in media.select(content_hash_col(DEFAULT_CONFIG)).distinct().collect()
+    }
+    assert set(hashes) == batch_hashes
+
+
+def test_stateful_dedup_fifo_eviction():
+    """Per-shard cap evicts oldest admissions (reference cache max-entries
+    analogue); an evicted hash is re-admitted on reappearance."""
+    import pandas as pd
+
+    from mcp_ocr_server_spark.streaming.stateful_dedup import _make_dedup_fn
+
+    class FakeState:
+        def __init__(self):
+            self.exists = False
+            self._v = None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+            self.exists = True
+
+    fn = _make_dedup_fn(max_state_per_shard=2)
+    st = FakeState()
+
+    def run(hashes):
+        pdf = pd.DataFrame(
+            {"content_hash": hashes, "media_ref": ["r"] * len(hashes)}
+        )
+        return list(fn(("ab",), iter([pdf]), st))[0]["content_hash"].tolist()
+
+    assert run(["h1", "h2", "h3"]) == ["h1", "h2", "h3"]
+    # state capped to the 2 newest => h1 evicted => re-admitted; h3 not
+    assert run(["h1", "h3"]) == ["h1"]
