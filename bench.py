@@ -77,8 +77,10 @@ def main() -> None:
         return res.spans.count()
 
     analytics = [
+        "extract_base64", "html_main_content",
         "dedup_exact", "dedup_ngram_jaccard", "dedup_minhash",
-        "dedup_simhash", "dedup_embedding", "ann_topk", "ann_lsh",
+        "dedup_simhash", "dedup_lsh_buckets", "dedup_embedding",
+        "ann_topk", "ann_lsh", "ann_ivf",
         "lang_id", "text_quality", "token_stats", "doc_fingerprint",
         "events_hourly", "events_cube", "events_sliding", "orders_window",
         "customer_set_ops", "pricing_summary", "top_suppliers",

@@ -176,6 +176,95 @@ def lsh_signatures(
     )
 
 
+def ann_ivf_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    top_k: int = 5,
+) -> DataFrame:
+    """IVF-style approximate top-k: a coarse quantizer partitions the
+    corpus into n_centroids inverted lists; each query probes only its
+    n_probe nearest lists and rescores those candidates exactly.
+
+    Candidate volume per query ~ n_probe/n_centroids of the corpus —
+    the classic recall/cost dial (FAISS IVF family).  The coarse
+    centroids here are the n_centroids lowest-vec_id vectors: a
+    deterministic stand-in for an offline-trained k-means codebook
+    (at cluster scale: train once, broadcast the codebook; the
+    assignment plan below is unchanged).
+
+    Scale shape: assignment is corpus x n_centroids rows through a
+    broadcast + one map-side-combinable groupBy (max(struct)) — no
+    window sort, no shuffle of the vectors themselves beyond the final
+    candidate join.  All tie-breaks (equal rounded cosine) resolve to
+    the smaller centroid/neighbor id, matching the SQL oracle exactly.
+    """
+    cos = cosine_udf()
+    cent = (
+        emb.orderBy("vec_id")
+        .limit(n_centroids)
+        .select(F.col("vec_id").alias("centroid_id"), F.col("v").alias("cv"))
+    )
+
+    def _best_centroids(df: DataFrame, id_out: str, keep: int) -> DataFrame:
+        sims = df.crossJoin(F.broadcast(cent)).select(
+            F.col("vec_id").alias(id_out),
+            "centroid_id",
+            cos(F.col("v"), F.col("cv")).alias("sim"),
+        )
+        if keep == 1:
+            # argmax via max(struct): partial-aggregates map-side;
+            # struct ordering = (sim, -centroid_id) => ties to smaller id
+            return (
+                sims.groupBy(id_out)
+                .agg(
+                    F.max(
+                        F.struct(
+                            F.col("sim"), (-F.col("centroid_id")).alias("ni")
+                        )
+                    ).alias("m")
+                )
+                .select(id_out, (-F.col("m.ni")).alias("centroid_id"))
+            )
+        w = Window.partitionBy(id_out).orderBy(
+            F.desc("sim"), F.asc("centroid_id")
+        )
+        return (
+            sims.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= keep)
+            .select(id_out, "centroid_id")
+        )
+
+    assign = _best_centroids(emb, "vec_id", 1)
+    probes = _best_centroids(queries, "query_id", n_probe)
+    cand = (
+        probes.join(assign, "centroid_id")
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .select("query_id", "vec_id")
+    )
+    qv = queries.select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"))
+    cv = emb.select("vec_id", F.col("v").alias("cv2"))
+    scored = (
+        cand.join(qv, "query_id")
+        .join(cv, "vec_id")
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cos(F.col("qv"), F.col("cv2")).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .select("query_id", "neighbor_id", "cosine",
+                F.col("rank").cast("int").alias("rank"))
+    )
+
+
 def ann_lsh_topk(
     emb: DataFrame,
     queries: DataFrame,

