@@ -5,10 +5,11 @@ decode via imaging/png.py, features via imaging/kernels.py).  Audio and
 video are treated the way a 100 TB training-data pipeline treats them:
 opaque `binary` columns + typed metadata structs, processed by
 Arrow-batched `mapInPandas` stages.  This container ships no
-audio/video codecs, so — as the round rules direct — the DECODE step is
-stubbed behind an import-try with a clearly-marked deterministic fake,
-while everything Spark-side (schemas, batch shapes, partitioning, UDF
-signatures) is real and tested.
+audio/video codecs; WAV audio decodes for REAL (pure stdlib+numpy,
+like the PNG codec), while compressed-audio/video DECODE is stubbed
+behind an import-try with a clearly-marked deterministic fake, and
+everything Spark-side (schemas, batch shapes, partitioning, UDF
+signatures) is real and tested either way.
 
 Schemas:
     media(media_ref string, kind string, bytes binary,
@@ -17,7 +18,8 @@ Schemas:
 
 Stages (each a mapInPandas over an Arrow batch iterator):
     image_features   — REAL: decode PNG -> quality metrics + dims
-    audio_features   — stub decode -> frame-energy summary
+    audio_features   — REAL for WAV (stdlib wave + numpy); stub for
+                       compressed formats -> clip energy summary
     video_keyframes  — stub decode -> every-Nth-frame sample refs
 """
 
@@ -68,10 +70,44 @@ def parse_pdf_pages(data: bytes) -> list[np.ndarray]:
     raise NotImplementedError("rasterization backend not available")
 
 
+def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
+    """REAL audio decode for WAV/RIFF containers — stdlib `wave` +
+    numpy, no external codec (the audio analogue of imaging/png.py).
+
+    Returns (float32 mono PCM in [-1, 1], sample_rate).  Multi-channel
+    input is averaged to mono.  Supports the PCM widths `wave` does
+    (8-bit unsigned, 16/32-bit signed little-endian)."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(data), "rb") as w:
+        n_ch = w.getnchannels()
+        width = w.getsampwidth()
+        rate = w.getframerate()
+        frames = w.readframes(w.getnframes())
+    if width == 1:  # unsigned 8-bit
+        pcm = (np.frombuffer(frames, dtype=np.uint8).astype(np.float32)
+               - 128.0) / 128.0
+    elif width == 2:
+        pcm = np.frombuffer(frames, dtype="<i2").astype(np.float32) / 32768.0
+    elif width == 4:
+        pcm = np.frombuffer(frames, dtype="<i4").astype(np.float32) / 2147483648.0
+    else:
+        raise ValueError(f"unsupported WAV sample width: {width}")
+    if n_ch > 1:
+        pcm = pcm[: len(pcm) - len(pcm) % n_ch].reshape(-1, n_ch).mean(axis=1)
+    return pcm, rate
+
+
 def _decode_audio(data: bytes, sample_rate: int) -> np.ndarray:
-    """Audio decode seam.  Real implementation would use soundfile /
-    ffmpeg; this container has neither, so: deterministic fake that maps
-    bytes -> a pseudo-PCM float array (STUB, clearly marked)."""
+    """Audio decode seam.  WAV/RIFF payloads decode for REAL
+    (decode_wav, pure stdlib+numpy).  Compressed formats (mp3/ogg/flac)
+    need soundfile/ffmpeg, absent in this container — those fall to a
+    deterministic fake (STUB, clearly marked) so the Spark-side
+    plumbing stays exercised."""
+    if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
+        pcm, _rate = decode_wav(data)
+        return pcm
     try:
         import soundfile  # noqa: F401  (absent in this container)
     except ImportError:
@@ -80,7 +116,7 @@ def _decode_audio(data: bytes, sample_rate: int) -> np.ndarray:
             hashlib.sha256(data).digest() * max(1, len(data) // 32), dtype=np.uint8
         )
         return (raw.astype(np.float32) - 127.5) / 127.5
-    raise NotImplementedError("real audio decode requires soundfile/ffmpeg")
+    raise NotImplementedError("real compressed-audio decode requires soundfile/ffmpeg")
 
 
 def _decode_video_frames(data: bytes, every_n: int) -> list[tuple[int, bytes]]:
@@ -127,7 +163,8 @@ def image_features(media: DataFrame) -> DataFrame:
 
 
 def audio_features(media: DataFrame, sample_rate: int = 16_000) -> DataFrame:
-    """Stub-decode -> per-clip energy summary (batch shape is real)."""
+    """Per-clip energy summary; WAV decodes for real, compressed
+    formats via the documented stub seam."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
