@@ -77,7 +77,7 @@ def main() -> None:
         return res.spans.count()
 
     analytics = [
-        "extract_base64", "html_main_content",
+        "extract_base64", "extract_docs", "html_main_content",
         "dedup_exact", "dedup_ngram_jaccard", "dedup_minhash",
         "dedup_simhash", "dedup_lsh_buckets", "dedup_embedding",
         "ann_topk", "ann_lsh", "ann_ivf",
