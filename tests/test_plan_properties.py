@@ -87,6 +87,15 @@ def test_ocr_stage_partition_balance(spark):
     sizes = list(counts.values())
     assert len(sizes) >= 4, "OCR work not spread across partitions"
     mean = statistics.mean(sizes)
-    assert max(sizes) <= mean * 2, (
-        f"straggler partition: max={max(sizes)} mean={mean:.1f} sizes={sizes}"
+    # statistically sound straggler bound: uniform hashing at occupancy
+    # m is ~Poisson(m), so max over P partitions stays within
+    # mean + 5*sqrt(mean) with overwhelming probability; a true hot-key
+    # pile-up (the failure this guards) lands far outside.  A fixed
+    # 2x-mean bound false-alarms at the finer partition counts the
+    # straggler-smoothing floor now produces (mean ~12 => max 26 is
+    # plain Poisson noise).
+    bound = mean + 5 * mean ** 0.5
+    assert max(sizes) <= bound, (
+        f"straggler partition: max={max(sizes)} mean={mean:.1f}"
+        f" bound={bound:.1f} sizes={sizes}"
     )
