@@ -79,7 +79,8 @@ def main() -> None:
     analytics = [
         "extract_base64", "extract_docs", "html_main_content",
         "dedup_exact", "dedup_ngram_jaccard", "dedup_minhash",
-        "dedup_simhash", "dedup_lsh_buckets", "dedup_embedding",
+        "dedup_simhash", "dedup_simhash_pairs", "dedup_lsh_buckets",
+        "dedup_embedding",
         "ann_topk", "ann_lsh", "ann_ivf",
         "lang_id", "text_quality", "token_stats", "doc_fingerprint",
         "events_hourly", "events_cube", "events_sliding", "orders_window",
