@@ -83,6 +83,7 @@ def main() -> None:
         "dedup_embedding",
         "ann_topk", "ann_lsh", "ann_ivf",
         "lang_id", "text_quality", "token_stats", "doc_fingerprint",
+        "vocab_topk", "decontaminate",
         "events_hourly", "events_cube", "events_sliding", "orders_window",
         "customer_set_ops", "pricing_summary", "top_suppliers",
     ]
