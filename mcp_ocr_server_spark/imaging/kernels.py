@@ -94,24 +94,30 @@ def nl_means_denoise(
     s = search // 2
     H, W = gray.shape
     pad = s + t
-    p = np.pad(gray, pad, mode="reflect").astype(np.float32)
+    # Integral images over INTEGER pixel products: p*p <= 65025 and the
+    # full-image cumsum can reach ~6e9 on a large page — past float32's
+    # 24-bit mantissa (errors of hundreds in the patch distances, i.e.
+    # multiplicative noise in the weights).  int64 keeps every patch
+    # distance EXACT; only the weight exponential runs in float32.
+    pi = np.pad(gray, pad, mode="reflect").astype(np.int64)
+    pf = pi.astype(np.float32)
     area = float(template * template)
     inv_h2 = 1.0 / (h * h)
 
     def box(a: np.ndarray) -> np.ndarray:
         # box-sum over the template window; output indexed by padded
         # coords minus t (valid for any center in [t, size-t))
-        ii = np.cumsum(np.cumsum(a, axis=0, dtype=np.float32), axis=1)
+        ii = np.cumsum(np.cumsum(a, axis=0, dtype=np.int64), axis=1)
         ii = np.pad(ii, ((1, 0), (1, 0)))
         return (
             ii[template:, template:] - ii[:-template, template:]
             - ii[template:, :-template] + ii[:-template, :-template]
         )
 
-    b2 = box(p * p)  # b2[y, x] = patch-sq-sum centered at padded (y+t, x+t)
+    b2 = box(pi * pi)  # b2[y, x] = patch-sq-sum centered at padded (y+t, x+t)
     num = np.zeros((H, W), dtype=np.float32)
     den = np.zeros((H, W), dtype=np.float32)
-    c0 = p[pad : pad + H, pad : pad + W]
+    c0 = pf[pad : pad + H, pad : pad + W]
     b2c = b2[s : s + H, s : s + W]  # patch-sq-sum at image centers
     for dy in range(-s, s + 1):
         for dx in range(-s, s + 1):
@@ -119,11 +125,15 @@ def nl_means_denoise(
                 num += c0
                 den += 1.0
                 continue
-            sh = p[pad + dy - t : pad + dy + H + t, pad + dx - t : pad + dx + W + t]
-            cross = box(p[pad - t : pad + H + t, pad - t : pad + W + t] * sh)
-            d2 = b2c + b2[s + dy : s + dy + H, s + dx : s + dx + W] - 2.0 * cross
-            w = np.exp(np.maximum(d2, 0.0) * (-inv_h2 / area), dtype=np.float32)
-            num += w * p[pad + dy : pad + dy + H, pad + dx : pad + dx + W]
+            sh = pi[pad + dy - t : pad + dy + H + t, pad + dx - t : pad + dx + W + t]
+            cross = box(pi[pad - t : pad + H + t, pad - t : pad + W + t] * sh)
+            # exact integer distance (>= 0 by Cauchy-Schwarz, no clamp)
+            d2 = b2c + b2[s + dy : s + dy + H, s + dx : s + dx + W] - 2 * cross
+            w = np.exp(
+                d2.astype(np.float32) * np.float32(-inv_h2 / area),
+                dtype=np.float32,
+            )
+            num += w * pf[pad + dy : pad + dy + H, pad + dx : pad + dx + W]
             den += w
     return np.clip(np.round(num / den), 0, 255).astype(np.uint8)
 
