@@ -99,8 +99,12 @@ def main() -> None:
     else:
         if not args.docs or not args.media:
             ap.error("--docs and --media required without --synthetic-docs")
-        docs = spark.read.parquet(args.docs)
-        media = spark.read.parquet(args.media)
+        # read_table resolves 'db.table' through the Iceberg catalog
+        # when one is configured, filesystem parquet otherwise
+        from mcp_ocr_server_spark.sources.tables import read_table
+
+        docs = read_table(spark, args.docs)
+        media = read_table(spark, args.media)
         cfg = file_cfg or DEFAULT_CONFIG
 
     store = CheckpointStore(args.out)
