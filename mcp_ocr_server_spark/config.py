@@ -16,6 +16,12 @@ from dataclasses import dataclass, field
 class OCRConfig:
     """internal/config/config.go:186-196."""
 
+    # config.go:187 — engine selection.  "tesseract" engages the real
+    # PytesseractEngine wherever pytesseract is installed and falls back
+    # to the deterministic TemplateMatchEngine otherwise (capability
+    # probe in ocr/engine.get_engine); "template" pins the deterministic
+    # engine unconditionally (fixtures/goldens use this).
+    engine: str = "tesseract"
     language: str = "eng+chi_sim+chi_tra+jpn"  # config.go:188
     psm: int = 3  # config.go:190 (PageSegMode AUTO)
     oem: int = 3  # config.go:191 (OcrEngineMode DEFAULT)
@@ -114,6 +120,8 @@ DEFAULT_CONFIG = JobConfig()
 # Fixture/test job config: identical semantics to the reference defaults
 # (config.go:186-219) except max_image_size scaled 10 MiB -> 64 KiB so the
 # oversize-guard path (handler.go:252-254) is exercised without multi-MB
-# noise fixtures.  The guard THRESHOLD is config, the guard SEMANTICS are
-# what parity requires.
-FIXTURE_JOB = JobConfig(ocr=OCRConfig(max_image_size=64_000))
+# noise fixtures, and engine PINNED to the deterministic template matcher
+# so committed goldens never depend on whether tesseract is installed.
+# The guard THRESHOLD is config, the guard SEMANTICS are what parity
+# requires.
+FIXTURE_JOB = JobConfig(ocr=OCRConfig(engine="template", max_image_size=64_000))

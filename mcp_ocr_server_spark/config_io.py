@@ -63,6 +63,7 @@ def job_config_from_dict(doc: dict) -> JobConfig:
 
     base = JobConfig()
     ocr = OCRConfig(
+        engine=engine,
         language=str(ocr_d.get("language", base.ocr.language)),
         psm=int(ocr_d.get("page_seg_mode", base.ocr.psm)),
         oem=int(ocr_d.get("engine_mode", base.ocr.oem)),

@@ -175,8 +175,14 @@ def audio_features(media: DataFrame, sample_rate: int = 16_000) -> DataFrame:
                 try:
                     pcm = _decode_audio(bytes(data), sample_rate)
                     row["n_samples"] = int(pcm.size)
-                    row["rms"] = float(np.sqrt(np.mean(pcm**2)))
-                    row["peak"] = float(np.abs(pcm).max())
+                    if pcm.size:
+                        row["rms"] = float(np.sqrt(np.mean(pcm**2)))
+                        row["peak"] = float(np.abs(pcm).max())
+                    else:
+                        # legal zero-frame container: an empty clip,
+                        # not a decode error
+                        row["rms"] = 0.0
+                        row["peak"] = 0.0
                 except Exception as exc:
                     row["error"] = str(exc)
                 rows.append(row)

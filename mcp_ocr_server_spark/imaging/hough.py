@@ -81,9 +81,13 @@ def canny(gray: np.ndarray, lo: float = 50.0, hi: float = 150.0) -> np.ndarray:
     weak = keep & (mag >= lo) & ~strong
 
     # hysteresis: weak pixels 8-connected to strong become edges;
-    # iterate a bounded flood (numpy-only dilation) until stable
+    # iterate a flood (numpy-only dilation) until stable.  Bound = h*w:
+    # each productive iteration marks >= 1 new pixel, so full
+    # convergence is guaranteed even for serpentine weak chains whose
+    # geodesic length exceeds the image side (a max(h,w) cap would
+    # truncate those).
     edges = strong.copy()
-    for _ in range(max(gray.shape)):
+    for _ in range(gray.shape[0] * gray.shape[1]):
         e = np.pad(edges, 1, mode="constant")
         grown = (
             e[:-2, :-2] | e[:-2, 1:-1] | e[:-2, 2:]
@@ -251,46 +255,16 @@ def calculate_median(values: list[float]) -> float:
     return s[mid]
 
 
-def _accumulator_can_trigger(
-    edges: np.ndarray,
-    rho_res: float = 1.0,
-    theta_res: float = math.pi / 180.0,
-    threshold: int = 100,
-) -> bool:
-    """Exact short-circuit for the progressive transform: at any moment
-    a progressive bin count <= the same bin's FULL-accumulator count
-    (votes only accumulate per processed point and are subtracted on
-    consumption), so if no full bin reaches the vote threshold the
-    walker can never emit a segment.  The full accumulator is one
-    vectorized histogram (~10 ms) vs the per-point python walk
-    (~20-120 ms per page) — and most document pages fall below the
-    reference's threshold of 100, so this is the common path."""
-    ys, xs = np.nonzero(edges)
-    if ys.size == 0:
-        return False
-    h, w = edges.shape
-    n_theta = int(round(math.pi / theta_res))
-    thetas = np.arange(n_theta) * theta_res
-    max_rho = int(math.ceil((h + w) / rho_res))
-    n_rho = 2 * max_rho + 1
-    rhos = (
-        np.round(
-            (xs[:, None] * np.cos(thetas)[None, :]
-             + ys[:, None] * np.sin(thetas)[None, :]) / rho_res
-        ).astype(np.int64)
-        + max_rho
-    )
-    flat = (np.arange(n_theta, dtype=np.int64)[None, :] * n_rho + rhos).ravel()
-    counts = np.bincount(flat, minlength=n_theta * n_rho)
-    return int(counts.max()) >= threshold
-
-
 def skew_angle_hough(gray: np.ndarray) -> float:
     """Skew estimate in degrees, reference guard semantics literal:
-    <10 Hough lines => 0.0; only |angle| < 45 deg lines count; median."""
+    <10 Hough lines => 0.0; only |angle| < 45 deg lines count; median.
+
+    No separate pre-filter: hough_lines_p's chunked voting already
+    handles below-threshold pages in vectorized bincounts, so a
+    duplicate full-accumulator check would re-implement the same bin
+    arithmetic a second time (a drift hazard for the exactness proof)
+    for no measurable win."""
     edges = canny(gray, 50.0, 150.0)
-    if not _accumulator_can_trigger(edges, 1.0, math.pi / 180.0, 100):
-        return 0.0  # provably zero segments => the <10-lines guard fires
     lines = hough_lines_p(edges, 1.0, math.pi / 180.0, 100)
     if len(lines) < 10:
         return 0.0

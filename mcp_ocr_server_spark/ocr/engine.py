@@ -268,18 +268,34 @@ class TemplateMatchEngine:
         return list(SUPPORTED_LANGUAGES)
 
 
-_ENGINES: dict[OCRConfig, TemplateMatchEngine] = {}
+_ENGINES: dict[OCRConfig, object] = {}
 
 
-def get_engine(cfg: OCRConfig | None = None) -> TemplateMatchEngine:
+def get_engine(cfg: OCRConfig | None = None):
     """Per-process engine pool keyed by config — the analogue of the
     reference's sync.Pool of gosseract clients (tesseract.go:27-32):
     init once per Spark python worker PER CONFIG, reuse across Arrow
     batches (P3).  Keying on the frozen OCRConfig (hashable dataclass)
     means two jobs with different psm/whitelist in one worker process
-    can never share a misconfigured engine."""
+    can never share a misconfigured engine.
+
+    Engine selection (cfg.engine, config.go:187): "tesseract" uses the
+    real PytesseractEngine when pytesseract is importable on the worker
+    and falls back to the deterministic TemplateMatchEngine otherwise
+    (this sandbox ships no tesseract, so the fallback is the default
+    outcome); "template" pins the deterministic engine unconditionally
+    (the fixtures/goldens config, FIXTURE_JOB)."""
     key = cfg or OCRConfig()
     eng = _ENGINES.get(key)
     if eng is None:
-        eng = _ENGINES[key] = TemplateMatchEngine(key)
+        if key.engine == "tesseract":
+            from . import tesseract_engine as te
+
+            if te.available():
+                eng = te.PytesseractEngine(key)
+            else:
+                eng = TemplateMatchEngine(key)
+        else:
+            eng = TemplateMatchEngine(key)
+        _ENGINES[key] = eng
     return eng

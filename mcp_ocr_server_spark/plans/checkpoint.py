@@ -185,6 +185,14 @@ def run_checkpointed(
     """
     b = n_buckets or cfg.checkpoint_buckets
     done = store.committed_buckets()
+    if all(k in done for k in range(b)):
+        # idempotent no-op resume: nothing to do — return before paying
+        # the media hash projection / cost hint (a full corpus scan)
+        return CheckpointedRun(
+            out_dir=store.root, buckets_total=b,
+            buckets_done_before=len(done), buckets_committed=0,
+            spans_written=0,
+        )
     # Storage-aligned bucketing: if the docs table already carries a
     # `bucket` column (written with partitionBy("bucket") using the SAME
     # bucket_col(b) expression — run_extract.py does this; at cluster
@@ -194,6 +202,21 @@ def run_checkpointed(
     # plain table costs B full scans per run.
     if "bucket" in docs.columns:
         docs_b = docs
+        # a precomputed column written for a DIFFERENT B would silently
+        # drop every row with bucket >= b — refuse loudly instead.  The
+        # filter is on a partition column, so this is a listing-level
+        # check, not a data scan.
+        bad = (
+            docs_b.filter((F.col("bucket") < 0) | (F.col("bucket") >= b))
+            .limit(1)
+            .count()
+        )
+        if bad:
+            raise ValueError(
+                f"docs table carries a precomputed `bucket` column with "
+                f"values outside [0, {b}); it was written for a different "
+                f"bucket count — rematerialize or drop the column"
+            )
     else:
         docs_b = docs.withColumn("bucket", bucket_col(b))
     committed = 0

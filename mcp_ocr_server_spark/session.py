@@ -55,8 +55,16 @@ def get_spark(
         )
         .config("spark.sql.session.timeZone", "UTC")
         # P4 hard backstop (SURVEY.md §2.6): the per-image timeout is
-        # cooperative (engine deadline checks); the reaper guarantees a
-        # truly hung task is killed rather than wedging the executor
+        # cooperative (engine deadline checks).  For a task hung in
+        # uninterruptible native code, SPECULATION is the active
+        # mechanism — a straggler past 4x the stage median gets a
+        # second attempt on another slot (all stages here are
+        # idempotent), and the reaper then guarantees the losing/hung
+        # attempt actually dies after the kill is issued (the reaper
+        # alone never initiates kills).
+        .config("spark.speculation", "true")
+        .config("spark.speculation.multiplier", "4")
+        .config("spark.speculation.quantile", "0.9")
         .config("spark.task.reaper.enabled", "true")
         .config("spark.task.reaper.killTimeout", "120s")
         .config("spark.ui.enabled", "false")

@@ -40,7 +40,9 @@ def main() -> None:
     ap.add_argument("--docs", help="input docs table path (parquet)")
     ap.add_argument("--media", help="media sidecar table path (parquet)")
     ap.add_argument("--out", required=True, help="output + checkpoint root")
-    ap.add_argument("--buckets", type=int, default=32)
+    ap.add_argument("--buckets", type=int, default=None,
+                    help="checkpoint buckets (default: config file's "
+                         "spark.checkpoint_buckets, else 32)")
     ap.add_argument("--synthetic-docs", type=int, default=0,
                     help="generate N synthetic docs instead of reading --docs")
     ap.add_argument("--config", help="YAML job config (configs/job.yaml shape)")
@@ -52,6 +54,13 @@ def main() -> None:
         from mcp_ocr_server_spark.config_io import load_job_config
 
         file_cfg = load_job_config(args.config)
+
+    # bucket-count resolution order: --buckets flag > config file's
+    # spark.checkpoint_buckets > default 32 (round-1 bug: the flag's
+    # hard default silently shadowed the documented config knob)
+    n_buckets = args.buckets or (
+        file_cfg.checkpoint_buckets if file_cfg else 32
+    )
 
     spark = get_spark(app_name="extract", cfg=file_cfg or DEFAULT_CONFIG)
     if args.synthetic_docs:
@@ -70,10 +79,14 @@ def main() -> None:
             for t in ("docs", "media")
         )
         # the docs partitioning bakes in the bucket count; a resume with
-        # a different --buckets must rematerialize, not misroute
+        # a different bucket count must rematerialize, not misroute.
+        # Corrupt/empty marker (crash mid-write) => treat as incomplete.
         if complete and os.path.exists(bmarker):
-            with open(bmarker) as fh:
-                complete = int(fh.read().strip()) == args.buckets
+            try:
+                with open(bmarker) as fh:
+                    complete = int(fh.read().strip()) == n_buckets
+            except (ValueError, OSError):
+                complete = False
         elif complete:
             complete = False
         if not complete:
@@ -84,15 +97,17 @@ def main() -> None:
             # of scanning the corpus B times (Iceberg bucket transform
             # at cluster scale)
             S.docs_df(spark, corpus).withColumn(
-                "bucket", bucket_col(args.buckets)
+                "bucket", bucket_col(n_buckets)
             ).write.mode("overwrite").partitionBy("bucket").parquet(
                 os.path.join(in_dir, "docs")
             )
             S.media_df(spark, corpus).write.mode("overwrite").parquet(
                 os.path.join(in_dir, "media")
             )
-            with open(bmarker, "w") as fh:
-                fh.write(str(args.buckets))
+            tmp = bmarker + ".tmp"
+            with open(tmp, "w") as fh:
+                fh.write(str(n_buckets))
+            os.replace(tmp, bmarker)  # atomic: no empty/partial marker
         docs = spark.read.parquet(os.path.join(in_dir, "docs"))
         media = spark.read.parquet(os.path.join(in_dir, "media"))
         cfg = file_cfg or FIXTURE_JOB
@@ -111,7 +126,7 @@ def main() -> None:
     t0 = time.monotonic()
     result = run_checkpointed(
         spark, docs, media, store, cfg,
-        n_buckets=args.buckets, run_id=args.run_id,
+        n_buckets=n_buckets, run_id=args.run_id,
     )
     dt = time.monotonic() - t0
     print(

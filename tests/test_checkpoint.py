@@ -73,3 +73,31 @@ def test_kill_and_resume_no_reprocessing(spark, tmp_path):
         r.n_ocr_computed for r in wm.collect()
     )
     assert all(r.partition_id >= 0 for r in metrics.collect())
+
+
+def test_precomputed_bucket_mismatch_rejected(spark, tmp_path):
+    """A docs table carrying a bucket column written for a different B
+    must be refused loudly, not silently drop rows."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from mcp_ocr_server_spark.config import FIXTURE_JOB
+    from mcp_ocr_server_spark.plans.checkpoint import (
+        CheckpointStore,
+        bucket_col,
+        run_checkpointed,
+    )
+    from mcp_ocr_server_spark.sources import synthetic as S
+
+    c = S.CorpusConfig(n_docs=40)
+    docs = S.docs_df(spark, c).withColumn("bucket", bucket_col(64))
+    p = str(tmp_path / "docs64")
+    docs.write.partitionBy("bucket").parquet(p)
+    bad_docs = spark.read.parquet(p)
+    media = S.media_df(spark, c)
+    with pytest.raises(ValueError, match="different.*bucket count"):
+        run_checkpointed(
+            spark, bad_docs, media,
+            CheckpointStore(str(tmp_path / "out")), FIXTURE_JOB,
+            n_buckets=4,
+        )

@@ -187,3 +187,19 @@ def test_pytesseract_engine_if_available():
     res = eng.recognize(img)
     assert isinstance(res.text, str)
     assert 0.0 <= res.confidence <= 100.0
+
+
+def test_engine_dispatch_fallback():
+    """cfg.engine='tesseract' falls back to the deterministic engine
+    when pytesseract is absent; 'template' pins it unconditionally."""
+    from mcp_ocr_server_spark.config import OCRConfig
+    from mcp_ocr_server_spark.ocr import tesseract_engine as te
+    from mcp_ocr_server_spark.ocr.engine import TemplateMatchEngine
+
+    t_eng = get_engine(OCRConfig(engine="template", psm=4))
+    assert isinstance(t_eng, TemplateMatchEngine)
+    auto = get_engine(OCRConfig(engine="tesseract", psm=4))
+    if te.available():
+        assert type(auto).__name__ == "PytesseractEngine"
+    else:
+        assert isinstance(auto, TemplateMatchEngine)

@@ -121,3 +121,22 @@ def test_wav_decode_real(spark):
     assert row.error is None and row.n_samples == n
     assert abs(row.rms - amp / math.sqrt(2)) < 1e-3
     assert abs(row.peak - amp) < 1e-3
+
+
+def test_empty_wav_is_empty_clip_not_error(spark):
+    """A legal zero-frame WAV reports n_samples=0, not a decode error."""
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(16000)
+    df = spark.createDataFrame(
+        [("clip-empty", bytearray(buf.getvalue()))],
+        "media_ref string, bytes binary",
+    )
+    row = audio_features(df).collect()[0]
+    assert row.error is None
+    assert row.n_samples == 0 and row.rms == 0.0 and row.peak == 0.0
