@@ -66,13 +66,28 @@ def test_query_matches_oracle(spark, name):
     con = _duck()
     res = con.sql(oracles[name])
     dcols = [c.lower() for c in res.columns]
-    # the driver's value hash is TYPE-sensitive: DuckDB sum(int) yields
-    # HUGEINT, which Spark can never emit — any oracle producing one is
-    # guaranteed to hash-mismatch even with identical values (round-1
-    # failure mode; fix is a ::BIGINT cast in the oracle SQL)
+    # The driver's value hash is TYPE-sensitive: any dtype divergence
+    # between the Spark result and the DuckDB oracle hash-mismatches
+    # even with identical values (round-1 failure mode: sum(int) ->
+    # HUGEINT vs BIGINT).  Compare the full mapped dtype per column.
+    _DUCK_TO_SPARK = {
+        "BIGINT": "bigint", "INTEGER": "int", "SMALLINT": "smallint",
+        "TINYINT": "tinyint", "DOUBLE": "double", "FLOAT": "float",
+        "VARCHAR": "string", "BOOLEAN": "boolean", "BLOB": "binary",
+        "DATE": "date", "TIMESTAMP": "timestamp",
+    }
+    sdtypes = {c.lower(): t for c, t in sdf.dtypes}
     for c, t in zip(res.columns, res.types):
-        assert "HUGEINT" not in str(t).upper(), (
-            f"{name}: oracle column {c} is {t}; cast it to ::BIGINT"
+        duck_t = str(t).upper()
+        want = _DUCK_TO_SPARK.get(duck_t)
+        assert want is not None, (
+            f"{name}: oracle column {c} has unmapped DuckDB type {t} "
+            f"(HUGEINT => add ::BIGINT; DECIMAL => cast to DOUBLE)"
+        )
+        got = sdtypes.get(c.lower())
+        assert got == want, (
+            f"{name}: dtype mismatch on {c}: spark={got} duck={t} "
+            f"(driver hash is type-sensitive)"
         )
     drows = res.fetchall()
     assert sorted(scols) == sorted(dcols), (
