@@ -80,14 +80,17 @@ def canny(gray: np.ndarray, lo: float = 50.0, hi: float = 150.0) -> np.ndarray:
     strong = keep & (mag >= hi)
     weak = keep & (mag >= lo) & ~strong
 
-    # hysteresis: weak pixels 8-connected to strong become edges;
-    # iterate a flood (numpy-only dilation) until stable.  Bound = h*w:
-    # each productive iteration marks >= 1 new pixel, so full
-    # convergence is guaranteed even for serpentine weak chains whose
-    # geodesic length exceeds the image side (a max(h,w) cap would
-    # truncate those).
+    # hysteresis: weak pixels 8-connected to strong become edges.
+    # Vectorized dilation converges in O(chain diameter) iterations —
+    # fast for every realistic page — but a pathological serpentine
+    # weak chain could take O(h*w) iterations at O(h*w) each, wedging a
+    # task with no deadline check in preprocessing.  So: bounded
+    # dilation for the common case, then an EXACT linear-time BFS over
+    # the remaining weak frontier if not yet stable (same fixpoint
+    # either way — the flood is monotone).
     edges = strong.copy()
-    for _ in range(gray.shape[0] * gray.shape[1]):
+    stable = False
+    for _ in range(4 * max(gray.shape)):
         e = np.pad(edges, 1, mode="constant")
         grown = (
             e[:-2, :-2] | e[:-2, 1:-1] | e[:-2, 2:]
@@ -96,8 +99,30 @@ def canny(gray: np.ndarray, lo: float = 50.0, hi: float = 150.0) -> np.ndarray:
         )
         new = edges | (weak & grown)
         if new.sum() == edges.sum():
+            stable = True
             break
         edges = new
+    if not stable:
+        h_, w_ = edges.shape
+        remaining = weak & ~edges
+        # seed the stack with weak pixels adjacent to current edges
+        e = np.pad(edges, 1, mode="constant")
+        adj = (
+            e[:-2, :-2] | e[:-2, 1:-1] | e[:-2, 2:]
+            | e[1:-1, :-2] | e[1:-1, 2:]
+            | e[2:, :-2] | e[2:, 1:-1] | e[2:, 2:]
+        )
+        stack = list(zip(*np.nonzero(remaining & adj)))
+        while stack:
+            y, x = stack.pop()
+            if edges[y, x] or not weak[y, x]:
+                continue
+            edges[y, x] = True
+            for dy in (-1, 0, 1):
+                for dx in (-1, 0, 1):
+                    ny, nx = y + dy, x + dx
+                    if 0 <= ny < h_ and 0 <= nx < w_ and weak[ny, nx] and not edges[ny, nx]:
+                        stack.append((ny, nx))
     return edges
 
 

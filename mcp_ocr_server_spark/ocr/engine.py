@@ -288,14 +288,31 @@ def get_engine(cfg: OCRConfig | None = None):
     key = cfg or OCRConfig()
     eng = _ENGINES.get(key)
     if eng is None:
-        if key.engine == "tesseract":
+        resolved = resolved_engine(key)
+        if resolved == "pytesseract":
             from . import tesseract_engine as te
 
-            if te.available():
-                eng = te.PytesseractEngine(key)
-            else:
-                eng = TemplateMatchEngine(key)
+            eng = te.PytesseractEngine(key)
         else:
             eng = TemplateMatchEngine(key)
         _ENGINES[key] = eng
     return eng
+
+
+def resolved_engine(cfg: OCRConfig) -> str:
+    """The engine that will actually run for this config:
+    'pytesseract' or 'template'.  Unknown engine names raise (config_io
+    validates file-driven configs; this guards programmatic ones).
+
+    The resolved name participates in the memoization cache key
+    (plans/pipeline.content_hash_col): text produced by one engine must
+    never be replayed as another engine's output by the memo table —
+    the reference's key (bytes||lang||preprocess, cache.go:188-198)
+    didn't need this because it had exactly one engine."""
+    if cfg.engine == "template":
+        return "template"
+    if cfg.engine == "tesseract":
+        from . import tesseract_engine as te
+
+        return "pytesseract" if te.available() else "template"
+    raise ValueError(f"unsupported OCR engine: {cfg.engine}")

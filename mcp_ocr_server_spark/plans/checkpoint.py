@@ -111,6 +111,38 @@ class CheckpointStore:
             if f.endswith(".json")
         }
 
+    def check_bucket_count(self, b: int) -> None:
+        """The store's bucket count is part of its identity: watermarks
+        committed under B=64 must never satisfy a B=4 run (bucket k
+        means a DIFFERENT doc subset for each B).  First run records B
+        (atomically); every later run must match or fail loudly."""
+        marker = os.path.join(self.root, "BUCKETS")
+        if os.path.exists(marker):
+            try:
+                with open(marker) as fh:
+                    stored = int(fh.read().strip())
+            except (ValueError, OSError):
+                stored = None
+            if stored is not None and stored != b:
+                raise ValueError(
+                    f"checkpoint store {self.root} was created with "
+                    f"{stored} buckets; rerunning with {b} would misroute "
+                    f"documents — use n_buckets={stored} or a fresh store"
+                )
+            if stored is not None:
+                return
+        done = self.committed_buckets()
+        if done and max(done) >= b:
+            raise ValueError(
+                f"checkpoint store {self.root} holds watermarks up to "
+                f"bucket {max(done)} but the run uses only {b} buckets — "
+                f"it was created with a different bucket count"
+            )
+        tmp = marker + ".tmp"
+        with open(tmp, "w") as fh:
+            fh.write(str(b))
+        os.replace(tmp, marker)
+
     def commit(self, bucket: int, stats: dict) -> None:
         path = os.path.join(self.wm_dir, f"{bucket}.json")
         tmp = path + ".tmp"
@@ -184,6 +216,7 @@ def run_checkpointed(
     driver-side but O(B), never O(rows).
     """
     b = n_buckets or cfg.checkpoint_buckets
+    store.check_bucket_count(b)  # refuse a store committed under a different B
     done = store.committed_buckets()
     if all(k in done for k in range(b)):
         # idempotent no-op resume: nothing to do — return before paying

@@ -92,8 +92,17 @@ def explode_spans(docs: DataFrame) -> DataFrame:
 
 
 def content_hash_col(cfg: JobConfig) -> F.Column:
-    """C1 cache key parity: hex(sha256(bytes || language || bool-string))
-    (cache.go:188-198; auto_mode deliberately NOT in the key)."""
+    """C1 cache key: hex(sha256(bytes || language || bool-string ||
+    engine)) (cache.go:188-198; auto_mode deliberately NOT in the key).
+
+    One extension beyond the reference's key: the RESOLVED engine name.
+    The reference has exactly one engine; here a memo row written by the
+    template engine must never satisfy a tesseract run (or vice versa),
+    so engine identity is part of "same params" in the C3 invariant.
+    Resolution happens driver-side (executors are assumed to share the
+    driver's environment, the standard Spark deployment contract)."""
+    from ..ocr.engine import resolved_engine
+
     return F.sha2(
         F.concat(
             F.col("bytes"),
@@ -101,6 +110,7 @@ def content_hash_col(cfg: JobConfig) -> F.Column:
             F.lit(
                 ("true" if cfg.preprocessing.enabled else "false").encode("utf-8")
             ),
+            F.lit(resolved_engine(cfg.ocr).encode("utf-8")),
         ),
         256,
     )

@@ -54,14 +54,16 @@ def get_spark(
             str(cfg.arrow_batch_rows),
         )
         .config("spark.sql.session.timeZone", "UTC")
-        # P4 hard backstop (SURVEY.md §2.6): the per-image timeout is
-        # cooperative (engine deadline checks).  For a task hung in
-        # uninterruptible native code, SPECULATION is the active
-        # mechanism — a straggler past 4x the stage median gets a
-        # second attempt on another slot (all stages here are
-        # idempotent), and the reaper then guarantees the losing/hung
-        # attempt actually dies after the kill is issued (the reaper
-        # alone never initiates kills).
+        # P4 backstops (SURVEY.md §2.6), honestly scoped:
+        # - the cooperative engine deadline is the ONLY mechanism active
+        #   in local mode (Spark's scheduler skips the speculation
+        #   thread when isLocal; nothing else can interrupt a task hung
+        #   in native code here);
+        # - on a real cluster (spark-submit, the north-rule deployment)
+        #   these configs make speculation re-attempt stragglers past
+        #   4x the stage median (all stages are idempotent) and the
+        #   reaper then guarantees killed attempts actually die — the
+        #   reaper never initiates kills by itself.
         .config("spark.speculation", "true")
         .config("spark.speculation.multiplier", "4")
         .config("spark.speculation.quantile", "0.9")

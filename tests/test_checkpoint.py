@@ -101,3 +101,41 @@ def test_precomputed_bucket_mismatch_rejected(spark, tmp_path):
             CheckpointStore(str(tmp_path / "out")), FIXTURE_JOB,
             n_buckets=4,
         )
+
+
+def test_store_bucket_count_pinned(spark, tmp_path):
+    """A store committed under one bucket count refuses any other —
+    including the early no-op-resume path (watermarks from B=8 must
+    never satisfy a B=4 run)."""
+    import pytest
+
+    from mcp_ocr_server_spark.plans.checkpoint import CheckpointStore
+
+    store = CheckpointStore(str(tmp_path / "store"))
+    store.check_bucket_count(8)
+    for k in range(8):
+        store.commit(k, dict(bucket=k, run_id="r", n_docs=0, n_spans=0,
+                             n_errors=0, n_ocr_computed=0, wall_s=0.0,
+                             committed_at=0.0))
+    with pytest.raises(ValueError, match="created with 8 buckets"):
+        store.check_bucket_count(4)
+    store.check_bucket_count(8)  # same B stays fine
+
+
+def test_legacy_store_without_marker_detected(tmp_path):
+    """Marker-less store (pre-marker layout) with watermarks beyond the
+    requested range is refused rather than silently no-op'd."""
+    import os
+
+    import pytest
+
+    from mcp_ocr_server_spark.plans.checkpoint import CheckpointStore
+
+    store = CheckpointStore(str(tmp_path / "legacy"))
+    store.commit(7, dict(bucket=7, run_id="r", n_docs=0, n_spans=0,
+                         n_errors=0, n_ocr_computed=0, wall_s=0.0,
+                         committed_at=0.0))
+    os.remove(os.path.join(store.root, "BUCKETS")) if os.path.exists(
+        os.path.join(store.root, "BUCKETS")) else None
+    with pytest.raises(ValueError, match="different bucket count"):
+        store.check_bucket_count(4)

@@ -84,10 +84,10 @@ def test_engine_pool_keyed_on_config():
     semantics without the round-1 single-global misconfiguration trap)."""
     from mcp_ocr_server_spark.config import OCRConfig
 
-    a = get_engine(OCRConfig(psm=3))
-    b = get_engine(OCRConfig(psm=6))
+    a = get_engine(OCRConfig(engine="template", psm=3))
+    b = get_engine(OCRConfig(engine="template", psm=6))
     assert a is not b
-    assert get_engine(OCRConfig(psm=6)) is b
+    assert get_engine(OCRConfig(engine="template", psm=6)) is b
 
 
 def test_recognize_deadline_raises():
@@ -132,7 +132,7 @@ def test_char_whitelist_restricts_matching():
     from mcp_ocr_server_spark.config import OCRConfig
 
     img = render_text("ABC", scale=3)
-    eng = get_engine(OCRConfig(char_whitelist="ACDEFG"))
+    eng = get_engine(OCRConfig(engine="template", char_whitelist="ACDEFG"))
     out = eng.recognize(img).text
     assert "B" not in out and len(out) == 3
     assert out[0] == "A" and out[2] == "C"
@@ -144,7 +144,7 @@ def test_psm_single_line_merges_bands():
 
     img = render_text("AB\nCD", scale=3)
     assert "\n" in ENG.recognize(img).text
-    out = get_engine(OCRConfig(psm=7)).recognize(img).text
+    out = get_engine(OCRConfig(engine="template", psm=7)).recognize(img).text
     assert "\n" not in out
 
 
@@ -153,7 +153,7 @@ def test_psm_single_char():
     from mcp_ocr_server_spark.config import OCRConfig
 
     img = render_text("WORD", scale=3)
-    out = get_engine(OCRConfig(psm=10)).recognize(img).text
+    out = get_engine(OCRConfig(engine="template", psm=10)).recognize(img).text
     assert len(out) == 1
 
 
@@ -203,3 +203,17 @@ def test_engine_dispatch_fallback():
         assert type(auto).__name__ == "PytesseractEngine"
     else:
         assert isinstance(auto, TemplateMatchEngine)
+
+
+def test_unknown_engine_rejected():
+    """Programmatic configs with a bogus engine fail loudly instead of
+    silently running the template matcher."""
+    import pytest
+
+    from mcp_ocr_server_spark.config import OCRConfig
+    from mcp_ocr_server_spark.ocr.engine import resolved_engine
+
+    with pytest.raises(ValueError, match="unsupported OCR engine"):
+        resolved_engine(OCRConfig(engine="easyocr"))
+    with pytest.raises(ValueError, match="unsupported OCR engine"):
+        get_engine(OCRConfig(engine="Tesseract"))  # case-sensitive
