@@ -85,10 +85,17 @@ def default_pipeline(cfg: PreprocessingConfig) -> tuple[str, ...]:
     return tuple(steps)
 
 
-def apply_step(img: np.ndarray, step: str, cfg: PreprocessingConfig) -> np.ndarray:
+def apply_step(
+    img: np.ndarray,
+    step: str,
+    cfg: PreprocessingConfig,
+    deadline: float | None = None,
+) -> np.ndarray:
     """Dispatch-by-name (applyStep, preprocessor.go:129-192).
 
     Unknown step => identity pass-through (preprocessor.go:182-184, A8).
+    `deadline` (absolute time.monotonic()) reaches the two unbounded
+    kernels — NL-means and the Canny/Hough deskew chain (P4).
     """
     if step == "grayscale":
         return kernels.grayscale(img)
@@ -99,25 +106,32 @@ def apply_step(img: np.ndarray, step: str, cfg: PreprocessingConfig) -> np.ndarr
     if step == "contrast_enhance":
         return kernels.clahe(img)
     if step == "denoise":
-        return kernels.denoise(img, cfg.denoise_method)
+        return kernels.denoise(img, cfg.denoise_method, deadline=deadline)
     if step == "binarization":
         return kernels.binarize(
             img, cfg.binarization_mode, cfg.adaptive_block_size, cfg.adaptive_c
         )
     if step == "deskew":
-        return kernels.deskew(img, cfg.deskew_angle_limit, cfg.skew_method)
+        return kernels.deskew(
+            img, cfg.deskew_angle_limit, cfg.skew_method, deadline=deadline
+        )
     if step == "resize":
         return kernels.resize(img)  # no target dims configured => identity
     return img
 
 
 def preprocess(
-    img: np.ndarray, cfg: PreprocessingConfig
+    img: np.ndarray,
+    cfg: PreprocessingConfig,
+    deadline: float | None = None,
 ) -> tuple[np.ndarray, ImageQuality | None, tuple[str, ...]]:
     """Full preprocess: analyze (auto mode) or fixed pipeline, then apply.
 
     Returns (processed, quality-or-None, applied_steps).  Analyzer
-    failure falls back to the default pipeline (preprocessor.go:83-87).
+    failure falls back to the default pipeline (preprocessor.go:83-87);
+    a DeadlineExceeded from a kernel propagates — the OCR stage turns
+    it into a TIMEOUT error row (P4), it must NOT be swallowed by the
+    fail-soft path.
     """
     quality: ImageQuality | None = None
     if cfg.auto_mode:
@@ -130,5 +144,5 @@ def preprocess(
         steps = default_pipeline(cfg)
     out = img
     for step in steps:
-        out = apply_step(out, step, cfg)
+        out = apply_step(out, step, cfg, deadline=deadline)
     return out, quality, tuple(steps)

@@ -33,6 +33,8 @@ import math
 
 import numpy as np
 
+from ..deadline import check_deadline
+
 # --------------------------------------------------------------------------
 # Canny edge detector (aperture-3 Sobel, L1 gradient norm — OpenCV's
 # defaults for Canny(img, 50, 150) with L2gradient=false).
@@ -53,7 +55,12 @@ def _sobel3(gray: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     return gx, gy
 
 
-def canny(gray: np.ndarray, lo: float = 50.0, hi: float = 150.0) -> np.ndarray:
+def canny(
+    gray: np.ndarray,
+    lo: float = 50.0,
+    hi: float = 150.0,
+    deadline: float | None = None,
+) -> np.ndarray:
     """Boolean edge map: Sobel -> 4-direction NMS -> hysteresis."""
     gx, gy = _sobel3(gray)
     mag = np.abs(gx) + np.abs(gy)  # L1 norm (OpenCV L2gradient=false)
@@ -82,15 +89,17 @@ def canny(gray: np.ndarray, lo: float = 50.0, hi: float = 150.0) -> np.ndarray:
 
     # hysteresis: weak pixels 8-connected to strong become edges.
     # Vectorized dilation converges in O(chain diameter) iterations —
-    # fast for every realistic page — but a pathological serpentine
-    # weak chain could take O(h*w) iterations at O(h*w) each, wedging a
-    # task with no deadline check in preprocessing.  So: bounded
-    # dilation for the common case, then an EXACT linear-time BFS over
-    # the remaining weak frontier if not yet stable (same fixpoint
-    # either way — the flood is monotone).
+    # fast for every realistic page — but each iteration is a full
+    # O(h*w) sweep, so a single long weak chain (a faint near-diagonal
+    # line needs ~thousands of iterations) would make the vectorized
+    # phase itself quadratic.  Cap it at a small constant and hand the
+    # remaining frontier to the EXACT linear-time BFS (same fixpoint
+    # either way — the flood is monotone), with the cooperative P4
+    # deadline checked in both phases.
     edges = strong.copy()
     stable = False
-    for _ in range(4 * max(gray.shape)):
+    for _ in range(32):
+        check_deadline(deadline, "canny hysteresis")
         e = np.pad(edges, 1, mode="constant")
         grown = (
             e[:-2, :-2] | e[:-2, 1:-1] | e[:-2, 2:]
@@ -113,7 +122,11 @@ def canny(gray: np.ndarray, lo: float = 50.0, hi: float = 150.0) -> np.ndarray:
             | e[2:, :-2] | e[2:, 1:-1] | e[2:, 2:]
         )
         stack = list(zip(*np.nonzero(remaining & adj)))
+        n_pops = 0
         while stack:
+            n_pops += 1
+            if n_pops % 4096 == 0:
+                check_deadline(deadline, "canny hysteresis bfs")
             y, x = stack.pop()
             if edges[y, x] or not weak[y, x]:
                 continue
@@ -140,6 +153,7 @@ def hough_lines_p(
     max_line_gap: int = 0,
     max_lines: int = 2000,
     chunk: int = 128,
+    deadline: float | None = None,
 ) -> list[tuple[int, int, int, int]]:
     """Line segments (x1, y1, x2, y2) from a boolean edge map.
 
@@ -233,6 +247,11 @@ def hough_lines_p(
     out: list[tuple[int, int, int, int]] = []
     i = 0
     while i < n_pts:
+        # cooperative P4 deadline: once per chunk covers both the
+        # vectorized voting AND the exact per-point replay (the replay
+        # is per-pixel Python on dense-edge pages — the pathological
+        # case the deadline exists for)
+        check_deadline(deadline, "hough_lines_p")
         j = min(i + chunk, n_pts)
         live = mask[ys_o[i:j], xs_o[i:j]]
         if not live.any():
@@ -280,7 +299,7 @@ def calculate_median(values: list[float]) -> float:
     return s[mid]
 
 
-def skew_angle_hough(gray: np.ndarray) -> float:
+def skew_angle_hough(gray: np.ndarray, deadline: float | None = None) -> float:
     """Skew estimate in degrees, reference guard semantics literal:
     <10 Hough lines => 0.0; only |angle| < 45 deg lines count; median.
 
@@ -289,8 +308,8 @@ def skew_angle_hough(gray: np.ndarray) -> float:
     duplicate full-accumulator check would re-implement the same bin
     arithmetic a second time (a drift hazard for the exactness proof)
     for no measurable win."""
-    edges = canny(gray, 50.0, 150.0)
-    lines = hough_lines_p(edges, 1.0, math.pi / 180.0, 100)
+    edges = canny(gray, 50.0, 150.0, deadline=deadline)
+    lines = hough_lines_p(edges, 1.0, math.pi / 180.0, 100, deadline=deadline)
     if len(lines) < 10:
         return 0.0
     angles = []

@@ -15,6 +15,8 @@ from __future__ import annotations
 
 import numpy as np
 
+from ..deadline import check_deadline
+
 # --------------------------------------------------------------------------
 # K1 grayscale — preprocessor.go:133-138 (CvtColor BGR2GRAY if channels>1).
 # Our decoded arrays are RGB order (png.py), so the ITU-R BT.601 weights
@@ -78,7 +80,11 @@ def median_denoise(img: np.ndarray, ksize: int = 3) -> np.ndarray:
 
 
 def nl_means_denoise(
-    img: np.ndarray, h: float = 3.0, template: int = 7, search: int = 21
+    img: np.ndarray,
+    h: float = 3.0,
+    template: int = 7,
+    search: int = 21,
+    deadline: float | None = None,
 ) -> np.ndarray:
     """Non-local means: each pixel is the weight-averaged value of every
     pixel in its search window, weighted by 7x7 patch similarity.
@@ -120,6 +126,10 @@ def nl_means_denoise(
     c0 = pf[pad : pad + H, pad : pad + W]
     b2c = b2[s : s + H, s : s + W]  # patch-sq-sum at image centers
     for dy in range(-s, s + 1):
+        # cooperative P4 deadline: one check per offset row (21 rows of
+        # 21 offsets each — each row is a bounded slice of the ~441
+        # full-frame passes that make this the costliest kernel)
+        check_deadline(deadline, "nl_means_denoise")
         for dx in range(-s, s + 1):
             if dy == 0 and dx == 0:
                 num += c0
@@ -138,11 +148,13 @@ def nl_means_denoise(
     return np.clip(np.round(num / den), 0, 255).astype(np.uint8)
 
 
-def denoise(img: np.ndarray, method: str = "nlmeans") -> np.ndarray:
+def denoise(
+    img: np.ndarray, method: str = "nlmeans", deadline: float | None = None
+) -> np.ndarray:
     """K2 dispatch: 'nlmeans' = live-path parity, 'median' = dead-path."""
     if method == "median":
         return median_denoise(img)
-    return nl_means_denoise(img)
+    return nl_means_denoise(img, deadline=deadline)
 
 
 # --------------------------------------------------------------------------
@@ -383,13 +395,16 @@ def estimate_skew(img: np.ndarray, max_angle: float = 15.0) -> float:
 
 
 def deskew(
-    img: np.ndarray, angle_limit: float = 10.0, method: str = "hough+profile"
+    img: np.ndarray,
+    angle_limit: float = 10.0,
+    method: str = "hough+profile",
+    deadline: float | None = None,
 ) -> np.ndarray:
     angle = 0.0
     if method in ("hough", "hough+profile"):
         from .hough import skew_angle_hough
 
-        angle = skew_angle_hough(_ensure_gray(img))
+        angle = skew_angle_hough(_ensure_gray(img), deadline=deadline)
     if angle == 0.0 and method in ("profile", "hough+profile"):
         angle = estimate_skew(img)
     if 0.5 < abs(angle) < angle_limit:

@@ -23,14 +23,17 @@ from dataclasses import dataclass, field
 import numpy as np
 
 from ..config import OCRConfig
+from ..deadline import DeadlineExceeded
 from ..imaging import kernels
 from ..imaging.font import CHARSET, GLYPH_H, GLYPH_W, GLYPHS
 
 
-class OCRDeadlineExceeded(Exception):
+class OCRDeadlineExceeded(DeadlineExceeded):
     """Raised by recognize() when the cooperative deadline passes
     mid-decode (P4: tesseract.go:94-138 timeout semantics — the Spark
-    task reaper is the hard backstop, session.py)."""
+    task reaper is the hard backstop, session.py).  Subclasses the
+    shared DeadlineExceeded so the mapInPandas stage catches the
+    preprocessing and OCR variants with one handler."""
 
 
 @dataclass

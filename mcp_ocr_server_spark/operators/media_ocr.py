@@ -37,6 +37,7 @@ from ..config import (
     TIMEOUT,
     JobConfig,
 )
+from ..deadline import DeadlineExceeded
 from ..imaging.analyzer import preprocess
 from ..imaging.png import decode_png
 
@@ -83,12 +84,23 @@ def make_ocr_map(cfg: JobConfig):
                     continue
                 processed = img
                 try:
-                    processed, quality, steps = preprocess(img, cfg.preprocessing)
+                    # cooperative deadline reaches the unbounded kernels
+                    # (NL-means offset loop, Canny/Hough walker) — the
+                    # costliest stage must not wedge a task (P4)
+                    processed, quality, steps = preprocess(
+                        img, cfg.preprocessing, deadline=t0 + timeout_s
+                    )
                     row["applied_steps"] = list(steps)
                     if quality is not None:
                         row["sharpness"] = quality.sharpness
                         row["contrast"] = quality.contrast
                         row["brightness"] = quality.brightness
+                except DeadlineExceeded as exc:
+                    row["error_code"] = TIMEOUT
+                    row["error_msg"] = f"preprocess: {exc}"
+                    row["duration_s"] = time.monotonic() - t0
+                    rows.append(row)
+                    continue
                 except Exception:
                     # F5 fail-soft: OCR the original bytes
                     processed = img

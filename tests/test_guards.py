@@ -78,3 +78,54 @@ def test_engine_deterministic_property(seed):
     r1, r2 = e.recognize(img), e.recognize(img)
     assert r1.text == r2.text == text
     assert r1.confidence == r2.confidence
+
+
+# ---------------------------------------------------------------------------
+# P4: the cooperative deadline must cover PREPROCESSING, not just the
+# engine band loop — NL-means and the Canny/Hough walker are the
+# costliest stages and a pathological page must yield a TIMEOUT row
+# from inside them (VERDICT r2 "What's wrong #2").
+
+
+def _blurry_page(h: int = 64, w: int = 64) -> np.ndarray:
+    # smooth gradient: Laplacian variance ~0 => analyzer flags denoise
+    return np.tile(np.linspace(100, 150, w), (h, 1)).astype(np.uint8)
+
+
+def test_preprocess_deadline_raises_inside_nl_means():
+    import time
+
+    from mcp_ocr_server_spark.config import PreprocessingConfig
+    from mcp_ocr_server_spark.deadline import DeadlineExceeded
+    from mcp_ocr_server_spark.imaging.analyzer import analyze, preprocess
+
+    img = _blurry_page()
+    q = analyze(img, PreprocessingConfig())
+    assert "denoise" in q.suggested_pipeline  # precondition: blurry
+    try:
+        preprocess(img, PreprocessingConfig(), deadline=time.monotonic() - 1.0)
+        raise AssertionError("expected DeadlineExceeded from preprocessing")
+    except DeadlineExceeded as exc:
+        # raised from inside a kernel loop, not post-hoc
+        assert "nl_means" in str(exc) or "canny" in str(exc) or "hough" in str(exc)
+
+
+def test_preprocess_deadline_none_is_noop():
+    from mcp_ocr_server_spark.config import PreprocessingConfig
+    from mcp_ocr_server_spark.imaging.analyzer import preprocess
+
+    img = _blurry_page()
+    a, _, steps_a = preprocess(img, PreprocessingConfig())
+    b, _, steps_b = preprocess(img, PreprocessingConfig(), deadline=None)
+    assert steps_a == steps_b
+    assert np.array_equal(a, b)
+
+
+def test_pathological_page_yields_timeout_row_from_preprocessing():
+    cfg = JobConfig(ocr=OCRConfig(timeout_seconds=0))
+    png = encode_png(_blurry_page())
+    rows = _run_stage(cfg, [("slow", png)])
+    assert rows[0]["error_code"] == TIMEOUT
+    # the row records WHICH stage tripped: preprocessing, not ocr
+    assert rows[0]["error_msg"].startswith("preprocess:")
+    assert rows[0]["duration_s"] is not None
