@@ -314,6 +314,13 @@ def resolved_engine(cfg: OCRConfig) -> str:
     didn't need this because it had exactly one engine."""
     if cfg.engine == "template":
         return "template"
+    if cfg.engine == "pytesseract":
+        # already-resolved name (make_ocr_map pins it driver-side so
+        # executors never re-probe availability): honor it verbatim —
+        # if pytesseract is missing on a worker, engine init fails
+        # loudly rather than silently writing template output under
+        # the pytesseract memo key
+        return "pytesseract"
     if cfg.engine == "tesseract":
         from . import tesseract_engine as te
 

@@ -51,7 +51,23 @@ OCR_RESULT_SCHEMA = (
 
 
 def make_ocr_map(cfg: JobConfig):
-    """Build the mapInPandas function over (content_hash, bytes)."""
+    """Build the mapInPandas function over (content_hash, bytes).
+
+    The engine name is RESOLVED here, on the driver, and pinned into
+    the closure's config: the memo cache key (content_hash_col) embeds
+    the driver's resolution, so an executor re-probing pytesseract
+    availability for itself could write rows under one engine's key
+    that were produced by the other.  With the pinned name, a worker
+    that cannot construct the resolved engine fails loudly instead.
+    """
+    import dataclasses
+
+    from ..ocr.engine import resolved_engine
+
+    cfg = dataclasses.replace(
+        cfg,
+        ocr=dataclasses.replace(cfg.ocr, engine=resolved_engine(cfg.ocr)),
+    )
 
     def ocr_map(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         # engine init once per python worker (P3); imported here so the

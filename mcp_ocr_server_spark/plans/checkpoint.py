@@ -132,11 +132,20 @@ class CheckpointStore:
             if stored is not None:
                 return
         done = self.committed_buckets()
-        if done and max(done) >= b:
+        if done:
+            # Committed watermarks but no BUCKETS marker: the store's
+            # bucket count is UNKNOWN, and max(done) >= b only detects
+            # a subset of mismatches (buckets 0-1 committed under B=4
+            # would silently "pass" a B=64 run and then skip the wrong
+            # doc subsets on resume).  Match-or-fail-loudly means fail:
+            # refuse instead of inferring compatibility.
             raise ValueError(
-                f"checkpoint store {self.root} holds watermarks up to "
-                f"bucket {max(done)} but the run uses only {b} buckets — "
-                f"it was created with a different bucket count"
+                f"checkpoint store {self.root} holds committed watermarks "
+                f"(up to bucket {max(done)}) but no BUCKETS marker, so its "
+                f"bucket count cannot be verified against n_buckets={b} — "
+                f"resume from a store written by this version, or restore "
+                f"the marker manually (echo <original_bucket_count> > "
+                f"{marker}) if the original count is known"
             )
         tmp = marker + ".tmp"
         with open(tmp, "w") as fh:

@@ -82,3 +82,22 @@ def test_plan_stays_jvm_side(spark):
     b64 = S.b64_media_df(spark, CORPUS)
     plan = decode_base64_media(b64)._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_newline_wrapped_payload_decodes(spark):
+    """Go's StdEncoding decoder ignores \r and \n — a line-wrapped
+    payload the reference server accepts must decode here, not be
+    flagged INVALID_INPUT (ADVICE r2: the old regex rejected it)."""
+    import base64
+
+    raw = b"\x89PNG-ish payload bytes for the wrap test"
+    b64 = base64.b64encode(raw).decode("ascii")
+    wrapped = "\r\n".join(b64[i : i + 8] for i in range(0, len(b64), 8))
+    df = spark.createDataFrame(
+        [("m1", wrapped), ("m2", b64), ("m3", "!!" + b64[2:])],
+        "media_ref string, data_b64 string",
+    )
+    rows = {r["media_ref"]: r for r in decode_base64_media(df).collect()}
+    assert rows["m1"]["error_code"] is None
+    assert bytes(rows["m1"]["bytes"]) == raw == bytes(rows["m2"]["bytes"])
+    assert rows["m3"]["error_code"] == INVALID_INPUT

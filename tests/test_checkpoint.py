@@ -122,9 +122,12 @@ def test_store_bucket_count_pinned(spark, tmp_path):
     store.check_bucket_count(8)  # same B stays fine
 
 
-def test_legacy_store_without_marker_detected(tmp_path):
-    """Marker-less store (pre-marker layout) with watermarks beyond the
-    requested range is refused rather than silently no-op'd."""
+def test_legacy_store_without_marker_refused(tmp_path):
+    """Marker-less store with ANY committed watermark is refused — the
+    bucket count is unverifiable, and max(done) >= b only catches a
+    subset of mismatches (buckets 0-1 under B=4 would 'pass' B=64 and
+    then skip the wrong doc subsets on resume).  Restoring the marker
+    by hand re-enables the store."""
     import os
 
     import pytest
@@ -132,10 +135,21 @@ def test_legacy_store_without_marker_detected(tmp_path):
     from mcp_ocr_server_spark.plans.checkpoint import CheckpointStore
 
     store = CheckpointStore(str(tmp_path / "legacy"))
-    store.commit(7, dict(bucket=7, run_id="r", n_docs=0, n_spans=0,
+    store.commit(1, dict(bucket=1, run_id="r", n_docs=0, n_spans=0,
                          n_errors=0, n_ocr_computed=0, wall_s=0.0,
                          committed_at=0.0))
-    os.remove(os.path.join(store.root, "BUCKETS")) if os.path.exists(
-        os.path.join(store.root, "BUCKETS")) else None
-    with pytest.raises(ValueError, match="different bucket count"):
+    marker = os.path.join(store.root, "BUCKETS")
+    if os.path.exists(marker):
+        os.remove(marker)
+    # the seemingly-compatible direction (max(done)=1 < b=64) must ALSO
+    # be refused: the store might have been written under B=4
+    with pytest.raises(ValueError, match="cannot be verified"):
+        store.check_bucket_count(64)
+    with pytest.raises(ValueError, match="cannot be verified"):
         store.check_bucket_count(4)
+    # manual migration: restore the marker with the true original count
+    with open(marker, "w") as fh:
+        fh.write("4")
+    store.check_bucket_count(4)  # now verifiable and accepted
+    with pytest.raises(ValueError, match="created with 4 buckets"):
+        store.check_bucket_count(64)

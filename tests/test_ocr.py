@@ -217,3 +217,30 @@ def test_unknown_engine_rejected():
         resolved_engine(OCRConfig(engine="easyocr"))
     with pytest.raises(ValueError, match="unsupported OCR engine"):
         get_engine(OCRConfig(engine="Tesseract"))  # case-sensitive
+
+
+def test_engine_resolution_pinned_at_plan_build(monkeypatch):
+    """The driver resolves the engine ONCE at make_ocr_map build time;
+    executors must not re-probe pytesseract availability (a worker that
+    resolves differently would write memo rows under the wrong engine
+    key).  Flip availability AFTER the build: output must still come
+    from the engine resolved at build time."""
+    import pandas as pd
+
+    import mcp_ocr_server_spark.ocr.tesseract_engine as te
+    from mcp_ocr_server_spark.config import JobConfig, OCRConfig
+    from mcp_ocr_server_spark.imaging.png import encode_png
+    from mcp_ocr_server_spark.operators.media_ocr import make_ocr_map
+
+    assert not te.available()  # sandbox precondition: no pytesseract
+    cfg = JobConfig(ocr=OCRConfig(engine="tesseract"))
+    fn = make_ocr_map(cfg)  # resolves tesseract -> template, pins it
+    # simulate an executor where the probe WOULD now say pytesseract
+    monkeypatch.setattr(te, "available", lambda: True)
+    png = encode_png(render_text("PIN", scale=2))
+    pdf = pd.DataFrame({"content_hash": ["h1"], "bytes": [png]})
+    out = pd.concat(list(fn(iter([pdf]))))
+    # template engine ran (pytesseract would fail to import): row is
+    # clean and the text decodes — no re-resolution happened
+    assert out["error_code"].iloc[0] is None
+    assert out["text"].iloc[0] == "PIN"

@@ -33,6 +33,20 @@ def test_b64_regex_matches_strict_decoder(s):
     assert regex_ok == decoder_ok, (s, regex_ok, decoder_ok)
 
 
+@settings(max_examples=100, deadline=None)
+@given(st.binary(min_size=1, max_size=96), st.integers(4, 16))
+def test_b64_newline_wrapped_payloads_valid_after_strip(data, wrap):
+    """Go's base64.StdEncoding.DecodeString ignores \\r and \\n, so the
+    engine strips them before validation (operators/base64_ingest.py).
+    Property: any line-wrapped canonical encoding passes the regex once
+    stripped, and stripping recovers the canonical payload exactly."""
+    b64 = base64.b64encode(data).decode("ascii")
+    wrapped = "\r\n".join(b64[i : i + wrap] for i in range(0, len(b64), wrap))
+    stripped = wrapped.replace("\r", "").replace("\n", "")
+    assert stripped == b64
+    assert _B64_RE.fullmatch(stripped)
+
+
 @settings(max_examples=50, deadline=None)
 @given(st.binary(min_size=0, max_size=512))
 def test_b64_roundtrip_always_valid(data):
