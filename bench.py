@@ -14,6 +14,14 @@ universe scales with it); its throughput in docs/sec is the
 BASELINE.json north-star metric.  $BENCH_QUERIES=comma,list restricts
 which queries run (used by scripts/bench_scaling.py to isolate the
 extraction job for the two-parallelism scaling measurement).
+
+Methodology (VERDICT r2 "What's wrong #3"): module-level persisted
+caches are CLEARED before every timed query, so each number is the
+query's cold, isolated cost — reproducible within noise against a
+single-query run — rather than a sequence-dependent figure inflated
+(or subsidized) by whatever ran before it.  Queries that share a
+derived table (flagship spans, shingles) each pay their own
+materialization, exactly as an isolated run would.
 """
 
 from __future__ import annotations
@@ -102,6 +110,7 @@ def main() -> None:
     def run(name, fn):
         if selected is not None and name not in selected:
             return
+        Q.clear_caches(spark)  # cold, isolated, reproducible timing
         t0 = time.monotonic()
         n = fn()
         timings[name] = round(time.monotonic() - t0, 3)

@@ -99,3 +99,24 @@ def test_ocr_stage_partition_balance(spark):
         f"straggler partition: max={max(sizes)} mean={mean:.1f}"
         f" bound={bound:.1f} sizes={sizes}"
     )
+
+
+def test_clear_caches_releases_persisted_storage(spark):
+    """Cache lifecycle (VERDICT r2 #4/#8): repeated query invocations
+    with clear_caches() between them must not grow executor storage —
+    getPersistentRDDs returns to its baseline and the module dicts
+    empty out."""
+    from mcp_ocr_server_spark import queries as Q
+
+    def n_persisted():
+        return spark.sparkContext._jsc.getPersistentRDDs().size()
+
+    Q.clear_caches(spark)
+    base = n_persisted()
+    for _ in range(3):
+        # touches the persisted shingle cache each time
+        Q.QUERIES["dedup_ngram_jaccard"][0](spark, SF).count()
+        assert n_persisted() > base  # cache live while in use
+        Q.clear_caches(spark)
+        assert n_persisted() == base  # fully released, no growth
+    assert not Q._SHINGLE_CACHE and not Q._SPANS_CACHE
