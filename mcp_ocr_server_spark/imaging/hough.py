@@ -187,15 +187,22 @@ def hough_lines_p(
     if n_pts == 0:
         return []
     # flat accumulator bin per (point, theta), precomputed once —
-    # identical arithmetic to the per-point formula
-    rhos = (
-        np.round(
-            (xs_o[:, None] * cos_t[None, :] + ys_o[:, None] * sin_t[None, :])
-            / rho_res
-        ).astype(np.int64)
-        + max_rho
-    )
-    flat = np.arange(n_theta, dtype=np.int64)[None, :] * n_rho + rhos
+    # identical arithmetic to the per-point formula.  Coordinates are
+    # cast to float64 BEFORE the broadcast product: numpy's mixed
+    # int64*float64 broadcast hits a scalar conversion path ~40x slower
+    # (measured 3.5 s vs 0.09 s on a 56k-point page) and pixel coords
+    # are exact in float64, so the result is bit-identical.  int32
+    # bins (max bin = n_theta*n_rho ~ 2e5) halve the footprint of the
+    # largest allocation — first-touch page faults on the 80 MB int64
+    # version dominated dense-page cold calls.
+    rhos = np.round(
+        (
+            xs_o.astype(np.float64)[:, None] * cos_t[None, :]
+            + ys_o.astype(np.float64)[:, None] * sin_t[None, :]
+        )
+        / rho_res
+    ).astype(np.int32) + np.int32(max_rho)
+    flat = np.arange(n_theta, dtype=np.int32)[None, :] * np.int32(n_rho) + rhos
     # pixel -> point index, so consumption reuses the precomputed bins
     idx_img = np.full((h, w), -1, dtype=np.int64)
     idx_img[ys_o, xs_o] = np.arange(n_pts)
@@ -246,6 +253,16 @@ def hough_lines_p(
 
     out: list[tuple[int, int, int, int]] = []
     i = 0
+    # Adaptive speculation: the vectorized chunk vote only pays off when
+    # it can COMMIT (no trigger).  On dense degenerate pages (noise
+    # rasters where the accumulator saturates) every chunk triggers, and
+    # the bincount + add + rollback over the full accumulator becomes
+    # pure overhead before the replay that was going to happen anyway.
+    # So: after a chunk whose replay actually triggered a line, replay
+    # the next chunk directly; resume speculating after a chunk with no
+    # trigger.  Output is identical either way — the replay IS the
+    # exact semantics; speculation is only ever an optimization.
+    speculate = True
     while i < n_pts:
         # cooperative P4 deadline: once per chunk covers both the
         # vectorized voting AND the exact per-point replay (the replay
@@ -257,28 +274,35 @@ def hough_lines_p(
         if not live.any():
             i = j
             continue
-        rows = flat[i:j][live]
-        delta = np.bincount(rows.ravel(), minlength=accf.size).astype(np.int32)
-        accf += delta
-        if int(accf[rows].max()) < threshold:
-            i = j  # provably no trigger in this chunk — votes committed
-            continue
-        accf -= delta  # roll back; replay with exact per-point semantics
+        if speculate:
+            rows = flat[i:j][live]
+            delta = np.bincount(
+                rows.ravel(), minlength=accf.size
+            ).astype(np.int32)
+            accf += delta
+            if int(accf[rows].max()) < threshold:
+                i = j  # provably no trigger — votes committed
+                continue
+            accf -= delta  # roll back; replay with exact semantics
+        triggered = False
         for p in range(i, j):
             x, y = int(xs_o[p]), int(ys_o[p])
             if not mask[y, x]:
                 continue  # consumed by an earlier segment walk
-            accf[flat[p]] += 1
-            votes = accf[flat[p]]
-            k = int(np.argmax(votes))
+            row = flat[p]
+            votes = accf[row] + np.int32(1)
+            accf[row] = votes
+            k = int(votes.argmax())
             if votes[k] < threshold:
                 continue
+            triggered = True
             (x1, y1), (x2, y2) = walk(x, y, k)
             consume_segment(x1, y1, x2, y2)
             if max(abs(x2 - x1), abs(y2 - y1)) >= min_line_length:
                 out.append((x1, y1, x2, y2))
                 if len(out) >= max_lines:
                     return out
+        speculate = not triggered
         i = j
     return out
 
