@@ -186,33 +186,47 @@ def hough_lines_p(
     n_pts = xs_o.size
     if n_pts == 0:
         return []
-    # flat accumulator bin per (point, theta), precomputed once —
-    # identical arithmetic to the per-point formula.  Coordinates are
-    # cast to float64 BEFORE the broadcast product: numpy's mixed
-    # int64*float64 broadcast hits a scalar conversion path ~40x slower
-    # (measured 3.5 s vs 0.09 s on a 56k-point page) and pixel coords
-    # are exact in float64, so the result is bit-identical.  int32
-    # bins (max bin = n_theta*n_rho ~ 2e5) halve the footprint of the
-    # largest allocation — first-touch page faults on the 80 MB int64
-    # version dominated dense-page cold calls.
-    rhos = np.round(
-        (
-            xs_o.astype(np.float64)[:, None] * cos_t[None, :]
-            + ys_o.astype(np.float64)[:, None] * sin_t[None, :]
-        )
-        / rho_res
-    ).astype(np.int32) + np.int32(max_rho)
-    flat = np.arange(n_theta, dtype=np.int32)[None, :] * np.int32(n_rho) + rhos
-    # pixel -> point index, so consumption reuses the precomputed bins
-    idx_img = np.full((h, w), -1, dtype=np.int64)
-    idx_img[ys_o, xs_o] = np.arange(n_pts)
+    # Accumulator bins per (point, theta) are computed CHUNK-BY-CHUNK,
+    # never as one (n_pts x n_theta) precompute: on a dense page that
+    # table is ~40-80 MB, above glibc's mmap threshold, so every image
+    # paid first-touch page faults for it (~2-3 s per 80 MB in this
+    # sandbox — measured) while a 128 x 180 chunk buffer is heap-reused
+    # for free.  Identical arithmetic to the per-point formula:
+    # float64 coords (exact for pixel magnitudes), elementwise
+    # x*cos + y*sin, round, shift by max_rho, offset by theta*n_rho.
+    theta_base = np.arange(n_theta, dtype=np.int32) * np.int32(n_rho)
+    xs_f = xs_o.astype(np.float64)
+    ys_f = ys_o.astype(np.float64)
+
+    def bins_block(lo: int, hi: int) -> np.ndarray:
+        """(hi-lo, n_theta) int32 flat-bin table for points [lo, hi)."""
+        return (
+            np.round(
+                (
+                    xs_f[lo:hi, None] * cos_t[None, :]
+                    + ys_f[lo:hi, None] * sin_t[None, :]
+                )
+                / rho_res
+            ).astype(np.int32)
+            + np.int32(max_rho)
+        ) + theta_base[None, :]
+
+    def bins_at(x: int, y: int) -> np.ndarray:
+        """Flat-bin row for one pixel — same elementwise ops as
+        bins_block, so the cancel path hits exactly the voted bins."""
+        return (
+            np.round(
+                (np.float64(x) * cos_t + np.float64(y) * sin_t) / rho_res
+            ).astype(np.int32)
+            + np.int32(max_rho)
+        ) + theta_base
 
     def consume_segment(x1, y1, x2, y2):
         n_steps = max(abs(x2 - x1), abs(y2 - y1))
         if n_steps == 0:  # degenerate: the triggering point only
             if mask[y1, x1]:
                 mask[y1, x1] = False
-                accf[flat[idx_img[y1, x1]]] -= 1
+                accf[bins_at(x1, y1)] -= 1
             return
         for i in range(n_steps + 1):
             f = i / n_steps
@@ -220,7 +234,7 @@ def hough_lines_p(
             iy = int(round(y1 + f * (y2 - y1)))
             if mask[iy, ix]:
                 mask[iy, ix] = False
-                accf[flat[idx_img[iy, ix]]] -= 1
+                accf[bins_at(ix, iy)] -= 1
 
     def walk(x, y, k):
         ct, st = cos_t[k], sin_t[k]
@@ -274,8 +288,9 @@ def hough_lines_p(
         if not live.any():
             i = j
             continue
+        chunk_bins = bins_block(i, j)
         if speculate:
-            rows = flat[i:j][live]
+            rows = chunk_bins[live]
             delta = np.bincount(
                 rows.ravel(), minlength=accf.size
             ).astype(np.int32)
@@ -289,7 +304,7 @@ def hough_lines_p(
             x, y = int(xs_o[p]), int(ys_o[p])
             if not mask[y, x]:
                 continue  # consumed by an earlier segment walk
-            row = flat[p]
+            row = chunk_bins[p - i]
             votes = accf[row] + np.int32(1)
             accf[row] = votes
             k = int(votes.argmax())
