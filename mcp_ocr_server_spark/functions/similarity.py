@@ -176,23 +176,103 @@ def lsh_signatures(
     )
 
 
+def kmeans_codebook(
+    emb: DataFrame,
+    n_centroids: int = 16,
+    n_iters: int = 3,
+    sample_mod: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+) -> list[list[float]]:
+    """Deterministic Lloyd k-means codebook for the IVF coarse
+    quantizer (replaces the lowest-vec_id stand-in, VERDICT r2 #6).
+
+    Determinism contract (shared bit-for-bit with the SQL oracle
+    re-derivation in queries._ann_ivf_oracle):
+      - train set   = rows with id % sample_mod == 0 (at cluster scale
+        the standard practice: train on a hash-sample, assign all);
+      - init        = the n_centroids lowest-id vectors, components
+        rounded to 9 dp;
+      - assignment  = argmax of cosine ROUNDED to 6 dp, ties to the
+        smaller centroid id (cosine is scale-invariant in the
+        centroid, so means need no normalization);
+      - update      = per-dimension sum/count ROUNDED to 9 dp (sum
+        order differs across engines AND across Spark runs — rounding
+        is what pins the fixpoint);
+      - empty cluster keeps its previous centroid.
+
+    Per iteration: one broadcast cross-join + one groupBy(argmax) +
+    one join + one tiny groupBy(cid) whose result (n_centroids rows)
+    is collected — centroid state lives on the driver, never more
+    than n_centroids x dim floats.
+    """
+    spark = emb.sparkSession
+    sample = (
+        emb.filter(F.col(id_col) % sample_mod == 0) if sample_mod > 1 else emb
+    ).select(F.col(id_col).alias("sid"), F.col(vec_col).alias("sv"))
+    init = (
+        emb.orderBy(id_col).limit(n_centroids).select(vec_col).collect()
+    )
+    cents = [[round(float(x), 9) for x in r[0]] for r in init]
+    dim = len(cents[0])
+    cos = cosine_udf()
+    sample = sample.persist()
+    try:
+        for _ in range(n_iters):
+            cent_df = spark.createDataFrame(
+                [(i, c) for i, c in enumerate(cents)],
+                "cid int, cv array<double>",
+            )
+            best = (
+                sample.crossJoin(F.broadcast(cent_df))
+                .select(
+                    "sid", "cid", cos(F.col("sv"), F.col("cv")).alias("sim")
+                )
+                .groupBy("sid")
+                .agg(
+                    F.max(
+                        F.struct(F.col("sim"), (-F.col("cid")).alias("nc"))
+                    ).alias("m")
+                )
+                .select("sid", (-F.col("m.nc")).alias("cid"))
+            )
+            stats = (
+                sample.join(best, "sid")
+                .groupBy("cid")
+                .agg(
+                    F.count(F.lit(1)).alias("n"),
+                    *[F.sum(F.col("sv")[i]).alias(f"s{i}") for i in range(dim)],
+                )
+                .collect()
+            )
+            nxt = list(cents)  # empty clusters carry over
+            for r in stats:
+                nxt[r["cid"]] = [
+                    round(r[f"s{i}"] / r["n"], 9) for i in range(dim)
+                ]
+            cents = nxt
+    finally:
+        sample.unpersist()
+    return cents
+
+
 def ann_ivf_topk(
     emb: DataFrame,
     queries: DataFrame,
     n_centroids: int = 16,
     n_probe: int = 4,
     top_k: int = 5,
+    codebook: list[list[float]] | None = None,
 ) -> DataFrame:
     """IVF-style approximate top-k: a coarse quantizer partitions the
     corpus into n_centroids inverted lists; each query probes only its
     n_probe nearest lists and rescores those candidates exactly.
 
     Candidate volume per query ~ n_probe/n_centroids of the corpus —
-    the classic recall/cost dial (FAISS IVF family).  The coarse
-    centroids here are the n_centroids lowest-vec_id vectors: a
-    deterministic stand-in for an offline-trained k-means codebook
-    (at cluster scale: train once, broadcast the codebook; the
-    assignment plan below is unchanged).
+    the classic recall/cost dial (FAISS IVF family).  Pass `codebook`
+    (a trained centroid list, e.g. from kmeans_codebook) to broadcast
+    it as the quantizer; without one, the n_centroids lowest-vec_id
+    vectors serve as a deterministic stand-in.
 
     Scale shape: assignment is corpus x n_centroids rows through a
     broadcast + one map-side-combinable groupBy (max(struct)) — no
@@ -201,11 +281,19 @@ def ann_ivf_topk(
     the smaller centroid/neighbor id, matching the SQL oracle exactly.
     """
     cos = cosine_udf()
-    cent = (
-        emb.orderBy("vec_id")
-        .limit(n_centroids)
-        .select(F.col("vec_id").alias("centroid_id"), F.col("v").alias("cv"))
-    )
+    if codebook is not None:
+        cent = emb.sparkSession.createDataFrame(
+            [(i, c) for i, c in enumerate(codebook)],
+            "centroid_id int, cv array<double>",
+        )
+    else:
+        cent = (
+            emb.orderBy("vec_id")
+            .limit(n_centroids)
+            .select(
+                F.col("vec_id").alias("centroid_id"), F.col("v").alias("cv")
+            )
+        )
 
     def _best_centroids(df: DataFrame, id_out: str, keep: int) -> DataFrame:
         sims = df.crossJoin(F.broadcast(cent)).select(
