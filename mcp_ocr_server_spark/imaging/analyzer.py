@@ -73,7 +73,11 @@ def analyze(img: np.ndarray, cfg: PreprocessingConfig) -> ImageQuality:
 
 
 def default_pipeline(cfg: PreprocessingConfig) -> tuple[str, ...]:
-    """Manual-mode pipeline, preprocessor.go:342-366 fixed order."""
+    """Manual-mode pipeline, preprocessor.go:342-366 fixed order —
+    including the trailing `resize` step of the reference's fixed
+    order (identity while no target dims are configurable, but the
+    step list itself is part of the parity contract: applied_steps
+    rows must enumerate what the reference would run)."""
     steps: list[str] = []
     if cfg.grayscale:
         steps.append("grayscale")
@@ -82,6 +86,7 @@ def default_pipeline(cfg: PreprocessingConfig) -> tuple[str, ...]:
     steps.append("binarization")
     if cfg.deskew_enabled:
         steps.append("deskew")
+    steps.append("resize")
     return tuple(steps)
 
 

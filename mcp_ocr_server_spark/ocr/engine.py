@@ -168,14 +168,36 @@ class TemplateMatchEngine:
         # guard: blank page => empty text, confidence 0 (tesseract.go:195-203)
         if not ink.any():
             return RecognizeResult("", 0.0, lang, time.monotonic() - t0)
+        # K10 psm parity (tesseract.go:84-92 SetPageSegMode) — the FULL
+        # Tesseract mode table (0-13), each mapped to its documented
+        # degradation on this engine:
+        #   0, 2        OSD/layout-only: Tesseract runs NO recognition
+        #               pass => empty text, confidence 0
+        #   1, 3, 4,    automatic page segmentation (1/12 add OSD and 11/12
+        #   11, 12      are sparse-text variants — OSD and sparseness have
+        #               no analogue on single-column fixture pages, so all
+        #               degrade to the auto band segmentation, exactly how
+        #               Tesseract degrades option combinations it cannot
+        #               honor)
+        #   5, 6        single uniform block => auto bands (5 is the
+        #               vertical-text variant; fixture text is horizontal)
+        #   7, 13       the page is ONE text line (13 = raw line, which
+        #               additionally skips Tesseract-internal hacks that
+        #               have no analogue here)
+        #   8, 9        ONE word: one line AND inter-cell gaps never become
+        #               spaces (9 = word-in-circle variant)
+        #   10          ONE character: one line, one glyph cell
+        psm = self.cfg.psm
+        if psm not in range(14):
+            raise ValueError(f"unsupported Tesseract psm: {psm}")
+        if psm in (0, 2):  # no-recognition modes
+            return RecognizeResult("", 0.0, lang, time.monotonic() - t0)
+        one_line = psm in (7, 8, 9, 10, 13)
+        one_word = psm in (8, 9)
         lines: list[str] = []
         scores: list[float] = []
         row_mask = ink.any(axis=1)
-        # K10 psm parity (tesseract.go:84-92 SetPageSegMode): 3/6 = full
-        # auto/block segmentation (default); 7 = treat the page as ONE
-        # text line; 10 = ONE character.  Other modes fall back to auto,
-        # like Tesseract degrades unsupported combinations.
-        if self.cfg.psm in (7, 10):
+        if one_line:
             rows = np.flatnonzero(row_mask)
             bands = [(int(rows[0]), int(rows[-1]) + 1)]
         else:
@@ -187,7 +209,7 @@ class TemplateMatchEngine:
                 )
             band = ink[y0:y1]
             col_mask = band.any(axis=0)
-            if self.cfg.psm == 10:
+            if psm == 10:
                 cols = np.flatnonzero(col_mask)
                 cells = [(int(cols[0]), int(cols[-1]) + 1)]
             else:
@@ -204,7 +226,7 @@ class TemplateMatchEngine:
             chars: list[str] = []
             prev_end: int | None = None
             for a, b in cells:
-                if prev_end is not None:
+                if prev_end is not None and not one_word:
                     gap = a - prev_end
                     if gap > med_gap + med_w * 0.5:
                         n_spaces = max(

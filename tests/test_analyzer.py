@@ -73,15 +73,23 @@ def test_pipeline_order_matches_reference():
 
 
 def test_manual_default_pipeline():
-    """preprocessor.go:342-366 fixed order, config-gated."""
+    """preprocessor.go:342-366 fixed order, config-gated — resize is
+    the fixed trailing step (identity with no dims configured), so the
+    applied_steps rows enumerate the reference's full order (A6)."""
     assert analyzer.default_pipeline(CFG) == (
         "grayscale",
         "denoise",
         "binarization",
         "deskew",
+        "resize",
     )
     cfg2 = PreprocessingConfig(denoise=False, deskew_enabled=False)
-    assert analyzer.default_pipeline(cfg2) == ("grayscale", "binarization")
+    assert analyzer.default_pipeline(cfg2) == (
+        "grayscale", "binarization", "resize"
+    )
+    # identity without target dims: the step changes no pixels
+    img = _mk("clean")
+    assert (analyzer.apply_step(img, "resize", CFG) == img).all()
 
 
 def test_unknown_step_is_identity():

