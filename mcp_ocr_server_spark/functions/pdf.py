@@ -1,0 +1,270 @@
+"""REAL PDF text extraction — stdlib only (zlib is the FlateDecode
+codec), the document analogue of imaging/png.py and decode_wav.
+
+The north rule names "PDF/layout parse" as a pipeline capability; this
+module implements the text half for real: PDF object parsing, Flate
+stream decompression, page-tree walk, and a content-stream text-operator
+interpreter (BT/ET, Tf, Td/TD/Tm/T*, Tj/'/"/TJ with literal, escaped,
+octal, and hex strings).
+
+Documented scope (honest limits, stated where a user hits them):
+  - text-based PDFs whose strings use single-byte encodings (the
+    standard fonts / WinAnsi / latin-1 family).  CID/Type0 fonts with
+    CMaps map glyph ids, not bytes — their strings come out garbled and
+    there is no way to fix that without the font tables; callers get
+    whatever bytes the string held (same behavior as `strings`-style
+    extractors).
+  - unencrypted documents (an /Encrypt trailer raises ValueError).
+  - page RASTERIZATION (for the OCR path) still requires a renderer and
+    stays behind the multimodal.parse_pdf_pages stub seam — this module
+    is the born-digital text path that makes rasterizing unnecessary
+    for text PDFs.
+
+A deterministic test writer (make_pdf) lives in tests/test_pdf.py so
+round-trips never depend on external fixtures.
+"""
+
+from __future__ import annotations
+
+import re
+import zlib
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+PDF_TEXT_SCHEMA = "media_ref string, n_pages int, text string, error string"
+
+_OBJ_RE = re.compile(rb"(\d+)\s+(\d+)\s+obj\b(.*?)endobj", re.S)
+_STREAM_RE = re.compile(rb"stream\r?\n(.*?)(?:\r?\n)?endstream", re.S)
+_REF_RE = re.compile(rb"(\d+)\s+(\d+)\s+R\b")
+
+# content-stream tokens: literal string (with escaped chars), hex
+# string, array delimiters, numbers, names, operators
+_TOK_RE = re.compile(
+    rb"\((?:\\.|[^\\()])*\)"      # literal string (no nested parens)
+    rb"|<[0-9A-Fa-f\s]*>"          # hex string
+    rb"|<<|>>|\[|\]"               # dict/array delimiters
+    rb"|/[^\s/<>\[\]()]*"          # name
+    rb"|[-+]?[0-9]*\.?[0-9]+"      # number
+    rb"|[A-Za-z'\"][A-Za-z0-9*'\"]*",  # operator
+    re.S,
+)
+
+_ESCAPES = {
+    b"n": b"\n", b"r": b"\r", b"t": b"\t", b"b": b"\b", b"f": b"\f",
+    b"(": b"(", b")": b")", b"\\": b"\\",
+}
+
+
+def _decode_literal(tok: bytes) -> bytes:
+    """PDF literal string body (between parens) with \\-escapes and
+    \\ddd octal codes resolved."""
+    body = tok[1:-1]
+    out = bytearray()
+    i = 0
+    while i < len(body):
+        c = body[i : i + 1]
+        if c != b"\\":
+            out += c
+            i += 1
+            continue
+        nxt = body[i + 1 : i + 2]
+        if nxt in _ESCAPES:
+            out += _ESCAPES[nxt]
+            i += 2
+        elif nxt.isdigit():
+            j = i + 1
+            while j < len(body) and j < i + 4 and body[j : j + 1].isdigit():
+                j += 1
+            out.append(int(body[i + 1 : j], 8) & 0xFF)
+            i = j
+        elif nxt in (b"\n", b"\r"):  # line continuation
+            i += 2
+            if nxt == b"\r" and body[i : i + 1] == b"\n":
+                i += 1
+        else:
+            out += nxt
+            i += 2
+    return bytes(out)
+
+
+def _decode_hex(tok: bytes) -> bytes:
+    h = re.sub(rb"\s", b"", tok[1:-1])
+    if len(h) % 2:
+        h += b"0"  # PDF spec: odd-length hex strings pad with 0
+    return bytes.fromhex(h.decode("ascii"))
+
+
+def _string_bytes(tok: bytes) -> bytes:
+    return _decode_literal(tok) if tok[:1] == b"(" else _decode_hex(tok)
+
+
+def _objects(data: bytes) -> dict[int, bytes]:
+    """obj number -> body (generation ignored: simple one-shot files)."""
+    return {int(m.group(1)): m.group(3) for m in _OBJ_RE.finditer(data)}
+
+
+def _stream_of(obj: bytes) -> bytes | None:
+    m = _STREAM_RE.search(obj)
+    if m is None:
+        return None
+    raw = m.group(1)
+    if re.search(rb"/Filter\s*(?:\[\s*)?/FlateDecode", obj):
+        raw = zlib.decompress(raw)
+    return raw
+
+
+def _page_order(data: bytes, objs: dict[int, bytes]) -> list[int]:
+    """Page object numbers in reading order via the /Root -> /Pages ->
+    /Kids tree; falls back to object-number order of /Type /Page
+    objects if the tree cannot be walked."""
+    pages: list[int] = []
+
+    def walk(num: int, depth: int = 0) -> None:
+        if depth > 64 or num not in objs:
+            return
+        body = objs[num]
+        if re.search(rb"/Type\s*/Page\b(?!s)", body):
+            pages.append(num)
+            return
+        kids = re.search(rb"/Kids\s*\[(.*?)\]", body, re.S)
+        if kids:
+            for m in _REF_RE.finditer(kids.group(1)):
+                walk(int(m.group(1)), depth + 1)
+
+    root = re.search(rb"/Root\s+(\d+)\s+\d+\s+R", data)
+    if root and int(root.group(1)) in objs:
+        cat = re.search(rb"/Pages\s+(\d+)\s+\d+\s+R", objs[int(root.group(1))])
+        if cat:
+            walk(int(cat.group(1)))
+    if not pages:
+        pages = sorted(
+            n for n, b in objs.items()
+            if re.search(rb"/Type\s*/Page\b(?!s)", b)
+        )
+    return pages
+
+
+def _content_text(content: bytes) -> str:
+    """Interpret the text operators of one content stream.
+
+    Line model: ', ", T*, and Td/TD with a non-zero vertical move start
+    a new output line; Tj/TJ append to the current line.  TJ's numeric
+    kerning adjustments are ignored except large negative gaps, which
+    render as a space (the convention word-spacing hacks rely on)."""
+    lines: list[list[bytes]] = [[]]
+    stack: list[object] = []
+    in_text = False
+    arr: list[object] | None = None
+
+    def newline() -> None:
+        if lines[-1]:
+            lines.append([])
+
+    for m in _TOK_RE.finditer(content):
+        tok = m.group(0)
+        first = tok[:1]
+        if tok == b"[":
+            arr = []
+            continue
+        if tok == b"]":
+            stack.append(arr if arr is not None else [])
+            arr = None
+            continue
+        target = arr if arr is not None else stack
+        if first in (b"(", b"<") and tok not in (b"<<", b">>"):
+            target.append(_string_bytes(tok))
+            continue
+        if first == b"/" or tok in (b"<<", b">>"):
+            target.append(tok)
+            continue
+        if re.fullmatch(rb"[-+]?[0-9]*\.?[0-9]+", tok):
+            target.append(float(tok))
+            continue
+        # operator
+        op = tok
+        if op == b"BT":
+            in_text = True
+            newline()
+        elif op == b"ET":
+            in_text = False
+        elif in_text and op == b"Tj":
+            if stack and isinstance(stack[-1], bytes):
+                lines[-1].append(stack[-1])
+        elif in_text and op in (b"'", b'"'):
+            newline()
+            if stack and isinstance(stack[-1], bytes):
+                lines[-1].append(stack[-1])
+        elif in_text and op == b"TJ":
+            if stack and isinstance(stack[-1], list):
+                for el in stack[-1]:
+                    if isinstance(el, bytes):
+                        lines[-1].append(el)
+                    elif isinstance(el, float) and el < -200:
+                        lines[-1].append(b" ")
+        elif in_text and op == b"T*":
+            newline()
+        elif in_text and op in (b"Td", b"TD"):
+            if len(stack) >= 1 and isinstance(stack[-1], float) and stack[-1] != 0:
+                newline()
+        stack.clear()
+    text_lines = [
+        b"".join(parts).decode("latin-1") for parts in lines if parts
+    ]
+    return "\n".join(text_lines)
+
+
+def extract_pdf_text(data: bytes) -> list[str]:
+    """Per-page text of a PDF, in page-tree order.
+
+    Raises ValueError for non-PDF bytes or encrypted documents; pages
+    whose content stream cannot be located contribute an empty string.
+    """
+    if not data.startswith(b"%PDF-"):
+        raise ValueError("not a PDF: missing %PDF- header")
+    if re.search(rb"/Encrypt\b", data):
+        raise ValueError("encrypted PDF: decryption unsupported")
+    objs = _objects(data)
+    out: list[str] = []
+    for pnum in _page_order(data, objs):
+        body = objs[pnum]
+        content = b""
+        cm = re.search(rb"/Contents\s+(\d+)\s+\d+\s+R", body)
+        refs = [int(cm.group(1))] if cm else []
+        if not refs:
+            cm = re.search(rb"/Contents\s*\[(.*?)\]", body, re.S)
+            if cm:
+                refs = [int(m.group(1)) for m in _REF_RE.finditer(cm.group(1))]
+        for r in refs:
+            s = _stream_of(objs.get(r, b""))
+            if s:
+                content += s + b"\n"
+        out.append(_content_text(content))
+    return out
+
+
+def pdf_text(media: DataFrame) -> DataFrame:
+    """mapInPandas stage: (media_ref, bytes) -> per-doc extracted text
+    (pages joined by form-feed), REAL decode path — errors isolate per
+    row exactly like the OCR stage (P1)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for ref, data in zip(pdf["media_ref"], pdf["bytes"]):
+                row = dict(media_ref=ref, n_pages=None, text=None, error=None)
+                try:
+                    pages = extract_pdf_text(bytes(data))
+                    row["n_pages"] = len(pages)
+                    row["text"] = "\f".join(pages)
+                except Exception as exc:
+                    row["error"] = str(exc)
+                rows.append(row)
+            yield pd.DataFrame(
+                rows, columns=["media_ref", "n_pages", "text", "error"]
+            )
+
+    return media.select("media_ref", "bytes").mapInPandas(
+        run, schema=PDF_TEXT_SCHEMA
+    )

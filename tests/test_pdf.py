@@ -1,0 +1,149 @@
+"""REAL PDF text extraction (functions/pdf.py): round-trips against a
+deterministic in-repo PDF writer — uncompressed and FlateDecode,
+escapes, octal, hex strings, TJ kerning arrays, multi-page tree order,
+and per-row error isolation through the Spark stage."""
+
+import zlib
+
+import pytest
+
+from mcp_ocr_server_spark.functions.pdf import extract_pdf_text, pdf_text
+
+
+def _esc(s: str) -> bytes:
+    return (
+        s.replace("\\", "\\\\").replace("(", "\\(").replace(")", "\\)")
+    ).encode("latin-1")
+
+
+def make_pdf(pages: list[list[str]], compress: bool = False) -> bytes:
+    """Minimal but structurally-correct PDF: catalog -> page tree ->
+    per-page content streams (one Tj per line, Td line moves), valid
+    xref + trailer.  Deterministic for identical input."""
+    objs: list[bytes] = []  # bodies; object number = index + 1
+    n_pages = len(pages)
+    page_nums = [4 + 2 * i for i in range(n_pages)]
+    kids = " ".join(f"{n} 0 R" for n in page_nums).encode()
+    objs.append(b"<< /Type /Catalog /Pages 2 0 R >>")  # 1
+    objs.append(
+        b"<< /Type /Pages /Kids [" + kids + b"] /Count "
+        + str(n_pages).encode() + b" >>"
+    )  # 2
+    objs.append(
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
+    )  # 3
+    for i, lines in enumerate(pages):
+        pnum, cnum = page_nums[i], page_nums[i] + 1
+        objs.append(
+            b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            b"/Resources << /Font << /F1 3 0 R >> >> /Contents "
+            + str(cnum).encode() + b" 0 R >>"
+        )
+        parts = [b"BT /F1 12 Tf 72 720 Td"]
+        for j, line in enumerate(lines):
+            if j:
+                parts.append(b"0 -14 Td")
+            parts.append(b"(" + _esc(line) + b") Tj")
+        parts.append(b"ET")
+        content = b" ".join(parts)
+        if compress:
+            comp = zlib.compress(content)
+            objs.append(
+                b"<< /Length " + str(len(comp)).encode()
+                + b" /Filter /FlateDecode >>\nstream\n" + comp
+                + b"\nendstream"
+            )
+        else:
+            objs.append(
+                b"<< /Length " + str(len(content)).encode()
+                + b" >>\nstream\n" + content + b"\nendstream"
+            )
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = []
+    for i, body in enumerate(objs):
+        offsets.append(len(out))
+        out += f"{i + 1} 0 obj\n".encode() + body + b"\nendobj\n"
+    xref_at = len(out)
+    out += f"xref\n0 {len(objs) + 1}\n".encode()
+    out += b"0000000000 65535 f \n"
+    for off in offsets:
+        out += f"{off:010d} 00000 n \n".encode()
+    out += (
+        b"trailer\n<< /Size " + str(len(objs) + 1).encode()
+        + b" /Root 1 0 R >>\nstartxref\n" + str(xref_at).encode()
+        + b"\n%%EOF\n"
+    )
+    return bytes(out)
+
+
+PAGES = [
+    ["The quick brown fox", "jumps over (the) lazy dog\\path"],
+    ["second page line one", "and line two"],
+]
+
+
+def test_roundtrip_uncompressed():
+    assert extract_pdf_text(make_pdf(PAGES)) == [
+        "\n".join(p) for p in PAGES
+    ]
+
+
+def test_roundtrip_flate():
+    """zlib IS the FlateDecode codec: compressed streams decode for
+    real, byte-identical text to the uncompressed variant."""
+    assert extract_pdf_text(make_pdf(PAGES, compress=True)) == [
+        "\n".join(p) for p in PAGES
+    ]
+
+
+def test_octal_hex_and_tj_array():
+    """Hand-written operator stream: octal escapes, hex strings, and a
+    TJ array whose large negative kern renders as a word gap."""
+    content = (
+        b"BT /F1 12 Tf 72 720 Td (A\\101\\102) Tj "
+        b"0 -14 Td <48656C6C6F> Tj "
+        b"0 -14 Td [(wor) -80 (d) -300 (gap)] TJ ET"
+    )
+    body = make_pdf([["x"]])
+    start = body.index(b"stream\n") + 7
+    end = body.index(b"\nendstream")
+    patched = body.replace(body[start:end], content, 1)
+    # /Length is now wrong but the extractor scans to endstream
+    assert extract_pdf_text(patched) == ["AAB\nHello\nword gap"]
+
+
+def test_non_pdf_and_encrypted_raise():
+    with pytest.raises(ValueError, match="not a PDF"):
+        extract_pdf_text(b"plain text, no header")
+    enc = make_pdf(PAGES).replace(
+        b"/Root 1 0 R", b"/Root 1 0 R /Encrypt 9 0 R"
+    )
+    with pytest.raises(ValueError, match="encrypted"):
+        extract_pdf_text(enc)
+
+
+def test_page_tree_order_not_object_order():
+    """Pages come back in /Kids order even when object numbers would
+    sort differently."""
+    pdf = make_pdf(PAGES)
+    kids_fwd = b"/Kids [4 0 R 6 0 R]"
+    kids_rev = b"/Kids [6 0 R 4 0 R]"
+    assert kids_fwd in pdf
+    rev = pdf.replace(kids_fwd, kids_rev)
+    assert extract_pdf_text(rev) == [
+        "\n".join(PAGES[1]), "\n".join(PAGES[0])
+    ]
+
+
+def test_spark_stage_error_isolation(spark):
+    rows = [
+        ("doc-ok", bytearray(make_pdf(PAGES, compress=True))),
+        ("doc-bad", bytearray(b"not a pdf at all")),
+    ]
+    df = spark.createDataFrame(rows, "media_ref string, bytes binary")
+    got = {r["media_ref"]: r for r in pdf_text(df).collect()}
+    assert got["doc-ok"]["error"] is None
+    assert got["doc-ok"]["n_pages"] == 2
+    assert got["doc-ok"]["text"] == "\f".join("\n".join(p) for p in PAGES)
+    assert got["doc-bad"]["error"] is not None
+    assert got["doc-bad"]["text"] is None
