@@ -53,12 +53,15 @@ VIDEO_KEYFRAMES_SCHEMA = (
 
 
 def parse_pdf_pages(data: bytes) -> list[np.ndarray]:
-    """PDF container seam (north rule "PDF/layout parse").
+    """PDF page RASTERIZATION seam (north rule "PDF/layout parse").
 
-    Real implementation rasterizes each page (pypdf + a renderer, or
-    poppler) and feeds it to imaging.layout.parse_page — which is fully
-    implemented and tested on rendered pages.  This container ships no
-    PDF codec, so the container decode is an explicit stub.
+    The born-digital TEXT path is REAL — functions/pdf.py extracts
+    per-page text with a stdlib-only parser (zlib FlateDecode +
+    content-stream operator interpreter), so text PDFs never need
+    rasterizing.  THIS seam is only for scanned/image PDFs whose pages
+    must be rendered for the OCR path; rendering requires a rasterizer
+    (pypdf + renderer, or poppler) this container does not ship, so the
+    raster decode is an explicit stub behind the same interface.
     """
     try:
         import pypdf  # noqa: F401  (absent in this container)
