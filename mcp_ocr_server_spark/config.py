@@ -29,6 +29,13 @@ class OCRConfig:
     max_image_size: int = 10 * 1024 * 1024  # 10 MiB, config.go:194
     timeout_seconds: int = 30  # config.go:195
 
+    def __post_init__(self) -> None:
+        # Tesseract defines exactly psm 0-13; failing at CONFIG
+        # construction (driver-side, job build time) beats one
+        # OCR_ENGINE_FAILED row per image from inside recognize()
+        if self.psm not in range(14):
+            raise ValueError(f"unsupported Tesseract psm: {self.psm}")
+
 
 @dataclass(frozen=True)
 class PreprocessingConfig:

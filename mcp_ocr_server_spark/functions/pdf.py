@@ -39,17 +39,48 @@ _OBJ_RE = re.compile(rb"(\d+)\s+(\d+)\s+obj\b(.*?)endobj", re.S)
 _STREAM_RE = re.compile(rb"stream\r?\n(.*?)(?:\r?\n)?endstream", re.S)
 _REF_RE = re.compile(rb"(\d+)\s+(\d+)\s+R\b")
 
-# content-stream tokens: literal string (with escaped chars), hex
-# string, array delimiters, numbers, names, operators
+# content-stream tokens other than literal strings: hex string, array
+# delimiters, numbers, names, operators.  Literal strings need balance
+# counting (PDF allows UNESCAPED nested parens), so _tokens() scans
+# them by hand and uses this regex for everything else.
 _TOK_RE = re.compile(
-    rb"\((?:\\.|[^\\()])*\)"      # literal string (no nested parens)
-    rb"|<[0-9A-Fa-f\s]*>"          # hex string
+    rb"<[0-9A-Fa-f\s]*>"           # hex string
     rb"|<<|>>|\[|\]"               # dict/array delimiters
     rb"|/[^\s/<>\[\]()]*"          # name
     rb"|[-+]?[0-9]*\.?[0-9]+"      # number
     rb"|[A-Za-z'\"][A-Za-z0-9*'\"]*",  # operator
     re.S,
 )
+
+
+def _tokens(content: bytes) -> Iterator[bytes]:
+    """Token stream of a content stream.  Literal strings are scanned
+    with a depth counter so legal nested parens — '(see (fig 2))' —
+    stay ONE token; everything else matches _TOK_RE."""
+    i, n = 0, len(content)
+    while i < n:
+        c = content[i : i + 1]
+        if c == b"(":
+            depth, j = 1, i + 1
+            while j < n and depth:
+                ch = content[j : j + 1]
+                if ch == b"\\":
+                    j += 2
+                    continue
+                if ch == b"(":
+                    depth += 1
+                elif ch == b")":
+                    depth -= 1
+                j += 1
+            yield content[i:j]
+            i = j
+            continue
+        m = _TOK_RE.match(content, i)
+        if m:
+            yield m.group(0)
+            i = m.end()
+        else:
+            i += 1  # whitespace / bytes outside the token grammar
 
 _ESCAPES = {
     b"n": b"\n", b"r": b"\r", b"t": b"\t", b"b": b"\b", b"f": b"\f",
@@ -73,9 +104,14 @@ def _decode_literal(tok: bytes) -> bytes:
         if nxt in _ESCAPES:
             out += _ESCAPES[nxt]
             i += 2
-        elif nxt.isdigit():
+        elif nxt in (b"0", b"1", b"2", b"3", b"4", b"5", b"6", b"7"):
+            # octal escape: 1-3 OCTAL digits only — \8 and \9 are not
+            # octal (the spec drops the backslash before other chars)
             j = i + 1
-            while j < len(body) and j < i + 4 and body[j : j + 1].isdigit():
+            while (
+                j < len(body) and j < i + 4
+                and body[j] in b"01234567"
+            ):
                 j += 1
             out.append(int(body[i + 1 : j], 8) & 0xFF)
             i = j
@@ -110,9 +146,20 @@ def _stream_of(obj: bytes) -> bytes | None:
     if m is None:
         return None
     raw = m.group(1)
-    if re.search(rb"/Filter\s*(?:\[\s*)?/FlateDecode", obj):
-        raw = zlib.decompress(raw)
-    return raw
+    head = obj[: m.start()]  # the stream dict, not the payload
+    fm = re.search(rb"/Filter\s*(\[[^\]]*\]|/[^\s/<>\[\]()]*)", head)
+    if fm is None:
+        return raw
+    filt = re.sub(rb"[\[\]\s]", b"", fm.group(1))
+    if filt == b"/FlateDecode":
+        return zlib.decompress(raw)
+    # LZW / ASCII85 / DCT chains: refusing loudly beats feeding raw
+    # compressed bytes to the text interpreter and emitting garbage
+    # with error=None
+    raise ValueError(
+        f"unsupported stream filter {filt.decode('latin-1', 'replace')}:"
+        " only FlateDecode (zlib) and unfiltered streams are in scope"
+    )
 
 
 def _page_order(data: bytes, objs: dict[int, bytes]) -> list[int]:
@@ -149,10 +196,12 @@ def _page_order(data: bytes, objs: dict[int, bytes]) -> list[int]:
 def _content_text(content: bytes) -> str:
     """Interpret the text operators of one content stream.
 
-    Line model: ', ", T*, and Td/TD with a non-zero vertical move start
-    a new output line; Tj/TJ append to the current line.  TJ's numeric
-    kerning adjustments are ignored except large negative gaps, which
-    render as a space (the convention word-spacing hacks rely on)."""
+    Line model: ', ", T*, Tm, and Td/TD with a non-zero vertical move
+    start a new output line (one-Tm-per-line is the emission style of
+    many generators; BT already opens a line, so a leading Tm is a
+    no-op); Tj/TJ append to the current line.  TJ's numeric kerning
+    adjustments are ignored except large negative gaps, which render
+    as a space (the convention word-spacing hacks rely on)."""
     lines: list[list[bytes]] = [[]]
     stack: list[object] = []
     in_text = False
@@ -162,8 +211,7 @@ def _content_text(content: bytes) -> str:
         if lines[-1]:
             lines.append([])
 
-    for m in _TOK_RE.finditer(content):
-        tok = m.group(0)
+    for tok in _tokens(content):
         first = tok[:1]
         if tok == b"[":
             arr = []
@@ -203,7 +251,7 @@ def _content_text(content: bytes) -> str:
                         lines[-1].append(el)
                     elif isinstance(el, float) and el < -200:
                         lines[-1].append(b" ")
-        elif in_text and op == b"T*":
+        elif in_text and op in (b"T*", b"Tm"):
             newline()
         elif in_text and op in (b"Td", b"TD"):
             if len(stack) >= 1 and isinstance(stack[-1], float) and stack[-1] != 0:
@@ -223,8 +271,11 @@ def extract_pdf_text(data: bytes) -> list[str]:
     """
     if not data.startswith(b"%PDF-"):
         raise ValueError("not a PDF: missing %PDF- header")
-    if re.search(rb"/Encrypt\b", data):
-        raise ValueError("encrypted PDF: decryption unsupported")
+    # /Encrypt only means encryption inside the TRAILER dict — grepping
+    # the whole file would reject documents whose page TEXT mentions it
+    for tm in re.finditer(rb"trailer(.*?)startxref", data, re.S):
+        if re.search(rb"/Encrypt\b", tm.group(1)):
+            raise ValueError("encrypted PDF: decryption unsupported")
     objs = _objects(data)
     out: list[str] = []
     for pnum in _page_order(data, objs):

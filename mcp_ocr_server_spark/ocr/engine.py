@@ -187,9 +187,7 @@ class TemplateMatchEngine:
         #   8, 9        ONE word: one line AND inter-cell gaps never become
         #               spaces (9 = word-in-circle variant)
         #   10          ONE character: one line, one glyph cell
-        psm = self.cfg.psm
-        if psm not in range(14):
-            raise ValueError(f"unsupported Tesseract psm: {psm}")
+        psm = self.cfg.psm  # range-validated by OCRConfig.__post_init__
         if psm in (0, 2):  # no-recognition modes
             return RecognizeResult("", 0.0, lang, time.monotonic() - t0)
         one_line = psm in (7, 8, 9, 10, 13)

@@ -53,6 +53,23 @@ def write_table(
     df.write.mode(mode).parquet(location)
 
 
+def _parquet_files(location: str) -> list[str]:
+    """Every .parquet data file at `location` — which may be a single
+    parquet FILE (this repo's testdata layout) or a directory tree (a
+    Spark-written dataset).  os.walk yields nothing for a plain file,
+    which silently disabled both stats helpers on file paths."""
+    import os
+
+    if os.path.isfile(location):
+        return [location] if location.endswith(".parquet") else []
+    out: list[str] = []
+    for root, _dirs, files in os.walk(location):
+        for f in files:
+            if f.endswith(".parquet"):
+                out.append(os.path.join(root, f))
+    return out
+
+
 def table_size_bytes(
     spark: SparkSession, location: str, catalog: str = "iceberg"
 ) -> int | None:
@@ -69,11 +86,7 @@ def table_size_bytes(
             return int(rows[0].s) if rows and rows[0].s is not None else None
         import os
 
-        total = 0
-        for root, _dirs, files in os.walk(location):
-            for f in files:
-                if f.endswith(".parquet"):
-                    total += os.path.getsize(os.path.join(root, f))
+        total = sum(os.path.getsize(f) for f in _parquet_files(location))
         return total or None
     except Exception:
         return None
@@ -95,17 +108,11 @@ def table_num_rows(
                 f"{catalog}.{location}.files"
             ).selectExpr("sum(record_count) AS n").collect()
             return int(rows[0].n) if rows and rows[0].n is not None else None
-        import os
-
         import pyarrow.parquet as pq
 
-        total = 0
-        found = False
-        for root, _dirs, files in os.walk(location):
-            for f in files:
-                if f.endswith(".parquet"):
-                    total += pq.ParquetFile(os.path.join(root, f)).metadata.num_rows
-                    found = True
-        return total if found else None
+        files = _parquet_files(location)
+        if not files:
+            return None
+        return sum(pq.ParquetFile(f).metadata.num_rows for f in files)
     except Exception:
         return None

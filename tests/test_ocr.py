@@ -281,5 +281,7 @@ def test_psm_full_mode_table():
             render_text("AB CD", scale=2)
         ).text
         assert "\n" not in out and " " not in out, f"psm {psm} is one word"
+    # invalid psm fails at CONFIG construction (driver-side, job build
+    # time) — not as one error row per image inside recognize()
     with pytest.raises(ValueError, match="unsupported Tesseract psm"):
-        get_engine(OCRConfig(engine="template", psm=14)).recognize(two_lines)
+        OCRConfig(engine="template", psm=14)

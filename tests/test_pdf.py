@@ -147,3 +147,56 @@ def test_spark_stage_error_isolation(spark):
     assert got["doc-ok"]["text"] == "\f".join("\n".join(p) for p in PAGES)
     assert got["doc-bad"]["error"] is not None
     assert got["doc-bad"]["text"] is None
+
+
+def _patch_content(content: bytes) -> bytes:
+    """Writer page with its content stream replaced by raw operators."""
+    body = make_pdf([["x"]])
+    start = body.index(b"stream\n") + 7
+    end = body.index(b"\nendstream")
+    return body.replace(body[start:end], content, 1)
+
+
+def test_nested_parens_stay_one_string():
+    """PDF literal strings may contain BALANCED unescaped parens — the
+    scanner must depth-count, not regex-split (review finding)."""
+    out = extract_pdf_text(
+        _patch_content(b"BT /F1 12 Tf (see (figure 2) here) Tj ET")
+    )
+    assert out == ["see (figure 2) here"]
+
+
+def test_tm_positioning_breaks_lines():
+    """One-Tm-per-line emission (common generator style) must produce
+    separate lines, not fused text (review finding)."""
+    out = extract_pdf_text(_patch_content(
+        b"BT /F1 12 Tf 1 0 0 1 72 720 Tm (line1) Tj"
+        b" 1 0 0 1 72 706 Tm (line2) Tj ET"
+    ))
+    assert out == ["line1\nline2"]
+
+
+def test_backslash_before_non_octal_digit():
+    """\\8 and \\9 are NOT octal escapes: the backslash drops, the
+    digit stays (spec rule; previously crashed int(...,8))."""
+    assert extract_pdf_text(
+        _patch_content(b"BT (x\\8y\\9z\\101) Tj ET")
+    ) == ["x8y9zA"]
+
+
+def test_encrypt_mention_in_text_is_not_encryption():
+    """Only a trailer /Encrypt entry means encryption; page text that
+    MENTIONS /Encrypt must still extract (review finding)."""
+    out = extract_pdf_text(
+        _patch_content(b"BT (the /Encrypt entry semantics) Tj ET")
+    )
+    assert out == ["the /Encrypt entry semantics"]
+
+
+def test_unsupported_filter_errors_not_garbage():
+    """Non-Flate filters must raise (doc -> error row), never feed raw
+    compressed bytes to the interpreter as 'text' (review finding)."""
+    pdf = make_pdf(PAGES, compress=True)
+    lzw = pdf.replace(b"/Filter /FlateDecode", b"/Filter /LZWDecode")
+    with pytest.raises(ValueError, match="unsupported stream filter"):
+        extract_pdf_text(lzw)

@@ -35,3 +35,20 @@ def test_tesseract_engine_gated():
     except ImportError:
         raised = True
     assert raised
+
+
+def test_stats_helpers_handle_single_parquet_file(spark):
+    """testdata tables are single FILES, not directories — both stats
+    helpers must return real numbers for them (review finding: os.walk
+    yields nothing for a plain file, silently disabling the hints)."""
+    from mcp_ocr_server_spark.sources.tables import (
+        table_num_rows,
+        table_size_bytes,
+    )
+
+    loc = "/root/testdata/sf0.001/embeddings.parquet"
+    n = table_num_rows(spark, loc)
+    assert n == spark.read.parquet(loc).count() and n > 0
+    import os
+
+    assert table_size_bytes(spark, loc) == os.path.getsize(loc)
