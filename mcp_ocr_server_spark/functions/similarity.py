@@ -201,10 +201,11 @@ def kmeans_codebook(
         is what pins the fixpoint);
       - empty cluster keeps its previous centroid.
 
-    Per iteration: one broadcast cross-join + one groupBy(argmax) +
-    one join + one tiny groupBy(cid) whose result (n_centroids rows)
-    is collected — centroid state lives on the driver, never more
-    than n_centroids x dim floats.
+    Per iteration: one broadcast cross-join + one groupBy(argmax, the
+    vector rides inside the max-struct as payload — no join back to
+    the sample) + one tiny groupBy(cid) whose result (n_centroids
+    rows) is collected — centroid state lives on the driver, never
+    more than n_centroids x dim floats.
     """
     spark = emb.sparkSession
     sample = (
@@ -223,22 +224,25 @@ def kmeans_codebook(
                 [(i, c) for i, c in enumerate(cents)],
                 "cid int, cv array<double>",
             )
+            # argmax via max(struct): (sim, -cid) orders ties to the
+            # smaller cid; sv is pure payload (a tie on both keys means
+            # the same sample row, so sv can never decide the max)
             best = (
                 sample.crossJoin(F.broadcast(cent_df))
                 .select(
-                    "sid", "cid", cos(F.col("sv"), F.col("cv")).alias("sim")
+                    "sid",
+                    F.struct(
+                        cos(F.col("sv"), F.col("cv")).alias("sim"),
+                        (-F.col("cid")).alias("nc"),
+                        F.col("sv").alias("sv"),
+                    ).alias("cand"),
                 )
                 .groupBy("sid")
-                .agg(
-                    F.max(
-                        F.struct(F.col("sim"), (-F.col("cid")).alias("nc"))
-                    ).alias("m")
-                )
-                .select("sid", (-F.col("m.nc")).alias("cid"))
+                .agg(F.max("cand").alias("m"))
+                .select((-F.col("m.nc")).alias("cid"), F.col("m.sv").alias("sv"))
             )
             stats = (
-                sample.join(best, "sid")
-                .groupBy("cid")
+                best.groupBy("cid")
                 .agg(
                     F.count(F.lit(1)).alias("n"),
                     *[F.sum(F.col("sv")[i]).alias(f"s{i}") for i in range(dim)],
