@@ -91,6 +91,7 @@ def main() -> None:
         "dedup_embedding",
         "ann_topk", "ann_lsh", "ann_ivf",
         "lang_id", "text_quality", "token_stats", "doc_fingerprint",
+        "repetition_stats",
         "vocab_topk", "decontaminate",
         "events_hourly", "events_cube", "events_sliding", "orders_window",
         "customer_set_ops", "pricing_summary", "top_suppliers",

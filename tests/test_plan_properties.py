@@ -120,3 +120,19 @@ def test_clear_caches_releases_persisted_storage(spark):
         Q.clear_caches(spark)
         assert n_persisted() == base  # fully released, no growth
     assert not Q._SHINGLE_CACHE and not Q._SPANS_CACHE
+
+
+def test_repetition_stats_plan_is_shuffle_free(spark):
+    """q_repetition_stats is row-local by design (the Gopher signals
+    never need cross-row state): its physical plan must contain no
+    Exchange at all — the same zero-shuffle contract as
+    dedup_simhash."""
+    from mcp_ocr_server_spark import queries as Q
+
+    plan = (
+        Q.QUERIES["repetition_stats"][0](spark, SF)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan, plan
