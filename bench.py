@@ -90,8 +90,9 @@ def main() -> None:
         "dedup_simhash", "dedup_simhash_pairs", "dedup_lsh_buckets",
         "dedup_embedding",
         "ann_topk", "ann_lsh", "ann_ivf",
-        "lang_id", "text_quality", "token_stats", "doc_fingerprint",
-        "repetition_stats",
+        "lang_id", "lang_id_eval", "text_quality", "token_stats",
+        "doc_fingerprint", "repetition_stats", "source_quota",
+        "events_json",
         "vocab_topk", "decontaminate",
         "events_hourly", "events_cube", "events_sliding", "orders_window",
         "customer_set_ops", "pricing_summary", "top_suppliers",
