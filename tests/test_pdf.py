@@ -200,3 +200,32 @@ def test_unsupported_filter_errors_not_garbage():
     lzw = pdf.replace(b"/Filter /FlateDecode", b"/Filter /LZWDecode")
     with pytest.raises(ValueError, match="unsupported stream filter"):
         extract_pdf_text(lzw)
+
+
+def test_roundtrip_property():
+    """Fuzz the scanner/decoder: arbitrary latin-1 printable text —
+    including parens, backslashes, digits after backslashes — survives
+    writer -> extractor byte-exactly, compressed and not."""
+    from hypothesis import given, settings, strategies as st
+
+    line = st.text(
+        alphabet=st.characters(
+            min_codepoint=32, max_codepoint=255,
+            exclude_characters="\x7f\x85\xa0",
+        ),
+        min_size=1, max_size=40,
+    ).map(lambda s: s.strip() or "x")
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        pages=st.lists(
+            st.lists(line, min_size=1, max_size=4), min_size=1, max_size=3
+        ),
+        compress=st.booleans(),
+    )
+    def run(pages, compress):
+        assert extract_pdf_text(make_pdf(pages, compress)) == [
+            "\n".join(p) for p in pages
+        ]
+
+    run()
