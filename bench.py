@@ -94,7 +94,8 @@ def main() -> None:
         "doc_fingerprint", "repetition_stats", "source_quota",
         "events_json",
         "vocab_topk", "decontaminate",
-        "events_hourly", "events_cube", "events_sliding", "orders_window",
+        "events_hourly", "events_cube", "events_sliding", "event_sessions",
+        "orders_window",
         "customer_set_ops", "pricing_summary", "top_suppliers",
     ]
 

@@ -106,3 +106,47 @@ def stream_events_hourly(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def sessionize_stream(
+    spark: SparkSession,
+    events_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+    available_now: bool = True,
+):
+    """Streaming sessionization: built-in `session_window` (gap-based,
+    merging) with a watermark — the streaming twin of
+    queries.q_event_sessions (same 30-min inactivity gap).  A session
+    closes once the watermark passes its end + gap; its state is then
+    evicted, so state stays bounded at unbounded input.  Output mode
+    must be `append`: a session row is only final after closing."""
+    events = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, event_type string,"
+            " value double, props string"
+        )
+        .parquet(events_dir)
+    )
+    agg = (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+    writer = (
+        agg.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -145,3 +145,43 @@ def test_stateful_dedup_fifo_eviction():
     assert run(["h1", "h2", "h3"]) == ["h1", "h2", "h3"]
     # state capped to the 2 newest => h1 evicted => re-admitted; h3 not
     assert run(["h1", "h3"]) == ["h1"]
+
+
+def test_streaming_sessionization_matches_batch(spark, tmp_path):
+    """session_window stream == the batch gaps-and-islands query on
+    (user, n_events) per session, for sessions the watermark closed.
+    session_window's `end` is last_event + gap (window semantics), so
+    the join key is (user_id, session_start) + event count."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from mcp_ocr_server_spark.queries import q_event_sessions
+    from mcp_ocr_server_spark.streaming.stream_extract import (
+        sessionize_stream,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    src = str(tmp_path / "events_in")
+    spark.read.parquet(f"{sf}/events.parquet").write.parquet(src)
+
+    out = str(tmp_path / "sessions_out")
+    q = sessionize_stream(
+        spark, src, out, str(tmp_path / "ckpt"), available_now=True
+    )
+    q.awaitTermination(300)
+    got = spark.read.parquet(out)
+    batch = q_event_sessions(spark, sf).select(
+        "user_id",
+        F.col("session_start"),
+        F.col("n_events").alias("n_batch"),
+    )
+    joined = got.join(batch, ["user_id", "session_start"]).select(
+        (F.col("n_events") == F.col("n_batch")).alias("same")
+    )
+    n_stream = got.count()
+    assert n_stream > 0
+    rows = joined.collect()
+    # every emitted (closed) session matches its batch twin exactly
+    assert len(rows) == n_stream
+    assert all(r["same"] for r in rows)
