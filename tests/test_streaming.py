@@ -170,7 +170,10 @@ def test_streaming_sessionization_matches_batch(spark, tmp_path):
         spark, src, out, str(tmp_path / "ckpt"), available_now=True
     )
     q.awaitTermination(300)
-    got = spark.read.parquet(out)
+    got = spark.read.parquet(out).withColumn(
+        "session_start",
+        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss.SSSSSS"),
+    )
     batch = q_event_sessions(spark, sf).select(
         "user_id",
         F.col("session_start"),
