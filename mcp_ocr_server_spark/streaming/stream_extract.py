@@ -36,12 +36,23 @@ def stream_extract(
     checkpoint_dir: str,
     cfg: JobConfig = DEFAULT_CONFIG,
     available_now: bool = True,
+    memo_dir: str | None = None,
 ):
     """readStream(docs landing dir) -> foreachBatch(batch extract) -> parquet.
 
     `available_now=True` drains what's currently in the directory and
     stops (test/backfill mode); False runs continuously.
     Returns the StreamingQuery.
+
+    `memo_dir` enables CROSS-MICRO-BATCH memoization (the streaming
+    face of C2): each batch reads every EARLIER batch's ocr_results as
+    the memo table — content already decoded in a prior micro-batch is
+    never re-OCR'd — and appends its own newly-computed rows under
+    `batch_id=N`.  Only subdirs with batch_id < N are read, so a
+    retried batch never treats its own partial output as done work
+    (the overwrite would otherwise erase rows it just memo-skipped).
+    On Iceberg this directory is simply the ocr_results table with
+    snapshot-as-of reads.
     """
     docs_stream = (
         spark.readStream.schema(DOCS_SCHEMA)
@@ -49,11 +60,45 @@ def stream_extract(
         .parquet(docs_dir)
     )
 
+    def _memo_for(batch_id: int) -> DataFrame | None:
+        if memo_dir is None or not os.path.isdir(memo_dir):
+            return None
+        prior = []
+        for d in os.listdir(memo_dir):
+            if not d.startswith("batch_id="):
+                continue
+            bid = int(d.split("=")[1])
+            if bid < batch_id and os.path.exists(
+                os.path.join(memo_dir, d, "_SUCCESS")
+            ):
+                prior.append(os.path.join(memo_dir, d))
+        if not prior:
+            return None
+        from ..operators.media_ocr import OCR_RESULT_SCHEMA
+
+        return spark.read.schema(OCR_RESULT_SCHEMA).parquet(*prior)
+
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
-        res = extract(batch_df, media, cfg)
-        res.spans.write.mode("overwrite").parquet(
-            os.path.join(out_dir, f"batch_id={batch_id}")
-        )
+        res = extract(batch_df, media, cfg, memo=_memo_for(batch_id))
+        if memo_dir is None:
+            res.spans.write.mode("overwrite").parquet(
+                os.path.join(out_dir, f"batch_id={batch_id}")
+            )
+            return
+        # persist the OCR stage so the spans write reuses it instead of
+        # re-running the mapInPandas (same pattern as the checkpoint
+        # loop, plans/checkpoint.py)
+        cached = res.ocr_results.persist()
+        try:
+            # newly-computed rows only; overwrite => idempotent retry
+            cached.write.mode("overwrite").parquet(
+                os.path.join(memo_dir, f"batch_id={batch_id}")
+            )
+            res.spans.write.mode("overwrite").parquet(
+                os.path.join(out_dir, f"batch_id={batch_id}")
+            )
+        finally:
+            cached.unpersist()
 
     writer = (
         docs_stream.writeStream.foreachBatch(process_batch)

@@ -188,3 +188,49 @@ def test_streaming_sessionization_matches_batch(spark, tmp_path):
     # every emitted (closed) session matches its batch twin exactly
     assert len(rows) == n_stream
     assert all(r["same"] for r in rows)
+
+
+def test_stream_memoization_across_micro_batches(spark, tmp_path):
+    """Cross-micro-batch memoization (C2's streaming face): with
+    memo_dir set, content decoded in an earlier batch is never
+    re-OCR'd — the union of per-batch ocr_results has exactly ONE row
+    per distinct content hash in the corpus — and the spans output
+    still equals the monolithic batch run."""
+    import os
+
+    from mcp_ocr_server_spark.operators.media_ocr import OCR_RESULT_SCHEMA
+
+    docs = S.docs_df(spark, CORPUS)
+    media = S.media_df(spark, CORPUS)
+    landing = str(tmp_path / "landing")
+    # >8 files per drop (maxFilesPerTrigger=8) => multiple micro-batches
+    # over docs whose media references overlap across batches
+    docs.filter(F.crc32(F.col("doc_id")) % 2 == 0).repartition(10).write.parquet(
+        landing, mode="append"
+    )
+    docs.filter(F.crc32(F.col("doc_id")) % 2 == 1).repartition(10).write.parquet(
+        landing, mode="append"
+    )
+    out = str(tmp_path / "spans_out")
+    memo_dir = str(tmp_path / "ocr_memo")
+    q = stream_extract(
+        spark, landing, media, out, str(tmp_path / "ckpt"),
+        FIXTURE_JOB, memo_dir=memo_dir,
+    )
+    q.awaitTermination(600)
+
+    batches = [d for d in os.listdir(memo_dir) if d.startswith("batch_id=")]
+    assert len(batches) >= 2, "expected multiple micro-batches"
+    memo_all = spark.read.schema(OCR_RESULT_SCHEMA).parquet(
+        *[os.path.join(memo_dir, d) for d in batches]
+    )
+    n_rows = memo_all.count()
+    n_distinct = memo_all.select("content_hash").distinct().count()
+    assert n_rows == n_distinct, "a hash was re-OCR'd across batches"
+
+    # spans parity with the monolithic batch run
+    batch_spans = extract(docs, media, FIXTURE_JOB).spans
+    cols = ["doc_id", "order", "kind", "media_ref", "text", "error_code"]
+    got = sorted(map(tuple, spark.read.parquet(out).select(*cols).collect()))
+    want = sorted(map(tuple, batch_spans.select(*cols).collect()))
+    assert got == want
