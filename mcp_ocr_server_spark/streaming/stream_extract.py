@@ -50,9 +50,14 @@ def stream_extract(
     never re-OCR'd — and appends its own newly-computed rows under
     `batch_id=N`.  Only subdirs with batch_id < N are read, so a
     retried batch never treats its own partial output as done work
-    (the overwrite would otherwise erase rows it just memo-skipped).
-    On Iceberg this directory is simply the ocr_results table with
-    snapshot-as-of reads.
+    (the overwrite would otherwise erase rows it just memo-skipped);
+    the memo read dedups by content_hash, so reusing a memo_dir across
+    a rebuilt checkpoint (batch ids restarting at 0) stays correct.
+    Continuous-mode caveat: the per-batch memo read grows with the
+    number of prior batches — for long-lived streams compact the memo
+    periodically; on Iceberg this directory is simply the ocr_results
+    table (one transactional append per batch, one snapshot read —
+    no growth in file-listing cost).
     """
     docs_stream = (
         spark.readStream.schema(DOCS_SCHEMA)
@@ -76,7 +81,19 @@ def stream_extract(
             return None
         from ..operators.media_ocr import OCR_RESULT_SCHEMA
 
-        return spark.read.schema(OCR_RESULT_SCHEMA).parquet(*prior)
+        # one row per hash even if the memo_dir carries stale subdirs
+        # from a previous checkpoint generation (batch ids restart at 0
+        # on a rebuilt checkpoint, so a hash can exist both in a stale
+        # dir and a new one; results are content-addressed and the
+        # engine is deterministic, so any copy is THE result — without
+        # this dedup the span join would duplicate rows).  Cf.
+        # CheckpointStore.memo_df (plans/checkpoint.py), the batch twin
+        # of this loader with watermark markers as its commit predicate.
+        return (
+            spark.read.schema(OCR_RESULT_SCHEMA)
+            .parquet(*prior)
+            .dropDuplicates(["content_hash"])
+        )
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         res = extract(batch_df, media, cfg, memo=_memo_for(batch_id))

@@ -152,8 +152,6 @@ def test_streaming_sessionization_matches_batch(spark, tmp_path):
     (user, n_events) per session, for sessions the watermark closed.
     session_window's `end` is last_event + gap (window semantics), so
     the join key is (user_id, session_start) + event count."""
-    import os
-
     from pyspark.sql import functions as F
 
     from mcp_ocr_server_spark.queries import q_event_sessions
