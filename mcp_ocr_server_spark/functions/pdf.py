@@ -15,6 +15,14 @@ Documented scope (honest limits, stated where a user hits them):
     whatever bytes the string held (same behavior as `strings`-style
     extractors).
   - unencrypted documents (an /Encrypt trailer raises ValueError).
+  - classic-xref documents (PDF <= 1.4 layout).  1.5+ compressed
+    cross-reference / object streams (/XRef, /ObjStm) hide page objects
+    where a flat scan cannot see them — those files raise ValueError
+    rather than silently extracting nothing.
+  - stream payload extents come from the dict's direct /Length when it
+    is present and consistent (so payloads containing 'endstream'
+    bytes parse correctly); indirect or wrong /Length falls back to
+    the first endstream marker.
   - page RASTERIZATION (for the OCR path) still requires a renderer and
     stays behind the multimodal.parse_pdf_pages stub seam — this module
     is the born-digital text path that makes rasterizing unnecessary
@@ -28,15 +36,18 @@ from __future__ import annotations
 
 import re
 import zlib
-from typing import Iterator
+from typing import Iterator, NamedTuple
 
 import pandas as pd
 from pyspark.sql import DataFrame
 
 PDF_TEXT_SCHEMA = "media_ref string, n_pages int, text string, error string"
 
-_OBJ_RE = re.compile(rb"(\d+)\s+(\d+)\s+obj\b(.*?)endobj", re.S)
-_STREAM_RE = re.compile(rb"stream\r?\n(.*?)(?:\r?\n)?endstream", re.S)
+_OBJ_START_RE = re.compile(rb"(\d+)\s+(\d+)\s+obj\b")
+_STREAM_START_RE = re.compile(rb"stream\r?\n")
+_STREAM_END_RE = re.compile(rb"(?:\r?\n)?endstream")
+# direct-integer /Length only — "/Length 12 0 R" (indirect) must NOT match
+_LEN_DIRECT_RE = re.compile(rb"/Length\s+(\d+)(?!\s+\d+\s+R)")
 _REF_RE = re.compile(rb"(\d+)\s+(\d+)\s+R\b")
 
 # content-stream tokens other than literal strings: hex string, array
@@ -136,18 +147,71 @@ def _string_bytes(tok: bytes) -> bytes:
     return _decode_literal(tok) if tok[:1] == b"(" else _decode_hex(tok)
 
 
-def _objects(data: bytes) -> dict[int, bytes]:
-    """obj number -> body (generation ignored: simple one-shot files)."""
-    return {int(m.group(1)): m.group(3) for m in _OBJ_RE.finditer(data)}
+class _Obj(NamedTuple):
+    body: bytes  # the dict/head part — stream payload bytes excluded
+    stream: bytes | None  # raw (pre-filter) stream payload, if any
 
 
-def _stream_of(obj: bytes) -> bytes | None:
-    m = _STREAM_RE.search(obj)
-    if m is None:
+def _objects(data: bytes) -> dict[int, _Obj]:
+    """obj number -> (head, stream payload) via a SEQUENTIAL scan.
+
+    Stream payloads are sliced by the dict's direct /Length when present
+    and validated (the slice must be followed by optional EOL then
+    'endstream'); only when /Length is absent, indirect, or wrong does
+    the scan fall back to the first 'endstream' byte sequence.  This is
+    what makes Flate payloads that happen to CONTAIN 'endstream' or
+    'endobj' parse correctly — a split-on-endobj regex cannot.
+    Generation numbers are ignored (simple one-shot files)."""
+    objs: dict[int, _Obj] = {}
+    pos = 0
+    while True:
+        m = _OBJ_START_RE.search(data, pos)
+        if m is None:
+            return objs
+        num = int(m.group(1))
+        start = m.end()
+        sm = _STREAM_START_RE.search(data, start)
+        eo = data.find(b"endobj", start)
+        if sm is None or (eo != -1 and eo < sm.start()):
+            # plain (non-stream) object
+            body = data[start:] if eo == -1 else data[start:eo]
+            objs[num] = _Obj(body, None)
+            if eo == -1:
+                return objs
+            pos = eo + len(b"endobj")
+            continue
+        head = data[start : sm.start()]
+        payload_at = sm.end()
+        payload: bytes | None = None
+        es_end = len(data)
+        lm = _LEN_DIRECT_RE.search(head)
+        if lm is not None:
+            cand_end = payload_at + int(lm.group(1))
+            tm = re.match(
+                rb"(?:\r?\n)?endstream", data[cand_end : cand_end + 11]
+            )
+            if tm is not None:
+                payload = data[payload_at:cand_end]
+                es_end = cand_end + tm.end()
+        if payload is None:  # /Length absent, indirect, or inconsistent
+            em = _STREAM_END_RE.search(data, payload_at)
+            if em is None:
+                payload = data[payload_at:]
+            else:
+                payload = data[payload_at : em.start()]
+                es_end = em.end()
+        objs[num] = _Obj(head, payload)
+        eo = data.find(b"endobj", es_end)
+        if eo == -1:
+            return objs
+        pos = eo + len(b"endobj")
+
+
+def _stream_of(obj: _Obj | None) -> bytes | None:
+    if obj is None or obj.stream is None:
         return None
-    raw = m.group(1)
-    head = obj[: m.start()]  # the stream dict, not the payload
-    fm = re.search(rb"/Filter\s*(\[[^\]]*\]|/[^\s/<>\[\]()]*)", head)
+    raw = obj.stream
+    fm = re.search(rb"/Filter\s*(\[[^\]]*\]|/[^\s/<>\[\]()]*)", obj.body)
     if fm is None:
         return raw
     filt = re.sub(rb"[\[\]\s]", b"", fm.group(1))
@@ -162,7 +226,7 @@ def _stream_of(obj: bytes) -> bytes | None:
     )
 
 
-def _page_order(data: bytes, objs: dict[int, bytes]) -> list[int]:
+def _page_order(data: bytes, objs: dict[int, _Obj]) -> list[int]:
     """Page object numbers in reading order via the /Root -> /Pages ->
     /Kids tree; falls back to object-number order of /Type /Page
     objects if the tree cannot be walked."""
@@ -171,7 +235,7 @@ def _page_order(data: bytes, objs: dict[int, bytes]) -> list[int]:
     def walk(num: int, depth: int = 0) -> None:
         if depth > 64 or num not in objs:
             return
-        body = objs[num]
+        body = objs[num].body
         if re.search(rb"/Type\s*/Page\b(?!s)", body):
             pages.append(num)
             return
@@ -182,13 +246,15 @@ def _page_order(data: bytes, objs: dict[int, bytes]) -> list[int]:
 
     root = re.search(rb"/Root\s+(\d+)\s+\d+\s+R", data)
     if root and int(root.group(1)) in objs:
-        cat = re.search(rb"/Pages\s+(\d+)\s+\d+\s+R", objs[int(root.group(1))])
+        cat = re.search(
+            rb"/Pages\s+(\d+)\s+\d+\s+R", objs[int(root.group(1))].body
+        )
         if cat:
             walk(int(cat.group(1)))
     if not pages:
         pages = sorted(
-            n for n, b in objs.items()
-            if re.search(rb"/Type\s*/Page\b(?!s)", b)
+            n for n, o in objs.items()
+            if re.search(rb"/Type\s*/Page\b(?!s)", o.body)
         )
     return pages
 
@@ -277,9 +343,27 @@ def extract_pdf_text(data: bytes) -> list[str]:
         if re.search(rb"/Encrypt\b", tm.group(1)):
             raise ValueError("encrypted PDF: decryption unsupported")
     objs = _objects(data)
+    # PDF 1.5+ cross-reference / object streams: page objects live
+    # INSIDE compressed /ObjStm payloads and the trailer dict inside a
+    # /XRef stream, so the flat object scan would silently return
+    # n_pages=0 (and miss /Encrypt).  Refuse loudly instead — same
+    # principle as the unsupported-filter and encryption paths.  The
+    # /Type check runs on parsed object HEADS, not the whole file, so
+    # page text that merely mentions these names cannot false-positive.
+    if b"trailer" not in data:
+        raise ValueError(
+            "PDF 1.5+ cross-reference stream (no trailer keyword):"
+            " compressed xref unsupported"
+        )
+    for o in objs.values():
+        if re.search(rb"/Type\s*/(?:XRef|ObjStm)\b", o.body):
+            raise ValueError(
+                "PDF 1.5+ object/xref streams (/ObjStm, /XRef):"
+                " compressed object storage unsupported"
+            )
     out: list[str] = []
     for pnum in _page_order(data, objs):
-        body = objs[pnum]
+        body = objs[pnum].body
         content = b""
         cm = re.search(rb"/Contents\s+(\d+)\s+\d+\s+R", body)
         refs = [int(cm.group(1))] if cm else []
@@ -288,7 +372,7 @@ def extract_pdf_text(data: bytes) -> list[str]:
             if cm:
                 refs = [int(m.group(1)) for m in _REF_RE.finditer(cm.group(1))]
         for r in refs:
-            s = _stream_of(objs.get(r, b""))
+            s = _stream_of(objs.get(r))
             if s:
                 content += s + b"\n"
         out.append(_content_text(content))

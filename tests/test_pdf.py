@@ -3,6 +3,7 @@ deterministic in-repo PDF writer — uncompressed and FlateDecode,
 escapes, octal, hex strings, TJ kerning arrays, multi-page tree order,
 and per-row error isolation through the Spark stage."""
 
+import re
 import zlib
 
 import pytest
@@ -229,3 +230,59 @@ def test_roundtrip_property():
         ]
 
     run()
+
+
+def test_payload_containing_endstream_bytes():
+    """A Flate payload that happens to CONTAIN the byte sequence
+    'endstream' (or 'endobj') must parse via the dict's /Length slice,
+    not truncate at the first marker (ADVICE finding).  Content is
+    chosen so its zlib stream embeds both markers literally."""
+    content = (
+        b"BT /F1 12 Tf 72 720 Td (endstream endobj inline) Tj ET"
+        b"\n% endstream endobj padding to defeat marker scans\n"
+    )
+    comp = zlib.compress(content, 0)  # stored blocks: markers verbatim
+    assert b"endstream" in comp and b"endobj" in comp
+    body = make_pdf([["x"]], compress=True)
+    start = body.index(b"stream\n") + 7
+    end = body.index(b"\nendstream")
+    old_len = f"/Length {end - start}".encode()
+    assert old_len in body
+    patched = body.replace(body[start:end], comp, 1).replace(
+        old_len, f"/Length {len(comp)}".encode(), 1
+    )
+    assert extract_pdf_text(patched) == ["endstream endobj inline"]
+
+
+def test_indirect_length_falls_back_to_marker_scan():
+    """'/Length N 0 R' (indirect) cannot be sliced directly — the
+    scanner must fall back to the endstream marker, not treat the
+    object NUMBER as a byte count."""
+    pdf = make_pdf(PAGES)
+    assert b"/Length " in pdf
+    patched = re.sub(rb"/Length \d+", b"/Length 99 0 R", pdf)
+    assert extract_pdf_text(patched) == ["\n".join(p) for p in PAGES]
+
+
+def test_xref_stream_and_objstm_refused():
+    """PDF 1.5+ compressed-xref files hide page objects inside /ObjStm
+    streams and the trailer inside an /XRef stream; the flat scanner
+    would silently return empty text, so both markers and the missing
+    'trailer' keyword must raise (ADVICE finding)."""
+    pdf = make_pdf(PAGES)
+    for marker in (b"/Type /XRef", b"/Type /ObjStm"):
+        bad = pdf.replace(b"/Type /Catalog", marker, 1)
+        with pytest.raises(ValueError, match="unsupported"):
+            extract_pdf_text(bad)
+    headless = pdf.replace(b"trailer", b"trailex")
+    with pytest.raises(ValueError, match="no trailer keyword"):
+        extract_pdf_text(headless)
+
+
+def test_xref_mention_in_page_text_still_extracts():
+    """/Type /XRef inside a literal STRING is page text, not a file
+    structure marker — the refusal checks object heads only."""
+    out = extract_pdf_text(
+        _patch_content(b"BT (about /Type /XRef and /Type /ObjStm) Tj ET")
+    )
+    assert out == ["about /Type /XRef and /Type /ObjStm"]
