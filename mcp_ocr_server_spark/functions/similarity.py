@@ -196,10 +196,24 @@ def kmeans_codebook(
       - assignment  = argmax of cosine ROUNDED to 6 dp, ties to the
         smaller centroid id (cosine is scale-invariant in the
         centroid, so means need no normalization);
-      - update      = per-dimension sum/count ROUNDED to 9 dp (sum
-        order differs across engines AND across Spark runs — rounding
-        is what pins the fixpoint);
+      - update      = per-dimension mean over INTEGER-scaled values:
+        each component is rounded to an int64 at 1e-9 resolution
+        (round(x * 1e9)) BEFORE summing, so the sum is exact and
+        order-independent — float-sum order differs across engines and
+        across Spark partial-aggregation runs, and 9 dp rounding of a
+        float sum does NOT fix a value that lands on a rounding
+        boundary (review finding); integer sums do.  The mean is then
+        int_sum / n / 1e9 rounded to 9 dp;
       - empty cluster keeps its previous centroid.
+
+    Residual (acknowledged, probabilistic but RUN-STABLE): the 6 dp
+    cosine rounding and the 9 dp mean rounding are applied to values
+    that are bit-identical across runs within one engine, but computed
+    by different float expression orders in Spark vs DuckDB; a value
+    landing exactly on a rounding boundary could still differ CROSS-
+    ENGINE.  That is measure-zero per value and, unlike the float-sum
+    issue, cannot accumulate: the inputs to each rounding are now
+    deterministic.
 
     Per iteration: one broadcast cross-join + one groupBy(argmax, the
     vector rides inside the max-struct as payload — no join back to
@@ -247,18 +261,28 @@ def kmeans_codebook(
                 .agg(F.max("cand").alias("m"))
                 .select((-F.col("m.nc")).alias("cid"), F.col("m.sv").alias("sv"))
             )
+            # int64 sums at 1e-9 resolution: exact and order-
+            # independent, so the fixpoint cannot drift with partition
+            # count (overflow headroom: |v| <= ~1e3 -> 9e18/1e12 ~ 9e6
+            # rows per cluster per PARTIAL sum is the worst case only
+            # for unnormalized vectors; unit vectors allow ~9e9 rows)
             stats = (
                 best.groupBy("cid")
                 .agg(
                     F.count(F.lit(1)).alias("n"),
-                    *[F.sum(F.col("sv")[i]).alias(f"s{i}") for i in range(dim)],
+                    *[
+                        F.sum(
+                            F.round(F.col("sv")[i] * 1e9).cast("long")
+                        ).alias(f"s{i}")
+                        for i in range(dim)
+                    ],
                 )
                 .collect()
             )
             nxt = list(cents)  # empty clusters carry over
             for r in stats:
                 nxt[r["cid"]] = [
-                    round(r[f"s{i}"] / r["n"], 9) for i in range(dim)
+                    round(r[f"s{i}"] / r["n"] / 1e9, 9) for i in range(dim)
                 ]
             cents = nxt
     finally:

@@ -181,16 +181,32 @@ def sessionize_stream(
 ):
     """Streaming sessionization: built-in `session_window` (gap-based,
     merging) with a watermark — the streaming twin of
-    queries.q_event_sessions (same 30-min inactivity gap).  A session
-    closes once the watermark passes its end + gap; its state is then
-    evicted, so state stays bounded at unbounded input.  Output mode
-    must be `append`: a session row is only final after closing."""
+    queries.q_event_sessions (same 30-min inactivity gap, same
+    session_start per (user, session)).  A session closes once the
+    watermark passes its end + gap; its state is then evicted, so
+    state stays bounded at unbounded input.  Output mode must be
+    `append`: a session row is only final after closing.
+
+    Two documented semantic deltas vs the batch twin (review finding):
+      - `session_end` here is session_window's window end = last event
+        + gap, NOT max(ts) like q_event_sessions' session_end; join
+        the twins on (user_id, session_start) and compare n_events, or
+        subtract the gap to recover last-event time.
+      - `ts` is read as timestamp_ntz to MATCH the batch corpus's
+        parquet type exactly.  Spark's watermark/session_window REQUIRE
+        an LTZ event-time column, so the plan casts ntz -> ltz for the
+        stateful op and the window bounds back to ntz on output; both
+        casts preserve wall-clock time under the session timezone,
+        which session.py pins to UTC.  The UTC dependency is thereby
+        an explicit pair of casts in the plan, not an accident of the
+        reader defaulting to LTZ."""
     events = (
         spark.readStream.schema(
-            "event_id long, ts timestamp, user_id long, event_type string,"
-            " value double, props string"
+            "event_id long, ts timestamp_ntz, user_id long,"
+            " event_type string, value double, props string"
         )
         .parquet(events_dir)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
     )
     agg = (
         events.withWatermark("ts", watermark)
@@ -198,8 +214,8 @@ def sessionize_stream(
         .agg(F.count(F.lit(1)).alias("n_events"))
         .select(
             "user_id",
-            F.col("w.start").alias("session_start"),
-            F.col("w.end").alias("session_end"),
+            F.col("w.start").cast("timestamp_ntz").alias("session_start"),
+            F.col("w.end").cast("timestamp_ntz").alias("session_end"),
             "n_events",
         )
     )
