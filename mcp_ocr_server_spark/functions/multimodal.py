@@ -133,29 +133,36 @@ def _decode_video_frames(data: bytes, every_n: int) -> list[tuple[int, bytes]]:
     raise NotImplementedError("real video decode requires PyAV/ffmpeg")
 
 
+def image_feature_row(ref: str, data: bytes) -> dict:
+    """One image's feature row — shared verbatim by the Spark UDF and
+    the golden-fixture generator, so the oracle runs the SAME code."""
+    from ..config import DEFAULT_CONFIG
+    from ..imaging.analyzer import analyze
+    from ..imaging.png import decode_png
+
+    row = dict(media_ref=ref, width=None, height=None,
+               sharpness=None, contrast=None, brightness=None,
+               error=None)
+    try:
+        img = decode_png(bytes(data))
+        row["height"], row["width"] = img.shape[:2]
+        q = analyze(img, DEFAULT_CONFIG.preprocessing)
+        row.update(sharpness=q.sharpness, contrast=q.contrast,
+                   brightness=q.brightness)
+    except Exception as exc:
+        row["error"] = str(exc)
+    return row
+
+
 def image_features(media: DataFrame) -> DataFrame:
     """REAL path: decode + analyzer metrics per image, Arrow-batched."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from ..config import DEFAULT_CONFIG
-        from ..imaging.analyzer import analyze
-        from ..imaging.png import decode_png
-
         for pdf in batches:
-            rows = []
-            for ref, data in zip(pdf["media_ref"], pdf["bytes"]):
-                row = dict(media_ref=ref, width=None, height=None,
-                           sharpness=None, contrast=None, brightness=None,
-                           error=None)
-                try:
-                    img = decode_png(bytes(data))
-                    row["height"], row["width"] = img.shape[:2]
-                    q = analyze(img, DEFAULT_CONFIG.preprocessing)
-                    row.update(sharpness=q.sharpness, contrast=q.contrast,
-                               brightness=q.brightness)
-                except Exception as exc:
-                    row["error"] = str(exc)
-                rows.append(row)
+            rows = [
+                image_feature_row(ref, bytes(data))
+                for ref, data in zip(pdf["media_ref"], pdf["bytes"])
+            ]
             yield pd.DataFrame(rows, columns=[
                 "media_ref", "width", "height", "sharpness", "contrast",
                 "brightness", "error"])
@@ -165,30 +172,38 @@ def image_features(media: DataFrame) -> DataFrame:
     )
 
 
+def audio_feature_row(ref: str, data: bytes,
+                      sample_rate: int = 16_000) -> dict:
+    """One clip's energy row — shared verbatim by the Spark UDF and
+    the golden-fixture generator."""
+    row = dict(media_ref=ref, n_samples=None, rms=None,
+               peak=None, error=None)
+    try:
+        pcm = _decode_audio(bytes(data), sample_rate)
+        row["n_samples"] = int(pcm.size)
+        if pcm.size:
+            row["rms"] = float(np.sqrt(np.mean(pcm**2)))
+            row["peak"] = float(np.abs(pcm).max())
+        else:
+            # legal zero-frame container: an empty clip, not a decode
+            # error
+            row["rms"] = 0.0
+            row["peak"] = 0.0
+    except Exception as exc:
+        row["error"] = str(exc)
+    return row
+
+
 def audio_features(media: DataFrame, sample_rate: int = 16_000) -> DataFrame:
     """Per-clip energy summary; WAV decodes for real, compressed
     formats via the documented stub seam."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = []
-            for ref, data in zip(pdf["media_ref"], pdf["bytes"]):
-                row = dict(media_ref=ref, n_samples=None, rms=None,
-                           peak=None, error=None)
-                try:
-                    pcm = _decode_audio(bytes(data), sample_rate)
-                    row["n_samples"] = int(pcm.size)
-                    if pcm.size:
-                        row["rms"] = float(np.sqrt(np.mean(pcm**2)))
-                        row["peak"] = float(np.abs(pcm).max())
-                    else:
-                        # legal zero-frame container: an empty clip,
-                        # not a decode error
-                        row["rms"] = 0.0
-                        row["peak"] = 0.0
-                except Exception as exc:
-                    row["error"] = str(exc)
-                rows.append(row)
+            rows = [
+                audio_feature_row(ref, bytes(data), sample_rate)
+                for ref, data in zip(pdf["media_ref"], pdf["bytes"])
+            ]
             yield pd.DataFrame(rows, columns=[
                 "media_ref", "n_samples", "rms", "peak", "error"])
 

@@ -379,6 +379,19 @@ def extract_pdf_text(data: bytes) -> list[str]:
     return out
 
 
+def pdf_text_row(ref: str, data: bytes) -> dict:
+    """One document's extraction row — shared verbatim by the Spark
+    UDF and the golden-fixture generator."""
+    row = dict(media_ref=ref, n_pages=None, text=None, error=None)
+    try:
+        pages = extract_pdf_text(bytes(data))
+        row["n_pages"] = len(pages)
+        row["text"] = "\f".join(pages)
+    except Exception as exc:
+        row["error"] = str(exc)
+    return row
+
+
 def pdf_text(media: DataFrame) -> DataFrame:
     """mapInPandas stage: (media_ref, bytes) -> per-doc extracted text
     (pages joined by form-feed), REAL decode path — errors isolate per
@@ -386,16 +399,10 @@ def pdf_text(media: DataFrame) -> DataFrame:
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = []
-            for ref, data in zip(pdf["media_ref"], pdf["bytes"]):
-                row = dict(media_ref=ref, n_pages=None, text=None, error=None)
-                try:
-                    pages = extract_pdf_text(bytes(data))
-                    row["n_pages"] = len(pages)
-                    row["text"] = "\f".join(pages)
-                except Exception as exc:
-                    row["error"] = str(exc)
-                rows.append(row)
+            rows = [
+                pdf_text_row(ref, bytes(data))
+                for ref, data in zip(pdf["media_ref"], pdf["bytes"])
+            ]
             yield pd.DataFrame(
                 rows, columns=["media_ref", "n_pages", "text", "error"]
             )

@@ -71,7 +71,7 @@ class CorpusConfig:
 
 
 # streams for Philox keys — one namespace per generator family
-_S_DOC, _S_MEDIA, _S_TEXT = 1, 2, 3
+_S_DOC, _S_MEDIA, _S_TEXT, _S_AUDIO, _S_PDF = 1, 2, 3, 4, 5
 
 _DEGRADATIONS = (
     "clean", "clean", "clean",        # weight 3
@@ -411,4 +411,194 @@ def expected_df(spark, cfg: CorpusConfig, job: JobConfig = DEFAULT_CONFIG):
     n_parts = max(4, min(256, cfg.n_docs // 64 or 4))
     return spark.range(0, cfg.n_docs, numPartitions=n_parts).mapInPandas(
         gen, schema=EXPECTED_SCHEMA
+    )
+
+
+# ---------------------------------------------------------------------------
+# audio corpus (for functions/multimodal.audio_features) — every clip a
+# pure function of (seed, j), same counter-based-stream design as media
+
+AUDIO_MEDIA_SCHEMA = "media_ref string, bytes binary, kind string"
+
+N_AUDIO_CLIPS = 48  # fixed: goldens for this corpus are committed
+
+
+def audio_ref(j: int) -> str:
+    return f"clip-{j:06d}"
+
+
+def _wav_bytes(pcm16: np.ndarray, rate: int, n_channels: int = 1) -> bytes:
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(n_channels)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(pcm16.astype("<i2").tobytes())
+    return buf.getvalue()
+
+
+def audio_item(cfg: CorpusConfig, j: int) -> tuple[str, bytes, str]:
+    """(media_ref, bytes, kind).  Kind classes exercise every branch of
+    the audio-features row contract:
+
+      wav            — real 16-bit PCM decode (mono or stereo)
+      wav_empty      — legal zero-frame container: rms = peak = 0.0
+      compressed     — non-RIFF magic => documented deterministic stub
+                       (no codec in container)
+      wav_truncated  — RIFF/WAVE magic but chopped chunks => error row
+    """
+    rng = _rng(cfg.seed, _S_AUDIO, j)
+    rate = 8000
+    n = 1600 + (j % 5) * 400
+    freq = 200.0 + (j % 20) * 37.0
+    amp = 0.15 + (j % 8) * 0.1
+    t = np.arange(n, dtype=np.float64) / rate
+    sig = amp * np.sin(2.0 * np.pi * freq * t)
+    sig += 0.01 * rng.standard_normal(n)
+    pcm = np.clip(np.round(sig * 32767.0), -32768, 32767).astype("<i2")
+    if j % 12 == 11:
+        data = _wav_bytes(pcm, rate)[:40]  # magic intact, chunks chopped
+        return audio_ref(j), data, "wav_truncated"
+    if j % 9 == 7:
+        return audio_ref(j), _wav_bytes(pcm[:0], rate), "wav_empty"
+    if j % 10 == 9:
+        fake = b"OggS" + rng.integers(0, 256, 512).astype(np.uint8).tobytes()
+        return audio_ref(j), fake, "compressed"
+    if j % 4 == 2:  # stereo: decode must average channels to mono
+        stereo = np.empty(2 * n, dtype="<i2")
+        stereo[0::2] = pcm
+        stereo[1::2] = (pcm.astype(np.int32) // 2).astype("<i2")
+        return audio_ref(j), _wav_bytes(stereo, rate, n_channels=2), "wav"
+    return audio_ref(j), _wav_bytes(pcm, rate), "wav"
+
+
+def audio_df(spark, cfg: CorpusConfig, n: int = N_AUDIO_CLIPS):
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [audio_item(cfg, int(j)) for j in pdf["id"]]
+            yield pd.DataFrame(rows, columns=["media_ref", "bytes", "kind"])
+
+    return spark.range(0, n, numPartitions=4).mapInPandas(
+        gen, schema=AUDIO_MEDIA_SCHEMA
+    )
+
+
+# ---------------------------------------------------------------------------
+# PDF corpus (for functions/pdf.pdf_text) — a deterministic minimal
+# writer (classic xref, FlateDecode or stored) + per-class degradations
+
+PDF_MEDIA_SCHEMA = "media_ref string, bytes binary, kind string"
+
+N_PDF_DOCS = 36  # fixed: goldens for this corpus are committed
+
+
+def pdf_ref(j: int) -> str:
+    return f"pdf-{j:06d}"
+
+
+def _pdf_escape(s: str) -> bytes:
+    return (
+        s.replace("\\", "\\\\").replace("(", "\\(").replace(")", "\\)")
+    ).encode("latin-1")
+
+
+def make_pdf_bytes(pages: list[list[str]], compress: bool = False) -> bytes:
+    """Minimal structurally-correct PDF writer: catalog -> page tree ->
+    one content stream per page (one Tj per line), valid xref +
+    trailer, direct /Length on every stream.  Deterministic."""
+    import zlib
+
+    objs: list[bytes] = []  # object number = index + 1
+    page_nums = [4 + 2 * i for i in range(len(pages))]
+    kids = " ".join(f"{n} 0 R" for n in page_nums).encode()
+    objs.append(b"<< /Type /Catalog /Pages 2 0 R >>")
+    objs.append(
+        b"<< /Type /Pages /Kids [" + kids + b"] /Count "
+        + str(len(pages)).encode() + b" >>"
+    )
+    objs.append(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+    for i, lines in enumerate(pages):
+        cnum = page_nums[i] + 1
+        objs.append(
+            b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            b"/Resources << /Font << /F1 3 0 R >> >> /Contents "
+            + str(cnum).encode() + b" 0 R >>"
+        )
+        parts = [b"BT /F1 12 Tf 72 720 Td"]
+        for k, line in enumerate(lines):
+            if k:
+                parts.append(b"0 -14 Td")
+            parts.append(b"(" + _pdf_escape(line) + b") Tj")
+        parts.append(b"ET")
+        content = b" ".join(parts)
+        if compress:
+            payload = zlib.compress(content)
+            head = b"<< /Length " + str(len(payload)).encode() + \
+                b" /Filter /FlateDecode >>"
+        else:
+            payload = content
+            head = b"<< /Length " + str(len(payload)).encode() + b" >>"
+        objs.append(head + b"\nstream\n" + payload + b"\nendstream")
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = []
+    for i, body in enumerate(objs):
+        offsets.append(len(out))
+        out += f"{i + 1} 0 obj\n".encode() + body + b"\nendobj\n"
+    xref_at = len(out)
+    out += f"xref\n0 {len(objs) + 1}\n".encode()
+    out += b"0000000000 65535 f \n"
+    for off in offsets:
+        out += f"{off:010d} 00000 n \n".encode()
+    out += (
+        b"trailer\n<< /Size " + str(len(objs) + 1).encode()
+        + b" /Root 1 0 R >>\nstartxref\n" + str(xref_at).encode()
+        + b"\n%%EOF\n"
+    )
+    return bytes(out)
+
+
+def pdf_item(cfg: CorpusConfig, j: int) -> tuple[str, bytes, str]:
+    """(media_ref, bytes, kind).  Kind classes cover the extractor's
+    whole row contract: ok (stored + Flate), garbage (not a PDF),
+    encrypted, and lzw (unsupported filter) — the last three are
+    error-row classes."""
+    rng = _rng(cfg.seed, _S_PDF, j)
+    n_pages = 1 + j % 3
+    pages = [
+        [
+            _words(rng, _PROSE_WORDS, int(rng.integers(3, 9)))
+            for _ in range(int(rng.integers(1, 5)))
+        ]
+        for _ in range(n_pages)
+    ]
+    compress = j % 2 == 0
+    data = make_pdf_bytes(pages, compress)
+    if j % 13 == 12:
+        return pdf_ref(j), b"\x00plain bytes, not a pdf\xff" * 4, "garbage"
+    if j % 11 == 10:
+        return (
+            pdf_ref(j),
+            data.replace(b"/Root 1 0 R", b"/Root 1 0 R /Encrypt 9 0 R"),
+            "encrypted",
+        )
+    if j % 7 == 6 and compress:
+        return (
+            pdf_ref(j),
+            data.replace(b"/Filter /FlateDecode", b"/Filter /LZWDecode"),
+            "lzw",
+        )
+    return pdf_ref(j), data, "ok"
+
+
+def pdf_df(spark, cfg: CorpusConfig, n: int = N_PDF_DOCS):
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [pdf_item(cfg, int(j)) for j in pdf["id"]]
+            yield pd.DataFrame(rows, columns=["media_ref", "bytes", "kind"])
+
+    return spark.range(0, n, numPartitions=4).mapInPandas(
+        gen, schema=PDF_MEDIA_SCHEMA
     )

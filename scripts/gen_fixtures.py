@@ -89,6 +89,60 @@ def gen_layout_meta() -> pd.DataFrame:
     return df
 
 
+def gen_image_features() -> pd.DataFrame:
+    """Golden for the multimodal image-features stage: SAME row code
+    the Spark UDF runs (multimodal.image_feature_row)."""
+    from mcp_ocr_server_spark.functions.multimodal import image_feature_row
+
+    rows = []
+    for j in range(FLAGSHIP_CORPUS.media_universe):
+        if not S.media_exists(FLAGSHIP_CORPUS, j):
+            continue
+        ref, png, _deg, _ = S.media_item(FLAGSHIP_CORPUS, j)
+        rows.append(image_feature_row(ref, png))
+    df = pd.DataFrame(rows)
+    for c in ("width", "height"):
+        df[c] = df[c].astype("Int64")
+    return df
+
+
+def gen_audio_meta() -> pd.DataFrame:
+    """Golden for the audio-features stage over the deterministic WAV
+    corpus (multimodal.audio_feature_row — shared with the UDF)."""
+    from mcp_ocr_server_spark.functions.multimodal import audio_feature_row
+
+    rows = []
+    for j in range(S.N_AUDIO_CLIPS):
+        ref, data, kind = S.audio_item(FLAGSHIP_CORPUS, j)
+        row = audio_feature_row(ref, data)
+        row["kind"] = kind
+        rows.append(row)
+    df = pd.DataFrame(
+        rows, columns=["media_ref", "n_samples", "rms", "peak", "error",
+                       "kind"]
+    )
+    df["n_samples"] = df["n_samples"].astype("Int64")
+    return df
+
+
+def gen_pdf_meta() -> pd.DataFrame:
+    """Golden for the born-digital PDF text path over the deterministic
+    PDF corpus (pdf.pdf_text_row — shared with the UDF)."""
+    from mcp_ocr_server_spark.functions.pdf import pdf_text_row
+
+    rows = []
+    for j in range(S.N_PDF_DOCS):
+        ref, data, kind = S.pdf_item(FLAGSHIP_CORPUS, j)
+        row = pdf_text_row(ref, data)
+        row["kind"] = kind
+        rows.append(row)
+    df = pd.DataFrame(
+        rows, columns=["media_ref", "n_pages", "text", "error", "kind"]
+    )
+    df["n_pages"] = df["n_pages"].astype("Int64")
+    return df
+
+
 def gen_b64_media() -> pd.DataFrame:
     """S2 base64-ingestion golden: (media_ref, data_b64, corrupted)."""
     rows = []
@@ -110,9 +164,23 @@ def main() -> None:
     layout.to_parquet(os.path.join(FIXTURES_DIR, "layout_meta.parquet"), index=False)
     b64 = gen_b64_media()
     b64.to_parquet(os.path.join(FIXTURES_DIR, "b64_media.parquet"), index=False)
+    imgf = gen_image_features()
+    imgf.to_parquet(
+        os.path.join(FIXTURES_DIR, "image_features.parquet"), index=False
+    )
+    audio = gen_audio_meta()
+    audio.to_parquet(os.path.join(FIXTURES_DIR, "audio_meta.parquet"), index=False)
+    pdfm = gen_pdf_meta()
+    pdfm.to_parquet(os.path.join(FIXTURES_DIR, "pdf_meta.parquet"), index=False)
     print(f"expected_spans: {len(spans)} rows; media_meta: {len(meta)} rows;"
           f" layout_meta: {len(layout)} rows; b64_media: {len(b64)} rows"
           f" ({int(b64.corrupted.sum())} corrupted)")
+    print(f"image_features: {len(imgf)} rows"
+          f" ({int(imgf.error.notna().sum())} errors);"
+          f" audio_meta: {len(audio)} rows"
+          f" ({int(audio.error.notna().sum())} errors);"
+          f" pdf_meta: {len(pdfm)} rows"
+          f" ({int(pdfm.error.notna().sum())} errors)")
     print("error codes:", spans.error_code.value_counts(dropna=True).to_dict())
     print("degradations:", meta.degradation.value_counts().to_dict())
 
