@@ -119,10 +119,39 @@ def main() -> None:
         timings[name] = round(time.monotonic() - t0, 3)
         n_rows[name] = n
 
+    def run_warm(name, fn):
+        """Timed WITHOUT clearing caches first — for steady-state cost
+        of a query whose one-off setup was just timed separately."""
+        if selected is not None and name not in selected:
+            return
+        t0 = time.monotonic()
+        n = fn()
+        timings[name] = round(time.monotonic() - t0, 3)
+        n_rows[name] = n
+
     run("extract_e2e", bench_extract)
     for name in analytics:
         qfn, _ = Q.QUERIES[name]
-        run(name, lambda qfn=qfn: qfn(spark, sf_dir).count())
+        if name == "ann_ivf":
+            # VERDICT r3 #3: training is a train-once-broadcast job
+            # (offline at cluster scale) — time it as its own line and
+            # report ann_ivf as steady-state query cost over the
+            # already-trained quantizer.  Selecting ann_ivf implies the
+            # split: the quantizer must be trained (timed as
+            # ann_ivf_train) before the steady-state query runs.
+            if (
+                selected is None
+                or name in selected
+                or "ann_ivf_train" in selected
+            ):
+                Q.clear_caches(spark)
+                t0 = time.monotonic()
+                n_cent = len(Q.ann_ivf_train(spark, sf_dir))
+                timings["ann_ivf_train"] = round(time.monotonic() - t0, 3)
+                n_rows["ann_ivf_train"] = n_cent
+            run_warm(name, lambda qfn=qfn: qfn(spark, sf_dir).count())
+        else:
+            run(name, lambda qfn=qfn: qfn(spark, sf_dir).count())
 
     total = round(sum(timings.values()), 3)
     out = {
