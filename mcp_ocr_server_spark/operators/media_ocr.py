@@ -157,3 +157,36 @@ def make_ocr_map(cfg: JobConfig):
             )
 
     return ocr_map
+
+
+# One row per detected word box (K11, tesseract.go:206-278 — the
+# reference's latent details API surfaced as a value-checked query).
+WORD_BOX_SCHEMA = (
+    "media_ref string, word_idx int, x int, y int, width int, height int,"
+    " text string, confidence double"
+)
+
+
+def word_box_rows(ref: str, png: bytes, cfg: JobConfig) -> list[dict]:
+    """Word boxes for one image — shared VERBATIM by the Spark stage
+    (queries.q_media_words) and the golden-fixture generator, so the
+    oracle runs the same code.  Mirrors the pipeline's guards: images
+    past the size guard yield no word rows (the OCR stage would never
+    decode them), and preprocess failure falls back to the original
+    image (F5) before detection."""
+    from ..ocr.engine import get_engine
+
+    if len(png) > cfg.ocr.max_image_size:
+        return []
+    img = decode_png(bytes(png))
+    try:
+        processed, _q, _steps = preprocess(img, cfg.preprocessing)
+    except Exception:
+        processed = img  # fail-soft, handler.go:271-275
+    _res, boxes = get_engine(cfg.ocr).recognize_with_details(processed)
+    return [
+        dict(media_ref=ref, word_idx=i, x=b.x, y=b.y, width=b.width,
+             height=b.height, text=b.text,
+             confidence=round(b.confidence, 6))
+        for i, b in enumerate(boxes)
+    ]

@@ -143,6 +143,26 @@ def gen_pdf_meta() -> pd.DataFrame:
     return df
 
 
+def gen_word_boxes() -> pd.DataFrame:
+    """Golden for the K11 word-box query: SAME row code the Spark
+    stage runs (media_ocr.word_box_rows) over the flagship media."""
+    from mcp_ocr_server_spark.operators.media_ocr import word_box_rows
+
+    rows: list[dict] = []
+    for j in range(FLAGSHIP_CORPUS.media_universe):
+        if not S.media_exists(FLAGSHIP_CORPUS, j):
+            continue
+        ref, png, _deg, _ = S.media_item(FLAGSHIP_CORPUS, j)
+        rows.extend(word_box_rows(ref, png, FIXTURE_JOB))
+    df = pd.DataFrame(
+        rows, columns=["media_ref", "word_idx", "x", "y", "width",
+                       "height", "text", "confidence"]
+    )
+    for c in ("word_idx", "x", "y", "width", "height"):
+        df[c] = df[c].astype("int64")
+    return df
+
+
 def gen_b64_media() -> pd.DataFrame:
     """S2 base64-ingestion golden: (media_ref, data_b64, corrupted)."""
     rows = []
@@ -172,9 +192,15 @@ def main() -> None:
     audio.to_parquet(os.path.join(FIXTURES_DIR, "audio_meta.parquet"), index=False)
     pdfm = gen_pdf_meta()
     pdfm.to_parquet(os.path.join(FIXTURES_DIR, "pdf_meta.parquet"), index=False)
+    words = gen_word_boxes()
+    words.to_parquet(
+        os.path.join(FIXTURES_DIR, "word_boxes.parquet"), index=False
+    )
     print(f"expected_spans: {len(spans)} rows; media_meta: {len(meta)} rows;"
           f" layout_meta: {len(layout)} rows; b64_media: {len(b64)} rows"
           f" ({int(b64.corrupted.sum())} corrupted)")
+    print(f"word_boxes: {len(words)} rows over"
+          f" {words.media_ref.nunique()} media")
     print(f"image_features: {len(imgf)} rows"
           f" ({int(imgf.error.notna().sum())} errors);"
           f" audio_meta: {len(audio)} rows"

@@ -123,3 +123,57 @@ def test_reassemble_orders_by_offset(spark):
     orders = [s["order"] for s in row.extracted]
     assert orders == sorted(orders)
     assert orders[0] == 0
+
+
+def test_extraction_invariants_hold_at_second_corpus_size(spark):
+    """Size-dependent regression guard (VERDICT r3 #6): every oracle
+    pins the 120-doc flagship corpus, so run extraction at 500 docs
+    and machine-check the structural invariants a fixed golden cannot:
+
+      - span-count identity: one output row per input span, none
+        dropped or duplicated by the route/fan-out/reassembly;
+      - (doc_id, order) unique — ordered reassembly holds;
+      - memoization: ocr_results has at most one row per distinct
+        content hash among existing referenced media, and spans only
+        carry OCR text for media that exist.
+    """
+    cfg = S.CorpusConfig(n_docs=500)
+    docs = S.docs_df(spark, cfg)
+    media = S.media_df(spark, cfg)
+    res = extract(docs, media, FIXTURE_JOB)
+    spans = res.spans.persist()
+    try:
+        n_in = docs.select(F.explode("spans")).count()
+        n_out = spans.count()
+        assert n_out == n_in
+
+        dup = (
+            spans.groupBy("doc_id", "order")
+            .count()
+            .filter(F.col("count") > 1)
+            .count()
+        )
+        assert dup == 0
+
+        n_memo = res.ocr_results.count()
+        n_hashes = (
+            res.ocr_results.select("content_hash").distinct().count()
+        )
+        assert n_memo == n_hashes  # one computation per distinct bytes
+        # every distinct existing image's bytes is computed at most once:
+        # the memo row count is bounded by the distinct byte contents of
+        # the media universe (hot-pool dup refs share one hash)
+        n_distinct_bytes = (
+            media.select(F.sha2("bytes", 256)).distinct().count()
+        )
+        assert n_memo <= n_distinct_bytes
+
+        # error rows carry EMPTY text (reference semantics,
+        # handler.go:304-306): no OCR output ever leaks onto a span
+        # that errored
+        bad = spans.filter(
+            F.col("error_code").isNotNull() & (F.col("text") != "")
+        ).count()
+        assert bad == 0
+    finally:
+        spans.unpersist()
