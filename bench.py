@@ -86,10 +86,12 @@ def main() -> None:
 
     analytics = [
         "extract_base64", "extract_docs", "html_main_content",
+        "media_words", "media_image_features", "media_audio_features",
+        "pdf_text",
         "dedup_exact", "dedup_ngram_jaccard", "dedup_minhash",
         "dedup_simhash", "dedup_simhash_pairs", "dedup_lsh_buckets",
         "dedup_embedding",
-        "ann_topk", "ann_lsh", "ann_ivf",
+        "ann_topk", "ann_lsh", "ann_ivf", "ann_recall_eval",
         "lang_id", "lang_id_eval", "text_quality", "token_stats",
         "doc_fingerprint", "repetition_stats", "source_quota",
         "events_json",
