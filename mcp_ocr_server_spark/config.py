@@ -108,6 +108,13 @@ OCR_ENGINE_FAILED = "OCR_ENGINE_FAILED"
 TIMEOUT = "TIMEOUT"
 INTERNAL_ERROR = "INTERNAL_ERROR"
 
+# North-rule extension (no reference analogue — the reference has no
+# PDF path): a pdf-kind span whose bytes fail the born-digital parser
+# (functions/pdf.py raises: garbage, encrypted, unsupported filter,
+# 1.5+ xref streams).  Same row-isolation semantics as the eight
+# reference codes above.
+PDF_PARSE_FAILED = "PDF_PARSE_FAILED"
+
 ERROR_CODES = (
     INVALID_INPUT,
     FILE_NOT_FOUND,

@@ -392,6 +392,30 @@ def pdf_text_row(ref: str, data: bytes) -> dict:
     return row
 
 
+PDF_RESULT_SCHEMA = (
+    "content_hash string, text string, n_pages int, error string"
+)
+
+
+def pdf_parse_map(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas stage over DISTINCT work units (content_hash, bytes)
+    — the pipeline's pdf analogue of the OCR stage: one parse per
+    distinct byte content, results joined back to every referencing
+    span (C2's shape, minus durable memo — the parse is cheap enough
+    that recomputation beats carrying a second memo table)."""
+    for pdf in batches:
+        rows = []
+        for h, data in zip(pdf["content_hash"], pdf["bytes"]):
+            r = pdf_text_row(h, bytes(data))
+            rows.append(
+                dict(content_hash=h, text=r["text"],
+                     n_pages=r["n_pages"], error=r["error"])
+            )
+        yield pd.DataFrame(
+            rows, columns=["content_hash", "text", "n_pages", "error"]
+        )
+
+
 def pdf_text(media: DataFrame) -> DataFrame:
     """mapInPandas stage: (media_ref, bytes) -> per-doc extracted text
     (pages joined by form-feed), REAL decode path — errors isolate per

@@ -127,6 +127,7 @@ def extract(
     memo: DataFrame | None = None,
     total_media_bytes: int | None = None,
     media_hashed: DataFrame | None = None,
+    pdfs: DataFrame | None = None,
 ) -> ExtractResult:
     """Run the full extraction dataflow. Lazy — returns DataFrames.
 
@@ -138,11 +139,23 @@ def extract(
     inject a precomputed (ref, n_bytes, content_hash) projection — the
     checkpoint loop persists it ONCE per run instead of re-hashing the
     media corpus twice per bucket.
+
+    `pdfs` (media_ref, bytes) routes `kind == "pdf"` spans through the
+    born-digital PDF text extractor (functions/pdf.py) with the SAME
+    distributed shape as the image branch: hash in the scan projection
+    (bytes never join/shuffle with span rows), distinct-work dedup,
+    uniform repartition, parse once per distinct content, results
+    joined back to every referencing span.  Missing refs become
+    FILE_NOT_FOUND rows; parser refusals (garbage / encrypted /
+    unsupported filter / 1.5+ xref streams) become PDF_PARSE_FAILED
+    rows.  Without `pdfs`, pdf spans pass through the non-media
+    identity path (legacy corpora contain none).
     """
     spans = explode_spans(docs)
+    routed_kinds = ["image", "pdf"] if pdfs is not None else ["image"]
 
     # ---- non-media branch: identity for text, boilerplate-strip for html
-    non_media = spans.filter(F.col("kind") != "image").select(
+    non_media = spans.filter(~F.col("kind").isin(routed_kinds)).select(
         "doc_id", "order", "kind", "media_ref",
         F.when(F.col("kind") == "html", _extract_main_udf()(F.col("text")))
         .otherwise(F.col("text"))
@@ -241,8 +254,58 @@ def extract(
         )
     )
 
-    out = non_media.unionByName(media_out).select(*SPAN_COLS)
-    return ExtractResult(spans=out, ocr_results=ocr_results)
+    out = non_media.unionByName(media_out)
+    if pdfs is not None:
+        out = out.unionByName(_pdf_branch(spans, pdfs))
+    return ExtractResult(
+        spans=out.select(*SPAN_COLS), ocr_results=ocr_results
+    )
+
+
+def _pdf_branch(spans: DataFrame, pdfs: DataFrame) -> DataFrame:
+    """pdf-kind spans -> extracted-text span rows, image-branch shape:
+    the hash projection keeps bytes inside the pdf scan, distinct
+    hashes parse exactly once (hot refs and byte-dup refs collapse),
+    and only (hash, text) rows rejoin the span side."""
+    from ..config import PDF_PARSE_FAILED
+    from ..functions.pdf import PDF_RESULT_SCHEMA, pdf_parse_map
+    from ..operators.partitioning import repartition_media
+
+    pdf_hashed = pdfs.select(
+        "media_ref", F.sha2("bytes", 256).alias("content_hash")
+    )
+    pdf_spans = spans.filter(F.col("kind") == "pdf").join(
+        pdf_hashed, "media_ref", "left"
+    )
+    work = (
+        pdf_spans.filter(F.col("content_hash").isNotNull())
+        .groupBy("content_hash")
+        .agg(F.min("media_ref").alias("media_ref"))
+        .join(pdfs.select("media_ref", "bytes"), "media_ref")
+        .select("content_hash", "bytes")
+    )
+    work = repartition_media(work)
+    results = work.mapInPandas(pdf_parse_map, schema=PDF_RESULT_SCHEMA)
+    return (
+        pdf_spans.select("doc_id", "order", "kind", "media_ref", "content_hash")
+        .join(results, "content_hash", "left")
+        .select(
+            "doc_id", "order", "kind", "media_ref",
+            F.coalesce(F.col("text"), F.lit("")).alias("text"),
+            # born-digital: no OCR uncertainty — confidence 1.0 on
+            # success, null on any error row (mirrors the image branch)
+            F.when(
+                F.col("content_hash").isNotNull() & F.col("error").isNull(),
+                F.lit(1.0),
+            ).alias("confidence"),
+            _null("string").alias("language"),
+            F.when(F.col("content_hash").isNull(), F.lit(FILE_NOT_FOUND))
+            .when(F.col("error").isNotNull(), F.lit(PDF_PARSE_FAILED))
+            .alias("error_code"),
+            F.col("error").alias("error_msg"),
+            "content_hash",
+        )
+    )
 
 
 def reassemble_docs(spans: DataFrame) -> DataFrame:

@@ -64,6 +64,11 @@ class CorpusConfig:
     p_hot: float = 0.25
     heavy_frac: float = 0.10   # media-heavy doc fraction
     oversize_bytes: int = 96_000  # noise payload for 'oversize' images
+    # fraction of non-image span slots that become pdf-kind spans
+    # (0 = legacy corpora: the draw sequence is bit-identical to
+    # pre-pdf rounds, so flagship goldens never move)
+    p_pdf: float = 0.0
+    pdf_missing_slack: int = 4  # refs past the pdf table => FILE_NOT_FOUND
 
     @property
     def media_universe(self) -> int:
@@ -257,6 +262,16 @@ def doc_item(cfg: CorpusConfig, i: int) -> tuple[str, list[dict]]:
                 dict(kind="image", text="", media_ref=media_ref(j),
                      offset=offset, _j=j)
             )
+        elif cfg.p_pdf > 0 and rng.random() < cfg.p_pdf:
+            # short-circuit: with p_pdf == 0 this branch draws NOTHING,
+            # keeping legacy corpora's rng sequence bit-identical
+            pj = int(
+                rng.integers(0, N_PDF_DOCS + cfg.pdf_missing_slack)
+            )
+            spans.append(
+                dict(kind="pdf", text="", media_ref=pdf_ref(pj),
+                     offset=offset, _pj=pj)
+            )
         elif rng.random() < 0.27:
             html_doc, golden = make_html(rng)
             spans.append(
@@ -270,6 +285,21 @@ def doc_item(cfg: CorpusConfig, i: int) -> tuple[str, list[dict]]:
             len(spans[-1]["text"]) if spans[-1]["kind"] != "image" else 1
         )
     return f"doc-{i:010d}", spans
+
+
+@lru_cache(maxsize=4096)
+def golden_pdf(cfg: CorpusConfig, pj: int) -> tuple[str, str | None]:
+    """Fixture-build-time golden for pdf index pj: (text, error_code).
+    Runs the SAME parser the pipeline's pdf branch runs
+    (functions/pdf.pdf_text_row)."""
+    from ..config import PDF_PARSE_FAILED
+    from ..functions.pdf import pdf_text_row
+
+    ref, data, _kind = pdf_item(cfg, pj)
+    row = pdf_text_row(ref, data)
+    if row["error"] is not None:
+        return "", PDF_PARSE_FAILED
+    return row["text"], None
 
 
 def expected_rows(cfg: CorpusConfig, job: JobConfig, i: int) -> list[dict]:
@@ -286,6 +316,18 @@ def expected_rows(cfg: CorpusConfig, job: JobConfig, i: int) -> list[dict]:
             row["text"] = sp["text"]
         elif sp["kind"] == "html":
             row["text"] = sp["_golden"]
+        elif sp["kind"] == "pdf":
+            pj = sp["_pj"]
+            if pj >= N_PDF_DOCS:
+                row["text"] = ""
+                row["error_code"] = FILE_NOT_FOUND
+            else:
+                text, err = golden_pdf(cfg, pj)
+                row["text"] = text
+                if err is None:
+                    row["confidence"] = 1.0  # born-digital, no OCR
+                else:
+                    row["error_code"] = err
         else:
             j = sp["_j"]
             if not media_exists(cfg, j):

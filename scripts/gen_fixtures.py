@@ -143,6 +143,26 @@ def gen_pdf_meta() -> pd.DataFrame:
     return df
 
 
+INTERLEAVED_CORPUS = S.CorpusConfig(n_docs=60, p_pdf=0.35)
+
+
+def gen_interleaved_spans() -> pd.DataFrame:
+    """Golden for the four-kind interleaved corpus (text/html/image/pdf
+    in one document stream): SAME expected_rows path as the flagship
+    golden, now exercising the pdf branch (golden_pdf shares
+    pdf_text_row with the pipeline)."""
+    rows: list[dict] = []
+    for i in range(INTERLEAVED_CORPUS.n_docs):
+        rows.extend(S.expected_rows(INTERLEAVED_CORPUS, FIXTURE_JOB, i))
+    df = pd.DataFrame(
+        rows,
+        columns=["doc_id", "order", "kind", "media_ref", "text",
+                 "confidence", "language", "error_code"],
+    )
+    df["order"] = df["order"].astype("int32")
+    return df
+
+
 def gen_word_boxes() -> pd.DataFrame:
     """Golden for the K11 word-box query: SAME row code the Spark
     stage runs (media_ocr.word_box_rows) over the flagship media."""
@@ -196,6 +216,13 @@ def main() -> None:
     words.to_parquet(
         os.path.join(FIXTURES_DIR, "word_boxes.parquet"), index=False
     )
+    inter = gen_interleaved_spans()
+    inter.to_parquet(
+        os.path.join(FIXTURES_DIR, "interleaved_spans.parquet"), index=False
+    )
+    print(f"interleaved_spans: {len(inter)} rows,"
+          f" kinds {inter.kind.value_counts().to_dict()},"
+          f" errors {inter.error_code.value_counts(dropna=True).to_dict()}")
     print(f"expected_spans: {len(spans)} rows; media_meta: {len(meta)} rows;"
           f" layout_meta: {len(layout)} rows; b64_media: {len(b64)} rows"
           f" ({int(b64.corrupted.sum())} corrupted)")

@@ -206,3 +206,23 @@ def test_source_quota_plan_full_scan_feeds_only_sharded_window(spark):
     # the exact window's input must be the filtered remnant: in the
     # formatted plan the Filter on shard_rank appears below it
     assert re.search(r"shard_rank#\d+ <= 20", plan), plan
+
+
+def test_interleaved_plan_pdf_bytes_never_shuffle_keys(spark):
+    """The pdf branch obeys the same byte-movement contract as the
+    image branch: pdf bytes are never an Exchange/Sort key and never
+    sort-aggregated; no Window anywhere in the interleaved plan."""
+    c = S.CorpusConfig(n_docs=24, p_pdf=0.35)
+    res = extract(
+        S.docs_df(spark, c), S.media_df(spark, c), FIXTURE_JOB,
+        pdfs=S.pdf_df(spark, c),
+    )
+    plan = _plan(spark, res.spans, "simple")
+    for ln in plan.splitlines():
+        s = ln.strip()
+        if s.startswith(("+- Exchange", ":- Exchange", "Exchange",
+                         "+- Sort ", ":- Sort ", "Sort ")):
+            assert not re.search(r"\bbytes#", ln), f"bytes in shuffle/sort: {s}"
+        if "SortAggregate" in ln:
+            assert "bytes#" not in ln, f"bytes in sort-agg: {s}"
+    assert "Window" not in plan
