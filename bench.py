@@ -86,12 +86,16 @@ def main() -> None:
 
     analytics = [
         "extract_base64", "extract_docs", "html_main_content",
+        "extract_interleaved",
         "media_words", "media_image_features", "media_audio_features",
         "pdf_text",
         "dedup_exact", "dedup_ngram_jaccard", "dedup_minhash",
         "dedup_simhash", "dedup_simhash_pairs", "dedup_lsh_buckets",
         "dedup_embedding",
-        "ann_topk", "ann_lsh", "ann_ivf", "ann_recall_eval",
+        # ann_recall_eval is registry/correctness-only: it re-runs all
+        # three ANN queries, so timing it in the headline total would
+        # double-count work already measured above
+        "ann_topk", "ann_lsh", "ann_ivf",
         "lang_id", "lang_id_eval", "text_quality", "token_stats",
         "doc_fingerprint", "repetition_stats", "source_quota",
         "events_json",

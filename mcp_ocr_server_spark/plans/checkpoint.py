@@ -216,13 +216,16 @@ def run_checkpointed(
     n_buckets: int | None = None,
     run_id: str = "run-0",
     fail_after_buckets: int | None = None,
+    pdfs: DataFrame | None = None,
 ) -> CheckpointedRun:
     """Process docs bucket-by-bucket, committing a watermark per bucket.
 
     ``fail_after_buckets`` injects a mid-job crash for the resume test.
     At cluster scale each bucket is a full multi-partition Spark job
     (B ~ 100s-1000s, each covering ~1/B of the corpus); the loop is
-    driver-side but O(B), never O(rows).
+    driver-side but O(B), never O(rows).  ``pdfs`` is the optional
+    (media_ref, bytes) sidecar for pdf-kind spans (pipeline._pdf_branch),
+    threaded through every bucket's extract unchanged.
     """
     b = n_buckets or cfg.checkpoint_buckets
     store.check_bucket_count(b)  # refuse a store committed under a different B
@@ -283,7 +286,7 @@ def run_checkpointed(
     try:
         committed, total_spans = _bucket_loop(
             spark, docs_b, media, media_hashed, store, cfg, b, done,
-            bucket_cost, run_id, fail_after_buckets,
+            bucket_cost, run_id, fail_after_buckets, pdfs,
         )
     finally:
         media_hashed.unpersist()
@@ -308,6 +311,7 @@ def _bucket_loop(
     bucket_cost: int | None,
     run_id: str,
     fail_after_buckets: int | None,
+    pdfs: DataFrame | None = None,
 ) -> tuple[int, int]:
     committed = 0
     total_spans = 0
@@ -328,6 +332,7 @@ def _bucket_loop(
         res = extract(
             part, media, cfg, memo=memo,
             total_media_bytes=bucket_cost, media_hashed=media_hashed,
+            pdfs=pdfs,
         )
         spans_path = os.path.join(store.spans_dir, f"bucket={k}")
         ocr_path = os.path.join(store.ocr_dir, f"bucket={k}")

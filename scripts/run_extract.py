@@ -45,6 +45,12 @@ def main() -> None:
                          "spark.checkpoint_buckets, else 32)")
     ap.add_argument("--synthetic-docs", type=int, default=0,
                     help="generate N synthetic docs instead of reading --docs")
+    ap.add_argument("--pdfs", help="optional pdf sidecar table path "
+                    "(media_ref, bytes) for pdf-kind spans")
+    ap.add_argument("--pdf-frac", type=float, default=0.0,
+                    help="synthetic mode: fraction of non-image span "
+                         "slots that become pdf-kind spans (activates "
+                         "the interleaved pdf branch)")
     ap.add_argument("--config", help="YAML job config (configs/job.yaml shape)")
     ap.add_argument("--run-id", default=f"run-{int(time.time())}")
     args = ap.parse_args()
@@ -71,12 +77,17 @@ def main() -> None:
         # complete before reuse: a crash between the two writes would
         # otherwise leave a half-materialized input dir that resume runs
         # never repair, so gate on BOTH _SUCCESS markers.
-        corpus = S.CorpusConfig(n_docs=args.synthetic_docs)
+        corpus = S.CorpusConfig(
+            n_docs=args.synthetic_docs, p_pdf=args.pdf_frac
+        )
         in_dir = os.path.join(args.out, "input")
+        tables = ("docs", "media") + (
+            ("pdfs",) if args.pdf_frac > 0 else ()
+        )
         bmarker = os.path.join(in_dir, "BUCKETS")
         complete = all(
             os.path.exists(os.path.join(in_dir, t, "_SUCCESS"))
-            for t in ("docs", "media")
+            for t in tables
         )
         # the docs partitioning bakes in the bucket count; a resume with
         # a different bucket count must rematerialize, not misroute.
@@ -104,12 +115,21 @@ def main() -> None:
             S.media_df(spark, corpus).write.mode("overwrite").parquet(
                 os.path.join(in_dir, "media")
             )
+            if args.pdf_frac > 0:
+                S.pdf_df(spark, corpus).write.mode("overwrite").parquet(
+                    os.path.join(in_dir, "pdfs")
+                )
             tmp = bmarker + ".tmp"
             with open(tmp, "w") as fh:
                 fh.write(str(n_buckets))
             os.replace(tmp, bmarker)  # atomic: no empty/partial marker
         docs = spark.read.parquet(os.path.join(in_dir, "docs"))
         media = spark.read.parquet(os.path.join(in_dir, "media"))
+        pdfs = (
+            spark.read.parquet(os.path.join(in_dir, "pdfs"))
+            if args.pdf_frac > 0
+            else None
+        )
         cfg = file_cfg or FIXTURE_JOB
     else:
         if not args.docs or not args.media:
@@ -120,13 +140,14 @@ def main() -> None:
 
         docs = read_table(spark, args.docs)
         media = read_table(spark, args.media)
+        pdfs = read_table(spark, args.pdfs) if args.pdfs else None
         cfg = file_cfg or DEFAULT_CONFIG
 
     store = CheckpointStore(args.out)
     t0 = time.monotonic()
     result = run_checkpointed(
         spark, docs, media, store, cfg,
-        n_buckets=n_buckets, run_id=args.run_id,
+        n_buckets=n_buckets, run_id=args.run_id, pdfs=pdfs,
     )
     dt = time.monotonic() - t0
     print(

@@ -153,3 +153,35 @@ def test_legacy_store_without_marker_refused(tmp_path):
     store.check_bucket_count(4)  # now verifiable and accepted
     with pytest.raises(ValueError, match="created with 4 buckets"):
         store.check_bucket_count(64)
+
+
+def test_interleaved_checkpoint_kill_resume_matches_monolithic(
+    spark, tmp_path
+):
+    """The pdf sidecar threads through the bucket loop: a killed
+    interleaved run (all four span kinds) resumes without reprocessing
+    and its union equals the monolithic extract with the same pdfs —
+    no duplicates, no gaps, pdf error codes intact."""
+    cfg = S.CorpusConfig(n_docs=40, p_pdf=0.35)
+    docs = S.docs_df(spark, cfg)
+    media = S.media_df(spark, cfg)
+    pdfs = S.pdf_df(spark, cfg)
+
+    store = CheckpointStore(str(tmp_path / "ckpt"))
+    with pytest.raises(RuntimeError, match="injected failure"):
+        run_checkpointed(
+            spark, docs, media, store, FIXTURE_JOB,
+            n_buckets=N_BUCKETS, fail_after_buckets=2, pdfs=pdfs,
+        )
+    assert len(store.committed_buckets()) == 2
+    run_checkpointed(
+        spark, docs, media, store, FIXTURE_JOB,
+        n_buckets=N_BUCKETS, pdfs=pdfs,
+    )
+    got = _key_rows(store.spans_df(spark))
+    want = _key_rows(extract(docs, media, FIXTURE_JOB, pdfs=pdfs).spans)
+    assert got == want
+    kinds = {k for (_d, _o, k, _t, _m, _e) in got}
+    assert kinds == {"text", "html", "image", "pdf"}
+    codes = {e for (_d, _o, _k, _t, _m, e) in got if e}
+    assert "PDF_PARSE_FAILED" in codes
