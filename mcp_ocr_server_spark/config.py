@@ -124,6 +124,7 @@ ERROR_CODES = (
     OCR_ENGINE_FAILED,
     TIMEOUT,
     INTERNAL_ERROR,
+    PDF_PARSE_FAILED,  # ninth: the north-rule pdf extension (above)
 )
 
 # Supported languages: internal/ocr/tesseract.go:26,153-157.

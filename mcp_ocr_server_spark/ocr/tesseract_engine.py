@@ -89,3 +89,42 @@ class PytesseractEngine:
         text = " ".join(words)
         conf = float(np.mean(confs)) if confs else 0.0  # tesseract.go:195-203
         return RecognizeResult(text, conf, lang, time.monotonic() - t0)
+
+    def recognize_with_details(
+        self, img: np.ndarray, language: str | None = None
+    ) -> tuple[RecognizeResult, list]:
+        """Word-box API (tesseract.go:206-278) behind the same seam as
+        TemplateMatchEngine.recognize_with_details — image_to_data
+        already returns per-word left/top/width/height/conf, so the
+        details call is one pass, not a second OCR.  Keeps
+        media_ocr.word_box_rows engine-agnostic (review finding: this
+        method was template-only, so a tesseract-resolved config would
+        have died with AttributeError inside the mapInPandas task)."""
+        import pytesseract
+
+        from .engine import WordBox
+
+        t0 = time.monotonic()
+        lang = language or self.cfg.language
+        data = pytesseract.image_to_data(
+            img, lang=lang, config=self._tess_config(),
+            output_type=pytesseract.Output.DICT,
+        )
+        boxes = [
+            WordBox(int(x), int(y), int(w), int(h), txt,
+                    max(0.0, float(c)))
+            for x, y, w, h, txt, c in zip(
+                data["left"], data["top"], data["width"], data["height"],
+                data["text"], data["conf"],
+            )
+            if txt.strip()
+        ]
+        words = [b.text for b in boxes]
+        confs = [b.confidence for b in boxes if b.confidence >= 0]
+        res = RecognizeResult(
+            " ".join(words),
+            float(np.mean(confs)) if confs else 0.0,
+            lang,
+            time.monotonic() - t0,
+        )
+        return res, boxes

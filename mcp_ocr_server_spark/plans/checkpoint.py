@@ -278,6 +278,15 @@ def run_checkpointed(
         F.length("bytes").alias("n_bytes"),
         content_hash_col(cfg).alias("content_hash"),
     ).persist()
+    # pdf analogue of media_hashed: sha256 over the pdf corpus runs
+    # once per run, not twice per bucket (review finding)
+    pdfs_hashed = (
+        pdfs.select(
+            "media_ref", F.sha2("bytes", 256).alias("content_hash")
+        ).persist()
+        if pdfs is not None
+        else None
+    )
     try:
         total_bytes = media_hashed.agg(F.sum("n_bytes")).first()[0] or 0
         bucket_cost = max(1, int(total_bytes) // b)
@@ -286,10 +295,12 @@ def run_checkpointed(
     try:
         committed, total_spans = _bucket_loop(
             spark, docs_b, media, media_hashed, store, cfg, b, done,
-            bucket_cost, run_id, fail_after_buckets, pdfs,
+            bucket_cost, run_id, fail_after_buckets, pdfs, pdfs_hashed,
         )
     finally:
         media_hashed.unpersist()
+        if pdfs_hashed is not None:
+            pdfs_hashed.unpersist()
     return CheckpointedRun(
         out_dir=store.root,
         buckets_total=b,
@@ -312,6 +323,7 @@ def _bucket_loop(
     run_id: str,
     fail_after_buckets: int | None,
     pdfs: DataFrame | None = None,
+    pdfs_hashed: DataFrame | None = None,
 ) -> tuple[int, int]:
     committed = 0
     total_spans = 0
@@ -332,7 +344,7 @@ def _bucket_loop(
         res = extract(
             part, media, cfg, memo=memo,
             total_media_bytes=bucket_cost, media_hashed=media_hashed,
-            pdfs=pdfs,
+            pdfs=pdfs, pdfs_hashed=pdfs_hashed,
         )
         spans_path = os.path.join(store.spans_dir, f"bucket={k}")
         ocr_path = os.path.join(store.ocr_dir, f"bucket={k}")

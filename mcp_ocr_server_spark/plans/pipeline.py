@@ -128,6 +128,7 @@ def extract(
     total_media_bytes: int | None = None,
     media_hashed: DataFrame | None = None,
     pdfs: DataFrame | None = None,
+    pdfs_hashed: DataFrame | None = None,
 ) -> ExtractResult:
     """Run the full extraction dataflow. Lazy — returns DataFrames.
 
@@ -149,7 +150,10 @@ def extract(
     FILE_NOT_FOUND rows; parser refusals (garbage / encrypted /
     unsupported filter / 1.5+ xref streams) become PDF_PARSE_FAILED
     rows.  Without `pdfs`, pdf spans pass through the non-media
-    identity path (legacy corpora contain none).
+    identity path (legacy corpora contain none).  `pdfs_hashed` is the
+    pdf analogue of `media_hashed`: a precomputed (media_ref,
+    content_hash) projection the checkpoint loop persists once per run
+    so B buckets don't sha256 the pdf corpus B times.
     """
     spans = explode_spans(docs)
     routed_kinds = ["image", "pdf"] if pdfs is not None else ["image"]
@@ -256,13 +260,17 @@ def extract(
 
     out = non_media.unionByName(media_out)
     if pdfs is not None:
-        out = out.unionByName(_pdf_branch(spans, pdfs))
+        out = out.unionByName(_pdf_branch(spans, pdfs, pdfs_hashed))
     return ExtractResult(
         spans=out.select(*SPAN_COLS), ocr_results=ocr_results
     )
 
 
-def _pdf_branch(spans: DataFrame, pdfs: DataFrame) -> DataFrame:
+def _pdf_branch(
+    spans: DataFrame,
+    pdfs: DataFrame,
+    pdfs_hashed: DataFrame | None = None,
+) -> DataFrame:
     """pdf-kind spans -> extracted-text span rows, image-branch shape:
     the hash projection keeps bytes inside the pdf scan, distinct
     hashes parse exactly once (hot refs and byte-dup refs collapse),
@@ -271,8 +279,12 @@ def _pdf_branch(spans: DataFrame, pdfs: DataFrame) -> DataFrame:
     from ..functions.pdf import PDF_RESULT_SCHEMA, pdf_parse_map
     from ..operators.partitioning import repartition_media
 
-    pdf_hashed = pdfs.select(
-        "media_ref", F.sha2("bytes", 256).alias("content_hash")
+    pdf_hashed = (
+        pdfs_hashed
+        if pdfs_hashed is not None
+        else pdfs.select(
+            "media_ref", F.sha2("bytes", 256).alias("content_hash")
+        )
     )
     pdf_spans = spans.filter(F.col("kind") == "pdf").join(
         pdf_hashed, "media_ref", "left"

@@ -536,6 +536,12 @@ PDF_MEDIA_SCHEMA = "media_ref string, bytes binary, kind string"
 
 N_PDF_DOCS = 36  # fixed: goldens for this corpus are committed
 
+# The four-kind interleaved corpus (text/html/image/pdf in one doc
+# stream) — single source of truth shared by queries.q_extract_interleaved
+# and scripts/gen_fixtures.gen_interleaved_spans, so goldens can never be
+# generated for a different corpus than the query runs (review finding).
+INTERLEAVED_CORPUS = None  # assigned below, after CorpusConfig exists
+
 
 def pdf_ref(j: int) -> str:
     return f"pdf-{j:06d}"
@@ -644,3 +650,6 @@ def pdf_df(spark, cfg: CorpusConfig, n: int = N_PDF_DOCS):
     return spark.range(0, n, numPartitions=4).mapInPandas(
         gen, schema=PDF_MEDIA_SCHEMA
     )
+
+
+INTERLEAVED_CORPUS = CorpusConfig(n_docs=60, p_pdf=0.35)

@@ -75,6 +75,33 @@ def compact_memo(spark: SparkSession, memo_dir: str) -> int:
 
     from ..operators.media_ocr import OCR_RESULT_SCHEMA
 
+    # orphan sweep (review finding): a prior compaction that crashed
+    # between its _SUCCESS commit and its rmtree leaves covered batch
+    # dirs behind, and the bid >= compact_upto read filter would hide
+    # them from every future listing — delete them here, where the
+    # covering compacted dir proves they are redundant.
+    newest_upto = max(
+        (
+            int(d.split("=")[1])
+            for d in os.listdir(memo_dir)
+            if d.startswith("compact_upto=")
+            and os.path.exists(os.path.join(memo_dir, d, "_SUCCESS"))
+        ),
+        default=-1,
+    ) if os.path.isdir(memo_dir) else -1
+    if newest_upto >= 0:
+        for d in os.listdir(memo_dir):
+            covered_batch = (
+                d.startswith("batch_id=")
+                and int(d.split("=")[1]) < newest_upto
+            )
+            stale_compact = (
+                d.startswith("compact_upto=")
+                and int(d.split("=")[1]) < newest_upto
+            )
+            if covered_batch or stale_compact:
+                shutil.rmtree(os.path.join(memo_dir, d), ignore_errors=True)
+
     sources = _memo_sources(memo_dir, None)
     covered_bids = [
         int(os.path.basename(p).split("=")[1])
@@ -221,13 +248,19 @@ def stream_events_hourly(
     Late events older than the watermark are dropped; state for closed
     windows is evicted — bounded state at unbounded input, which a
     batch job can't express.
+
+    `ts` is read as timestamp_ntz (the events parquet's actual type)
+    and cast to LTZ for the watermark, the same explicit-cast treatment
+    as sessionize_stream — hour_start's UTC dependency is a visible
+    cast in the plan, not the reader defaulting to LTZ.
     """
     events = (
         spark.readStream.schema(
-            "event_id long, ts timestamp, user_id long, event_type string,"
-            " value double, props string"
+            "event_id long, ts timestamp_ntz, user_id long,"
+            " event_type string, value double, props string"
         )
         .parquet(events_dir)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
     )
     agg = (
         events.withWatermark("ts", watermark)

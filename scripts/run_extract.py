@@ -89,6 +89,42 @@ def main() -> None:
             os.path.exists(os.path.join(in_dir, t, "_SUCCESS"))
             for t in tables
         )
+        # --pdf-frac is part of the corpus identity: p_pdf changes every
+        # doc's rng draws, so resuming a store built under a different
+        # value would mix two corpora in one output (committed buckets
+        # from the old corpus, new buckets from the rematerialized one).
+        # The marker records it; a mismatch over a store that already
+        # has commits must refuse, not silently rematerialize.
+        fmarker = os.path.join(in_dir, "PDF_FRAC")
+        if os.path.exists(fmarker):
+            try:
+                with open(fmarker) as fh:
+                    prev_frac = float(fh.read().strip())
+            except (ValueError, OSError):
+                prev_frac = None
+                complete = False
+            if prev_frac is not None and prev_frac != args.pdf_frac:
+                if CheckpointStore(args.out).committed_buckets():
+                    raise SystemExit(
+                        f"--pdf-frac {args.pdf_frac} does not match the "
+                        f"materialized corpus (PDF_FRAC={prev_frac}) and "
+                        "the checkpoint store already has committed "
+                        "buckets; resuming would mix two corpora — rerun "
+                        "with the original --pdf-frac or use a fresh --out"
+                    )
+                complete = False
+        elif complete and args.pdf_frac != 0.0:
+            # legacy input dir (pre-PDF_FRAC marker) == a frac-0 corpus;
+            # a frac>0 run may not silently rematerialize over a store
+            # that already committed buckets from it
+            if CheckpointStore(args.out).committed_buckets():
+                raise SystemExit(
+                    f"--pdf-frac {args.pdf_frac} requested but the "
+                    "materialized corpus predates pdf support (frac 0) "
+                    "and the checkpoint store already has committed "
+                    "buckets — use a fresh --out"
+                )
+            complete = False
         # the docs partitioning bakes in the bucket count; a resume with
         # a different bucket count must rematerialize, not misroute.
         # Corrupt/empty marker (crash mid-write) => treat as incomplete.
@@ -123,6 +159,10 @@ def main() -> None:
             with open(tmp, "w") as fh:
                 fh.write(str(n_buckets))
             os.replace(tmp, bmarker)  # atomic: no empty/partial marker
+            tmp = fmarker + ".tmp"
+            with open(tmp, "w") as fh:
+                fh.write(str(args.pdf_frac))
+            os.replace(tmp, fmarker)
         docs = spark.read.parquet(os.path.join(in_dir, "docs"))
         media = spark.read.parquet(os.path.join(in_dir, "media"))
         pdfs = (

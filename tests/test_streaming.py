@@ -288,3 +288,40 @@ def test_memo_compaction_keeps_read_cost_flat(spark, tmp_path):
     # idempotent: nothing new => same upto, no rewrite
     upto = int(compacts[0].split("=")[1])
     assert compact_memo(spark, memo_dir) == upto
+
+
+def test_compact_memo_sweeps_orphans_from_crashed_compaction(
+    spark, tmp_path
+):
+    """A crash between a compaction's _SUCCESS commit and its rmtree
+    leaves covered batch dirs (and older compact dirs) that the
+    bid >= upto read filter hides forever; the next compact_memo must
+    sweep them (review finding)."""
+    import os
+
+    from mcp_ocr_server_spark.streaming.stream_extract import (
+        _memo_sources,
+        compact_memo,
+    )
+
+    memo_dir = str(tmp_path / "memo")
+    schema = "content_hash string, text string"
+
+    def write(sub, rows):
+        spark.createDataFrame(rows, schema).write.mode("overwrite").parquet(
+            os.path.join(memo_dir, sub)
+        )
+
+    # simulate: compaction to upto=2 committed but its cleanup died,
+    # leaving covered batch 0/1 and an older compact dir behind
+    write("compact_upto=1", [("h0", "t0")])
+    write("compact_upto=2", [("h0", "t0"), ("h1", "t1")])
+    write("batch_id=0", [("h0", "t0")])
+    write("batch_id=1", [("h1", "t1")])
+    write("batch_id=2", [("h2", "t2")])  # NOT covered — must survive
+
+    upto = compact_memo(spark, memo_dir)
+    assert upto == 3  # batch 2 folded in
+    entries = sorted(os.listdir(memo_dir))
+    assert entries == ["compact_upto=3"], entries
+    assert len(_memo_sources(memo_dir, batch_id=99)) == 1
