@@ -84,6 +84,39 @@ def main() -> None:
         res = extract(docs, media, FIXTURE_JOB, total_media_bytes=hint)
         return res.spans.count()
 
+    # four-kind interleaved variant (pdf spans via the pdfs sidecar) at
+    # the SAME doc count — the scale datapoint for the pdf branch; the
+    # plain extract_e2e stays pdf-free so its number remains comparable
+    # round-over-round
+    inter_dir = os.environ.get(
+        "BENCH_INTER_DIR", f"/tmp/bench_corpus_{n_docs}_pdf"
+    )
+    inter_corpus = S.CorpusConfig(n_docs=n_docs, p_pdf=0.2)
+    if (selected is None or "extract_e2e_interleaved" in selected) and (
+        not os.path.exists(os.path.join(inter_dir, "pdfs", "_SUCCESS"))
+    ):
+        S.docs_df(spark, inter_corpus).write.mode("overwrite").parquet(
+            os.path.join(inter_dir, "docs")
+        )
+        S.media_df(spark, inter_corpus).write.mode("overwrite").parquet(
+            os.path.join(inter_dir, "media")
+        )
+        S.pdf_df(spark, inter_corpus).write.mode("overwrite").parquet(
+            os.path.join(inter_dir, "pdfs")
+        )
+
+    def bench_extract_interleaved():
+        from mcp_ocr_server_spark.sources.tables import table_size_bytes
+
+        docs = spark.read.parquet(os.path.join(inter_dir, "docs"))
+        media = spark.read.parquet(os.path.join(inter_dir, "media"))
+        pdfs = spark.read.parquet(os.path.join(inter_dir, "pdfs"))
+        hint = table_size_bytes(spark, os.path.join(inter_dir, "media"))
+        res = extract(
+            docs, media, FIXTURE_JOB, total_media_bytes=hint, pdfs=pdfs
+        )
+        return res.spans.count()
+
     analytics = [
         "extract_base64", "extract_docs", "html_main_content",
         "extract_interleaved",
@@ -136,6 +169,7 @@ def main() -> None:
         n_rows[name] = n
 
     run("extract_e2e", bench_extract)
+    run("extract_e2e_interleaved", bench_extract_interleaved)
     for name in analytics:
         qfn, _ = Q.QUERIES[name]
         if name == "ann_ivf":
