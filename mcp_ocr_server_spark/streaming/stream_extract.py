@@ -149,6 +149,7 @@ def stream_extract(
     available_now: bool = True,
     memo_dir: str | None = None,
     compact_every: int | None = None,
+    pdfs: DataFrame | None = None,
 ):
     """readStream(docs landing dir) -> foreachBatch(batch extract) -> parquet.
 
@@ -165,6 +166,11 @@ def stream_extract(
     (the overwrite would otherwise erase rows it just memo-skipped);
     the memo read dedups by content_hash, so reusing a memo_dir across
     a rebuilt checkpoint (batch ids restarting at 0) stays correct.
+    `pdfs` is the static (media_ref, bytes) sidecar for pdf-kind spans
+    (stream-static join per micro-batch — the standard Spark pattern
+    for a slowly-changing dimension; swap in a fresh DataFrame between
+    runs to pick up sidecar updates).
+
     `compact_every=K` runs compact_memo after every K-th batch, so the
     per-batch memo read stays bounded at ONE compacted dir plus < K
     batch dirs for arbitrarily long streams (VERDICT r3 #4).  On
@@ -199,7 +205,9 @@ def stream_extract(
         )
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
-        res = extract(batch_df, media, cfg, memo=_memo_for(batch_id))
+        res = extract(
+            batch_df, media, cfg, memo=_memo_for(batch_id), pdfs=pdfs
+        )
         if memo_dir is None:
             res.spans.write.mode("overwrite").parquet(
                 os.path.join(out_dir, f"batch_id={batch_id}")

@@ -325,3 +325,32 @@ def test_compact_memo_sweeps_orphans_from_crashed_compaction(
     entries = sorted(os.listdir(memo_dir))
     assert entries == ["compact_upto=3"], entries
     assert len(_memo_sources(memo_dir, batch_id=99)) == 1
+
+
+def test_stream_extract_interleaved_matches_batch(spark, tmp_path):
+    """The pdfs sidecar threads through the streaming path: a drained
+    stream over a four-kind corpus equals the monolithic batch run,
+    pdf error codes intact."""
+    import os
+
+    cfg = S.CorpusConfig(n_docs=24, p_pdf=0.35)
+    docs = S.docs_df(spark, cfg)
+    media = S.media_df(spark, cfg)
+    pdfs = S.pdf_df(spark, cfg)
+    landing = str(tmp_path / "landing")
+    docs.repartition(4).write.parquet(landing)
+    out = str(tmp_path / "spans_out")
+    q = stream_extract(
+        spark, landing, media, out, str(tmp_path / "ckpt"),
+        FIXTURE_JOB, pdfs=pdfs,
+    )
+    q.awaitTermination(600)
+    cols = ["doc_id", "order", "kind", "text", "error_code"]
+    got = sorted(map(tuple, spark.read.parquet(out).select(*cols).collect()))
+    want = sorted(map(tuple, extract(
+        docs, media, FIXTURE_JOB, pdfs=pdfs
+    ).spans.select(*cols).collect()))
+    assert got == want
+    assert {k for (_d, _o, k, _t, _e) in got} == {
+        "text", "html", "image", "pdf"
+    }
