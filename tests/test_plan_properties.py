@@ -226,3 +226,46 @@ def test_interleaved_plan_pdf_bytes_never_shuffle_keys(spark):
         if "SortAggregate" in ln:
             assert "bytes#" not in ln, f"bytes in sort-agg: {s}"
     assert "Window" not in plan
+
+
+def test_source_quota_precap_lossless_property(spark):
+    """Hypothesis sweep of the pre-cap losslessness proof: for random
+    source-size distributions (including sources below, at, and far
+    above the quota) the two-phase kept set equals the exact window's.
+    Driver-side data generation, one Spark job per example — examples
+    kept small so the property runs in CI time."""
+    from hypothesis import given, settings, strategies as st
+    from pyspark.sql import Window
+
+    @settings(max_examples=5, deadline=None)
+    @given(
+        sizes=st.lists(st.integers(1, 400), min_size=1, max_size=6),
+        seed=st.integers(0, 10_000),
+    )
+    def run(sizes, seed):
+        rows = [
+            (f"d{seed}-{s}-{i}", f"src{s}")
+            for s, n in enumerate(sizes)
+            for i in range(n)
+        ]
+        docs = spark.createDataFrame(rows, "doc_id string, source string")
+        w = Window.partitionBy("source").orderBy(
+            F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+        )
+        exact = set(
+            r.doc_id
+            for r in docs.withColumn("r", F.row_number().over(w))
+            .filter(F.col("r") <= Q.SOURCE_QUOTA)
+            .collect()
+        )
+        final_w = Window.partitionBy("source").orderBy("hk", "doc_id")
+        got = set(
+            r.doc_id
+            for r in Q.quota_precap(docs)
+            .withColumn("r", F.row_number().over(final_w))
+            .filter(F.col("r") <= Q.SOURCE_QUOTA)
+            .collect()
+        )
+        assert got == exact
+
+    run()
