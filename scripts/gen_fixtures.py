@@ -143,7 +143,7 @@ def gen_pdf_meta() -> pd.DataFrame:
     return df
 
 
-INTERLEAVED_CORPUS = S.CorpusConfig(n_docs=60, p_pdf=0.35)
+INTERLEAVED_CORPUS = S.INTERLEAVED_CORPUS
 
 
 def gen_interleaved_spans() -> pd.DataFrame:
