@@ -269,3 +269,26 @@ def test_source_quota_precap_lossless_property(spark):
         assert got == exact
 
     run()
+
+
+def test_pack_sequences_plan_and_invariants(spark):
+    """Sequence packing must never fall back to a global running sum:
+    every window in the plan is partitioned (by bucket).  Invariants:
+    offsets stay under capacity, packing is gap-free within a bucket
+    (greedy straddle => zero waste: total tokens >= max_seq * CAP)."""
+    df = Q.QUERIES["pack_sequences"][0](spark, SF)
+    plan = _plan(spark, df, "formatted")
+    specs = re.findall(
+        r"windowspecdefinition\(([^)]*?)specifiedwindowframe", plan
+    )
+    assert specs, plan
+    for s in specs:
+        assert "bucket" in s, f"unpartitioned window in pack plan: {s}"
+    rows = df.collect()
+    assert rows and all(0 <= r.seq_offset < Q.PACK_CAP for r in rows)
+    per_bucket = {}
+    for r in rows:
+        tot, mx = per_bucket.get(r.bucket, (0, 0))
+        per_bucket[r.bucket] = (tot + r.n_tokens, max(mx, r.seq_id))
+    for b, (tot, mx) in per_bucket.items():
+        assert tot >= mx * Q.PACK_CAP, (b, tot, mx)
