@@ -132,7 +132,7 @@ def main() -> None:
         "lang_id", "lang_id_eval", "text_quality", "token_stats",
         "doc_fingerprint", "repetition_stats", "source_quota",
         "events_json",
-        "vocab_topk", "decontaminate", "pack_sequences",
+        "vocab_topk", "decontaminate", "pack_sequences", "source_mix",
         "events_hourly", "events_cube", "events_sliding", "event_sessions",
         "orders_window",
         "customer_set_ops", "pricing_summary", "top_suppliers",
