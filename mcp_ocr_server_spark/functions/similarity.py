@@ -221,6 +221,54 @@ def lsh_probe_signatures(
     )
 
 
+def _kmeans_iterate_driver(
+    sample_vecs: np.ndarray,
+    cents: list[list[float]],
+    n_iters: int,
+) -> list[list[float]]:
+    """Driver-side Lloyd iterations — BIT-IDENTICAL to the distributed
+    path (enabled by the r4 exact-integer-sum contract):
+
+      - cosine per (vector, centroid) pair via the SAME row-stacked
+        np.einsum / np.linalg.norm ops cosine_udf applies, so each
+        pair's float is the identical IEEE double;
+      - assignment = np.argmax over 6dp-rounded sims (first max ==
+        smaller-cid tie-break);
+      - update sums are int64 at 1e-9 resolution with Spark ROUND's
+        half-away-from-zero mode (np.round is half-even — replicated
+        manually), summed order-independently;
+      - mean = python round(int_sum / n / 1e9, 9), the same call the
+        distributed path's driver-side collect runs.
+    """
+    k = len(cents)
+    n, dim = sample_vecs.shape
+    # Spark F.round(x) == ROUND HALF_UP == half away from zero
+    scaled = sample_vecs * 1e9
+    iq = np.where(
+        scaled >= 0, np.floor(scaled + 0.5), np.ceil(scaled - 0.5)
+    ).astype(np.int64)
+    for _ in range(n_iters):
+        C = np.asarray(cents, dtype=np.float64)
+        # identical per-pair float ops to cosine_udf: row-stacked pairs
+        A = np.repeat(sample_vecs, k, axis=0)
+        B = np.tile(C, (n, 1))
+        num = np.einsum("ij,ij->i", A, B)
+        den = np.linalg.norm(A, axis=1) * np.linalg.norm(B, axis=1)
+        den[den == 0] = 1.0
+        sims = np.round(num / den, 6).reshape(n, k)
+        assign = np.argmax(sims, axis=1)  # first max == smaller cid
+        nxt = list(cents)
+        for cid in range(k):
+            mask = assign == cid
+            cnt = int(mask.sum())
+            if cnt == 0:
+                continue  # empty cluster keeps its previous centroid
+            sums = iq[mask].sum(axis=0)  # exact int64
+            nxt[cid] = [round(int(s) / cnt / 1e9, 9) for s in sums]
+        cents = nxt
+    return cents
+
+
 def kmeans_codebook(
     emb: DataFrame,
     n_centroids: int = 16,
@@ -228,6 +276,7 @@ def kmeans_codebook(
     sample_mod: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "v",
+    driver_threshold: int = 200_000,
 ) -> list[list[float]]:
     """Deterministic Lloyd k-means codebook for the IVF coarse
     quantizer (replaces the lowest-vec_id stand-in, VERDICT r2 #6).
@@ -280,6 +329,21 @@ def kmeans_codebook(
     )
     cents = [[round(float(x), 9) for x in r[0]] for r in init]
     dim = len(cents[0])
+    # Driver fast path (r4): a hash-sample that fits the driver trains
+    # in numpy — BIT-IDENTICAL output (the exact-integer-sum contract
+    # makes accumulation order irrelevant and _kmeans_iterate_driver
+    # replicates every float op; asserted by
+    # test_kmeans_driver_path_equals_distributed), without paying
+    # n_iters x 3 Spark job schedulings for a few hundred rows.  Above
+    # the threshold the distributed path below runs unchanged — the
+    # standard train-on-sample/assign-distributed split either way.
+    if driver_threshold:
+        rows = (
+            sample.limit(driver_threshold + 1).select("sv").collect()
+        )
+        if len(rows) <= driver_threshold:
+            vecs = np.asarray([r[0] for r in rows], dtype=np.float64)
+            return _kmeans_iterate_driver(vecs, cents, n_iters)
     cos = cosine_udf()
     sample = sample.persist()
     try:

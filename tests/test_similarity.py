@@ -177,3 +177,19 @@ def test_kmeans_codebook_deterministic_and_improves_recall(spark):
     assert recall(ann_ivf_topk(e, qs, codebook=full_cb)) >= recall(
         ann_ivf_topk(e, qs)
     )
+
+
+def test_kmeans_driver_path_equals_distributed(spark):
+    """The r4 driver fast path must be BIT-IDENTICAL to the
+    distributed Lloyd iterations — the exact-integer-sum contract is
+    what makes this equality possible at all (float sums would differ
+    by accumulation order)."""
+    from mcp_ocr_server_spark.functions.similarity import kmeans_codebook
+    from mcp_ocr_server_spark.queries import _emb
+
+    e = _emb(spark, "/root/testdata/sf0.001")
+    fast = kmeans_codebook(e, n_centroids=8, n_iters=3, sample_mod=3)
+    slow = kmeans_codebook(
+        e, n_centroids=8, n_iters=3, sample_mod=3, driver_threshold=0
+    )
+    assert fast == slow
