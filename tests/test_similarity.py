@@ -193,3 +193,49 @@ def test_kmeans_driver_path_equals_distributed(spark):
         e, n_centroids=8, n_iters=3, sample_mod=3, driver_threshold=0
     )
     assert fast == slow
+
+
+def test_wav_roundtrip_property():
+    """Hypothesis fuzz of the REAL WAV decode path (decode_wav):
+    arbitrary PCM16 mono/stereo content round-trips through the stdlib
+    writer with exact sample counts and rms/peak matching a direct
+    numpy computation on the same normalized samples."""
+    import numpy as np
+    from hypothesis import given, settings, strategies as st
+
+    from mcp_ocr_server_spark.functions.multimodal import (
+        audio_feature_row,
+        decode_wav,
+    )
+    from mcp_ocr_server_spark.sources.synthetic import _wav_bytes
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        samples=st.lists(
+            st.integers(-32768, 32767), min_size=0, max_size=300
+        ),
+        stereo=st.booleans(),
+        rate=st.sampled_from([8000, 16000, 44100]),
+    )
+    def run(samples, stereo, rate):
+        pcm = np.asarray(samples, dtype="<i2")
+        if stereo:
+            pcm = pcm[: len(pcm) - len(pcm) % 2]
+        data = _wav_bytes(pcm, rate, n_channels=2 if stereo else 1)
+        out, got_rate = decode_wav(data)
+        assert got_rate == rate
+        n = len(pcm) // 2 if stereo else len(pcm)
+        assert out.shape == (n,)
+        row = audio_feature_row("x", data)
+        assert row["error"] is None
+        assert row["n_samples"] == n
+        if n:
+            ref = pcm.astype(np.float32) / 32768.0
+            if stereo:
+                ref = ref.reshape(-1, 2).mean(axis=1)
+            assert row["peak"] == float(np.abs(ref).max())
+            assert row["rms"] == float(np.sqrt(np.mean(ref**2)))
+        else:
+            assert row["rms"] == 0.0 and row["peak"] == 0.0
+
+    run()
