@@ -242,21 +242,47 @@ def _kmeans_iterate_driver(
     """
     k = len(cents)
     n, dim = sample_vecs.shape
-    # Spark F.round(x) == ROUND HALF_UP == half away from zero
+    # Spark F.round(x) on a double == BigDecimal.valueOf(x) (shortest
+    # decimal repr) setScale(0, HALF_UP) == half away from zero.  The
+    # vectorized floor(x+0.5)/ceil(x-0.5) matches it EXCEPT within one
+    # float-addition ulp of a half-integer boundary (x+0.5 can round
+    # across the boundary); those rare suspects are recomputed through
+    # decimal with Spark's exact semantics (python repr == shortest
+    # round-trip repr == Double.toString's value), preserving the
+    # bit-identity contract (review finding).
     scaled = sample_vecs * 1e9
-    iq = np.where(
+    base = np.where(
         scaled >= 0, np.floor(scaled + 0.5), np.ceil(scaled - 0.5)
-    ).astype(np.int64)
+    )
+    suspects = np.abs(np.abs(scaled - np.round(scaled)) - 0.5) < 1e-4
+    if suspects.any():
+        from decimal import ROUND_HALF_UP, Decimal
+
+        for i, j in np.argwhere(suspects):
+            base[i, j] = float(
+                Decimal(repr(float(scaled[i, j]))).quantize(
+                    Decimal(1), rounding=ROUND_HALF_UP
+                )
+            )
+    iq = base.astype(np.int64)
+    # chunk the pairwise expansion: n*k x dim materialized whole would
+    # be GBs near the eligibility ceiling (review finding); per-row
+    # results are unchanged by chunking
+    chunk = 4096
     for _ in range(n_iters):
         C = np.asarray(cents, dtype=np.float64)
-        # identical per-pair float ops to cosine_udf: row-stacked pairs
-        A = np.repeat(sample_vecs, k, axis=0)
-        B = np.tile(C, (n, 1))
-        num = np.einsum("ij,ij->i", A, B)
-        den = np.linalg.norm(A, axis=1) * np.linalg.norm(B, axis=1)
-        den[den == 0] = 1.0
-        sims = np.round(num / den, 6).reshape(n, k)
-        assign = np.argmax(sims, axis=1)  # first max == smaller cid
+        assign = np.empty(n, dtype=np.int64)
+        for lo in range(0, n, chunk):
+            hi = min(lo + chunk, n)
+            # identical per-pair float ops to cosine_udf: row-stacked
+            A = np.repeat(sample_vecs[lo:hi], k, axis=0)
+            B = np.tile(C, (hi - lo, 1))
+            num = np.einsum("ij,ij->i", A, B)
+            den = np.linalg.norm(A, axis=1) * np.linalg.norm(B, axis=1)
+            den[den == 0] = 1.0
+            sims = np.round(num / den, 6).reshape(hi - lo, k)
+            # first max == smaller cid
+            assign[lo:hi] = np.argmax(sims, axis=1)
         nxt = list(cents)
         for cid in range(k):
             mask = assign == cid
@@ -338,10 +364,13 @@ def kmeans_codebook(
     # the threshold the distributed path below runs unchanged — the
     # standard train-on-sample/assign-distributed split either way.
     if driver_threshold:
-        rows = (
-            sample.limit(driver_threshold + 1).select("sv").collect()
-        )
-        if len(rows) <= driver_threshold:
+        # eligibility via count() — no vectors move unless the sample
+        # actually fits the driver (review finding)
+        n_sample = sample.count()
+        if n_sample == 0:
+            return cents  # zero-stat iterations: init centroids carry
+        if n_sample <= driver_threshold:
+            rows = sample.select("sv").collect()
             vecs = np.asarray([r[0] for r in rows], dtype=np.float64)
             return _kmeans_iterate_driver(vecs, cents, n_iters)
     cos = cosine_udf()

@@ -286,4 +286,3 @@ def test_xref_mention_in_page_text_still_extracts():
         _patch_content(b"BT (about /Type /XRef and /Type /ObjStm) Tj ET")
     )
     assert out == ["about /Type /XRef and /Type /ObjStm"]
-

@@ -239,3 +239,18 @@ def test_wav_roundtrip_property():
             assert row["rms"] == 0.0 and row["peak"] == 0.0
 
     run()
+
+
+def test_kmeans_empty_sample_returns_init_centroids(spark):
+    """An empty hash-sample (no id is a multiple of sample_mod) must
+    return the init centroids — the distributed path's zero-stat
+    behavior; the r4 driver fast path crashed on it (review
+    finding)."""
+    from mcp_ocr_server_spark.functions.similarity import kmeans_codebook
+
+    emb = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in (1, 2, 3, 4, 6, 7)],
+        "vec_id long, v array<double>",
+    )
+    cents = kmeans_codebook(emb, n_centroids=2, n_iters=2, sample_mod=5)
+    assert cents == [[1.0, 1.0], [2.0, 1.0]]  # the 2 lowest-id vectors

@@ -331,8 +331,6 @@ def test_stream_extract_interleaved_matches_batch(spark, tmp_path):
     """The pdfs sidecar threads through the streaming path: a drained
     stream over a four-kind corpus equals the monolithic batch run,
     pdf error codes intact."""
-    import os
-
     cfg = S.CorpusConfig(n_docs=24, p_pdf=0.35)
     docs = S.docs_df(spark, cfg)
     media = S.media_df(spark, cfg)
