@@ -123,7 +123,8 @@ def main() -> None:
         "media_words", "media_image_features", "media_audio_features",
         "pdf_text",
         "dedup_exact", "dedup_ngram_jaccard", "dedup_minhash",
-        "dedup_simhash", "dedup_simhash_pairs", "dedup_lsh_buckets",
+        "dedup_simhash", "dedup_simhash_pairs", "dedup_clusters",
+        "dedup_lsh_buckets",
         "dedup_embedding",
         # ann_recall_eval is registry/correctness-only: it re-runs all
         # three ANN queries, so timing it in the headline total would
