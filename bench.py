@@ -124,14 +124,15 @@ def main() -> None:
         "pdf_text",
         "dedup_exact", "dedup_ngram_jaccard", "dedup_minhash",
         "dedup_simhash", "dedup_simhash_pairs", "dedup_clusters",
-        "dedup_lsh_buckets",
+        "dedup_incremental", "dedup_lsh_buckets",
         "dedup_embedding",
         # ann_recall_eval is registry/correctness-only: it re-runs all
         # three ANN queries, so timing it in the headline total would
         # double-count work already measured above
         "ann_topk", "ann_lsh", "ann_ivf",
         "lang_id", "lang_id_eval", "text_quality", "token_stats",
-        "doc_fingerprint", "repetition_stats", "source_quota",
+        "doc_fingerprint", "repetition_stats", "quality_filter",
+        "source_quota",
         "events_json",
         "vocab_topk", "decontaminate", "pack_sequences", "source_mix",
         "events_hourly", "events_cube", "events_sliding", "event_sessions",
