@@ -136,7 +136,7 @@ def main() -> None:
         "events_json",
         "vocab_topk", "decontaminate", "pack_sequences", "source_mix",
         "events_hourly", "events_cube", "events_sliding", "event_sessions",
-        "events_asof_orders",
+        "events_asof_orders", "purchase_error_window",
         "orders_window",
         "customer_set_ops", "pricing_summary", "top_suppliers",
     ]

@@ -75,3 +75,56 @@ def asof_join(
     for v in value_cols:
         u = u.withColumn(v, F.last(v, ignorenulls=True).over(w))
     return u.filter(F.col("__kind") == 1).drop("__ts", "__kind")
+
+
+def bucketed_range_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_ts: str,
+    right_ts: str,
+    window_us: int,
+) -> DataFrame:
+    """Range join — right rows inside ``[left_ts, left_ts + window)``
+    of the same key — WITHOUT the inequality-join explosion.
+
+    Catalyst plans a bare ``l.key = r.key AND r.ts BETWEEN ...`` as an
+    equi-join on key followed by a post-filter: every left row meets
+    every right row of its key first (quadratic per key — a hot user's
+    task explodes).  The scalable shape buckets time into window-width
+    epochs: a right row in ``[t0, t0 + W)`` lives in t0's bucket or the
+    next one, so each left row is exploded into exactly TWO (key,
+    bucket) join keys, the join is a plain equi-join on (key, bucket)
+    — shuffle-partitioned, AQE-skew-splittable — and the exact interval
+    predicate filters the at-most-2x candidates.  Candidate count is
+    bounded by rows per (key, window-width slot), not rows per key.
+
+    Timestamps compare as integer MICROSECONDS (``unix_micros``) on
+    both sides: exact, timezone-free, no interval arithmetic to
+    diverge between engines.  Each matching pair appears exactly once
+    (a right row has ONE bucket; the left row's two exploded buckets
+    are distinct).  Inner join: unmatched left rows are the caller's
+    left-join-after-aggregate concern.  Column names must not collide
+    across sides (rename before calling)."""
+    # cast handles TIMESTAMP_NTZ inputs (unix_micros needs LTZ); the
+    # session pins UTC, and a range predicate is shift-invariant anyway
+    # (both sides map through the same monotonic cast)
+    lu = f"unix_micros(cast({left_ts} as timestamp))"
+    ru = f"unix_micros(cast({right_ts} as timestamp))"
+    l = left.withColumn(
+        "__b",
+        F.explode(
+            F.array(
+                F.expr(f"{lu} div {window_us}"),
+                F.expr(f"{lu} div {window_us} + 1"),
+            )
+        ),
+    )
+    r = right.withColumn("__b", F.expr(f"{ru} div {window_us}"))
+    rus = F.expr(ru)
+    lus = F.expr(lu)
+    return (
+        l.join(r, on + ["__b"])
+        .filter((rus >= lus) & (rus < lus + F.lit(window_us)))
+        .drop("__b")
+    )

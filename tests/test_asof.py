@@ -66,6 +66,66 @@ def test_plan_has_no_range_join_explosion(spark):
     assert plan.count("Window") == 1  # both value cols share one window
 
 
+def test_range_join_boundaries_and_uniqueness(spark):
+    """Start-inclusive / end-exclusive, matches that straddle into the
+    next time bucket, and exactly-once pair emission."""
+    from mcp_ocr_server_spark.operators.asof import bucketed_range_join
+
+    W = 1_000_000  # 1 s window
+    left = spark.createDataFrame(
+        [(1, 10, 5_500_000)], "lid bigint, key bigint, lus bigint"
+    ).select(
+        "lid", "key",
+        F.timestamp_micros(F.col("lus")).alias("lts"),
+    )
+    right = spark.createDataFrame(
+        [
+            (100, 10, 5_499_999),  # just before window start -> out
+            (101, 10, 5_500_000),  # exactly at start -> IN (inclusive)
+            (102, 10, 5_999_999),  # same bucket as left -> IN
+            (103, 10, 6_400_000),  # NEXT bucket, inside window -> IN
+            (104, 10, 6_500_000),  # exactly at end -> OUT (exclusive)
+            (105, 99, 5_600_000),  # wrong key -> out
+        ],
+        "rid bigint, key bigint, rus bigint",
+    ).select(
+        "rid", "key",
+        F.timestamp_micros(F.col("rus")).alias("rts"),
+    )
+    out = bucketed_range_join(
+        left, right, on=["key"], left_ts="lts", right_ts="rts", window_us=W
+    )
+    rids = sorted(r["rid"] for r in out.collect())
+    assert rids == [101, 102, 103]  # each exactly once
+
+
+def test_range_join_plan_is_equi_join(spark):
+    """The point: a plain equi-join on (key, bucket), never a
+    nested-loop/cartesian inequality join."""
+    from mcp_ocr_server_spark.queries import q_purchase_error_window
+
+    plan = q_purchase_error_window(
+        spark, "/root/testdata/sf0.001"
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Python" not in plan
+
+
+def test_range_join_registry_query_nondegenerate(spark):
+    from mcp_ocr_server_spark.queries import q_purchase_error_window
+
+    rows = q_purchase_error_window(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert len(rows) > 0
+    hit = [r for r in rows if r["n_errors"] > 0]
+    miss = [r for r in rows if r["n_errors"] == 0]
+    assert hit and miss  # both branches of the left join exercised
+    for r in miss:
+        assert r["err_cents"] is None
+
+
 def test_registry_query_is_point_in_time_correct(spark):
     """No event may reference an order dated after it (the leak an
     as-of join exists to prevent), and found witnesses must be real
