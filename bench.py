@@ -133,7 +133,7 @@ def main() -> None:
         "lang_id", "lang_id_eval", "text_quality", "token_stats",
         "doc_fingerprint", "repetition_stats", "quality_filter",
         "source_quota",
-        "events_json",
+        "events_json", "event_quantiles",
         "vocab_topk", "decontaminate", "pack_sequences", "source_mix",
         "events_hourly", "events_cube", "events_sliding", "event_sessions",
         "events_asof_orders", "purchase_error_window",

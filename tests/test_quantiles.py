@@ -1,0 +1,61 @@
+"""event_quantiles: exact per-group percentiles (oracle surface) and
+the approx_percentile scale path asserted against them."""
+
+import pyspark.sql.functions as F
+
+from mcp_ocr_server_spark.queries import q_event_quantiles
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_quantiles_ordered_and_bounded(spark):
+    rows = q_event_quantiles(spark, SF).collect()
+    assert len(rows) > 1
+    for r in rows:
+        assert r["n_events"] > 0
+        assert r["p50"] <= r["p90"] <= r["p99"]
+
+
+def test_known_small_group(spark):
+    """Hand-checkable fixture: percentile(0.5) of [1,2,3,4] is the
+    rank-1.5 interpolation = 2.5."""
+    df = spark.createDataFrame(
+        [("a", float(v)) for v in (1, 2, 3, 4)], "g string, v double"
+    )
+    out = df.groupBy("g").agg(
+        F.expr("percentile(v, 0.5D)").alias("p50"),
+        F.expr("percentile(v, 0.25D)").alias("p25"),
+    ).collect()[0]
+    assert out["p50"] == 2.5
+    assert out["p25"] == 1.75  # rank 0.75 between 1 and 2
+
+
+def test_approx_scale_path_within_rank_bound(spark):
+    """The documented 100 TB swap: approx_percentile returns a MEMBER
+    value whose rank must be within n/accuracy (+1 for the discrete
+    step — GK returns a data point, exact percentile interpolates
+    between two) of the target rank p*n."""
+    acc = 1000
+    p = 0.9
+    from mcp_ocr_server_spark.queries import _t
+
+    ev = _t(spark, SF, "events")
+    got = ev.groupBy("event_type").agg(
+        F.expr(f"approx_percentile(value, {p}D, {acc})").alias("ap"),
+        F.count(F.lit(1)).alias("n"),
+    ).collect()
+    assert got
+    stats = {r["event_type"]: r for r in got}
+    ranks = ev.groupBy("event_type").agg(
+        *[
+            F.sum(
+                (F.col("value") <= F.lit(stats[t]["ap"])).cast("long")
+            ).alias(t)
+            for t in stats
+        ]
+    ).collect()
+    for r in ranks:
+        t = r["event_type"]
+        s = stats[t]
+        rank_err = abs(r[t] - p * s["n"])
+        assert rank_err <= s["n"] / acc + 1, (t, r[t], s)
