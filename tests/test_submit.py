@@ -1,0 +1,65 @@
+"""The north rule's deployment surface, actually exercised: build the
+--py-files zip, copy ONLY the entry script to a foreign directory (so
+the package is NOT importable from cwd or the script's parent — every
+import must come from the shipped zip), and run the checkpointed job
+through the real `spark-submit` binary."""
+
+import os
+import shutil
+import subprocess
+import zipfile
+
+import duckdb
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SPARK_SUBMIT = shutil.which("spark-submit") or "/opt/spark/bin/spark-submit"
+
+
+def _build_zip(dest: str) -> None:
+    with zipfile.ZipFile(dest, "w", zipfile.ZIP_DEFLATED) as z:
+        pkg = os.path.join(REPO, "mcp_ocr_server_spark")
+        for dirpath, dirnames, filenames in os.walk(pkg):
+            dirnames[:] = [d for d in dirnames if d != "__pycache__"]
+            for f in filenames:
+                if f.endswith(".py"):
+                    p = os.path.join(dirpath, f)
+                    z.write(p, os.path.relpath(p, REPO))
+
+
+@pytest.mark.skipif(
+    not os.path.exists(SPARK_SUBMIT), reason="no spark-submit binary"
+)
+def test_spark_submit_pyfiles_roundtrip(tmp_path):
+    zp = str(tmp_path / "mcp_ocr_server_spark.zip")
+    _build_zip(zp)
+    scripts = tmp_path / "scripts"
+    scripts.mkdir()
+    shutil.copy(
+        os.path.join(REPO, "scripts", "run_extract.py"),
+        scripts / "run_extract.py",
+    )
+    out = str(tmp_path / "out")
+    env = dict(os.environ)
+    env.pop("PYTHONPATH", None)
+    res = subprocess.run(
+        [
+            SPARK_SUBMIT, "--master", "local[4]",
+            "--py-files", zp,
+            str(scripts / "run_extract.py"),
+            "--out", out, "--synthetic-docs", "120", "--buckets", "2",
+        ],
+        cwd=str(tmp_path), env=env,
+        capture_output=True, text=True, timeout=240,
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+    assert "committed 2 buckets (0 already done)" in res.stdout
+
+    # committed output integrity: (doc_id, order) unique, spans present
+    con = duckdb.connect()
+    n, dups = con.sql(
+        f"""SELECT count(*),
+                   count(*) - count(DISTINCT (doc_id, "order"))
+            FROM read_parquet('{out}/spans/bucket=*/*.parquet')"""
+    ).fetchone()
+    assert n > 0 and dups == 0
