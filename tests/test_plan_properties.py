@@ -292,3 +292,23 @@ def test_pack_sequences_plan_and_invariants(spark):
         per_bucket[r.bucket] = (tot + r.n_tokens, max(mx, r.seq_id))
     for b, (tot, mx) in per_bucket.items():
         assert tot >= mx * Q.PACK_CAP, (b, tot, mx)
+
+
+def test_vocab_topk_per_lang_group_limit_pushdown(spark):
+    """Per-group top-k must run as a rank-limited window that Catalyst
+    prunes with WindowGroupLimit (partial before the shuffle, final
+    after) — never a full per-group sort feeding a plain Filter."""
+    df = Q.QUERIES["vocab_topk_per_lang"][0](spark, SF)
+    plan = _plan(spark, df, "simple")
+    assert "WindowGroupLimit" in plan, plan
+    rows = df.collect()
+    assert rows
+    per_lang = {}
+    for r in rows:
+        per_lang.setdefault(r.lang, []).append((r.rnk, r.n))
+    for lang, rs in per_lang.items():
+        rs.sort()
+        assert [rk for rk, _ in rs] == list(range(1, len(rs) + 1))
+        assert len(rs) <= 10
+        ns = [n for _, n in rs]
+        assert ns == sorted(ns, reverse=True), (lang, ns)
