@@ -351,3 +351,88 @@ def sessionize_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_purchase_error_pairs(
+    spark: SparkSession,
+    events_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    window: str = "24 hours",
+    watermark: str = "25 hours",
+    available_now: bool = True,
+):
+    """Watermarked stream-stream INTERVAL join — the streaming twin of
+    `operators/asof.bucketed_range_join` / q_purchase_error_window:
+    each purchase meets the same user's error events inside the
+    following `window`, as they arrive.
+
+    The batch operator buckets time to dodge Catalyst's
+    equi-join-then-post-filter plan; streaming needs no bucketing trick
+    because Structured Streaming plans a time-range equi-join natively
+    as StreamingSymmetricHashJoin: both sides hash-partition on
+    user_id, and the WATERMARK plus the recognized time-bound
+    (`e_ts` in [p_ts, p_ts + window)) derive a state-retention horizon
+    per side — a purchase row is evicted once the error-side watermark
+    passes p_ts + window, an error row once the purchase-side watermark
+    passes e_ts.  Bounded state at unbounded input; the same join
+    WITHOUT the time bound would grow state forever (Spark allows it
+    for inner joins — the time condition is what makes it safe).
+
+    Inner join, append mode: a pair is emitted the moment both rows
+    have arrived (inner matches are final immediately; only the state
+    cleanup, not emission, waits on the watermark).  Aggregation to
+    the batch query's per-purchase rollup happens downstream (e.g.
+    foreachBatch MERGE into the rollup table): an append-mode
+    aggregation AFTER a stream-stream join would hold every open
+    window's group in state a second time for no benefit here.
+
+    `watermark` must be >= `window` plus the real out-of-orderness
+    bound, else a purchase's late-window errors can be dropped as
+    late; the default gives 1 h of slack over the 24 h window.  Error
+    amounts are integer cents exactly like the batch twin."""
+
+    def src() -> DataFrame:
+        return (
+            spark.readStream.schema(
+                "event_id long, ts timestamp_ntz, user_id long,"
+                " event_type string, value double, props string"
+            )
+            .parquet(events_dir)
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+        )
+
+    purchases = (
+        src()
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("p_event_id"),
+            "user_id",
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", watermark)
+    )
+    errors = (
+        src()
+        .filter(F.col("event_type") == "error")
+        .select(
+            F.col("user_id").alias("e_user_id"),
+            F.col("ts").alias("e_ts"),
+            F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+        )
+        .withWatermark("e_ts", watermark)
+    )
+    pairs = purchases.join(
+        errors,
+        (F.col("user_id") == F.col("e_user_id"))
+        & F.expr(f"e_ts >= p_ts AND e_ts < p_ts + INTERVAL {window}"),
+    ).select("p_event_id", "user_id", "e_ts", "cents")
+    writer = (
+        pairs.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -352,3 +352,79 @@ def test_stream_extract_interleaved_matches_batch(spark, tmp_path):
     assert {k for (_d, _o, k, _t, _e) in got} == {
         "text", "html", "image", "pdf"
     }
+
+
+def test_stream_range_join_matches_batch(spark, tmp_path):
+    """Stream-stream interval join == the batch bucketed_range_join
+    pair-for-pair (inner matches are final on emission), and the plan
+    is a StreamingSymmetricHashJoin with a derived state horizon."""
+    from pyspark.sql import functions as F
+
+    from mcp_ocr_server_spark.operators.asof import bucketed_range_join
+    from mcp_ocr_server_spark.queries import RANGE_WINDOW_US
+    from mcp_ocr_server_spark.streaming.stream_extract import (
+        stream_purchase_error_pairs,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    src = str(tmp_path / "events_in")
+    spark.read.parquet(f"{sf}/events.parquet").repartition(4).write.parquet(
+        src
+    )
+    out = str(tmp_path / "pairs_out")
+    q = stream_purchase_error_pairs(
+        spark, src, out, str(tmp_path / "ckpt"), available_now=True
+    )
+    q.awaitTermination(300)
+    # the join really ran as a stateful symmetric hash join (not some
+    # batch-style rewrite): the final progress carries its state store
+    last = q.lastProgress
+    assert last["stateOperators"], last
+    assert "symmetricHashJoin" in last["stateOperators"][0]["operatorName"]
+    got = sorted(
+        map(
+            tuple,
+            spark.read.parquet(out)
+            .select(
+                "p_event_id",
+                "user_id",
+                F.unix_micros("e_ts").alias("us"),
+                "cents",
+            )
+            .collect(),
+        )
+    )
+
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_event_id"),
+        "user_id",
+        F.col("ts").alias("p_ts"),
+    )
+    errors = ev.filter(F.col("event_type") == "error").select(
+        F.col("user_id").alias("e_user_id"),
+        F.col("ts").alias("e_ts"),
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+    )
+    exp = sorted(
+        map(
+            tuple,
+            bucketed_range_join(
+                purchases,
+                errors.withColumnRenamed("e_user_id", "user_id"),
+                on=["user_id"],
+                left_ts="p_ts",
+                right_ts="e_ts",
+                window_us=RANGE_WINDOW_US,
+            )
+            .select(
+                "p_event_id",
+                "user_id",
+                F.unix_micros(F.col("e_ts").cast("timestamp")).alias("us"),
+                "cents",
+            )
+            .collect(),
+        )
+    )
+    assert len(got) > 0
+    assert got == exp
