@@ -105,7 +105,14 @@ def bucketed_range_join(
     (a right row has ONE bucket; the left row's two exploded buckets
     are distinct).  Inner join: unmatched left rows are the caller's
     left-join-after-aggregate concern.  Column names must not collide
-    across sides (rename before calling)."""
+    across sides (rename before calling); `__b` is reserved for the
+    internal bucket key on both sides (enforced)."""
+    for side, df in (("left", left), ("right", right)):
+        if "__b" in df.columns:
+            raise ValueError(
+                f"{side} input already has a '__b' column — reserved "
+                "for the internal bucket key; rename it before calling"
+            )
     # cast handles TIMESTAMP_NTZ inputs (unix_micros needs LTZ); the
     # session pins UTC, and a range predicate is shift-invariant anyway
     # (both sides map through the same monotonic cast)

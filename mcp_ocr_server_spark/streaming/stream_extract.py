@@ -27,6 +27,14 @@ from ..config import DEFAULT_CONFIG, JobConfig
 from ..plans.pipeline import extract
 from ..sources.synthetic import DOCS_SCHEMA
 
+# the events fixture's exact parquet schema (ts is timestamp_NTZ on
+# disk; each streaming reader casts to LTZ explicitly where a
+# watermark requires it) — one definition for all three events twins
+EVENTS_SCHEMA = (
+    "event_id long, ts timestamp_ntz, user_id long,"
+    " event_type string, value double, props string"
+)
+
 
 def _memo_sources(memo_dir: str | None, batch_id: int | None) -> list[str]:
     """Paths the cross-batch memo reads: the NEWEST committed compacted
@@ -263,10 +271,7 @@ def stream_events_hourly(
     cast in the plan, not the reader defaulting to LTZ.
     """
     events = (
-        spark.readStream.schema(
-            "event_id long, ts timestamp_ntz, user_id long,"
-            " event_type string, value double, props string"
-        )
+        spark.readStream.schema(EVENTS_SCHEMA)
         .parquet(events_dir)
         .withColumn("ts", F.col("ts").cast("timestamp"))
     )
@@ -324,10 +329,7 @@ def sessionize_stream(
         an explicit pair of casts in the plan, not an accident of the
         reader defaulting to LTZ."""
     events = (
-        spark.readStream.schema(
-            "event_id long, ts timestamp_ntz, user_id long,"
-            " event_type string, value double, props string"
-        )
+        spark.readStream.schema(EVENTS_SCHEMA)
         .parquet(events_dir)
         .withColumn("ts", F.col("ts").cast("timestamp"))
     )
@@ -389,8 +391,18 @@ def stream_purchase_error_pairs(
 
     `watermark` must be >= `window` plus the real out-of-orderness
     bound, else a purchase's late-window errors can be dropped as
-    late; the default gives 1 h of slack over the 24 h window.  Error
-    amounts are integer cents exactly like the batch twin."""
+    late; the default gives 1 h of slack over the 24 h window —
+    ENFORCED below, so a widened window with a stale watermark fails
+    loudly instead of silently undercounting.  Error amounts are
+    integer cents exactly like the batch twin."""
+    if not spark.sql(
+        f"SELECT INTERVAL {watermark} >= INTERVAL {window}"
+    ).first()[0]:
+        raise ValueError(
+            f"watermark ({watermark}) must be >= window ({window}): "
+            "purchase-side state would be evicted before the window "
+            "closes, silently dropping in-window late pairs"
+        )
 
     def src() -> DataFrame:
         return (
