@@ -133,7 +133,7 @@ def main() -> None:
         "lang_id", "lang_id_eval", "text_quality", "token_stats",
         "doc_fingerprint", "repetition_stats", "quality_filter",
         "source_quota",
-        "events_json", "event_quantiles",
+        "events_json", "event_quantiles", "event_cardinality",
         "vocab_topk", "vocab_topk_per_lang",
         "decontaminate", "pack_sequences", "source_mix",
         "events_hourly", "events_cube", "events_sliding", "event_sessions",

@@ -70,3 +70,49 @@ def test_approx_scale_path_within_rank_bound(spark):
         lo, hi = r[f"{t}_lo"] + 1, r[f"{t}_hi"]
         dist = max(lo - target, target - hi, 0)
         assert dist <= s["n"] / acc + 1, (t, lo, hi, s)
+
+
+def test_cardinality_hll_scale_path_within_rsd(spark):
+    """The documented HLL swap for event_cardinality: approx_count_
+    distinct at rsd must land within ~3*rsd of the exact distinct
+    (HLL++ error is approximately Gaussian with sd = rsd)."""
+    rsd = 0.02
+    from mcp_ocr_server_spark.queries import _t, q_event_cardinality
+
+    exact = {
+        r["event_type"]: r["n_users"]
+        for r in q_event_cardinality(spark, SF).collect()
+    }
+    approx = (
+        _t(spark, SF, "events")
+        .groupBy("event_type")
+        .agg(F.approx_count_distinct("user_id", rsd).alias("a"))
+        .collect()
+    )
+    assert approx
+    for r in approx:
+        e = exact[r["event_type"]]
+        assert abs(r["a"] - e) <= max(3 * rsd * e, 1), (r, e)
+
+
+def test_cardinality_plan_has_expand_and_hll_does_not(spark):
+    """The docstring's plan claim, machine-checked: exact multi-column
+    distinct inserts an Expand; the HLL form does not."""
+    from mcp_ocr_server_spark.queries import _t, q_event_cardinality
+
+    exact_plan = q_event_cardinality(
+        spark, SF
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" in exact_plan
+    hll_plan = (
+        _t(spark, SF, "events")
+        .groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", 0.02).alias("u"),
+            F.approx_count_distinct(F.to_date("ts"), 0.02).alias("d"),
+        )
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Expand" not in hll_plan
