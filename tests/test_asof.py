@@ -153,3 +153,55 @@ def test_registry_query_is_point_in_time_correct(spark):
     # every event matches here (the testdata's orders all predate the
     # events); the no-match path is covered by the fixture test above
     assert n_hit == len(out) > 0
+
+
+def test_range_join_equals_bruteforce_on_adversarial_data(spark):
+    """Exhaustive check of the bucketing math against a brute-force
+    O(n^2) pairing on data built to stress it: pre-epoch (negative
+    microsecond) timestamps where `div` truncates toward zero rather
+    than flooring, values at every bucket boundary, a hot key, and a
+    window that doesn't divide the timestamps evenly."""
+    import itertools
+
+    from mcp_ocr_server_spark.operators.asof import bucketed_range_join
+
+    W = 7_000  # 7 ms window, deliberately not a divisor of anything
+    # timestamps clustered around 0, bucket edges, and +-W multiples
+    interesting = [
+        -3 * W, -2 * W - 1, -2 * W, -W - 1, -W, -W + 1, -1, 0, 1,
+        W - 1, W, W + 1, 2 * W - 1, 2 * W, 5 * W // 2, 3 * W + 123,
+    ]
+    lrows = [
+        (i, k, t)
+        for i, (k, t) in enumerate(
+            itertools.product([1, 2], interesting)
+        )
+    ]
+    rrows = [
+        (1000 + j, k, t + d)
+        for j, (k, t, d) in enumerate(
+            itertools.product([1, 2], interesting, [-1, 0, 1, W - 1, W])
+        )
+    ]
+    left = spark.createDataFrame(
+        lrows, "lid bigint, key bigint, lus bigint"
+    ).select("lid", "key", F.timestamp_micros("lus").alias("lts"))
+    right = spark.createDataFrame(
+        rrows, "rid bigint, key bigint, rus bigint"
+    ).select("rid", "key", F.timestamp_micros("rus").alias("rts"))
+    got = sorted(
+        (r["lid"], r["rid"])
+        for r in bucketed_range_join(
+            left, right, on=["key"], left_ts="lts", right_ts="rts",
+            window_us=W,
+        ).collect()
+    )
+    expected = sorted(
+        (lid, rid)
+        for (lid, lk, lt), (rid, rk, rt) in itertools.product(
+            lrows, rrows
+        )
+        if lk == rk and lt <= rt < lt + W
+    )
+    assert expected  # non-degenerate: the brute force found pairs
+    assert got == expected
