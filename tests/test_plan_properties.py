@@ -312,3 +312,51 @@ def test_vocab_topk_per_lang_group_limit_pushdown(spark):
         assert len(rs) <= 10
         ns = [n for _, n in rs]
         assert ns == sorted(ns, reverse=True), (lang, ns)
+
+
+def test_aqe_splits_skewed_join_partition(spark):
+    """The skew story's runtime half, machine-checked: a join with one
+    hot key (200k rows vs ~20 rows/key elsewhere) is re-planned by AQE
+    into SortMergeJoin(skew=true) over an `AQEShuffleRead skewed` —
+    the hot partition is split into multiple tasks instead of
+    straggling on one.  Thresholds are lowered to make toy data skew
+    the same way a 100 TB hot key does; every conf is restored."""
+    tuned = {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.0",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes":
+            "16KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {}
+    for k, v in tuned.items():
+        try:
+            saved[k] = spark.conf.get(k)
+        except Exception:
+            saved[k] = None
+        spark.conf.set(k, v)
+    try:
+        hot = spark.range(200_000).select(
+            F.lit(7).alias("k"), F.col("id").alias("lv")
+        )
+        rest = spark.range(1000).select(
+            (F.col("id") % 50).alias("k"), F.col("id").alias("lv")
+        )
+        right = spark.range(50).select(
+            F.col("id").alias("k"), F.col("id").alias("rv")
+        )
+        j = hot.union(rest).join(right, "k")
+        assert len(j.collect()) == 201_000
+        plan = _plan(spark, j, "simple")
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, plan
+        assert "AQEShuffleRead skewed" in plan, plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
