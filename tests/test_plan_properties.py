@@ -360,3 +360,26 @@ def test_aqe_splits_skewed_join_partition(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_corpus_split_is_row_local_until_rollup(spark):
+    """Split assignment must be a pure row-local function of doc_id:
+    the only shuffle in the plan is the final audit groupBy, and the
+    assignment covers every doc exactly once at ~90/5/5."""
+    df = Q.QUERIES["corpus_split"][0](spark, SF)
+    plan = _plan(spark, df, "simple")
+    assert plan.count("Exchange") == 1, plan
+    rows = df.collect()
+    by_split = {}
+    for r in rows:
+        by_split[r.split] = by_split.get(r.split, 0) + r.n_docs
+    total = sum(by_split.values())
+    import duckdb
+
+    con = duckdb.connect()  # must outlive the relation (weakref'd)
+    n_docs = con.sql(
+        f"SELECT count(*) FROM read_parquet('{SF}/documents.parquet')"
+    ).fetchone()[0]
+    assert total == n_docs  # exhaustive + disjoint
+    assert set(by_split) == {"train", "val", "test"}
+    assert 0.80 <= by_split["train"] / total <= 0.97
