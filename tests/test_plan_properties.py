@@ -349,6 +349,10 @@ def test_aqe_splits_skewed_join_partition(spark):
             F.col("id").alias("k"), F.col("id").alias("rv")
         )
         j = hot.union(rest).join(right, "k")
+        # collect() on j ITSELF, not count(): count()/write() build a
+        # separate query execution, leaving j's plan isFinalPlan=false
+        # (verified) — the skew assertions below need j's own executed
+        # adaptive plan
         assert len(j.collect()) == 201_000
         plan = _plan(spark, j, "simple")
         assert "isFinalPlan=true" in plan
@@ -374,12 +378,7 @@ def test_corpus_split_is_row_local_until_rollup(spark):
     for r in rows:
         by_split[r.split] = by_split.get(r.split, 0) + r.n_docs
     total = sum(by_split.values())
-    import duckdb
-
-    con = duckdb.connect()  # must outlive the relation (weakref'd)
-    n_docs = con.sql(
-        f"SELECT count(*) FROM read_parquet('{SF}/documents.parquet')"
-    ).fetchone()[0]
+    n_docs = spark.read.parquet(f"{SF}/documents.parquet").count()
     assert total == n_docs  # exhaustive + disjoint
     assert set(by_split) == {"train", "val", "test"}
     assert 0.80 <= by_split["train"] / total <= 0.97
