@@ -448,3 +448,62 @@ def stream_purchase_error_pairs(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_event_quantiles(
+    spark: SparkSession,
+    events_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    watermark: str = "2 hours",
+    accuracy: int = 10_000,
+    available_now: bool = True,
+):
+    """Watermarked hourly tail-latency rollup — the streaming twin of
+    queries.q_event_quantiles: p50/p90/p99 of `value` per (hour,
+    event_type) window.
+
+    Streaming aggregation state must be bounded and mergeable, so this
+    uses `approx_percentile` — the GK sketch documented as
+    q_event_quantiles' 100 TB swap — NOT exact `percentile`: an exact
+    per-group value->count map in streaming state would grow with the
+    window's distinct-value count and be rebuilt per micro-batch;
+    the sketch is fixed-size and merges micro-batch partials the same
+    way map-side partials merge in batch.  Rank error <= n/accuracy
+    per window (asserted against the batch EXACT per-window quantiles
+    in test_streaming.py).  Append mode: a window's row is final once
+    the watermark closes it."""
+    events = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .parquet(events_dir)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    agg = (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr(
+                f"approx_percentile(value,"
+                f" array(0.5D, 0.9D, 0.99D), {accuracy})"
+            ).alias("ps"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias(
+                "hour_start"
+            ),
+            "event_type", "n",
+            F.col("ps")[0].alias("p50"),
+            F.col("ps")[1].alias("p90"),
+            F.col("ps")[2].alias("p99"),
+        )
+    )
+    writer = (
+        agg.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

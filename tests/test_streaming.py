@@ -428,3 +428,48 @@ def test_stream_range_join_matches_batch(spark, tmp_path):
     )
     assert len(got) > 0
     assert got == exp
+
+
+def test_stream_windowed_quantiles_rank_bound(spark, tmp_path):
+    """Streaming hourly approx quantiles: per closed window, n matches
+    the batch count exactly and each sketch quantile's rank within the
+    window's values is within n/accuracy (+1 for the discrete member
+    step) of the target rank — the same GK bound the batch swap test
+    pins, here across micro-batch state merges."""
+    import pandas as pd
+
+    from mcp_ocr_server_spark.streaming.stream_extract import (
+        stream_event_quantiles,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    src = str(tmp_path / "events_in")
+    spark.read.parquet(f"{sf}/events.parquet").repartition(4).write.parquet(
+        src
+    )
+    out = str(tmp_path / "q_out")
+    acc = 10_000
+    q = stream_event_quantiles(
+        spark, src, out, str(tmp_path / "ckpt"), accuracy=acc,
+        available_now=True,
+    )
+    q.awaitTermination(300)
+    got = spark.read.parquet(out).collect()
+    assert got
+
+    ev = pd.read_parquet(f"{sf}/events.parquet")
+    ev["hour_start"] = (
+        ev["ts"].dt.floor("h").dt.strftime("%Y-%m-%d %H:%M:%S")
+    )
+    groups = ev.groupby(["hour_start", "event_type"])["value"]
+    for r in got:
+        vals = groups.get_group((r["hour_start"], r["event_type"]))
+        n = len(vals)
+        assert r["n"] == n
+        for p, col in ((0.5, "p50"), (0.9, "p90"), (0.99, "p99")):
+            lo = int((vals < r[col]).sum()) + 1
+            hi = int((vals <= r[col]).sum())
+            assert hi >= lo - 1  # the sketch value is a member or dup
+            target = p * n
+            dist = max(lo - target, target - hi, 0)
+            assert dist <= n / acc + 1, (r, p, lo, hi, n)
