@@ -12,9 +12,13 @@ Exactly-once: foreachBatch appends with per-batch parquet sub-dirs
 keyed by batch id (idempotent re-writes on retry); on Iceberg this
 would be a transactional append per micro-batch.
 
-Also provides a watermarked tumbling-window aggregation over the
-events stream — the stateful-streaming shape (late data bounded by the
-watermark) whose batch twin is queries.q_events_hourly.
+Also provides the stateful-streaming twins of the batch analytics
+(late data bounded by watermarks, state bounded by window/session/
+join-horizon eviction): tumbling-window counts (q_events_hourly),
+gap-based sessionization (q_event_sessions), a stream-stream interval
+join (q_purchase_error_window), and windowed approx quantiles
+(q_event_quantiles) — each unit-tested against its batch twin on the
+same input.
 """
 
 from __future__ import annotations
