@@ -382,3 +382,37 @@ def test_corpus_split_is_row_local_until_rollup(spark):
     assert total == n_docs  # exhaustive + disjoint
     assert set(by_split) == {"train", "val", "test"}
     assert 0.80 <= by_split["train"] / total <= 0.97
+
+
+def test_pii_scrub_plan_is_shuffle_free_and_jvm_only(spark):
+    """PII scrub must be a single codegen stage: zero exchanges, zero
+    Python stages (regexes run JVM-side), and the scan pruned to the
+    two columns it needs — the embarrassingly-parallel shape its
+    docstring promises at 100 TB."""
+    df = Q.QUERIES["pii_scrub"][0](spark, SF)
+    plan = _plan(spark, df, "simple")
+    assert "Exchange" not in plan, plan
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "FlatMapsInPandas",
+                   "MapInPandas", "PythonUDF"):
+        assert marker not in plan, plan
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m and sorted(c.split(":")[0] for c in m.group(1).split(",")) == [
+        "doc_id", "text",
+    ]
+
+
+def test_line_dedup_plan_shuffles_hashes_never_text(spark):
+    """Every Exchange in the line-dedup plan must carry only the md5
+    line hash / doc_id — never the text or token-array columns — and
+    both groupBys must have map-side partial aggregation.  No window,
+    no global sort."""
+    df = Q.QUERIES["line_dedup"][0](spark, SF)
+    plan = _plan(spark, df, "simple")
+    text_ids = set(re.findall(r"\b(?:text|t)#(\d+)", plan))
+    for ln in plan.splitlines():
+        s = ln.strip()
+        if "Exchange" in s:
+            for tid in text_ids:
+                assert f"#{tid}" not in s.split("Exchange", 1)[1], s
+    assert "Window" not in plan
+    assert "partial_count" in plan  # map-side combine on both rollups
