@@ -71,11 +71,16 @@ def connected_components(
     A non-converged loop raises :class:`ConvergenceError` rather than
     returning partial labels.
     """
-    sym = (
-        edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
-        .union(edges.select(F.col("dst").alias("a"), F.col("src").alias("b")))
-        .persist()
-    )
+    # Truncate the edge lineage BEFORE symmetrizing: the union's two
+    # branches are two plan references to the pair-mining subtree, and
+    # without the checkpoint each branch recomputes it (measured: the
+    # 20-table Manku join ran twice inside sym.count()).
+    e = edges.select(
+        F.col("src").alias("a"), F.col("dst").alias("b")
+    ).localCheckpoint(eager=False)
+    sym = e.union(
+        e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).persist()
     sym.count()  # materialize ONCE — the loop must not recompute the
     # (potentially expensive) pair-mining subtree every round
     labels = nodes.select(
@@ -95,7 +100,11 @@ def connected_components(
             F.least(
                 F.col("label"), F.coalesce("nbr_min", "label")
             ).alias("label"),
-        )
+            # checkpoint: the pointer-jump below references `stepped`
+            # twice (probe side and parent side); without truncation
+            # the neighbor join + min-aggregate subtree runs twice per
+            # round.  Lazy — materialized by the convergence aggregate.
+        ).localCheckpoint(eager=False)
         # pointer jump: every label value is itself a node id (labels
         # start as ids and only min-fold over other labels), so
         # label(label(x)) is total; the left join + coalesce is
