@@ -135,7 +135,7 @@ def main() -> None:
         "pii_scrub", "line_dedup",
         "source_quota",
         "events_json", "event_quantiles", "event_cardinality",
-        "vocab_topk", "vocab_topk_per_lang", "corpus_split",
+        "vocab_topk", "vocab_topk_per_lang", "tfidf_topk", "corpus_split",
         "decontaminate", "pack_sequences", "source_mix",
         "events_hourly", "events_cube", "events_sliding", "event_sessions",
         "events_asof_orders", "purchase_error_window",

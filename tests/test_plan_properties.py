@@ -416,3 +416,25 @@ def test_line_dedup_plan_shuffles_hashes_never_text(spark):
                 assert f"#{tid}" not in s.split("Exchange", 1)[1], s
     assert "Window" not in plan
     assert "partial_count" in plan  # map-side combine on both rollups
+
+
+def test_tfidf_topk_plan_broadcasts_df_table_and_prunes_rank(spark):
+    """The vocabulary-sized df table and the 1-row N aggregate must
+    broadcast onto tf (no corpus-side shuffle for the join), and the
+    per-doc rank must be WindowGroupLimit-pruned.  Invariants: ranks
+    are 1..k per doc, scores non-increasing within a doc."""
+    df = Q.QUERIES["tfidf_topk"][0](spark, SF)
+    plan = _plan(spark, df, "simple")
+    assert "WindowGroupLimit" in plan, plan
+    assert plan.count("BroadcastExchange") >= 2, plan
+    rows = df.collect()
+    assert rows
+    per_doc = {}
+    for r in rows:
+        per_doc.setdefault(r.doc_id, []).append((r.rnk, r.score))
+    for doc_id, rs in per_doc.items():
+        rs.sort()
+        assert [rk for rk, _ in rs] == list(range(1, len(rs) + 1))
+        assert len(rs) <= 3
+        scores = [s for _, s in rs]
+        assert scores == sorted(scores, reverse=True), (doc_id, scores)
