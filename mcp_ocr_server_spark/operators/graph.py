@@ -26,13 +26,18 @@ Scale notes (100 TB / 1e9 docs):
   mirrored pages), so d is tiny and the loop converges in a handful of
   rounds; pointer jumping bounds even adversarial long chains at
   log2(d) rounds rather than d.
-- Every round ends in an EAGER ``localCheckpoint``: the round body
-  references the label table three times (neighbor join, least-fold,
-  pointer-jump self-join), so without lineage truncation the logical
-  plan grows ~3x per round — exponential, and it OOMs the driver on
-  plan *analysis* long before any data is large (measured: Java heap
-  exhausted inside ``explainString`` at sf0.001).  ``persist`` caches
-  data but NOT the plan; ``localCheckpoint`` cuts the plan to a leaf.
+- Each round carries TWO lazy ``localCheckpoint``s (``stepped`` and
+  the round result ``jumped``), both materialized by the round's one
+  convergence aggregate: the round body references the label table
+  three times (neighbor join, least-fold, pointer-jump self-join) and
+  ``stepped`` twice (probe + parent side of the jump), so without
+  lineage truncation the logical plan grows ~3x per round —
+  exponential, and it OOMs the driver on plan *analysis* long before
+  any data is large (measured: Java heap exhausted inside
+  ``explainString`` at sf0.001) — and the neighbor-join subtree would
+  re-run once per extra reference (measured 2x per round).
+  ``persist`` caches data but NOT the plan; ``localCheckpoint`` cuts
+  the plan to a leaf.
   Prior rounds' checkpoint storage is reclaimed by the ContextCleaner
   once unreferenced.  On a real cluster with executor loss in scope,
   swap for reliable ``checkpoint()`` into the cluster checkpoint dir —
@@ -71,18 +76,22 @@ def connected_components(
     A non-converged loop raises :class:`ConvergenceError` rather than
     returning partial labels.
     """
-    # Truncate the edge lineage BEFORE symmetrizing: the union's two
+    # Persist the edge table BEFORE symmetrizing: the union's two
     # branches are two plan references to the pair-mining subtree, and
-    # without the checkpoint each branch recomputes it (measured: the
-    # 20-table Manku join ran twice inside sym.count()).
+    # without the persist each branch recomputes it (measured: the
+    # 20-table Manku join ran twice inside sym.count()).  persist, not
+    # localCheckpoint: the BlockManager dedupes the two branches'
+    # computation identically and the copy is explicitly releasable
+    # once sym holds the symmetrized rows.
     e = edges.select(
         F.col("src").alias("a"), F.col("dst").alias("b")
-    ).localCheckpoint(eager=False)
+    ).persist()
     sym = e.union(
         e.select(F.col("b").alias("a"), F.col("a").alias("b"))
     ).persist()
     sym.count()  # materialize ONCE — the loop must not recompute the
     # (potentially expensive) pair-mining subtree every round
+    e.unpersist()  # sym now holds both directions; drop the staging copy
     labels = nodes.select(
         F.col("id"), F.col("id").alias("label")
     ).localCheckpoint(eager=False)  # lazy: next line materializes

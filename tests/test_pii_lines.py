@@ -14,54 +14,12 @@ SF = "/root/testdata/sf0.001"
 
 def _scrubbed_texts(spark):
     """Re-derive the scrubbed text (the registry query ships only its
-    sha256) by running the same augment+scrub chain."""
-    d = spark.read.parquet(f"{SF}/documents.parquet")
-    aug = d.withColumn(
-        "t",
-        F.concat(
-            F.col("text"),
-            F.when(
-                F.col("doc_id") % 3 == 0,
-                F.concat(
-                    F.lit(" contact user"),
-                    F.col("doc_id").cast("string"),
-                    F.lit("@example.com"),
-                ),
-            ).otherwise(F.lit("")),
-            F.when(
-                F.col("doc_id") % 5 == 0,
-                F.concat(
-                    F.lit(" call "),
-                    F.format_string(
-                        "555-%03d-%04d",
-                        F.col("doc_id") % 1000,
-                        F.col("doc_id") % 10000,
-                    ),
-                ),
-            ).otherwise(F.lit("")),
-            F.when(
-                F.col("doc_id") % 7 == 0,
-                F.concat(
-                    F.lit(" from 192.168."),
-                    (F.col("doc_id") % 256).cast("string"),
-                    F.lit("."),
-                    ((F.col("doc_id") * 7) % 256).cast("string"),
-                ),
-            ).otherwise(F.lit("")),
-        ),
-    )
-    scrubbed = F.regexp_replace(
-        F.regexp_replace(
-            F.regexp_replace(
-                "t", F.lit(Q.PII_EMAIL_RE), F.lit("<EMAIL>")
-            ),
-            F.lit(Q.PII_PHONE_RE),
-            F.lit("<PHONE>"),
-        ),
-        F.lit(Q.PII_IP_RE),
-        F.lit("<IP>"),
-    )
-    return aug.select("doc_id", scrubbed.alias("scrubbed")).collect()
+    sha256) via the SAME shared augment+scrub helpers the query uses,
+    so this test can never validate a stale copy of the chain."""
+    aug = Q._pii_augment(spark.read.parquet(f"{SF}/documents.parquet"))
+    return aug.select(
+        "doc_id", Q._pii_scrub_col("t").alias("scrubbed")
+    ).collect()
 
 
 def test_pii_scrub_leaves_no_residual_matches(spark):

@@ -392,8 +392,8 @@ def test_pii_scrub_plan_is_shuffle_free_and_jvm_only(spark):
     df = Q.QUERIES["pii_scrub"][0](spark, SF)
     plan = _plan(spark, df, "simple")
     assert "Exchange" not in plan, plan
-    for marker in ("BatchEvalPython", "ArrowEvalPython", "FlatMapsInPandas",
-                   "MapInPandas", "PythonUDF"):
+    for marker in ("BatchEvalPython", "ArrowEvalPython",
+                   "FlatMapGroupsInPandas", "MapInPandas", "PythonUDF"):
         assert marker not in plan, plan
     m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
     assert m and sorted(c.split(":")[0] for c in m.group(1).split(",")) == [
@@ -412,21 +412,26 @@ def test_line_dedup_plan_shuffles_hashes_never_text(spark):
     for ln in plan.splitlines():
         s = ln.strip()
         if "Exchange" in s:
+            tail = s.split("Exchange", 1)[1]
             for tid in text_ids:
-                assert f"#{tid}" not in s.split("Exchange", 1)[1], s
+                # boundary-anchored: '#1' must not match '#16'
+                assert not re.search(rf"#{tid}(?![0-9])", tail), s
     assert "Window" not in plan
     assert "partial_count" in plan  # map-side combine on both rollups
 
 
-def test_tfidf_topk_plan_broadcasts_df_table_and_prunes_rank(spark):
-    """The vocabulary-sized df table and the 1-row N aggregate must
-    broadcast onto tf (no corpus-side shuffle for the join), and the
-    per-doc rank must be WindowGroupLimit-pruned.  Invariants: ranks
-    are 1..k per doc, scores non-increasing within a doc."""
+def test_tfidf_topk_plan_broadcasts_n_and_prunes_rank(spark):
+    """The 1-row N aggregate must broadcast (explicit hint); the tf⋈df
+    join is deliberately AQE's call (broadcast at test scale, SMJ when
+    the term table is crawl-sized) so the static plan is only required
+    NOT to hard-wire a nested-loop join for it.  The per-doc rank must
+    be WindowGroupLimit-pruned.  Invariants: ranks are 1..k per doc,
+    scores non-increasing within a doc."""
     df = Q.QUERIES["tfidf_topk"][0](spark, SF)
     plan = _plan(spark, df, "simple")
     assert "WindowGroupLimit" in plan, plan
-    assert plan.count("BroadcastExchange") >= 2, plan
+    assert plan.count("BroadcastExchange") >= 1, plan
+    assert "CartesianProduct" not in plan, plan
     rows = df.collect()
     assert rows
     per_doc = {}
