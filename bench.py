@@ -132,7 +132,7 @@ def main() -> None:
         "ann_topk", "ann_lsh", "ann_ivf",
         "lang_id", "lang_id_eval", "text_quality", "token_stats",
         "doc_fingerprint", "repetition_stats", "quality_filter",
-        "pii_scrub", "line_dedup",
+        "pii_scrub", "line_dedup", "text_normalize",
         "source_quota",
         "events_json", "event_quantiles", "event_cardinality",
         "vocab_topk", "vocab_topk_per_lang", "tfidf_topk", "corpus_split",

@@ -99,3 +99,18 @@ def test_line_dedup_flags_full_duplicate_docs(spark):
     assert rows[1].dup_line_ratio == 1.0
     assert rows[2].dup_line_ratio == 1.0
     assert rows[3].dup_line_ratio == 0.0
+
+
+def test_text_normalize_roundtrip_and_plan(spark):
+    """Every doc must round-trip (normalized == lower(original)) and
+    the plan must be shuffle-free pure codegen like pii_scrub."""
+    df = Q.QUERIES["text_normalize"][0](spark, SF)
+    rows = df.collect()
+    assert len(rows) == 500
+    assert all(r.roundtrip_ok for r in rows)
+    assert all(r.n_chars_raw > r.n_chars_norm for r in rows)
+    jmode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "simple"
+    )
+    plan = df._jdf.queryExecution().explainString(jmode)
+    assert "Exchange" not in plan, plan
