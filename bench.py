@@ -129,7 +129,7 @@ def main() -> None:
         # ann_recall_eval is registry/correctness-only: it re-runs all
         # three ANN queries, so timing it in the headline total would
         # double-count work already measured above
-        "ann_topk", "ann_lsh", "ann_ivf",
+        "ann_topk", "ann_lsh", "ann_ivf", "embedding_centroids",
         "lang_id", "lang_id_eval", "text_quality", "token_stats",
         "doc_fingerprint", "repetition_stats", "quality_filter",
         "pii_scrub", "line_dedup", "text_normalize",
