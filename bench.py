@@ -130,9 +130,11 @@ def main() -> None:
         # three ANN queries, so timing it in the headline total would
         # double-count work already measured above
         "ann_topk", "ann_lsh", "ann_ivf", "embedding_centroids",
+        "embedding_outliers",
         "lang_id", "lang_id_eval", "text_quality", "token_stats",
         "doc_fingerprint", "repetition_stats", "quality_filter",
         "pii_scrub", "line_dedup", "text_normalize",
+        "doc_chunks", "lm_score",
         "source_quota",
         "events_json", "event_quantiles", "event_cardinality",
         "vocab_topk", "vocab_topk_per_lang", "tfidf_topk", "corpus_split",

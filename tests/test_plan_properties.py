@@ -443,3 +443,63 @@ def test_tfidf_topk_plan_broadcasts_n_and_prunes_rank(spark):
         assert len(rs) <= 3
         scores = [s for _, s in rs]
         assert scores == sorted(scores, reverse=True), (doc_id, scores)
+
+
+def test_doc_chunks_plan_is_shuffle_free_and_invariant(spark):
+    """q_doc_chunks is row-local by design (chunk_id is per-doc): its
+    physical plan must contain no Exchange — the same zero-shuffle
+    contract as repetition_stats.  Invariants: chunk sizes equal
+    CHUNK_SIZE except each doc's last chunk; consecutive chunk_ids
+    start at 0; total tokens covered per doc = n + overlap*(k-1)."""
+    df = Q.QUERIES["doc_chunks"][0](spark, SF)
+    plan = _plan(spark, df, "simple")
+    assert "Exchange" not in plan, plan
+    rows = df.collect()
+    assert rows
+    per_doc = {}
+    for r in rows:
+        per_doc.setdefault(r.doc_id, []).append((r.chunk_id, r.chunk_tokens))
+    for doc_id, cs in per_doc.items():
+        cs.sort()
+        assert [c for c, _ in cs] == list(range(len(cs)))
+        for _, tok in cs[:-1]:
+            assert tok == Q.CHUNK_SIZE, (doc_id, cs)
+        assert 1 <= cs[-1][1] <= Q.CHUNK_SIZE
+
+
+def test_lm_score_model_join_is_broadcast(spark):
+    """The trigram model table is bounded by the 37^3 alphabet cube, so
+    its join onto the per-doc counts must be a broadcast (and the
+    1-row total a broadcast nested loop) — never a sort-merge join,
+    which would shuffle the per-doc side on the trigram key.
+    Invariants: logprob < 0 (probabilities), n_trigrams =
+    len(canonical text) - 2 for every scored doc."""
+    df = Q.QUERIES["lm_score"][0](spark, SF)
+    plan = _plan(spark, df, "simple")
+    assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    rows = df.collect()
+    assert rows
+    assert all(r.logprob < 0 for r in rows)
+
+
+def test_embedding_outliers_plan_broadcasts_centroids(spark):
+    """The centroid table is (n_labels x dims) cells — bounded — and
+    must broadcast onto the exploded vector stream (no SortMergeJoin);
+    the per-label top-k must be WindowGroupLimit-pruned.  Invariants:
+    ranks 1..k per label, distances non-increasing within a label."""
+    df = Q.QUERIES["embedding_outliers"][0](spark, SF)
+    plan = _plan(spark, df, "simple")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "WindowGroupLimit" in plan, plan
+    rows = df.collect()
+    assert rows
+    per_label = {}
+    for r in rows:
+        per_label.setdefault(r.label, []).append((r.rnk, r.dist))
+    for label, rs in per_label.items():
+        rs.sort()
+        assert [rk for rk, _ in rs] == list(range(1, len(rs) + 1))
+        dists = [d for _, d in rs]
+        assert dists == sorted(dists, reverse=True), (label, dists)
