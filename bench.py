@@ -123,6 +123,7 @@ def main() -> None:
         "media_words", "media_image_features", "media_audio_features",
         "pdf_text",
         "dedup_exact", "dedup_ngram_jaccard", "dedup_minhash",
+        "dedup_minhash_pairs",
         "dedup_simhash", "dedup_simhash_pairs", "dedup_clusters",
         "dedup_incremental", "dedup_lsh_buckets",
         "dedup_embedding",
@@ -139,6 +140,7 @@ def main() -> None:
         "events_json", "event_quantiles", "event_cardinality",
         "vocab_topk", "vocab_topk_per_lang", "tfidf_topk", "corpus_split",
         "decontaminate", "pack_sequences", "source_mix",
+        "source_lang_pivot",
         "events_hourly", "events_cube", "events_sliding", "event_sessions",
         "events_asof_orders", "purchase_error_window",
         "orders_window",

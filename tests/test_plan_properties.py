@@ -503,3 +503,46 @@ def test_embedding_outliers_plan_broadcasts_centroids(spark):
         assert [rk for rk, _ in rs] == list(range(1, len(rs) + 1))
         dists = [d for _, d in rs]
         assert dists == sorted(dists, reverse=True), (label, dists)
+
+
+def test_minhash_pairs_verify_needs_no_corpus_join(spark):
+    """dedup_minhash_pairs estimates similarity from the signature
+    columns riding on the banded rows — the plan must scan the
+    documents table only through the ONE persisted signature build
+    (InMemoryTableScan afterwards), never join back to the corpus for
+    verification.  Invariants: n_eq in [MINHASH_MIN_EQ, 4],
+    est_jaccard = n_eq/4, doc_a < doc_b, pairs unique."""
+    Q.clear_caches(spark)
+    df = Q.QUERIES["dedup_minhash_pairs"][0](spark, SF)
+    plan = _plan(spark, df, "simple")
+    assert "InMemoryTableScan" in plan, plan
+    # text never enters this query: only the sig table's hex strings
+    assert not re.search(r"Exchange[^\n]*\btext#", plan), plan
+    rows = df.collect()
+    seen = set()
+    for r in rows:
+        assert Q.MINHASH_MIN_EQ <= r.n_eq <= 4
+        assert r.est_jaccard == r.n_eq / 4
+        assert r.doc_a < r.doc_b
+        assert (r.doc_a, r.doc_b) not in seen
+        seen.add((r.doc_a, r.doc_b))
+
+
+def test_source_lang_pivot_single_scan_single_shuffle(spark):
+    """Explicit pivot values => no distinct-values discovery job: the
+    plan must read the documents parquet exactly once; pivot lowers to
+    two aggregations (groupBy(source, lang) count, then pivotfirst
+    over the cell table), both map-side combined — at most two
+    exchanges, only the first of which sees corpus-sized input.  Row
+    sums must equal the corpus size."""
+    df = Q.QUERIES["source_lang_pivot"][0](spark, SF)
+    plan = _plan(spark, df, "simple")
+    assert plan.count("Scan parquet") == 1, plan
+    assert plan.count("Exchange") <= 2, plan
+    assert "partial_pivotfirst" in plan, plan  # map-side combine
+    rows = df.collect()
+    n_total = sum(r.n_docs for r in rows)
+    n_corpus = spark.read.parquet(f"{SF}/documents.parquet").count()
+    assert n_total == n_corpus
+    for r in rows:
+        assert r.n_docs == r.n_de + r.n_en + r.n_es + r.n_fr + r.n_zh

@@ -101,3 +101,31 @@ def test_nlmeans_bounded_and_shape_stable(seed):
     assert out.shape == img.shape and out.dtype == np.uint8
     # a weighted average can never exceed the input range
     assert out.min() >= img.min() - 1 and out.max() <= img.max() + 1
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.integers(1, 5000))
+def test_chunk_formula_covers_every_token_exactly(n):
+    """The doc_chunks window arithmetic (pure integer function of the
+    token count) covers tokens [0, n) with no gap: chunk i starts at
+    i*stride, the last chunk ends at >= n, every non-final chunk is
+    full-size, and consecutive chunks overlap by exactly
+    size - stride tokens."""
+    from mcp_ocr_server_spark.queries import CHUNK_SIZE, CHUNK_STRIDE
+
+    k = math.ceil(max(n - CHUNK_SIZE, 0) / CHUNK_STRIDE) + 1
+    spans = [
+        (i * CHUNK_STRIDE, min(i * CHUNK_STRIDE + CHUNK_SIZE, n))
+        for i in range(k)
+    ]
+    assert spans[0][0] == 0
+    assert spans[-1][1] == n
+    for (s0, e0), (s1, e1) in zip(spans, spans[1:]):
+        assert e0 == s0 + CHUNK_SIZE          # non-final chunks full
+        assert s1 - s0 == CHUNK_STRIDE        # stride spacing
+        assert s1 < e0                        # genuine overlap
+    # the last chunk is never empty and never exceeds CHUNK_SIZE
+    assert 0 < spans[-1][1] - spans[-1][0] <= CHUNK_SIZE
+    # one fewer chunk would leave a gap: chunk k-2 cannot reach n
+    if k > 1:
+        assert spans[-2][1] < n
