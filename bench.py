@@ -124,7 +124,8 @@ def main() -> None:
         "pdf_text",
         "dedup_exact", "dedup_ngram_jaccard", "dedup_minhash",
         "dedup_minhash_pairs",
-        "dedup_simhash", "dedup_simhash_pairs", "dedup_clusters",
+        "dedup_simhash", "dedup_simhash_pairs", "dedup_source_matrix",
+        "dedup_clusters",
         "dedup_incremental", "dedup_lsh_buckets",
         "dedup_embedding",
         # ann_recall_eval is registry/correctness-only: it re-runs all
@@ -133,6 +134,7 @@ def main() -> None:
         "ann_topk", "ann_lsh", "ann_ivf", "embedding_centroids",
         "embedding_outliers",
         "lang_id", "lang_id_eval", "text_quality", "token_stats",
+        "doc_length_hist",
         "doc_fingerprint", "repetition_stats", "quality_filter",
         "pii_scrub", "line_dedup", "text_normalize",
         "doc_chunks", "lm_score",
