@@ -119,7 +119,7 @@ def main() -> None:
 
     analytics = [
         "extract_base64", "extract_docs", "html_main_content",
-        "extract_interleaved",
+        "html_links", "extract_interleaved",
         "media_words", "media_image_features", "media_audio_features",
         "pdf_text",
         "dedup_exact", "dedup_ngram_jaccard", "dedup_minhash",
@@ -141,6 +141,7 @@ def main() -> None:
         "source_quota",
         "events_json", "event_quantiles", "event_cardinality",
         "vocab_topk", "vocab_topk_per_lang", "tfidf_topk", "corpus_split",
+        "corpus_diff",
         "decontaminate", "pack_sequences", "source_mix",
         "source_lang_pivot",
         "events_hourly", "events_cube", "events_sliding", "event_sessions",

@@ -194,6 +194,22 @@ def gen_b64_media() -> pd.DataFrame:
     return pd.DataFrame(rows)
 
 
+def gen_html_raw() -> pd.DataFrame:
+    """Raw html spans of the flagship corpus (doc_id, order, html) —
+    the oracle-side input for link extraction (q_html_links): DuckDB
+    cannot run the corpus generator, so the raw html is committed and
+    the Spark side must re-derive byte-identical html live."""
+    rows = []
+    for i in range(FLAGSHIP_CORPUS.n_docs):
+        doc_id, spans = S.doc_item(FLAGSHIP_CORPUS, i)
+        for order, sp in enumerate(spans):
+            if sp["kind"] == "html":
+                rows.append(dict(doc_id=doc_id, order=order, html=sp["text"]))
+    df = pd.DataFrame(rows, columns=["doc_id", "order", "html"])
+    df["order"] = df["order"].astype("int32")
+    return df
+
+
 def main() -> None:
     os.makedirs(FIXTURES_DIR, exist_ok=True)
     spans = gen_expected_spans()
@@ -220,6 +236,9 @@ def main() -> None:
     inter.to_parquet(
         os.path.join(FIXTURES_DIR, "interleaved_spans.parquet"), index=False
     )
+    hraw = gen_html_raw()
+    hraw.to_parquet(os.path.join(FIXTURES_DIR, "html_raw.parquet"), index=False)
+    print(f"html_raw: {len(hraw)} rows")
     print(f"interleaved_spans: {len(inter)} rows,"
           f" kinds {inter.kind.value_counts().to_dict()},"
           f" errors {inter.error_code.value_counts(dropna=True).to_dict()}")
