@@ -546,3 +546,57 @@ def test_source_lang_pivot_single_scan_single_shuffle(spark):
     assert n_total == n_corpus
     for r in rows:
         assert r.n_docs == r.n_de + r.n_en + r.n_es + r.n_fr + r.n_zh
+
+
+def test_corpus_diff_shuffles_hashes_never_text(spark):
+    """q_corpus_diff must reduce both snapshots to (doc_id, md5) BEFORE
+    the full outer join: no Exchange or Sort may reference the text
+    column (same machine assertion as line_dedup).  Invariants: status
+    counts match the modular derivation exactly — every doc_id%17==3
+    is removed, %23==7 added (as id+offset), and changed ids are
+    %13==5 minus the removed overlap."""
+    df = Q.QUERIES["corpus_diff"][0](spark, SF)
+    plan = _plan(spark, df, "simple")
+    for ln in plan.splitlines():
+        s = ln.strip()
+        if s.startswith(("+- Exchange", ":- Exchange", "Exchange",
+                         "+- Sort ", ":- Sort ", "Sort ")):
+            assert not re.search(r"\btext#", ln), f"text in shuffle: {s}"
+    rows = df.collect()
+    ids = set(
+        r.doc_id for r in
+        spark.read.parquet(f"{SF}/documents.parquet").select("doc_id").collect()
+    )
+    removed = {r.doc_id for r in rows if r.status == "removed"}
+    added = {r.doc_id for r in rows if r.status == "added"}
+    changed = {r.doc_id for r in rows if r.status == "changed"}
+    assert removed == {i for i in ids if i % Q.DIFF_REMOVE_MOD == 3}
+    assert added == {
+        i + Q.DIFF_ADD_OFFSET for i in ids if i % Q.DIFF_ADD_MOD == 7
+    }
+    assert changed == {
+        i for i in ids
+        if i % Q.DIFF_CHANGE_MOD == 5 and i % Q.DIFF_REMOVE_MOD != 3
+    }
+
+
+def test_html_links_rowlocal_and_complete(spark):
+    """Link extraction is row-local after the corpus materialization:
+    no Exchange in the plan.  Every synthetic html span carries
+    exactly 5 anchors (3 nav + ad + terms), link_pos is 0..4 in
+    document order, and the last two hrefs are the fixed boilerplate
+    targets."""
+    df = Q.QUERIES["html_links"][0](spark, SF)
+    plan = _plan(spark, df, "simple")
+    assert "Exchange" not in plan, plan
+    rows = df.collect()
+    assert rows
+    per_span = {}
+    for r in rows:
+        per_span.setdefault((r.doc_id, r.order), []).append(
+            (r.link_pos, r.href)
+        )
+    for key, ls in per_span.items():
+        ls.sort()
+        assert [p for p, _ in ls] == [0, 1, 2, 3, 4], (key, ls)
+        assert ls[3][1] == "/ad" and ls[4][1] == "/terms", (key, ls)
