@@ -24,19 +24,24 @@ def _plan(spark, df, mode="formatted"):
     return df._jdf.queryExecution().explainString(jmode)
 
 
+def _assert_no_col_in_movement(plan, col_re, what):
+    """No Exchange / Sort / SortAggregate line of `plan` may reference a
+    column matching `col_re`.  Substring-matched (not tree-gutter-prefix
+    matched): Spark prints left-branch descendants of binary nodes with
+    a ':' gutter ('  :  +- Exchange ...'), which prefix matching
+    silently skips — half the plan of any join would go unchecked."""
+    for ln in plan.splitlines():
+        if "Exchange" in ln or "Sort" in ln:
+            assert not re.search(col_re, ln), f"{what} in shuffle/sort: {ln}"
+
+
 def test_extract_plan_no_byte_shuffle(spark):
     c = S.CorpusConfig(n_docs=24)
     res = extract(S.docs_df(spark, c), S.media_df(spark, c), FIXTURE_JOB)
     plan = _plan(spark, res.spans, "simple")
     # every Exchange/Sort node's visible arguments must not reference the
     # bytes column (bytes may only flow scan -> repartition -> OCR UDF)
-    for ln in plan.splitlines():
-        s = ln.strip()
-        if s.startswith(("+- Exchange", ":- Exchange", "Exchange",
-                         "+- Sort ", ":- Sort ", "Sort ")):
-            assert not re.search(r"\bbytes#", ln), f"bytes in shuffle/sort: {s}"
-        if "SortAggregate" in ln:
-            assert "bytes#" not in ln, f"bytes in sort-agg: {s}"
+    _assert_no_col_in_movement(plan, r"\bbytes#", "bytes")
     # no window over the corpus in the extraction path
     assert "Window" not in plan
 
@@ -218,13 +223,7 @@ def test_interleaved_plan_pdf_bytes_never_shuffle_keys(spark):
         pdfs=S.pdf_df(spark, c),
     )
     plan = _plan(spark, res.spans, "simple")
-    for ln in plan.splitlines():
-        s = ln.strip()
-        if s.startswith(("+- Exchange", ":- Exchange", "Exchange",
-                         "+- Sort ", ":- Sort ", "Sort ")):
-            assert not re.search(r"\bbytes#", ln), f"bytes in shuffle/sort: {s}"
-        if "SortAggregate" in ln:
-            assert "bytes#" not in ln, f"bytes in sort-agg: {s}"
+    _assert_no_col_in_movement(plan, r"\bbytes#", "bytes")
     assert "Window" not in plan
 
 
@@ -481,6 +480,19 @@ def test_lm_score_model_join_is_broadcast(spark):
     rows = df.collect()
     assert rows
     assert all(r.logprob < 0 for r in rows)
+    # the advertised count invariant, recomputed independently in
+    # python: n_trigrams == len(canonical text) - 2 for every scored
+    # doc, and docs shorter than 3 canonical chars emit no row
+    import pandas as pd
+
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    expected = {}
+    for doc_id, text in zip(docs.doc_id, docs.text):
+        s = " ".join(re.findall(r"[a-z0-9]+", text.lower()))
+        if len(s) >= 3:
+            expected[doc_id] = len(s) - 2
+    got = {r.doc_id: r.n_trigrams for r in rows}
+    assert got == expected
 
 
 def test_embedding_outliers_plan_broadcasts_centroids(spark):
@@ -519,6 +531,7 @@ def test_minhash_pairs_verify_needs_no_corpus_join(spark):
     # text never enters this query: only the sig table's hex strings
     assert not re.search(r"Exchange[^\n]*\btext#", plan), plan
     rows = df.collect()
+    assert rows  # candidate generation must produce pairs on this corpus
     seen = set()
     for r in rows:
         assert Q.MINHASH_MIN_EQ <= r.n_eq <= 4
@@ -551,17 +564,14 @@ def test_source_lang_pivot_single_scan_single_shuffle(spark):
 def test_corpus_diff_shuffles_hashes_never_text(spark):
     """q_corpus_diff must reduce both snapshots to (doc_id, md5) BEFORE
     the full outer join: no Exchange or Sort may reference the text
-    column (same machine assertion as line_dedup).  Invariants: status
-    counts match the modular derivation exactly — every doc_id%17==3
-    is removed, %23==7 added (as id+offset), and changed ids are
-    %13==5 minus the removed overlap."""
+    column — checked on EVERY plan line, including the ':'-guttered
+    left branch of the join (prefix matching skips those).
+    Invariants: status counts match the modular derivation exactly —
+    every doc_id%17==3 is removed, %23==7 added (as id+offset), and
+    changed ids are %13==5 minus the removed overlap."""
     df = Q.QUERIES["corpus_diff"][0](spark, SF)
     plan = _plan(spark, df, "simple")
-    for ln in plan.splitlines():
-        s = ln.strip()
-        if s.startswith(("+- Exchange", ":- Exchange", "Exchange",
-                         "+- Sort ", ":- Sort ", "Sort ")):
-            assert not re.search(r"\btext#", ln), f"text in shuffle: {s}"
+    _assert_no_col_in_movement(plan, r"\btext#", "text")
     rows = df.collect()
     ids = set(
         r.doc_id for r in
