@@ -140,6 +140,7 @@ def main() -> None:
         "doc_chunks", "lm_score",
         "source_quota",
         "events_json", "event_quantiles", "event_cardinality",
+        "event_funnel", "user_retention",
         "vocab_topk", "vocab_topk_per_lang", "tfidf_topk", "corpus_split",
         "corpus_diff",
         "decontaminate", "pack_sequences", "source_mix",
