@@ -121,7 +121,7 @@ def main() -> None:
         "extract_base64", "extract_docs", "html_main_content",
         "html_links", "extract_interleaved",
         "media_words", "media_image_features", "media_audio_features",
-        "pdf_text",
+        "media_orphans", "pdf_text",
         "dedup_exact", "dedup_ngram_jaccard", "dedup_minhash",
         "dedup_minhash_pairs",
         "dedup_simhash", "dedup_simhash_pairs", "dedup_source_matrix",
