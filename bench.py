@@ -149,6 +149,7 @@ def main() -> None:
         "events_asof_orders", "purchase_error_window",
         "orders_window",
         "customer_set_ops", "pricing_summary", "top_suppliers",
+        "nation_profit",
     ]
 
     # Warm-up: spawn/reuse python workers, trigger codegen + Arrow path

@@ -610,3 +610,49 @@ def test_html_links_rowlocal_and_complete(spark):
         ls.sort()
         assert [p for p, _ in ls] == [0, 1, 2, 3, 4], (key, ls)
         assert ls[3][1] == "/ad" and ls[4][1] == "/terms", (key, ls)
+
+
+def test_nation_profit_pushdown_and_dims_broadcast(spark):
+    """The PROMO predicate must reach the part parquet scan
+    (PushedFilters), the three dimension tables must broadcast, and no
+    nested-loop join may appear.  The lineitem⋈orders strategy is
+    deliberately AQE's call (broadcast at test scale, SMJ at 10^12
+    rows) — pinning it would wire in a scale assumption.  Invariant:
+    profit_cents is an exact integer-cents sum, reproducible against
+    a driver-side pandas recomputation."""
+    df = Q.QUERIES["nation_profit"][0](spark, SF)
+    plan = _plan(spark, df)
+    assert re.search(r"PushedFilters:.*EqualTo\(p_type,PROMO\)", plan), plan
+    assert plan.count("BroadcastHashJoin") >= 3, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    rows = df.collect()
+    assert rows
+    import pandas as pd
+
+    li = pd.read_parquet(f"{SF}/lineitem.parquet")
+    p = pd.read_parquet(f"{SF}/part.parquet")
+    s = pd.read_parquet(f"{SF}/supplier.parquet")
+    n = pd.read_parquet(f"{SF}/nation.parquet")
+    o = pd.read_parquet(f"{SF}/orders.parquet")
+    m = (
+        li.merge(p[p.p_type == "PROMO"][["p_partkey"]],
+                 left_on="l_partkey", right_on="p_partkey")
+        .merge(s[["s_suppkey", "s_nationkey"]],
+               left_on="l_suppkey", right_on="s_suppkey")
+        .merge(n[["n_nationkey", "n_name"]],
+               left_on="s_nationkey", right_on="n_nationkey")
+        .merge(o[["o_orderkey", "o_orderdate"]],
+               left_on="l_orderkey", right_on="o_orderkey")
+    )
+    import numpy as np
+
+    # half-up like Spark/DuckDB round() on positives — numpy/pandas
+    # .round() is half-even and disagrees on exact .5 products
+    m["c"] = np.floor(
+        m.l_extendedprice * (1 - m.l_discount) * 100 + 0.5
+    ).astype("int64")
+    m["o_year"] = pd.to_datetime(m.o_orderdate).dt.year
+    exp = m.groupby(["n_name", "o_year"]).c.sum().to_dict()
+    got = {(r.n_name, r.o_year): r.profit_cents for r in rows}
+    assert got == exp
