@@ -656,3 +656,24 @@ def test_nation_profit_pushdown_and_dims_broadcast(spark):
     exp = m.groupby(["n_name", "o_year"]).c.sum().to_dict()
     got = {(r.n_name, r.o_year): r.profit_cents for r in rows}
     assert got == exp
+
+
+def test_all_queries_global_plan_guardrails(spark):
+    """Fleet-wide guardrail over EVERY registry query's physical plan:
+    (1) no CartesianProduct anywhere — an unkeyed n×m join is never
+    acceptable at corpus scale; (2) no BatchEvalPython anywhere — a
+    row-at-a-time Python UDF in any query would silently serialize
+    the hot path (Arrow-batched ArrowEvalPython / MapInPandas /
+    FlatMapGroupsInPandas are the sanctioned Python seams).  New
+    queries get these checks for free the moment they register."""
+    Q.clear_caches(spark)
+    offenders = {}
+    for name, (qfn, _) in sorted(Q.QUERIES.items()):
+        plan = _plan(spark, qfn(spark, SF), "simple")
+        bad = [
+            node for node in ("CartesianProduct", "BatchEvalPython")
+            if node in plan
+        ]
+        if bad:
+            offenders[name] = bad
+    assert not offenders, offenders
