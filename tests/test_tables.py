@@ -52,3 +52,43 @@ def test_stats_helpers_handle_single_parquet_file(spark):
     import os
 
     assert table_size_bytes(spark, loc) == os.path.getsize(loc)
+
+
+def test_range_clustered_write_produces_disjoint_file_ranges(spark, tmp_path):
+    """write_range_clustered must yield files whose per-footer [min,max]
+    intervals of the cluster key are pairwise DISJOINT and ordered —
+    the property min/max pruning needs.  Contrast: a plain hash-
+    partitioned write of the same data produces overlapping ranges
+    (asserted, so the test proves the writer adds something real).
+    Content must be byte-equal to the input set, and a selective read
+    through Spark must return the same rows as the unclustered copy."""
+    from mcp_ocr_server_spark.sources.tables import (
+        file_stats,
+        write_range_clustered,
+    )
+
+    df = spark.range(0, 10_000).selectExpr(
+        "id AS doc_id", "md5(cast(id AS string)) AS payload"
+    )
+    clustered = str(tmp_path / "clustered")
+    hashed = str(tmp_path / "hashed")
+    write_range_clustered(df, clustered, "doc_id", n_files=8)
+    df.repartition(8).write.mode("overwrite").parquet(hashed)
+
+    stats = file_stats(clustered, "doc_id")
+    assert len(stats) == 8
+    for (_, _, hi_prev), (_, lo_next, _) in zip(stats, stats[1:]):
+        assert hi_prev < lo_next, stats  # disjoint AND ordered
+    hstats = file_stats(hashed, "doc_id")
+    overlaps = sum(
+        1
+        for (_, _, hi_prev), (_, lo_next, _) in zip(hstats, hstats[1:])
+        if hi_prev >= lo_next
+    )
+    assert overlaps > 0, "hash layout unexpectedly clustered"
+
+    back = spark.read.parquet(clustered)
+    assert back.count() == 10_000
+    sel = back.filter("doc_id BETWEEN 100 AND 199").collect()
+    ref = df.filter("doc_id BETWEEN 100 AND 199").collect()
+    assert sorted(map(tuple, sel)) == sorted(map(tuple, ref))
