@@ -92,3 +92,49 @@ def test_range_clustered_write_produces_disjoint_file_ranges(spark, tmp_path):
     sel = back.filter("doc_id BETWEEN 100 AND 199").collect()
     ref = df.filter("doc_id BETWEEN 100 AND 199").collect()
     assert sorted(map(tuple, sel)) == sorted(map(tuple, ref))
+
+
+def test_bucketed_join_is_shuffle_free(spark, tmp_path):
+    """Bucketing evidence (co-located joins, the pre-shuffle answer for
+    repeated joins on one key at 100 TB): two tables bucketed by the
+    join key into the same bucket count join WITHOUT any Exchange —
+    each task reads matching buckets from both sides.  The same join
+    on plain parquet copies requires two Exchanges (asserted, so the
+    test proves bucketing removes them rather than AQE broadcasting)."""
+    import uuid
+
+    spark.sql(
+        f"CREATE DATABASE IF NOT EXISTS bucketdb LOCATION '{tmp_path}/wh'"
+    )
+    suffix = uuid.uuid4().hex[:8]
+    fact, dim = f"bucketdb.fact_{suffix}", f"bucketdb.dim_{suffix}"
+    n = 50_000
+    facts = spark.range(n).selectExpr("id % 1000 AS k", "id AS v")
+    dims = spark.range(200_000).selectExpr(
+        "id % 1000 AS k", "md5(cast(id AS string)) AS payload"
+    )
+    try:
+        facts.write.bucketBy(16, "k").sortBy("k").saveAsTable(fact)
+        dims.write.bucketBy(16, "k").sortBy("k").saveAsTable(dim)
+        # disable auto-broadcast so the comparison isolates bucketing
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            j = spark.table(fact).join(spark.table(dim), "k")
+            plan = j._jdf.queryExecution().executedPlan().toString()
+            assert "Exchange" not in plan, plan
+            plain = (
+                spark.read.parquet(f"{tmp_path}/wh/fact_{suffix}")
+                .join(
+                    spark.read.parquet(f"{tmp_path}/wh/dim_{suffix}"), "k"
+                )
+            )
+            pplan = plain._jdf.queryExecution().executedPlan().toString()
+            assert pplan.count("Exchange") >= 2, pplan
+            # results identical either way
+            assert j.count() == plain.count() > 0
+        finally:
+            spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {fact}")
+        spark.sql(f"DROP TABLE IF EXISTS {dim}")
+        spark.sql("DROP DATABASE IF EXISTS bucketdb")
