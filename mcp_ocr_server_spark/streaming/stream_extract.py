@@ -18,7 +18,9 @@ join-horizon eviction): tumbling-window counts (q_events_hourly),
 gap-based sessionization (q_event_sessions), a stream-stream interval
 join (q_purchase_error_window), and windowed approx quantiles
 (q_event_quantiles) — each unit-tested against its batch twin on the
-same input.
+same input.  A fifth twin, the ordered conversion funnel
+(q_event_funnel), lives in streaming/funnel.py as a custom
+applyInPandasWithState operator with fixed 24-byte per-user state.
 """
 
 from __future__ import annotations

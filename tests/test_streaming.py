@@ -473,3 +473,78 @@ def test_stream_windowed_quantiles_rank_bound(spark, tmp_path):
             target = p * n
             dist = max(lo - target, target - hi, 0)
             assert dist <= n / acc + 1, (r, p, lo, hi, n)
+
+
+def test_streaming_funnel_matches_batch(spark, tmp_path):
+    """The stateful streaming funnel equals q_event_funnel when events
+    arrive in timestamp order across micro-batches (the operator's
+    documented equivalence contract): feed the corpus as three
+    ts-ordered chunks, one per micro-batch, and compare per-step user
+    counts — AND the exact (user, step) conversion sets."""
+    from pyspark.sql import functions as F
+
+    from mcp_ocr_server_spark.queries import q_event_funnel
+    from mcp_ocr_server_spark.streaming.funnel import run_streaming_funnel
+
+    sf = "/root/testdata/sf0.001"
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    # three contiguous time slices, one file each => ts-ordered batches
+    src = str(tmp_path / "events_in")
+    bounds = ev.selectExpr(
+        "percentile(unix_micros(cast(ts as timestamp)), 0.33) AS a",
+        "percentile(unix_micros(cast(ts as timestamp)), 0.66) AS b",
+    ).collect()[0]
+    marked = ev.withColumn(
+        "m", F.expr("unix_micros(cast(ts as timestamp))")
+    )
+    for i, (lo, hi) in enumerate(
+        [(None, bounds.a), (bounds.a, bounds.b), (bounds.b, None)]
+    ):
+        chunk = marked
+        if lo is not None:
+            chunk = chunk.filter(F.col("m") > lo)
+        if hi is not None:
+            chunk = chunk.filter(F.col("m") <= hi)
+        chunk.drop("m").coalesce(1).write.mode("append").parquet(src)
+
+    out = str(tmp_path / "funnel_out")
+    q = run_streaming_funnel(
+        spark, src, out, str(tmp_path / "ckpt"), available_now=True
+    )
+    q.awaitTermination(300)
+    got = spark.read.parquet(out)
+    assert got.count() > 0
+    stream_counts = {
+        r.step: r.n
+        for r in got.groupBy("step").agg(F.count("*").alias("n")).collect()
+    }
+    batch_counts = {
+        r.step: r.n_users for r in q_event_funnel(spark, sf).collect()
+    }
+    assert stream_counts == batch_counts
+    # exact per-user agreement on the final step (purchase converters)
+    stream_p = {
+        r.user_id for r in got.filter("step = 3").collect()
+    }
+    from mcp_ocr_server_spark.queries import _t
+
+    evd = _t(spark, sf, "events")
+    v = evd.filter("event_type = 'view'").groupBy("user_id").agg(
+        F.min("ts").alias("t")
+    )
+    c = (
+        evd.filter("event_type = 'click'")
+        .join(v, "user_id")
+        .filter("ts > t")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t"))
+    )
+    p = (
+        evd.filter("event_type = 'purchase'")
+        .join(c, "user_id")
+        .filter("ts > t")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t"))
+    )
+    batch_p = {r.user_id for r in p.collect()}
+    assert stream_p == batch_p
