@@ -128,9 +128,10 @@ def main() -> None:
         "dedup_clusters",
         "dedup_incremental", "dedup_lsh_buckets",
         "dedup_embedding",
-        # ann_recall_eval is registry/correctness-only: it re-runs all
-        # three ANN queries, so timing it in the headline total would
-        # double-count work already measured above
+        # ann_recall_eval and dedup_pair_eval are registry/correctness-
+        # only: each re-runs queries timed above (the three ANN queries;
+        # the minhash pair miner), so timing them in the headline total
+        # would double-count work already measured
         "ann_topk", "ann_lsh", "ann_ivf", "embedding_centroids",
         "embedding_outliers",
         "lang_id", "lang_id_eval", "text_quality", "token_stats",
