@@ -84,7 +84,10 @@ def _funnel_fn(
 def funnel_stream(events_stream: DataFrame) -> DataFrame:
     """events stream -> append-mode (user_id, step, ts_micros) rows,
     one per user per step, emitted at first conversion."""
-    prepared = events_stream.select(
+    # the null-ts filter matches the batch twin (min/> comparisons drop
+    # null ts silently) — without it a null becomes NaN in the Arrow
+    # batch and int(NaN) would poison the checkpoint permanently
+    prepared = events_stream.filter(F.col("ts").isNotNull()).select(
         "user_id",
         "event_type",
         F.expr("unix_micros(cast(ts as timestamp))").alias("ts_micros"),
@@ -108,13 +111,13 @@ def run_streaming_funnel(
 ):
     """File-source wiring: watch an events landing dir, emit conversion
     rows.  `ts` is read as timestamp_ntz to match the batch corpus
-    (the sessionize_stream convention); session timezone is pinned UTC
-    by session.py, so unix_micros is deterministic."""
+    (the shared EVENTS_SCHEMA, one definition for all events twins);
+    session timezone is pinned UTC by session.py, so unix_micros is
+    deterministic."""
+    from .stream_extract import EVENTS_SCHEMA
+
     stream = (
-        spark.readStream.schema(
-            "event_id long, ts timestamp_ntz, user_id long,"
-            " event_type string, value double, props string"
-        )
+        spark.readStream.schema(EVENTS_SCHEMA)
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(events_dir)
     )

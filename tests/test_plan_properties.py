@@ -665,8 +665,10 @@ def test_all_queries_global_plan_guardrails(spark):
     row-at-a-time Python UDF in any query would silently serialize
     the hot path (Arrow-batched ArrowEvalPython / MapInPandas /
     FlatMapGroupsInPandas are the sanctioned Python seams).  New
-    queries get these checks for free the moment they register."""
-    Q.clear_caches(spark)
+    queries get these checks for free the moment they register.
+    Caches are deliberately NOT cleared first: plan rendering needs no
+    cold state, and a cleared codebook cache would make this
+    plan-shape test re-run the IVF Lloyd training jobs."""
     offenders = {}
     for name, (qfn, _) in sorted(Q.QUERIES.items()):
         plan = _plan(spark, qfn(spark, SF), "simple")
