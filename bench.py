@@ -119,7 +119,7 @@ def main() -> None:
 
     analytics = [
         "extract_base64", "extract_docs", "html_main_content",
-        "html_links", "extract_interleaved",
+        "html_links", "link_rank", "extract_interleaved",
         "media_words", "media_image_features", "media_audio_features",
         "media_orphans", "pdf_text",
         "dedup_exact", "dedup_ngram_jaccard", "dedup_minhash",
@@ -128,9 +128,10 @@ def main() -> None:
         "dedup_clusters",
         "dedup_incremental", "dedup_lsh_buckets",
         "dedup_embedding",
-        # ann_recall_eval and dedup_pair_eval are registry/correctness-
-        # only: each re-runs queries timed above (the three ANN queries;
-        # the minhash pair miner), so timing them in the headline total
+        # ann_recall_eval, dedup_pair_eval and dedup_canonical are
+        # registry/correctness-only: each re-runs queries timed above
+        # (the three ANN queries; the minhash pair miner; the simhash
+        # cluster resolution), so timing them in the headline total
         # would double-count work already measured
         "ann_topk", "ann_lsh", "ann_ivf", "embedding_centroids",
         "embedding_outliers",
