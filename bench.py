@@ -145,7 +145,7 @@ def main() -> None:
         "event_funnel", "user_retention",
         "vocab_topk", "vocab_topk_per_lang", "tfidf_topk", "corpus_split",
         "corpus_diff",
-        "decontaminate", "pack_sequences", "source_mix",
+        "decontaminate", "decontaminate_bloom", "pack_sequences", "source_mix",
         "source_lang_pivot",
         "events_hourly", "events_cube", "events_sliding", "event_sessions",
         "events_asof_orders", "purchase_error_window",

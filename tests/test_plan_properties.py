@@ -679,3 +679,34 @@ def test_all_queries_global_plan_guardrails(spark):
         if bad:
             offenders[name] = bad
     assert not offenders, offenders
+
+
+def test_decontaminate_bloom_no_false_negatives_and_plan(spark):
+    """The bloom prefilter may admit false positives (quantified as
+    n_bloom_hits - n_confirmed, both oracle-checked) but NEVER false
+    negatives: every doc the exact broadcast-join decontaminate flags
+    must appear with the identical confirmed count.  Plan shape: the
+    eval side reaches the corpus as a BroadcastExchange (never a
+    SortMergeJoin — at 10^12 docs a shuffle of the corpus shingle
+    stream on shingle is the exact cost this query exists to avoid),
+    the probe is Arrow-vectorized, and the only hash shuffle is the
+    final per-doc aggregation."""
+    bloom = Q.QUERIES["decontaminate_bloom"][0](spark, SF)
+    exact = Q.QUERIES["decontaminate"][0](spark, SF)
+    got = {r["doc_id"]: (r["n_bloom_hits"], r["n_confirmed"])
+           for r in bloom.collect()}
+    want = {r["doc_id"]: r["n_shared_8grams"] for r in exact.collect()}
+    for doc_id, n_exact in want.items():
+        assert doc_id in got, f"bloom false negative: doc {doc_id}"
+        assert got[doc_id][1] == n_exact, (doc_id, got[doc_id], n_exact)
+    for doc_id, (hits, conf) in got.items():
+        assert hits >= conf
+        assert conf == want.get(doc_id, 0)
+
+    plan = _plan(spark, bloom)
+    assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "ArrowEvalPython" in plan, plan
+    for ln in plan.splitlines():
+        if "Exchange hashpartitioning" in ln:
+            assert "doc_id" in ln and "shingle" not in ln, ln
