@@ -20,7 +20,10 @@ join (q_purchase_error_window), and windowed approx quantiles
 (q_event_quantiles) — each unit-tested against its batch twin on the
 same input.  A fifth twin, the ordered conversion funnel
 (q_event_funnel), lives in streaming/funnel.py as a custom
-applyInPandasWithState operator with fixed 24-byte per-user state.
+applyInPandasWithState operator with fixed 24-byte per-user state;
+a sixth, per-source quota admission (q_source_quota's ingestion-time
+policy twin), lives in streaming/quota.py with one long of state per
+source.
 """
 
 from __future__ import annotations

@@ -548,3 +548,43 @@ def test_streaming_funnel_matches_batch(spark, tmp_path):
     )
     batch_p = {r.user_id for r in p.collect()}
     assert stream_p == batch_p
+
+
+def test_streaming_source_quota_admission(spark, tmp_path):
+    """Per-source quota admission across micro-batches: each source
+    admits exactly min(quota, n_source) docs (count parity with the
+    batch source_quota policy), admission is first-arrived (batch-1
+    docs hold their slots against batch-2 arrivals), and ordinals are
+    a gapless 0..k-1 per source."""
+    from mcp_ocr_server_spark.streaming.quota import run_streaming_quota
+
+    QUOTA = 5
+    docs = spark.createDataFrame(
+        [(i, f"src{i % 4}") for i in range(60)], "doc_id long, source string"
+    )
+    landing = str(tmp_path / "docs_landing")
+    # three ordered drops; maxFilesPerTrigger=1 => three micro-batches
+    for lo, hi in ((0, 20), (20, 40), (40, 60)):
+        (docs.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
+         .orderBy("doc_id").coalesce(1)
+         .write.parquet(landing, mode="append"))
+
+    q = run_streaming_quota(
+        spark, landing,
+        out_dir=str(tmp_path / "quota_out"),
+        checkpoint_dir=str(tmp_path / "quota_ckpt"),
+        quota=QUOTA,
+    )
+    q.awaitTermination(300)
+
+    out = spark.read.parquet(str(tmp_path / "quota_out")).collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r.source, []).append((r.admit_ordinal, r.doc_id))
+    assert set(by_src) == {f"src{i}" for i in range(4)}
+    for src, rows in by_src.items():
+        rows.sort()
+        # exactly quota admitted (every source has 15 candidates)
+        assert [o for o, _ in rows] == list(range(QUOTA)), (src, rows)
+        # first-arrived: all admitted doc_ids come from the first drop
+        assert all(d < 20 for _, d in rows), (src, rows)
