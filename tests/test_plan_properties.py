@@ -710,3 +710,44 @@ def test_decontaminate_bloom_no_false_negatives_and_plan(spark):
     for ln in plan.splitlines():
         if "Exchange hashpartitioning" in ln:
             assert "doc_id" in ln and "shingle" not in ln, ln
+
+
+def test_runtime_bloom_filter_fires_on_unbroadcastable_dim(spark):
+    """Scale evidence for the Q9-family star join: when a filtered
+    dimension is too big to broadcast (the 100 TB case — part at full
+    scale exceeds any broadcast threshold), Spark's runtime bloom
+    filter must inject a might_contain() prefilter on the FACT side of
+    the shuffle join, so lineitem rows failing the PROMO-part filter
+    die at the scan instead of crossing the exchange.  Defaults
+    (creationSideThreshold 10 MB, application-side scan 10 GB) only
+    trigger on real volumes, so the thresholds — and only the
+    thresholds — are widened to make the optimizer's decision
+    observable at sandbox scale; the join is the exact nation_profit
+    fact⋈dim shape with broadcast disabled."""
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "10GB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = spark.read.parquet(f"{SF}/lineitem.parquet")
+        p = (
+            spark.read.parquet(f"{SF}/part.parquet")
+            .filter(F.col("p_type") == "PROMO")
+            .select("p_partkey")
+        )
+        plan = _plan(spark, li.join(p, li.l_partkey == p.p_partkey))
+        assert "might_contain" in plan, plan
+        assert "bloom_filter_agg" in plan, plan
+        # the prefilter must land on the fact side's key
+        assert re.search(r"might_contain.*l_partkey", plan), plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
