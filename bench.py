@@ -139,6 +139,7 @@ def main() -> None:
         "lang_id", "lang_id_eval", "text_quality", "token_stats",
         "doc_length_hist",
         "doc_fingerprint", "repetition_stats", "quality_filter",
+        "source_gate",
         "pii_scrub", "line_dedup", "text_normalize",
         "doc_chunks", "lm_score",
         "source_quota",
