@@ -751,3 +751,48 @@ def test_runtime_bloom_filter_fires_on_unbroadcastable_dim(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_aqe_splits_skewed_join_partition(spark):
+    """Skew evidence for the join side of the engine (the north rule's
+    'skew handled explicitly'): a '/the'-grade hot key that lands 500x
+    its siblings' bytes in one shuffle partition must be SPLIT by AQE's
+    skew-join rule — the final adaptive plan carries
+    SortMergeJoin(skew=true) with a skewed AQEShuffleRead — instead of
+    one straggler task sorting the whole hot key.  Thresholds (and
+    only thresholds) are scaled down so the decision is observable on
+    sandbox volumes; broadcast is disabled because at 100 TB neither
+    side fits."""
+    confs = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "8KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "4KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        hot = spark.range(0, 50000).select(
+            F.lit(0).alias("k"), F.col("id").alias("v")
+        )
+        cold = spark.range(0, 100).select(
+            (F.col("id") % 100 + 1).cast("long").alias("k"),
+            F.col("id").alias("v"),
+        )
+        left = hot.union(cold).withColumn("pad", F.expr("repeat('x', 100)"))
+        right = spark.range(0, 101).select(
+            F.col("id").alias("k"), F.col("id").alias("r")
+        )
+        j = left.join(right, "k")
+        j.collect()  # run it: AQE decides skew splits at runtime
+        plan = _plan(spark, j)
+        assert "isFinalPlan=true" in plan, plan
+        assert "SortMergeJoin(skew=true)" in plan, plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
