@@ -138,3 +138,36 @@ def test_bucketed_join_is_shuffle_free(spark, tmp_path):
         spark.sql(f"DROP TABLE IF EXISTS {fact}")
         spark.sql(f"DROP TABLE IF EXISTS {dim}")
         spark.sql("DROP DATABASE IF EXISTS bucketdb")
+
+
+def test_partitioned_layout_prunes_partitions(spark, tmp_path):
+    """Directory-partitioned layout (the parquet-path analogue of an
+    Iceberg identity partition spec, e.g. PARTITIONED BY lang): a
+    lang-filtered read must prune at the PARTITION level — the filter
+    shows up as a PartitionFilter on the scan and the scan reads ONE
+    partition directory, never touching the other languages' files.
+    This is the third leg of the layout-pruning evidence: min/max
+    range clustering (file level), bucketing (shuffle level), and
+    identity partitioning (directory level)."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    loc = str(tmp_path / "by_lang")
+    docs.write.partitionBy("lang").parquet(loc)
+
+    from pyspark.sql import functions as F
+
+    q = spark.read.parquet(loc).filter(F.col("lang") == "en")
+    jmode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    plan = q._jdf.queryExecution().explainString(jmode)
+    import re
+
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and re.search(r"lang#\d+ = en", m.group(1)), plan
+    # the pruned scan reads exactly the en directory
+    n_parts = re.search(r"partition count: (\d+)", plan, re.IGNORECASE)
+    if n_parts:  # spark prints it on the scan node's metadata
+        assert n_parts.group(1) == "1", plan
+    # value parity with the unpartitioned source
+    want = docs.filter(F.col("lang") == "en").count()
+    assert q.count() == want and want > 0
