@@ -171,3 +171,49 @@ def file_stats(location: str, col: str) -> list[tuple]:
         if lo is not None:
             out.append((f, lo, hi))
     return sorted(out, key=lambda t: t[1])
+
+
+def compact_table(
+    spark: SparkSession,
+    location: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    cluster_col: str | None = None,
+) -> tuple[int, int]:
+    """Small-files maintenance: rewrite `location` so data files
+    approach `target_file_bytes` each — the parquet-path analogue of
+    Iceberg's rewrite_data_files (binpack / sort strategy).  Returns
+    (n_files_before, n_files_after).
+
+    Why it exists at 100 TB: every micro-batch append, checkpointed
+    bucket commit, and per-task write leaves files far below the
+    row-group sweet spot; a scan over 10^7 tiny files pays open/footer
+    costs per file and schedulers drown in splits.  Compaction is the
+    standing maintenance job that keeps read amplification flat.
+
+    With `cluster_col` the rewrite goes through write_range_clustered,
+    so compaction RESTORES min/max pruning for layouts whose appends
+    interleaved key ranges; without it a plain repartition binpacks.
+
+    Crash safety (same discipline as streaming compact_memo): the
+    rewrite lands in a sibling `<location>.__compact_tmp` first and is
+    swapped in with two renames only after the new data is fully
+    written, so a crash leaves either the old or the new layout, never
+    a mix."""
+    import math
+    import os
+    import shutil
+
+    before = _parquet_files(location)
+    total = sum(os.path.getsize(f) for f in before)
+    n_target = max(1, math.ceil(total / target_file_bytes))
+    df = spark.read.parquet(location)
+    tmp = location.rstrip("/") + ".__compact_tmp"
+    if cluster_col is not None:
+        write_range_clustered(df, tmp, cluster_col, n_target)
+    else:
+        df.repartition(n_target).write.mode("overwrite").parquet(tmp)
+    old = location.rstrip("/") + ".__compact_old"
+    os.rename(location, old)
+    os.rename(tmp, location)
+    shutil.rmtree(old)
+    return len(before), len(_parquet_files(location))

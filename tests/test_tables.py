@@ -171,3 +171,40 @@ def test_partitioned_layout_prunes_partitions(spark, tmp_path):
     # value parity with the unpartitioned source
     want = docs.filter(F.col("lang") == "en").count()
     assert q.count() == want and want > 0
+
+
+def test_compact_table_binpacks_and_preserves_content(spark, tmp_path):
+    """A fragmented dataset (40 one-row-ish files from tiny appends)
+    compacts to the byte-target file count with identical content; a
+    keyed compaction also restores disjoint per-file ranges so min/max
+    pruning works again after interleaved appends."""
+    from mcp_ocr_server_spark.sources.tables import (
+        compact_table,
+        file_stats,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    loc = str(tmp_path / "frag")
+    # simulate many tiny appends with interleaved doc_id ranges
+    for lo in range(0, 200, 50):
+        from pyspark.sql import functions as F
+
+        (docs.filter((F.col("doc_id") % 200 >= lo)
+                     & (F.col("doc_id") % 200 < lo + 50))
+         .repartition(10).write.mode("append").parquet(loc))
+    want = sorted(r["doc_id"] for r in docs.collect())
+
+    n_before, n_after = compact_table(
+        spark, loc, target_file_bytes=1 << 30, cluster_col="doc_id"
+    )
+    assert n_before >= 20 and n_after < n_before
+    got = sorted(r["doc_id"] for r in spark.read.parquet(loc).collect())
+    assert got == want
+    # disjoint, ordered footer ranges after keyed compaction
+    st = file_stats(loc, "doc_id")
+    for (f1, _lo1, hi1), (f2, lo2, _hi2) in zip(st, st[1:]):
+        assert hi1 < lo2, (f1, f2)
+    # no temp/old residue
+    import os
+    assert not os.path.exists(loc + ".__compact_tmp")
+    assert not os.path.exists(loc + ".__compact_old")
