@@ -145,7 +145,8 @@ def main() -> None:
         "source_quota",
         "events_json", "event_quantiles", "event_cardinality",
         "event_funnel", "user_retention",
-        "vocab_topk", "vocab_topk_per_lang", "tfidf_topk", "corpus_split",
+        "vocab_topk", "vocab_topk_per_lang", "pmi_pairs", "tfidf_topk",
+        "corpus_split",
         "corpus_diff",
         "decontaminate", "decontaminate_bloom", "pack_sequences", "source_mix",
         "source_lang_pivot",
