@@ -196,23 +196,32 @@ def compact_table(
 
     Crash safety (same discipline as streaming compact_memo): the
     rewrite lands in a sibling `<location>.__compact_tmp` first and is
-    swapped in with two renames only after the new data is fully
-    written, so a crash leaves either the old or the new layout, never
-    a mix."""
+    swapped in with two renames after the new data is fully written.
+    POSIX has no atomic directory exchange, so there is a one-syscall
+    window where `location` is absent (data safe at `__compact_old`);
+    the function self-heals on entry — a missing location with a
+    surviving old dir is restored, and stale tmp/old artifacts from
+    any earlier crash are swept — so re-running compaction after a
+    crash always converges."""
     import math
     import os
     import shutil
+
+    tmp = location.rstrip("/") + ".__compact_tmp"
+    old = location.rstrip("/") + ".__compact_old"
+    if not os.path.exists(location) and os.path.exists(old):
+        os.rename(old, location)  # crashed between the two renames
+    shutil.rmtree(tmp, ignore_errors=True)
+    shutil.rmtree(old, ignore_errors=True)
 
     before = _parquet_files(location)
     total = sum(os.path.getsize(f) for f in before)
     n_target = max(1, math.ceil(total / target_file_bytes))
     df = spark.read.parquet(location)
-    tmp = location.rstrip("/") + ".__compact_tmp"
     if cluster_col is not None:
         write_range_clustered(df, tmp, cluster_col, n_target)
     else:
         df.repartition(n_target).write.mode("overwrite").parquet(tmp)
-    old = location.rstrip("/") + ".__compact_old"
     os.rename(location, old)
     os.rename(tmp, location)
     shutil.rmtree(old)

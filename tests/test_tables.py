@@ -208,3 +208,29 @@ def test_compact_table_binpacks_and_preserves_content(spark, tmp_path):
     import os
     assert not os.path.exists(loc + ".__compact_tmp")
     assert not os.path.exists(loc + ".__compact_old")
+
+
+def test_compact_table_self_heals_after_crash(spark, tmp_path):
+    """Crash between compact_table's two renames leaves the data at
+    __compact_old and nothing at `location`; the next invocation must
+    restore it, sweep stale artifacts (including a partial tmp), and
+    complete the compaction with content intact."""
+    import os
+
+    from mcp_ocr_server_spark.sources.tables import compact_table
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    loc = str(tmp_path / "t")
+    docs.repartition(8).write.parquet(loc)
+    want = sorted(r["doc_id"] for r in docs.collect())
+
+    # simulate the crash window + a stale partial rewrite
+    os.rename(loc, loc + ".__compact_old")
+    os.makedirs(loc + ".__compact_tmp")
+
+    n_before, n_after = compact_table(spark, loc, target_file_bytes=1 << 30)
+    assert n_before >= 8 and n_after < n_before
+    got = sorted(r["doc_id"] for r in spark.read.parquet(loc).collect())
+    assert got == want
+    assert not os.path.exists(loc + ".__compact_tmp")
+    assert not os.path.exists(loc + ".__compact_old")
