@@ -117,6 +117,20 @@ def main() -> None:
         )
         return res.spans.count()
 
+    def force(df):
+        """Row count with every output column FORCED.  A bare count()
+        lets Catalyst prune row-local projections entirely — a
+        tokenizing query "ran" in 0.2 s because nothing was tokenized
+        (validity bug found in the round-4 scaling work: token_stats
+        over a 40x corpus timed the same as over 1x).  Hashing the
+        whole row keeps the computation in-plan, JVM-side, with one
+        scalar crossing to the driver; aggregation/join queries are
+        unaffected beyond the cheap hash itself."""
+        row = df.selectExpr(
+            "count(*) AS n", "bit_xor(xxhash64(struct(*))) AS h"
+        ).collect()[0]
+        return row["n"]
+
     analytics = [
         "extract_base64", "extract_docs", "html_main_content",
         "html_links", "anchor_text", "link_rank", "keyword_rank",
@@ -208,9 +222,9 @@ def main() -> None:
                 n_cent = len(Q.ann_ivf_train(spark, sf_dir))
                 timings["ann_ivf_train"] = round(time.monotonic() - t0, 3)
                 n_rows["ann_ivf_train"] = n_cent
-            run_warm(name, lambda qfn=qfn: qfn(spark, sf_dir).count())
+            run_warm(name, lambda qfn=qfn: force(qfn(spark, sf_dir)))
         else:
-            run(name, lambda qfn=qfn: qfn(spark, sf_dir).count())
+            run(name, lambda qfn=qfn: force(qfn(spark, sf_dir)))
 
     total = round(sum(timings.values()), 3)
     out = {

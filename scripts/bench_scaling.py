@@ -33,7 +33,49 @@ N_HI = int(os.environ.get("SCALING_4N", str(N_LO * 4)))
 REPEATS = int(os.environ.get("SCALING_REPEATS", "3"))
 
 
-def run_at(cpus: int) -> dict:
+ANALYTICS_QUERY = os.environ.get("SCALING_ANALYTICS_QUERY", "lm_score")
+# sf0.1's documents table (5000 docs) finishes the analytics job in
+# single-digit seconds — fixed per-job overhead (JVM stage floor,
+# ~3-4 s) swamps compute and any 2-vs-8-core comparison measures the
+# floor, not the job (measured: lm_score 8.3 s at BOTH widths).  The
+# probe therefore replicates the table K times with shifted doc_ids
+# (deterministic, no new data) so compute dominates the floor.
+ANALYTICS_REPL = int(os.environ.get("SCALING_ANALYTICS_REPL", "40"))
+
+
+def materialize_analytics_input() -> str:
+    """Deterministic K-fold replication of sf0.1's documents table
+    (doc_ids shifted per replica); built once, reused across runs."""
+    src_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    out_dir = f"/tmp/scaling_docs_x{ANALYTICS_REPL}"
+    marker = os.path.join(out_dir, "documents.parquet", "_SUCCESS")
+    if os.path.exists(marker):
+        return out_dir
+    import duckdb
+
+    os.makedirs(os.path.join(out_dir, "documents.parquet"), exist_ok=True)
+    con = duckdb.connect()
+    # one FILE per replica: a single ~60 MB file would be one input
+    # split, serializing the scan+explode map side at any core count
+    # (measured: 218 s at 2 cores vs 164 s at 8 — a 1-task map stage,
+    # not a scaling signal).  Real tables are many-file; mirror that.
+    for i in range(ANALYTICS_REPL):
+        con.sql(
+            f"""
+            COPY (
+              SELECT doc_id + {i} * 1000000 AS doc_id, text, lang,
+                     source, n_chars
+              FROM read_parquet('{src_dir}/documents.parquet')
+            ) TO '{out_dir}/documents.parquet/part{i:03d}.parquet'
+            (FORMAT parquet)
+            """
+        )
+    open(marker, "w").close()
+    return out_dir
+
+
+def run_at(cpus: int, query: str = "extract_e2e",
+           sf_dir: str | None = None) -> dict:
     """Best-of-N: the host shows ~5 cores of phantom co-tenant load
     (loadavg ~5 with no local process), so single runs vary up to 1.5x;
     the minimum wall across repeats is the least-interference estimate."""
@@ -41,8 +83,10 @@ def run_at(cpus: int) -> dict:
         os.environ,
         SPARK_GRAFT_CPUS=str(cpus),
         BENCH_DOCS=str(N_DOCS),
-        BENCH_QUERIES="extract_e2e",
+        BENCH_QUERIES=query,
     )
+    if sf_dir is not None:
+        env["SPARK_GRAFT_SF_DIR"] = sf_dir
     best = None
     for _ in range(REPEATS):
         out = subprocess.run(
@@ -50,7 +94,7 @@ def run_at(cpus: int) -> dict:
             env=env, capture_output=True, text=True, timeout=1800,
         )
         r = json.loads(out.stdout.strip().splitlines()[-1])
-        if best is None or r["queries"]["extract_e2e"] < best["queries"]["extract_e2e"]:
+        if best is None or r["queries"][query] < best["queries"][query]:
             best = r
     return best
 
@@ -63,6 +107,17 @@ def main() -> None:
     tplo = N_DOCS / tlo
     tphi = N_DOCS / thi
     eff = (tphi / tplo) / (N_HI / N_LO)
+    # second family: a shuffle-bearing ANALYTICS job (two wide
+    # aggregations + broadcast join), so the efficiency claim is not
+    # extraction-only.  Input is the replicated documents table (see
+    # materialize_analytics_input).
+    a_dir = materialize_analytics_input()
+    alo = run_at(N_LO, ANALYTICS_QUERY, sf_dir=a_dir)
+    ahi = run_at(N_HI, ANALYTICS_QUERY, sf_dir=a_dir)
+    a_rows = alo["rows"][ANALYTICS_QUERY]
+    atlo = alo["queries"][ANALYTICS_QUERY]
+    athi = ahi["queries"][ANALYTICS_QUERY]
+    a_eff = ((a_rows / athi) / (a_rows / atlo)) / (N_HI / N_LO)
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     md = f"""# BENCH/BASELINE — scaling evidence (north rule)
 
@@ -101,11 +156,31 @@ Reference single-node baseline (BASELINE.md): 1-3.3 images/sec on a
 savings — the distinct-content memoization means each duplicated image
 is decoded and OCR'd once regardless of reference count.
 
+## Second job family: analytics ({ANALYTICS_QUERY})
+
+Same two parallelism levels over a {ANALYTICS_REPL}x deterministic
+replication of the sf0.1 documents table ({a_rows} docs; sf0.1's raw
+5000 docs finish in single-digit seconds at ANY width, so that size
+measures the per-job JVM/stage floor, not the job — measured 8.3 s at
+both 2 and 8 cores).  The job is shuffle-bearing (CCNet-style
+char-trigram LM scoring: two wide aggregations + a broadcast join),
+so the efficiency claim covers the analytics side of the engine, not
+just the pandas-UDF extraction path.
+
+| parallelism | wall s | rows/sec |
+|---|---|---|
+| local[{N_LO}]  (N)  | {atlo:.2f} | {a_rows / atlo:.1f} |
+| local[{N_HI}] (4N) | {athi:.2f} | {a_rows / athi:.1f} |
+
+**Analytics scaling efficiency = {a_eff:.3f}** (same N -> 4N rule).
+
 Raw bench lines:
 
 ```json
 {json.dumps(rlo)}
 {json.dumps(rhi)}
+{json.dumps(alo)}
+{json.dumps(ahi)}
 ```
 """
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as fh:

@@ -53,6 +53,10 @@ def main() -> None:
                          "the interleaved pdf branch)")
     ap.add_argument("--config", help="YAML job config (configs/job.yaml shape)")
     ap.add_argument("--run-id", default=f"run-{int(time.time())}")
+    ap.add_argument("--compact", action="store_true",
+                    help="after ALL buckets are committed, binpack each "
+                         "bucket's span files (small-files maintenance; "
+                         "watermarks untouched, resume-safe)")
     args = ap.parse_args()
 
     file_cfg = None
@@ -195,6 +199,28 @@ def main() -> None:
         f"({result.buckets_done_before} already done), "
         f"{result.spans_written} spans in {dt:.1f}s"
     )
+    if args.compact:
+        # maintenance pass: binpack WITHIN each committed bucket dir, so
+        # the bucket=K layout (and hence watermarks + resume) is
+        # untouched while per-task file fragmentation is swept.  Only
+        # meaningful once every bucket is in; a partial run skips it so
+        # the still-running buckets are never raced.
+        done = store.committed_buckets()
+        if len(done) == n_buckets:
+            from mcp_ocr_server_spark.sources.tables import compact_table
+
+            n_b, n_a = 0, 0
+            for b in sorted(done):
+                bdir = os.path.join(store.spans_dir, f"bucket={b}")
+                if os.path.isdir(bdir):
+                    nb, na = compact_table(spark, bdir, cluster_col="doc_id")
+                    n_b, n_a = n_b + nb, n_a + na
+            print(f"compacted span files {n_b} -> {n_a}")
+        else:
+            print(
+                f"skipping --compact: {len(done)}/{n_buckets} buckets "
+                "committed"
+            )
     spark.stop()
 
 

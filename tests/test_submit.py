@@ -63,3 +63,49 @@ def test_spark_submit_pyfiles_roundtrip(tmp_path):
             FROM read_parquet('{out}/spans/bucket=*/*.parquet')"""
     ).fetchone()
     assert n > 0 and dups == 0
+
+
+def test_run_extract_compact_flag(tmp_path):
+    """--compact binpacks each committed bucket's span files in place:
+    file count drops, content ((doc_id, order) set) is identical,
+    watermarks untouched, and a follow-up resume is still a no-op."""
+    import sys
+
+    out = str(tmp_path / "out")
+    env = dict(os.environ)
+    env.pop("PYTHONPATH", None)
+    base = [
+        sys.executable, os.path.join(REPO, "scripts", "run_extract.py"),
+        "--out", out, "--synthetic-docs", "120", "--buckets", "2",
+    ]
+    r1 = subprocess.run(base, cwd=str(tmp_path), env=env,
+                        capture_output=True, text=True, timeout=240)
+    assert r1.returncode == 0, r1.stderr[-2000:]
+
+    con = duckdb.connect()
+    glob = f"{out}/spans/bucket=*/*.parquet"
+    want = con.sql(
+        f'SELECT doc_id, "order" FROM read_parquet(\'{glob}\') ORDER BY 1, 2'
+    ).fetchall()
+    n_files_before = len(con.sql(
+        f"SELECT DISTINCT filename FROM read_parquet('{glob}', filename=true)"
+    ).fetchall())
+
+    r2 = subprocess.run(base + ["--compact"], cwd=str(tmp_path), env=env,
+                        capture_output=True, text=True, timeout=240)
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    assert "(2 already done)" in r2.stdout  # resume no-op before compact
+    assert "compacted span files" in r2.stdout
+
+    got = con.sql(
+        f'SELECT doc_id, "order" FROM read_parquet(\'{glob}\') ORDER BY 1, 2'
+    ).fetchall()
+    assert got == want
+    n_files_after = len(con.sql(
+        f"SELECT DISTINCT filename FROM read_parquet('{glob}', filename=true)"
+    ).fetchall())
+    assert n_files_after < n_files_before
+    # still resumable: third run is a no-op over compacted buckets
+    r3 = subprocess.run(base, cwd=str(tmp_path), env=env,
+                        capture_output=True, text=True, timeout=240)
+    assert r3.returncode == 0 and "(2 already done)" in r3.stdout
