@@ -588,3 +588,46 @@ def test_streaming_source_quota_admission(spark, tmp_path):
         assert [o for o, _ in rows] == list(range(QUOTA)), (src, rows)
         # first-arrived: all admitted doc_ids come from the first drop
         assert all(d < 20 for _, d in rows), (src, rows)
+
+
+def test_streaming_decontaminate_matches_batch(spark, tmp_path):
+    """The ingestion-time contamination screen (eval bitset trained
+    once, broadcast, probed per micro-batch) must produce EXACTLY the
+    batch decontaminate_bloom answer on the same corpus: same flagged
+    docs, same (n_bloom_hits, n_confirmed) — the operator is per-doc,
+    so micro-batching cannot change it."""
+    from mcp_ocr_server_spark import queries as Q
+    from mcp_ocr_server_spark.streaming.decon import (
+        run_streaming_decontaminate,
+    )
+
+    SF = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    eval_docs = docs.filter(F.col("doc_id") % 7 == 0)
+    corpus = docs.filter(F.col("doc_id") % 7 != 0).select("doc_id", "text")
+
+    landing = str(tmp_path / "docs_landing")
+    # two drops => two micro-batches (maxFilesPerTrigger=1)
+    corpus.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.parquet(
+        landing, mode="append"
+    )
+    corpus.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.parquet(
+        landing, mode="append"
+    )
+
+    q = run_streaming_decontaminate(
+        spark, landing, eval_docs,
+        out_dir=str(tmp_path / "decon_out"),
+        checkpoint_dir=str(tmp_path / "decon_ckpt"),
+    )
+    q.awaitTermination(300)
+
+    got = {
+        r.doc_id: (r.n_bloom_hits, r.n_confirmed)
+        for r in spark.read.parquet(str(tmp_path / "decon_out")).collect()
+    }
+    want = {
+        r.doc_id: (r.n_bloom_hits, r.n_confirmed)
+        for r in Q.QUERIES["decontaminate_bloom"][0](spark, SF).collect()
+    }
+    assert got == want and len(want) > 0
