@@ -23,7 +23,9 @@ same input.  A fifth twin, the ordered conversion funnel
 applyInPandasWithState operator with fixed 24-byte per-user state;
 a sixth, per-source quota admission (q_source_quota's ingestion-time
 policy twin), lives in streaming/quota.py with one long of state per
-source.
+source; a seventh, ingestion-time decontamination (the
+decontaminate_bloom screen with the eval bitset trained once and
+probed per micro-batch, zero state), lives in streaming/decon.py.
 """
 
 from __future__ import annotations
