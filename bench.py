@@ -148,7 +148,11 @@ def main() -> None:
         # (the three ANN queries; the minhash pair miner; the simhash
         # cluster resolution), so timing them in the headline total
         # would double-count work already measured
-        "ann_topk", "ann_lsh", "ann_ivf", "embedding_centroids",
+        # dedup_semantic directly follows ann_ivf: both are steady-state
+        # consumers of the codebook trained (and timed) as ann_ivf_train,
+        # and no cache-clearing run() may intervene between them
+        "ann_topk", "ann_lsh", "ann_ivf", "dedup_semantic",
+        "embedding_centroids",
         "embedding_outliers",
         "lang_id", "lang_id_eval", "text_quality", "token_stats",
         "doc_length_hist",
@@ -205,18 +209,19 @@ def main() -> None:
     run("extract_e2e_interleaved", bench_extract_interleaved)
     for name in analytics:
         qfn, _ = Q.QUERIES[name]
-        if name == "ann_ivf":
+        if name in ("ann_ivf", "dedup_semantic"):
             # VERDICT r3 #3: training is a train-once-broadcast job
             # (offline at cluster scale) — time it as its own line and
-            # report ann_ivf as steady-state query cost over the
-            # already-trained quantizer.  Selecting ann_ivf implies the
-            # split: the quantizer must be trained (timed as
-            # ann_ivf_train) before the steady-state query runs.
+            # report the codebook consumers (ann_ivf, dedup_semantic)
+            # as steady-state query cost over the already-trained
+            # quantizer.  Selecting either implies the split: the
+            # quantizer must be trained (timed ONCE as ann_ivf_train)
+            # before the steady-state queries run.
             if (
                 selected is None
                 or name in selected
                 or "ann_ivf_train" in selected
-            ):
+            ) and "ann_ivf_train" not in timings:
                 Q.clear_caches(spark)
                 t0 = time.monotonic()
                 n_cent = len(Q.ann_ivf_train(spark, sf_dir))

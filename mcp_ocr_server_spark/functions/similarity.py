@@ -588,3 +588,121 @@ def ann_lsh_topk(
         .select("query_id", "neighbor_id", "cosine",
                 F.col("rank").cast("int").alias("rank"))
     )
+
+
+def semantic_dedup_flags(
+    emb: DataFrame,
+    codebook: list[list[float]],
+    threshold: float = 0.35,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+    block_rows: int = 1024,
+) -> DataFrame:
+    """SemDedup-style semantic dedup (Abbas et al., arXiv:2303.09540):
+    the SCALE PATH next to cosine_pairs_blocked's exact all-pairs.
+
+    cosine_pairs_blocked is exact but quadratic in the corpus — at
+    10^12 vectors even perfect blocking leaves n^2 dot products.
+    SemDedup bounds the quadratic to CLUSTERS: vectors are assigned to
+    their nearest codebook centroid (the trained Lloyd quantizer from
+    kmeans_codebook — same artifact the IVF index uses), and only
+    within-cluster pairs are scored.  Cost ~ sum over clusters of c_i^2
+    instead of n^2; n_centroids is the dial that pins E[cluster size]
+    (~2-4k at production scale keeps each gram block in task memory),
+    exactly how the paper scales to LAION/C4.  Cross-cluster near-dups
+    are missed BY DESIGN — the same recall/cost trade every ANN-family
+    operator here documents.
+
+    Drop rule (deterministic, oracle-expressible): vector j is dropped
+    iff some i < j in the SAME cluster has round(cosine(i, j), 6) >=
+    threshold; its witness `dup_of` is the SMALLEST such i and
+    `dup_sim` that pair's rounded cosine.  (The paper keeps one
+    representative per connected dup-group; the min-id-witness rule is
+    the same family as dedup_simhash_pairs' and needs no iteration.)
+
+    Physical shape: assignment is the kmeans argmax — corpus x
+    broadcast codebook through one map-side-combinable max(struct)
+    carrying the vector as payload (no join back to fetch vectors).
+    Then ONE shuffle groups each cluster onto one task
+    (applyInPandas), where a blocked gram matrix (block_rows x
+    cluster_size per matmul, lower triangle only) scores every
+    within-cluster pair in numpy — pairs never become Spark rows at
+    all, which is what makes this cheaper than a within-cluster
+    self-join shipping two vectors per candidate pair.
+
+    Memory bound per task: block_rows x cluster_size doubles
+    (1024 x 4096 = 32 MB at the production cluster-size target) plus
+    the cluster's vectors.  A degenerate hot cluster is the failure
+    mode to watch; the mitigation at scale is raising n_centroids
+    (clusters from a TRAINED codebook track data density, unlike hash
+    buckets) — the same answer the paper gives.
+    """
+    spark = emb.sparkSession
+    cent = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(codebook)],
+        "centroid_id int, cv array<double>",
+    )
+    cos = cosine_udf()
+    # argmax assignment with the vector riding as max-struct payload:
+    # ids are unique (row identities), so ties on (sim, -centroid_id)
+    # are the same row and the payload never decides the max
+    clustered = (
+        emb.select(id_col, vec_col)
+        .crossJoin(F.broadcast(cent))
+        .select(
+            F.col(id_col),
+            F.struct(
+                cos(F.col(vec_col), F.col("cv")).alias("sim"),
+                (-F.col("centroid_id")).alias("nc"),
+                F.col(vec_col).alias("v"),
+            ).alias("cand"),
+        )
+        .groupBy(id_col)
+        .agg(F.max("cand").alias("m"))
+        .select(
+            F.col(id_col),
+            (-F.col("m.nc")).alias("centroid_id"),
+            F.col("m.v").alias("v"),
+        )
+    )
+
+    def _dedup_cluster(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col).reset_index(drop=True)
+        n = len(pdf)
+        ids = pdf[id_col].to_numpy()
+        V = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+        nrm = np.linalg.norm(V, axis=1)
+        nrm[nrm == 0] = 1.0  # same zero-norm guard as cosine_udf
+        U = V / nrm[:, None]
+        dup_of = [None] * n
+        dup_sim = [None] * n
+        # blocked lower-triangle gram: rows [lo, hi) vs all EARLIER
+        # rows [0, hi) — memory <= block_rows x cluster_size doubles
+        for lo in range(1, n, block_rows):
+            hi = min(lo + block_rows, n)
+            S = np.round(U[lo:hi] @ U[:hi].T, 6)
+            for j in range(lo, hi):
+                above = np.nonzero(S[j - lo, :j] >= threshold)[0]
+                if above.size:
+                    i = int(above[0])  # ids sorted asc => min id
+                    dup_of[j] = int(ids[i])
+                    dup_sim[j] = float(S[j - lo, i])
+        return pd.DataFrame(
+            {
+                id_col: pd.Series(ids, dtype="int64"),
+                "centroid_id": pd.Series(
+                    pdf["centroid_id"].to_numpy(), dtype="int32"
+                ),
+                "keep": pd.Series([d is None for d in dup_of], dtype="bool"),
+                "dup_of": pd.Series(dup_of, dtype="Int64"),
+                "dup_sim": pd.Series(dup_sim, dtype="float64"),
+            }
+        )
+
+    return clustered.groupBy("centroid_id").applyInPandas(
+        _dedup_cluster,
+        schema=(
+            f"{id_col} long, centroid_id int, keep boolean, "
+            "dup_of long, dup_sim double"
+        ),
+    )

@@ -254,3 +254,61 @@ def test_kmeans_empty_sample_returns_init_centroids(spark):
     )
     cents = kmeans_codebook(emb, n_centroids=2, n_iters=2, sample_mod=5)
     assert cents == [[1.0, 1.0], [2.0, 1.0]]  # the 2 lowest-id vectors
+
+
+def test_semantic_dedup_drop_rule_and_blocked_gram(spark):
+    """Constructed clusters: exact duplicates drop with the min-id
+    witness, orthogonal vectors keep; block_rows=2 forces the blocked
+    lower-triangle gram path so a block-boundary bug can't hide at
+    fixture scale (every j in a later block must still see every
+    earlier i)."""
+    from mcp_ocr_server_spark.functions.similarity import (
+        semantic_dedup_flags,
+    )
+
+    # one codebook axis per cluster: e1-dominant and e2-dominant
+    codebook = [[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]]
+    rows = [
+        # cluster 0: ids 1,2,3 near-identical along e1; id 9 e3-heavy
+        # but still closest to centroid 0 (cos > 0 vs 0 for centroid 1)
+        (1, [1.0, 0.0, 0.0]),
+        (2, [2.0, 0.0, 0.0]),
+        (3, [1.0, 0.1, 0.0]),
+        (9, [0.2, 0.0, 1.0]),
+        # cluster 1: 20 duplicates along e2 — spans many 2-row blocks
+        *[(100 + i, [0.0, 3.0, 0.0]) for i in range(20)],
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, v array<double>")
+    out = semantic_dedup_flags(
+        emb, codebook, threshold=0.9, block_rows=2
+    ).collect()
+    by_id = {r["vec_id"]: r for r in out}
+    assert len(by_id) == 24
+    # cluster 0: 1 keeps; 2 and 3 drop with witness 1; 9 keeps
+    assert by_id[1]["keep"] and by_id[1]["dup_of"] is None
+    assert not by_id[2]["keep"] and by_id[2]["dup_of"] == 1
+    assert by_id[2]["dup_sim"] == 1.0
+    assert not by_id[3]["keep"] and by_id[3]["dup_of"] == 1
+    assert by_id[9]["keep"]
+    # cluster 1: only the min id survives; every drop's witness is 100
+    # (min-id rule), proving later blocks compared against block 0
+    assert by_id[100]["keep"]
+    for i in range(101, 120):
+        assert not by_id[i]["keep"] and by_id[i]["dup_of"] == 100
+    assert {r["centroid_id"] for r in out} == {0, 1}
+
+
+def test_semantic_dedup_plan_shape(spark):
+    """Plan contract: the quantizer broadcasts (BroadcastExchange, no
+    SortMergeJoin feeding the assignment), pairs are scored inside ONE
+    FlatMapGroupsInPandas (never materialized as join rows), and no
+    CartesianProduct appears (the crossJoin is broadcast-nested-loop
+    over the bounded codebook)."""
+    import mcp_ocr_server_spark.queries as Q
+
+    df = Q.QUERIES["dedup_semantic"][0](spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastExchange" in plan
+    assert "FlatMapGroupsInPandas" in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("FlatMapGroupsInPandas") == 1
