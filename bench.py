@@ -167,6 +167,7 @@ def main() -> None:
         "corpus_split",
         "corpus_diff",
         "decontaminate", "decontaminate_bloom", "pack_sequences", "source_mix",
+        "lang_sample_weights", "url_dedup",
         "source_lang_pivot",
         "events_hourly", "events_cube", "events_sliding", "event_sessions",
         "events_asof_orders", "purchase_error_window",
