@@ -158,7 +158,7 @@ def main() -> None:
         "doc_length_hist",
         "doc_fingerprint", "repetition_stats", "quality_filter",
         "source_gate",
-        "pii_scrub", "line_dedup", "text_normalize",
+        "pii_scrub", "line_dedup", "dedup_substring", "text_normalize",
         "doc_chunks", "lm_score",
         "source_quota",
         "events_json", "event_quantiles", "event_cardinality",
