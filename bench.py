@@ -166,7 +166,8 @@ def main() -> None:
         "vocab_topk", "vocab_topk_per_lang", "pmi_pairs", "tfidf_topk",
         "corpus_split",
         "corpus_diff",
-        "decontaminate", "decontaminate_bloom", "pack_sequences", "source_mix",
+        "decontaminate", "decontaminate_bloom", "curation_funnel",
+        "pack_sequences", "source_mix",
         "lang_sample_weights", "url_dedup",
         "source_lang_pivot",
         "events_hourly", "events_cube", "events_sliding", "event_sessions",
