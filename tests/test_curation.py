@@ -1,0 +1,98 @@
+"""Invariant + plan-shape tests for the round-4 continuation queries:
+url_dedup (canonicalization laws), dedup_substring (window/run
+invariants), curation_funnel (stage monotonicity + the no-Filter-on-
+verdict plan contract), lang_sample_weights (distribution laws)."""
+
+import re
+
+from pyspark.sql import functions as F
+
+from mcp_ocr_server_spark import queries as Q
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_url_canonicalization_laws(spark):
+    """Every canonical URL obeys the five canonicalization rules, and
+    the injected mess is actually exercised (some raw URLs differ from
+    their canonical form in every rule category)."""
+    rows = Q.QUERIES["url_dedup"][0](spark, SF).collect()
+    assert len(rows) == 500
+    for r in rows:
+        u = r["canonical_url"]
+        host = re.match(r"^https://([^/?#]+)", u).group(1)
+        assert host == host.lower(), u
+        assert ":443" not in u, u
+        assert "#" not in u, u
+        assert "utm_" not in u, u
+        path = re.sub(r"[?#].*$", "", u)
+        assert not path.endswith("/"), u
+    # dedup laws: exactly one keeper per group, group sizes consistent
+    by_url = {}
+    for r in rows:
+        by_url.setdefault(r["canonical_url"], []).append(r)
+    assert any(len(g) > 1 for g in by_url.values())  # dups exist
+    for g in by_url.values():
+        assert all(r["n_same_url"] == len(g) for r in g)
+        keepers = [r for r in g if r["keep"]]
+        assert len(keepers) == 1
+        assert keepers[0]["doc_id"] == min(r["doc_id"] for r in g)
+
+
+def test_dedup_substring_invariants(spark):
+    """Window accounting laws + the run bound: a duplicated run of R
+    consecutive window starts spans R + W - 1 tokens, and a doc's
+    longest run cannot exceed its duplicated-window count + W - 1."""
+    rows = Q.QUERIES["dedup_substring"][0](spark, SF).collect()
+    assert len(rows) == 500
+    w = Q.SUBSTR_W
+    assert any(r["n_dup_windows"] > 0 for r in rows)  # corpus has dups
+    for r in rows:
+        assert 0 <= r["n_dup_windows"] <= r["n_windows"]
+        if r["n_dup_windows"] == 0:
+            assert r["max_dup_run_tokens"] == 0
+            assert r["dup_ratio"] == 0.0
+        else:
+            assert r["max_dup_run_tokens"] >= w
+            assert r["max_dup_run_tokens"] <= r["n_dup_windows"] + w - 1
+
+
+def test_curation_funnel_monotone_and_plan(spark):
+    """Stage counts are non-increasing (each stage only removes docs),
+    raw matches the corpus, and the physical plan never evaluates the
+    quality verdict inside a Filter (the 27x pushdown pathology: the
+    verdict's higher-order signal folds re-evaluate per rule reference
+    when Catalyst pushes keep into a Filter node)."""
+    df = Q.QUERIES["curation_funnel"][0](spark, SF)
+    rows = sorted(df.collect(), key=lambda r: r["stage"])
+    assert [r["stage_name"] for r in rows] == [
+        "raw", "quality", "exact_dedup", "decontaminated", "train",
+    ]
+    assert rows[0]["n_docs"] == 500
+    assert rows[0]["pct_docs"] == 1.0
+    for a, b in zip(rows, rows[1:]):
+        assert b["n_docs"] <= a["n_docs"]
+        assert b["n_tokens"] <= a["n_tokens"]
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    for line in plan.splitlines():
+        if line.lstrip().startswith(("Filter", "+- Filter", ": +- Filter")) or (
+            "Filter" in line and "Exchange" not in line and "(" in line
+        ):
+            assert "concat_ws" not in line, line
+            assert "aggregate(" not in line, line
+
+
+def test_lang_sample_weights_distribution_laws(spark):
+    """p_sampled is a probability distribution; the temperature rebalance
+    boosts below-average languages and dampens above-average ones; the
+    expected doc total is conserved up to per-language rounding."""
+    rows = Q.QUERIES["lang_sample_weights"][0](spark, SF).collect()
+    total = sum(r["n_docs"] for r in rows)
+    assert abs(sum(r["p_sampled"] for r in rows) - 1.0) < 1e-4
+    assert abs(sum(r["expected_docs"] for r in rows) - total) <= len(rows)
+    mean_p = 1.0 / len(rows)
+    for r in rows:
+        if r["p_raw"] > mean_p + 1e-9:
+            assert r["boost"] < 1.0, r
+        elif r["p_raw"] < mean_p - 1e-9:
+            assert r["boost"] > 1.0, r
