@@ -165,7 +165,7 @@ def main() -> None:
         "event_funnel", "user_retention",
         "vocab_topk", "vocab_topk_per_lang", "pmi_pairs", "tfidf_topk",
         "corpus_split",
-        "corpus_diff",
+        "corpus_diff", "merge_upsert", "corpus_profile",
         "decontaminate", "decontaminate_bloom", "curation_funnel",
         "pack_sequences", "source_mix",
         "lang_sample_weights", "url_dedup",
