@@ -170,7 +170,8 @@ def main() -> None:
         "pack_sequences", "source_mix",
         "lang_sample_weights", "url_dedup",
         "source_lang_pivot",
-        "events_hourly", "events_cube", "events_sliding", "event_sessions",
+        "events_hourly", "events_anomaly", "events_cube", "events_sliding",
+        "event_sessions",
         "events_asof_orders", "purchase_error_window",
         "orders_window",
         "customer_set_ops", "pricing_summary", "top_suppliers",
