@@ -631,3 +631,42 @@ def test_streaming_decontaminate_matches_batch(spark, tmp_path):
         for r in Q.QUERIES["decontaminate_bloom"][0](spark, SF).collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_stream_anomaly_matches_batch(spark, tmp_path):
+    """Streaming anomaly twin: for every window the watermark closes,
+    (n, z, is_anomaly) equal the batch q_events_anomaly row EXACTLY
+    (the baseline's literal doubles round-trip losslessly), and the
+    availableNow run emits nearly all windows."""
+    from mcp_ocr_server_spark import queries as Q
+    from mcp_ocr_server_spark.streaming.anomaly import (
+        stream_event_anomaly,
+        train_baseline,
+    )
+
+    SF = "/root/testdata/sf0.001"
+    src = str(tmp_path / "events_in")
+    spark.read.parquet(f"{SF}/events.parquet").repartition(4).write.parquet(
+        src
+    )
+    baseline = train_baseline(spark.read.parquet(src))
+    q = stream_event_anomaly(
+        spark, src, str(tmp_path / "a_out"), str(tmp_path / "a_ckpt"),
+        baseline, available_now=True,
+    )
+    q.awaitTermination(300)
+
+    got = {
+        (r.hour_start, r.event_type): (r.n, r.z, r.is_anomaly)
+        for r in spark.read.parquet(str(tmp_path / "a_out")).collect()
+    }
+    want = {
+        (r.hour_start, r.event_type): (r.n, r.z, r.is_anomaly)
+        for r in Q.QUERIES["events_anomaly"][0](spark, SF).collect()
+    }
+    assert got, "stream emitted nothing"
+    for k, v in got.items():
+        assert want[k] == v, (k, v, want[k])
+    # availableNow closes everything except at most the final
+    # watermark horizon (2h) per type
+    assert len(got) >= len(want) - 3 * len(baseline)
