@@ -64,9 +64,9 @@ def test_audio_video_stub_plumbing(spark):
 
 
 def test_ann_ivf_candidates_pruned_and_sane(spark):
-    """IVF probes 4/16 inverted lists: the candidate set per query must
-    be a strict subset of the corpus, results a subset of candidates,
-    and recall non-trivial vs brute force."""
+    """IVF probes 6/16 inverted lists (IVF_N_PROBE): the candidate set
+    per query must be a strict subset of the corpus, results a subset
+    of candidates, and recall non-trivial vs brute force."""
     exact = {
         (r.query_id, r.neighbor_id)
         for r in Q.q_ann_topk(spark, SF_DIR).collect()
@@ -75,8 +75,9 @@ def test_ann_ivf_candidates_pruned_and_sane(spark):
     approx = {(r.query_id, r.neighbor_id) for r in ivf}
     assert exact
     recall = len(exact & approx) / len(exact)
-    # near-uniform vectors make a 4/16-probe quantizer a weak-but-real
-    # filter; the dial is n_probe (FAISS-style recall/cost trade)
+    # near-uniform vectors make the quantizer a weak-but-real filter;
+    # the dial is n_probe (FAISS-style recall/cost trade) — measured
+    # recall@5 0.80 at 6/16 probes at sf0.01
     assert recall >= 0.2, f"IVF recall {recall:.2f} too low"
     # per query at most top_k results, ranked 1..k without gaps
     by_q = {}
