@@ -39,6 +39,24 @@ def test_url_canonicalization_laws(spark):
         assert keepers[0]["doc_id"] == min(r["doc_id"] for r in g)
 
 
+def test_url_canonicalization_idempotent(spark):
+    """canon(canon(u)) == canon(u) for every corpus URL — a
+    canonicalizer that isn't a fixpoint corrupts keys when a pipeline
+    re-canonicalizes already-clean URLs (recrawls, merged sources)."""
+    aug = Q._url_augment(
+        Q._t(spark, SF, "documents").select("doc_id", "source")
+    )
+    once = aug.select(Q.url_canonical("url").alias("u"))
+    n_bad = (
+        once.select(
+            "u", Q.url_canonical("u").alias("u2")
+        )
+        .where(F.col("u") != F.col("u2"))
+        .count()
+    )
+    assert n_bad == 0
+
+
 def test_dedup_substring_invariants(spark):
     """Window accounting laws + the run bound: a duplicated run of R
     consecutive window starts spans R + W - 1 tokens, and a doc's
