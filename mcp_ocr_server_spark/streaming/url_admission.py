@@ -1,0 +1,113 @@
+"""Streaming canonical-URL admission — url_dedup's streaming twin: as
+crawled docs arrive continuously, admit only the FIRST doc per
+canonical URL to the rest of the pipeline (the ingestion-side gate a
+crawler runs before any content work, same position url_dedup holds in
+batch).
+
+Shares the EXACT canonicalization rules with the batch query
+(queries.url_canonical — the factoring promised in its docstring) and
+the stateful_dedup operator shape: `applyInPandasWithState`, state
+sharded by a 2-hex md5 prefix (256 shards, partitioned exactly like a
+shuffle), per-shard state = the set of admitted canonical-URL md5s
+(16-byte keys, never the URL strings — state width is bounded no
+matter how long URLs get).
+
+Equivalence contract (the quota twin's): the batch query keeps the
+min-doc_id row per canonical URL, the stream keeps the FIRST-ARRIVED
+row — set-of-admitted-URLs and one-admission-per-URL parity are pinned
+by test; keeper identity coincides only when arrival order is doc_id
+order (micro-batch shuffling does not guarantee intra-shard order)."""
+
+from __future__ import annotations
+
+from typing import Iterable, Iterator, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+OUTPUT_SCHEMA = "canonical_url string, doc_id long, admit_ordinal long"
+STATE_SCHEMA = "seen array<string>, n_admitted long"
+
+
+def _admit_fn(
+    key: Tuple[str],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterable[pd.DataFrame]:
+    if state.exists:
+        seen_list: list[str] = list(state.get[0])
+        n_admitted = int(state.get[1])
+    else:
+        seen_list, n_admitted = [], 0
+    seen = set(seen_list)
+    out_url: list[str] = []
+    out_doc: list[int] = []
+    out_ord: list[int] = []
+    for pdf in pdfs:
+        for h, url, doc in zip(
+            pdf["h"], pdf["canonical_url"], pdf["doc_id"]
+        ):
+            if h not in seen:
+                seen.add(h)
+                seen_list.append(h)
+                out_url.append(url)
+                out_doc.append(int(doc))
+                out_ord.append(n_admitted)
+                n_admitted += 1
+    state.update((seen_list, n_admitted))
+    yield pd.DataFrame(
+        {
+            "canonical_url": out_url,
+            "doc_id": out_doc,
+            "admit_ordinal": out_ord,
+        }
+    )
+
+
+def streaming_url_admission(
+    docs_stream: DataFrame, url_col: str = "url"
+) -> DataFrame:
+    """(doc_id, url) stream → first-admitted (canonical_url, doc_id)."""
+    from ..queries import url_canonical
+
+    canon = docs_stream.select(
+        "doc_id", url_canonical(url_col).alias("canonical_url")
+    ).withColumn("h", F.md5("canonical_url"))
+    return (
+        canon.withColumn("shard", F.substring("h", 1, 2))
+        .groupBy("shard")
+        .applyInPandasWithState(
+            _admit_fn,
+            outputStructType=OUTPUT_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def run_streaming_url_admission(
+    spark,
+    docs_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+):
+    """File-source wiring: watch a crawled-docs landing dir carrying a
+    raw `url` column, emit first-admitted rows."""
+    stream = (
+        spark.readStream.schema("doc_id long, source string, url string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(docs_dir)
+    )
+    admitted = streaming_url_admission(stream)
+    writer = (
+        admitted.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -670,3 +670,41 @@ def test_stream_anomaly_matches_batch(spark, tmp_path):
     # availableNow closes everything except at most the final
     # watermark horizon (2h) per type
     assert len(got) >= len(want) - 3 * len(baseline)
+
+
+def test_streaming_url_admission_matches_batch(spark, tmp_path):
+    """Streaming canonical-URL admission: the admitted-URL set equals
+    the batch url_dedup keeper set, exactly one admission per canonical
+    URL across micro-batches, and admissions survive a second drop
+    (state persists between triggers)."""
+    from mcp_ocr_server_spark import queries as Q
+    from mcp_ocr_server_spark.streaming.url_admission import (
+        run_streaming_url_admission,
+    )
+
+    SF = "/root/testdata/sf0.001"
+    aug = Q._url_augment(
+        Q._t(spark, SF, "documents").select("doc_id", "source")
+    )
+    landing = str(tmp_path / "docs_landing")
+    # two drops => at least two micro-batches (maxFilesPerTrigger=1)
+    aug.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.parquet(
+        landing, mode="append"
+    )
+    aug.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.parquet(
+        landing, mode="append"
+    )
+    q = run_streaming_url_admission(
+        spark, landing, str(tmp_path / "u_out"), str(tmp_path / "u_ckpt"),
+    )
+    q.awaitTermination(300)
+
+    got = spark.read.parquet(str(tmp_path / "u_out")).collect()
+    batch = Q.QUERIES["url_dedup"][0](spark, SF).collect()
+    want_urls = {r.canonical_url for r in batch if r.keep}
+    got_urls = [r.canonical_url for r in got]
+    assert set(got_urls) == want_urls
+    assert len(got_urls) == len(set(got_urls))  # one admission each
+    # every admitted doc_id really carries that canonical URL in batch
+    pair_ok = {(r.canonical_url, r.doc_id) for r in batch}
+    assert all((r.canonical_url, r.doc_id) in pair_ok for r in got)
