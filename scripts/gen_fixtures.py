@@ -210,6 +210,47 @@ def gen_html_raw() -> pd.DataFrame:
     return df
 
 
+def gen_docs_jsonl() -> int:
+    """Deterministic JSONL document file (the LLM-corpus interchange
+    format) with injected messes a robust ingester must classify:
+    syntactically-corrupt lines (indices 13, 37), lines missing the
+    `lang` field (every index % 11 == 5), and one line carrying an
+    unknown extra field (index 20, dropped by schema on read).  Valid
+    text is word soup drawn by md5(i) — pure function of the index,
+    stable across machines.  Consumed by queries.q_jsonl_ingest and
+    its DuckDB oracle (which re-classifies the RAW lines with JSON
+    functions, independent of Spark's json reader)."""
+    import hashlib
+    import json
+
+    words = ["spark", "table", "scan", "merge", "row", "hash",
+             "window", "batch", "sort", "key"]
+    lines: list[str] = []
+    for i in range(60):
+        h = hashlib.md5(f"jsonl:{i}".encode()).hexdigest()
+        text = " ".join(
+            words[int(h[j], 16) % len(words)] for j in range(8 + i % 5)
+        )
+        rec = {
+            "doc_id": i,
+            "text": text,
+            "lang": ["en", "es", "fr", "de"][i % 4],
+            "source": f"src{i % 7}",
+        }
+        if i % 11 == 5:
+            del rec["lang"]
+        if i == 20:
+            rec["extra_field"] = "ignored-by-schema"
+        line = json.dumps(rec, separators=(",", ":"))
+        if i in (13, 37):
+            line = line[: len(line) // 2] + "<corrupt"  # truncated JSON
+        lines.append(line)
+    path = os.path.join(FIXTURES_DIR, "docs.jsonl")
+    with open(path, "w") as fh:
+        fh.write("\n".join(lines) + "\n")
+    return len(lines)
+
+
 def main() -> None:
     os.makedirs(FIXTURES_DIR, exist_ok=True)
     spans = gen_expected_spans()
@@ -239,6 +280,7 @@ def main() -> None:
     hraw = gen_html_raw()
     hraw.to_parquet(os.path.join(FIXTURES_DIR, "html_raw.parquet"), index=False)
     print(f"html_raw: {len(hraw)} rows")
+    print(f"docs.jsonl: {gen_docs_jsonl()} lines")
     print(f"interleaved_spans: {len(inter)} rows,"
           f" kinds {inter.kind.value_counts().to_dict()},"
           f" errors {inter.error_code.value_counts(dropna=True).to_dict()}")
