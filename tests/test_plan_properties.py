@@ -796,3 +796,45 @@ def test_aqe_splits_skewed_join_partition(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_merge_upsert_plan_shuffles_hashes_never_text(spark):
+    """MERGE's one required shuffle is the full-outer key join; both
+    sides must be reduced to (doc_id, md5) BEFORE it — no Exchange may
+    carry the text column.  Statuses must partition the output
+    exhaustively, and delete tombstones must actually remove rows."""
+    df = Q.QUERIES["merge_upsert"][0](spark, SF)
+    plan = _plan(spark, df, "simple")
+    text_ids = set(re.findall(r"\btext#(\d+)", plan))
+    for ln in plan.splitlines():
+        s = ln.strip()
+        if "Exchange" in s:
+            tail = s.split("Exchange", 1)[1]
+            for tid in text_ids:
+                assert not re.search(rf"#{tid}(?![0-9])", tail), s
+    rows = df.collect()
+    assert set(r["status"] for r in rows) == {
+        "kept", "updated", "inserted",
+    }
+    n_docs = spark.read.parquet(f"{SF}/documents.parquet").count()
+    # deleted rows are ABSENT from the output: the count identity below
+    n_ins = sum(1 for r in rows if r["status"] == "inserted")
+    assert len(rows) - n_ins < n_docs  # tombstones removed something
+    assert len({r["doc_id"] for r in rows}) == len(rows)  # key unique
+
+
+def test_corpus_profile_plan_single_scan_with_expand(spark):
+    """The profiler is ONE scan + one aggregation: exactly one
+    FileScan, and the documented Expand of exact multi-column distinct
+    is present (the event_cardinality trade-off the docstring names).
+    Null counts are 0 on this corpus and distincts are sane."""
+    df = Q.QUERIES["corpus_profile"][0](spark, SF)
+    plan = _plan(spark, df, "simple")
+    assert plan.count("FileScan parquet") == 1, plan
+    assert "Expand" in plan, plan
+    rows = {r["col_name"]: r for r in df.collect()}
+    n = spark.read.parquet(f"{SF}/documents.parquet").count()
+    assert rows["doc_id"]["n_nulls"] == 0
+    assert rows["doc_id"]["n_distinct"] == n
+    for r in rows.values():
+        assert 0 < r["n_distinct"] <= n
