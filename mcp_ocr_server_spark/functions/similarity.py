@@ -428,11 +428,18 @@ def kmeans_codebook(
     return cents
 
 
+# Default probe budget — the ONE canonical value; queries.IVF_N_PROBE
+# aliases it and the SQL oracle derives from that, so a caller relying
+# on this default always matches the benched/oracle configuration
+# (recall@5 0.80 at 6/16 on sf0.01; 0.64 at 4, 0.88 at 8).
+DEFAULT_N_PROBE = 6
+
+
 def ann_ivf_topk(
     emb: DataFrame,
     queries: DataFrame,
     n_centroids: int = 16,
-    n_probe: int = 4,
+    n_probe: int = DEFAULT_N_PROBE,
     top_k: int = 5,
     codebook: list[list[float]] | None = None,
 ) -> DataFrame:

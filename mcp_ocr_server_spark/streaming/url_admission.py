@@ -8,9 +8,11 @@ Shares the EXACT canonicalization rules with the batch query
 (queries.url_canonical — the factoring promised in its docstring) and
 the stateful_dedup operator shape: `applyInPandasWithState`, state
 sharded by a 2-hex md5 prefix (256 shards, partitioned exactly like a
-shuffle), per-shard state = the set of admitted canonical-URL md5s
-(16-byte keys, never the URL strings — state width is bounded no
-matter how long URLs get).
+shuffle), per-shard state = the set of admitted canonical-URL md5s as
+32-hex-char strings (fixed 32 bytes per entry, never the URL itself —
+state width is bounded no matter how long URLs get; storing unhex'd
+16-byte binary would halve it again at the cost of a binary state
+column).
 
 Equivalence contract (the quota twin's): the batch query keeps the
 min-doc_id row per canonical URL, the stream keeps the FIRST-ARRIVED

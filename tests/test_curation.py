@@ -13,20 +13,37 @@ SF = "/root/testdata/sf0.001"
 
 
 def test_url_canonicalization_laws(spark):
-    """Every canonical URL obeys the five canonicalization rules, and
-    the injected mess is actually exercised (some raw URLs differ from
-    their canonical form in every rule category)."""
+    """Every canonical http(s) URL obeys the canonicalization rules
+    (lowercase host, no default port, no fragment, no tracking params,
+    no trailing slash, a stripped-tracking query never leaks a leading
+    '&'), non-web schemes pass through untouched, and the injected mess
+    exercises each rule (http and https, tracking before AND after the
+    meaningful param, double slashes, ftp)."""
     rows = Q.QUERIES["url_dedup"][0](spark, SF).collect()
     assert len(rows) == 500
+    seen_http = seen_ftp = 0
     for r in rows:
         u = r["canonical_url"]
-        host = re.match(r"^https://([^/?#]+)", u).group(1)
+        if u.startswith("ftp://"):
+            seen_ftp += 1
+            assert r["doc_id"] % 25 == 21, u  # passthrough class only
+            continue
+        m = re.match(r"^(https?)://([^/?#]+)", u)
+        assert m, u
+        if m.group(1) == "http":
+            seen_http += 1
+            assert ":80" not in u, u
+        host = m.group(2)
         assert host == host.lower(), u
         assert ":443" not in u, u
         assert "#" not in u, u
         assert "utm_" not in u, u
         path = re.sub(r"[?#].*$", "", u)
         assert not path.endswith("/"), u
+        assert "&" not in path, u  # the '&'->'?' repair fired
+        if "?" in u:
+            assert re.search(r"\?id=\d+$", u), u  # only the real param
+    assert seen_http > 0 and seen_ftp > 0
     # dedup laws: exactly one keeper per group, group sizes consistent
     by_url = {}
     for r in rows:
@@ -101,16 +118,21 @@ def test_curation_funnel_monotone_and_plan(spark):
 
 
 def test_lang_sample_weights_distribution_laws(spark):
-    """p_sampled is a probability distribution; the temperature rebalance
-    boosts below-average languages and dampens above-average ones; the
-    expected doc total is conserved up to per-language rounding."""
+    """p_sampled is a probability distribution; boost = p^(alpha-1) /
+    sum(p^alpha) is strictly DECREASING in p (alpha < 1), so the
+    smallest-share language gets the max boost (>= 1) and the largest
+    gets the min (<= 1) — the boost>1 crossover sits at
+    p* = (sum p^alpha)^(1/(alpha-1)), NOT at 1/n, so no per-language
+    1/n comparison is asserted (the round-4 review's counterexample:
+    shares (0.6, 0.35, 0.05) put p=0.35 > 1/3 at boost 1.045 > 1).
+    Expected doc total is conserved up to per-language rounding."""
     rows = Q.QUERIES["lang_sample_weights"][0](spark, SF).collect()
     total = sum(r["n_docs"] for r in rows)
     assert abs(sum(r["p_sampled"] for r in rows) - 1.0) < 1e-4
     assert abs(sum(r["expected_docs"] for r in rows) - total) <= len(rows)
-    mean_p = 1.0 / len(rows)
-    for r in rows:
-        if r["p_raw"] > mean_p + 1e-9:
-            assert r["boost"] < 1.0, r
-        elif r["p_raw"] < mean_p - 1e-9:
-            assert r["boost"] > 1.0, r
+    by_p = sorted(rows, key=lambda r: r["p_raw"])
+    for lo, hi in zip(by_p, by_p[1:]):
+        if hi["p_raw"] > lo["p_raw"] + 1e-9:
+            assert hi["boost"] < lo["boost"] + 1e-6, (lo, hi)
+    assert by_p[0]["boost"] >= 1.0 - 1e-6
+    assert by_p[-1]["boost"] <= 1.0 + 1e-6
