@@ -46,8 +46,12 @@ PDF_TEXT_SCHEMA = "media_ref string, n_pages int, text string, error string"
 _OBJ_START_RE = re.compile(rb"(\d+)\s+(\d+)\s+obj\b")
 _STREAM_START_RE = re.compile(rb"stream\r?\n")
 _STREAM_END_RE = re.compile(rb"(?:\r?\n)?endstream")
-# direct-integer /Length only — "/Length 12 0 R" (indirect) must NOT match
-_LEN_DIRECT_RE = re.compile(rb"/Length\s+(\d+)(?!\s+\d+\s+R)")
+# direct-integer /Length only — "/Length 12 0 R" (indirect) must NOT
+# match.  The (?!\d) makes the captured digits effectively atomic:
+# without it the engine backtracks (\d+) to a PREFIX of an indirect
+# length ('/Length 12 0 R' matched '1') so the indirect-ref lookahead
+# checked the wrong position (round-4 review, repro'd live).
+_LEN_DIRECT_RE = re.compile(rb"/Length\s+(\d+)(?!\d)(?!\s+\d+\s+R)")
 _REF_RE = re.compile(rb"(\d+)\s+(\d+)\s+R\b")
 
 # content-stream tokens other than literal strings: hex string, array

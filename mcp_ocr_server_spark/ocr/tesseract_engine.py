@@ -110,9 +110,13 @@ class PytesseractEngine:
             img, lang=lang, config=self._tess_config(),
             output_type=pytesseract.Output.DICT,
         )
+        # Boxes carry tesseract's RAW conf (-1 marks entries tesseract
+        # itself calls unconfident/structural) so the >= 0 filter below
+        # is live and the aggregate matches recognize() on the same
+        # image — the earlier max(0.0, c) clamp made the filter dead
+        # and averaged the -1 entries in as 0.0 (round-4 review).
         boxes = [
-            WordBox(int(x), int(y), int(w), int(h), txt,
-                    max(0.0, float(c)))
+            WordBox(int(x), int(y), int(w), int(h), txt, float(c))
             for x, y, w, h, txt, c in zip(
                 data["left"], data["top"], data["width"], data["height"],
                 data["text"], data["conf"],

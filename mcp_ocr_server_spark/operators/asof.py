@@ -32,6 +32,16 @@ Semantics notes:
   (e.g. ``max_by`` a tiebreak column); this is asserted cheaply only
   at test time, never with a runtime count job.
 - Left rows with NULL timestamps get NULL values (they sort first).
+- The right row's value columns are carried as ONE STRUCT through the
+  cumulative fill, so the matched row is attached ATOMICALLY: a NULL
+  value inside the latest right row stays NULL, exactly like the
+  DuckDB ASOF JOIN.  (The original per-column
+  ``last(v, ignorenulls=True)`` silently mixed columns across right
+  rows — a NULL in the matched row was replaced by a stale value from
+  an older row; round-4 review finding.)
+- Right rows with NULL ``right_ts`` are dropped: a row with no
+  position in time cannot be "at or before" anything (they previously
+  sorted first and leaked their values into match-less left rows).
 """
 
 from __future__ import annotations
@@ -55,26 +65,35 @@ def asof_join(
     ``value_cols`` (NULL where no right row is at-or-before)."""
     rtypes = dict(right.dtypes)
     ltypes = dict(left.dtypes)
-    l = left.withColumn("__ts", F.col(left_ts)).withColumn(
-        "__kind", F.lit(1)
+    struct_ddl = (
+        "struct<" + ",".join(f"{v}:{rtypes[v]}" for v in value_cols) + ">"
     )
-    for v in value_cols:
-        l = l.withColumn(v, F.lit(None).cast(rtypes[v]))
-    r = right.withColumn("__ts", F.col(right_ts)).withColumn(
-        "__kind", F.lit(0)
+    l = (
+        left.withColumn("__ts", F.col(left_ts))
+        .withColumn("__kind", F.lit(1))
+        .withColumn("__vals", F.lit(None).cast(struct_ddl))
+    )
+    r = (
+        right.filter(F.col(right_ts).isNotNull())
+        .withColumn("__ts", F.col(right_ts))
+        .withColumn("__kind", F.lit(0))
+        .withColumn("__vals", F.struct(*value_cols))
     )
     for c in left.columns:
         if c not in r.columns:
             r = r.withColumn(c, F.lit(None).cast(ltypes[c]))
-    u = l.select(*l.columns).unionByName(r.select(*l.columns))
+    cols = list(left.columns) + ["__ts", "__kind", "__vals"]
+    u = l.select(*cols).unionByName(r.select(*cols))
     w = (
         Window.partitionBy(*on)
         .orderBy("__ts", "__kind")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    u = u.withColumn("__vals", F.last("__vals", ignorenulls=True).over(w))
+    out = u.filter(F.col("__kind") == 1)
     for v in value_cols:
-        u = u.withColumn(v, F.last(v, ignorenulls=True).over(w))
-    return u.filter(F.col("__kind") == 1).drop("__ts", "__kind")
+        out = out.withColumn(v, F.col("__vals")[v])
+    return out.drop("__ts", "__kind", "__vals")
 
 
 def bucketed_range_join(

@@ -50,7 +50,12 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 # truncated), so plan-property tests cannot see the iteration body from
 # the result.  The last iteration's pre-checkpoint physical plan is
 # parked here for them (tests/test_pagerank.py asserts no
-# CartesianProduct / no Python stage in the update step).
+# CartesianProduct / no Python stage in the update step) — but ONLY
+# when CAPTURE_PLAN is flipped on by the test: stringifying the
+# executed plan forces a full Catalyst planning cycle per iteration,
+# pure overhead in production calls (round-4 review), and concurrent
+# queries would race on the single slot besides.
+CAPTURE_PLAN = False
 PLAN_PROBE: dict[str, str] = {}
 
 
@@ -132,9 +137,10 @@ def pagerank(
                 .alias("rank"),
             )
         )
-        PLAN_PROBE["update"] = (
-            updated._jdf.queryExecution().executedPlan().toString()
-        )
+        if CAPTURE_PLAN:
+            PLAN_PROBE["update"] = (
+                updated._jdf.queryExecution().executedPlan().toString()
+            )
         ranks = updated.localCheckpoint(eager=False)
     out = ranks
     out.count()  # materialize final state before releasing inputs

@@ -31,7 +31,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from ..queries import _shingles_spark, bloom_bits, bloom_survivors
+from ..queries import _shingles_spark, bloom_bits, bloom_screen
 
 
 def run_streaming_decontaminate(
@@ -55,18 +55,9 @@ def run_streaming_decontaminate(
     ev_exact.count()  # materialize before the stream needs it
 
     def _screen_batch(batch_df: DataFrame, batch_id: int) -> None:
-        sh = _shingles_spark(batch_df, 8)
-        probed = bloom_survivors(sh, bc)
-        out = (
-            probed.join(ev_exact, "shingle", "left")
-            .groupBy("doc_id")
-            .agg(
-                F.count(F.lit(1)).cast("long").alias("n_bloom_hits"),
-                F.sum(F.coalesce(F.col("is_eval"), F.lit(0)))
-                .cast("long").alias("n_confirmed"),
-                F.min("shingle").alias("sample_shingle"),
-            )
-        )
+        # ONE shared screen body with the batch query (bloom_screen) —
+        # the stream-equals-batch contract holds by construction
+        out = bloom_screen(_shingles_spark(batch_df, 8), bc, ev_exact)
         out.write.mode("overwrite").parquet(
             os.path.join(out_dir, f"batch_id={batch_id}")
         )

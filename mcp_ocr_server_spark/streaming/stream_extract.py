@@ -417,10 +417,7 @@ def stream_purchase_error_pairs(
 
     def src() -> DataFrame:
         return (
-            spark.readStream.schema(
-                "event_id long, ts timestamp_ntz, user_id long,"
-                " event_type string, value double, props string"
-            )
+            spark.readStream.schema(EVENTS_SCHEMA)
             .parquet(events_dir)
             .withColumn("ts", F.col("ts").cast("timestamp"))
         )

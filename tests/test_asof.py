@@ -205,3 +205,31 @@ def test_range_join_equals_bruteforce_on_adversarial_data(spark):
     )
     assert expected  # non-degenerate: the brute force found pairs
     assert got == expected
+
+
+def test_asof_attaches_matched_row_atomically(spark):
+    """A NULL value INSIDE the matched right row must stay NULL — the
+    per-column fill mixed columns across right rows (round-4 review:
+    right rows (ts=1, a=5, b=10) and (ts=2, a=NULL, b=20) gave a left
+    row at ts=3 the chimera (a=5, b=20)).  Also: a right row with NULL
+    right_ts is dropped, never leaking values into match-less rows."""
+    left = spark.createDataFrame(
+        [(1, 10, 3), (2, 99, 5)], "id bigint, key bigint, ts bigint"
+    )
+    right = spark.createDataFrame(
+        [
+            (10, 1, 5, 10.0),
+            (10, 2, None, 20.0),
+            (99, None, 777, 777.0),  # NULL ts: must be dropped
+        ],
+        "key bigint, rts bigint, a bigint, b double",
+    )
+    rows = {
+        r["id"]: (r["a"], r["b"])
+        for r in asof_join(
+            left, right, on=["key"], left_ts="ts", right_ts="rts",
+            value_cols=["a", "b"],
+        ).collect()
+    }
+    assert rows[1] == (None, 20.0), rows  # matched ts=2 row, atomically
+    assert rows[2] == (None, None), rows  # NULL-ts right row leaked nothing

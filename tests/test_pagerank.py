@@ -103,7 +103,11 @@ def test_update_plan_has_no_cartesian_or_python(spark):
     pre-checkpoint update plan in PLAN_PROBE for exactly this check."""
     from mcp_ocr_server_spark.operators import pagerank as PR
 
-    pagerank(spark, _edges(spark, _star_graph(10)), n_iters=1)
+    PR.CAPTURE_PLAN = True
+    try:
+        pagerank(spark, _edges(spark, _star_graph(10)), n_iters=1)
+    finally:
+        PR.CAPTURE_PLAN = False
     plan = PR.PLAN_PROBE["update"]
     assert "CartesianProduct" not in plan
     assert "EvalPython" not in plan
