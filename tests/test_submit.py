@@ -109,3 +109,38 @@ def test_run_extract_compact_flag(tmp_path):
     r3 = subprocess.run(base, cwd=str(tmp_path), env=env,
                         capture_output=True, text=True, timeout=240)
     assert r3.returncode == 0 and "(2 already done)" in r3.stdout
+
+
+def test_run_query_cli(spark, tmp_path, monkeypatch):
+    """run_query.py: runs a registry query to parquet + manifest line,
+    rejects unknown names loudly (no bench-style silent skip), and
+    --list prints the registry."""
+    import json
+    import sys
+
+    sys.path.insert(0, os.path.join(REPO, "scripts"))
+    import run_query
+
+    out = str(tmp_path / "rq")
+    monkeypatch.setattr(
+        sys, "argv",
+        ["run_query.py", "--sf-dir", "/root/testdata/sf0.001",
+         "--out", out, "--queries", "doc_length_hist"],
+    )
+    run_query.main()
+    man = [
+        json.loads(l)
+        for l in open(os.path.join(out, "manifest.jsonl"))
+    ]
+    assert man[0]["query"] == "doc_length_hist" and man[0]["rows"] > 0
+    got = spark.read.parquet(os.path.join(out, "doc_length_hist"))
+    assert got.count() == man[0]["rows"]
+
+    monkeypatch.setattr(
+        sys, "argv",
+        ["run_query.py", "--sf-dir", "x", "--out", "y",
+         "--queries", "not_a_query"],
+    )
+    import pytest as _pytest
+    with _pytest.raises(SystemExit, match="unknown queries"):
+        run_query.main()
