@@ -136,3 +136,67 @@ def test_lang_sample_weights_distribution_laws(spark):
             assert hi["boost"] < lo["boost"] + 1e-6, (lo, hi)
     assert by_p[0]["boost"] >= 1.0 - 1e-6
     assert by_p[-1]["boost"] <= 1.0 + 1e-6
+
+
+def test_url_canonical_grammar_exhaustive(spark):
+    """Exhaustive sweep of the mess grammar — every combination of
+    scheme x host case x default/explicit port x 0/1/2 trailing slashes
+    x query shape (none / id / utm / id&utm / utm&id) x fragment: canon
+    is idempotent on all of them, never emits a malformed query, and
+    maps every variant of the same logical resource to ONE key."""
+    import itertools
+
+    urls = []
+    for scheme, case, port, slashes, query, frag in itertools.product(
+        ["https", "http", "ftp"],
+        ["example.com", "EXAMPLE.com"],
+        ["", ":443", ":80", ":8080"],
+        ["", "/", "//"],
+        ["", "?id=7", "?utm_source=x", "?id=7&utm_source=x",
+         "?utm_source=x&id=7"],
+        ["", "#frag"],
+    ):
+        urls.append(f"{scheme}://{case}{port}/p{slashes}{query}{frag}")
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    once = df.select("url", Q.url_canonical("url").alias("c1"))
+    both = once.select(
+        "url", "c1", Q.url_canonical("c1").alias("c2")
+    ).collect()
+    groups = {}
+    for r in both:
+        assert r["c1"] == r["c2"], (r["url"], r["c1"], r["c2"])
+        if r["url"].startswith("ftp://"):
+            assert r["c1"] == r["url"]  # non-web passthrough
+            continue
+        # well-formed: at most one '?', no '&' before it, no fragment
+        assert r["c1"].count("?") <= 1, r
+        assert "#" not in r["c1"], r
+        pathpart = r["c1"].split("?")[0]
+        assert "&" not in pathpart, r
+        assert "utm_" not in r["c1"], r
+        scheme = r["url"].split("://")[0]
+        meaningful = "id=7" in r["url"]
+        if ":8080" in r["url"]:
+            port_in = ":8080"
+        elif ":443" in r["url"]:
+            port_in = ":443"
+        elif ":80" in r["url"]:
+            port_in = ":80"
+        else:
+            port_in = ""
+        is_default = (scheme == "https" and port_in == ":443") or (
+            scheme == "http" and port_in == ":80"
+        )
+        # the port survives canonicalization unless it is THIS scheme's
+        # default (:80 on https is a different resource and must stay)
+        kept_port = "" if is_default else port_in
+        key = (scheme, meaningful, kept_port)
+        groups.setdefault(key, set()).add(r["c1"])
+        if kept_port:
+            assert kept_port in r["c1"], r
+        else:
+            assert not re.search(r":\d+", r["c1"]), r
+    # every (scheme, meaningful-param, explicit-port) class collapses
+    # to exactly ONE canonical key across all its surface variants
+    for key, forms in groups.items():
+        assert len(forms) == 1, (key, forms)
