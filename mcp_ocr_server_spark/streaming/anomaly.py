@@ -46,9 +46,13 @@ def train_baseline(events: DataFrame) -> list[dict]:
         .select("event_type", mean.alias("mean"), var.alias("var"))
         .collect()
     )
+    # A NULL event_type cannot be a map key (create_map throws, killing
+    # the stream on every trigger — review finding); null-typed events
+    # score as unknown (z=0), the same path as a brand-new type.
     return [
         {"event_type": r["event_type"], "mean": r["mean"], "var": r["var"]}
         for r in rows
+        if r["event_type"] is not None
     ]
 
 
@@ -66,6 +70,7 @@ def stream_event_anomaly(
     Unknown event types (absent from the baseline) surface with z=0 /
     is_anomaly=false rather than being dropped — an alerting stream
     must not silently swallow a brand-new event type."""
+    baseline = [b for b in baseline if b["event_type"] is not None]
     mean_map = F.create_map(
         *[
             x

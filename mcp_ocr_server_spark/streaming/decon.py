@@ -31,7 +31,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from ..queries import _shingles_spark, bloom_bits, bloom_screen
+from ..queries import _persisted_sig, _shingles_spark, bloom_bits, bloom_screen
 
 
 def run_streaming_decontaminate(
@@ -49,9 +49,14 @@ def run_streaming_decontaminate(
     starts, and reused by every micro-batch."""
     ev = _shingles_spark(eval_docs, 8).select("shingle").distinct()
     bc = spark.sparkContext.broadcast(bloom_bits(ev))
-    ev_exact = F.broadcast(
-        ev.withColumn("is_eval", F.lit(1))
-    ).persist()
+    # parked in the shared sketch cache: released by queries.clear_caches
+    # (a bare .persist() here leaked one eval-shingle copy per call for
+    # the session lifetime — review finding)
+    ev_exact = _persisted_sig(
+        spark,
+        ("stream_decon_ev", out_dir),
+        lambda: F.broadcast(ev.withColumn("is_eval", F.lit(1))),
+    )
     ev_exact.count()  # materialize before the stream needs it
 
     def _screen_batch(batch_df: DataFrame, batch_id: int) -> None:

@@ -48,8 +48,22 @@ OUTPUT_SCHEMA = "content_hash string, media_ref string, admit_ordinal long"
 STATE_SCHEMA = "seen array<string>, n_admitted long"
 
 
-def _make_dedup_fn(max_state_per_shard: int | None):
-    def _dedup_fn(
+def make_first_seen_fn(
+    key_field: str,
+    out_fields: list[str],
+    max_state_per_shard: int | None = None,
+):
+    """Generic first-seen admission state function — ONE definition for
+    every first-seen streaming operator (content-hash dedup here, the
+    canonical-URL admission gate in url_admission.py; previously two
+    verbatim copies that could drift — review finding).
+
+    State per shard: (admission-ordered list of seen `key_field`
+    values, total admitted count); each micro-batch emits `out_fields`
+    + `admit_ordinal` for rows whose key is new, folds the new keys
+    into state, and (optionally) FIFO-evicts past the cap."""
+
+    def _fn(
         key: Tuple[str],
         pdfs: Iterator[pd.DataFrame],
         state: GroupState,
@@ -60,30 +74,31 @@ def _make_dedup_fn(max_state_per_shard: int | None):
         else:
             order, n_admitted = [], 0
         seen = set(order)
-        out_hash: list[str] = []
-        out_ref: list[str] = []
+        out: dict[str, list] = {f: [] for f in out_fields}
         out_ord: list[int] = []
         for pdf in pdfs:
-            for h, ref in zip(pdf["content_hash"], pdf["media_ref"]):
-                if h not in seen:
+            cols = [pdf[key_field]] + [pdf[f] for f in out_fields]
+            for k, *rest in zip(*cols):
+                if k not in seen:
                     out_ord.append(n_admitted)  # shard admission ordinal
                     n_admitted += 1
-                    seen.add(h)
-                    order.append(h)
-                    out_hash.append(h)
-                    out_ref.append(ref)
+                    seen.add(k)
+                    order.append(k)
+                    for f, v in zip(out_fields, rest):
+                        out[f].append(v)
         if max_state_per_shard is not None and len(order) > max_state_per_shard:
             order = order[-max_state_per_shard:]  # FIFO eviction
         state.update((order, n_admitted))
-        yield pd.DataFrame(
-            {
-                "content_hash": out_hash,
-                "media_ref": out_ref,
-                "admit_ordinal": out_ord,
-            }
-        )
+        out["admit_ordinal"] = out_ord
+        yield pd.DataFrame(out)
 
-    return _dedup_fn
+    return _fn
+
+
+def _make_dedup_fn(max_state_per_shard: int | None):
+    return make_first_seen_fn(
+        "content_hash", ["content_hash", "media_ref"], max_state_per_shard
+    )
 
 
 def streaming_first_seen(

@@ -197,10 +197,53 @@ def stream_extract(
     transactional append per batch, one snapshot read — no growth in
     file-listing cost), and compaction is `rewrite_data_files`.
     """
+    if memo_dir is not None and "://" in memo_dir and not memo_dir.startswith(
+        "file:"
+    ):
+        # the memo bookkeeping (_memo_sources/compact_memo) lists and
+        # prunes batch dirs with LOCAL filesystem calls; on a remote URI
+        # Spark would happily write batches while os.listdir sees
+        # nothing — memoization silently off, dirs growing forever.
+        # Refuse loudly; at cluster scale the memo is an Iceberg
+        # ocr_results table, not a directory protocol.
+        raise ValueError(
+            f"memo_dir must be a local path (got {memo_dir!r}): the "
+            "batch-dir bookkeeping is local-filesystem-only; use an "
+            "Iceberg ocr_results table for remote storage"
+        )
     docs_stream = (
         spark.readStream.schema(DOCS_SCHEMA)
         .option("maxFilesPerTrigger", 8)
         .parquet(docs_dir)
+    )
+    # Hash the STATIC sides once per stream, not once per micro-batch:
+    # extract() with media_hashed=None re-derives sha256 over the whole
+    # media corpus every call (review finding — a 1000-batch stream
+    # over a 100 GB corpus would hash ~100 TB of unchanged bytes).
+    # Parked in the shared sketch cache => released by
+    # queries.clear_caches, the house lifecycle for persisted handles.
+    from ..queries import _persisted_sig
+    from ..plans.pipeline import content_hash_col
+
+    media_hashed = _persisted_sig(
+        spark,
+        ("stream_media_hashed", out_dir),
+        lambda: media.select(
+            "media_ref",
+            F.length("bytes").alias("n_bytes"),
+            content_hash_col(cfg).alias("content_hash"),
+        ),
+    )
+    pdfs_hashed = (
+        _persisted_sig(
+            spark,
+            ("stream_pdfs_hashed", out_dir),
+            lambda: pdfs.select(
+                "media_ref", F.sha2("bytes", 256).alias("content_hash")
+            ),
+        )
+        if pdfs is not None
+        else None
     )
 
     def _memo_for(batch_id: int) -> DataFrame | None:
@@ -225,7 +268,8 @@ def stream_extract(
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         res = extract(
-            batch_df, media, cfg, memo=_memo_for(batch_id), pdfs=pdfs
+            batch_df, media, cfg, memo=_memo_for(batch_id), pdfs=pdfs,
+            media_hashed=media_hashed, pdfs_hashed=pdfs_hashed,
         )
         if memo_dir is None:
             res.spans.write.mode("overwrite").parquet(
@@ -246,11 +290,8 @@ def stream_extract(
             )
         finally:
             cached.unpersist()
-        if (
-            compact_every
-            and memo_dir is not None
-            and (batch_id + 1) % compact_every == 0
-        ):
+        # memo_dir is non-None here: the no-memo path returned above
+        if compact_every and (batch_id + 1) % compact_every == 0:
             compact_memo(spark, memo_dir)
 
     writer = (

@@ -22,49 +22,19 @@ order (micro-batch shuffling does not guarantee intra-shard order)."""
 
 from __future__ import annotations
 
-from typing import Iterable, Iterator, Tuple
-
-import pandas as pd
 from pyspark.sql import DataFrame, functions as F
-from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.streaming.state import GroupStateTimeout
+
+from .stateful_dedup import make_first_seen_fn
 
 OUTPUT_SCHEMA = "canonical_url string, doc_id long, admit_ordinal long"
 STATE_SCHEMA = "seen array<string>, n_admitted long"
 
 
-def _admit_fn(
-    key: Tuple[str],
-    pdfs: Iterator[pd.DataFrame],
-    state: GroupState,
-) -> Iterable[pd.DataFrame]:
-    if state.exists:
-        seen_list: list[str] = list(state.get[0])
-        n_admitted = int(state.get[1])
-    else:
-        seen_list, n_admitted = [], 0
-    seen = set(seen_list)
-    out_url: list[str] = []
-    out_doc: list[int] = []
-    out_ord: list[int] = []
-    for pdf in pdfs:
-        for h, url, doc in zip(
-            pdf["h"], pdf["canonical_url"], pdf["doc_id"]
-        ):
-            if h not in seen:
-                seen.add(h)
-                seen_list.append(h)
-                out_url.append(url)
-                out_doc.append(int(doc))
-                out_ord.append(n_admitted)
-                n_admitted += 1
-    state.update((seen_list, n_admitted))
-    yield pd.DataFrame(
-        {
-            "canonical_url": out_url,
-            "doc_id": out_doc,
-            "admit_ordinal": out_ord,
-        }
-    )
+# ONE shared state-function body with the content-hash dedup operator
+# (stateful_dedup.make_first_seen_fn) — the two first-seen loops were
+# verbatim copies that could drift (review finding)
+_admit_fn = make_first_seen_fn("h", ["canonical_url", "doc_id"])
 
 
 def streaming_url_admission(
