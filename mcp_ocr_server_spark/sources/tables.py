@@ -151,6 +151,89 @@ def write_range_clustered(
     out.write.mode(mode).parquet(location)
 
 
+def write_zorder_clustered(
+    df: DataFrame,
+    location: str,
+    cols: list[str],
+    n_files: int,
+    mode: str = "overwrite",
+    bits: int = 8,
+    rel_err: float = 0.001,
+) -> None:
+    """Write `df` as parquet Z-ORDER-clustered on `cols`: each row gets
+    a Morton code interleaving the bits of its per-column quantile
+    bucket ids, and rows are range-partitioned + sorted by that code —
+    the parquet-path analogue of Delta's OPTIMIZE ZORDER BY / Iceberg's
+    rewrite_data_files sort-strategy zorder.
+
+    Why this exists next to write_range_clustered: single-key range
+    clustering gives PERFECT pruning on one column and NONE on any
+    other (every file spans the full domain of the non-cluster keys).
+    Z-order trades a little pruning on each dimension for useful
+    pruning on ALL of them — with k columns and F files, a selective
+    predicate on any one column overlaps ~F^((k-1)/k) files instead of
+    all F.  That is the right layout when reads filter sometimes by
+    user, sometimes by time, sometimes by both.
+
+    Scale/skew notes:
+      - Bucket ids come from approxQuantile boundaries (one
+        Greenwald-Khanna sampling pass over the numeric cast), so
+        buckets are EQUAL-POPULATION: a skewed key (zipfian user_id)
+        still spreads across the bucket domain instead of collapsing
+        the Morton code's high bits the way min/max linear scaling
+        would.  This mirrors Delta's range_partition_id approach.
+      - The per-row bucket lookup is a branch-free fold over the
+        2^bits-1 boundary literals (codegen'd; ~256 comparisons per
+        column) — no join, no window, no Python.
+      - Total write cost: one sampling pass for the quantiles, one for
+        repartitionByRange, one exchange.  Paid once at write/compact
+        time, amortized over every selective read after.
+      - The z column is dropped before the write; the pruning evidence
+        lives in each file's ordinary per-column min/max footer stats
+        (see file_stats), which any reader (Spark, Trino, DuckDB,
+        Iceberg manifests) already consumes.
+    """
+    from pyspark.sql import functions as F
+
+    if not cols or n_files < 1:
+        raise ValueError("cols must be non-empty and n_files >= 1")
+    k = len(cols)
+    if bits * k > 62:
+        raise ValueError("bits * len(cols) must fit a signed 64-bit z")
+    probs = [i / (1 << bits) for i in range(1, 1 << bits)]
+    quantiles = df.stat.approxQuantile(list(cols), probs, rel_err)
+
+    z = F.lit(0).cast("bigint")
+    for j, (c, bounds) in enumerate(zip(cols, quantiles)):
+        # strictly increasing boundary list (duplicates collapse when a
+        # heavy value spans several quantiles — its rows share a bucket)
+        uniq: list[float] = []
+        for b in bounds:
+            if not uniq or b > uniq[-1]:
+                uniq.append(float(b))
+        if not uniq:  # empty input or constant column: bucket 0 for all
+            continue
+        bucket = F.aggregate(
+            F.lit(uniq),
+            F.lit(0),
+            lambda acc, b: acc
+            + F.when(F.col(c).cast("double") >= b, 1).otherwise(0),
+        ).cast("bigint")
+        for i in range(bits):
+            z = z + F.shiftleft(
+                F.shiftright(bucket, i).bitwiseAND(F.lit(1)),
+                i * k + j,
+            ).cast("bigint")
+
+    out = (
+        df.withColumn("__z", z)
+        .repartitionByRange(n_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+    )
+    out.write.mode(mode).parquet(location)
+
+
 def file_stats(location: str, col: str) -> list[tuple]:
     """Per-file (min, max) of `col` from parquet FOOTERS only — the
     evidence a pruning reader sees.  Returns [(path, min, max), ...]

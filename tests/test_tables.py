@@ -94,6 +94,58 @@ def test_range_clustered_write_produces_disjoint_file_ranges(spark, tmp_path):
     assert sorted(map(tuple, sel)) == sorted(map(tuple, ref))
 
 
+def test_zorder_write_prunes_on_every_dimension(spark, tmp_path):
+    """write_zorder_clustered must make file-footer min/max useful on
+    BOTH cluster columns at once: a selective slice on either x or y
+    overlaps at most half the files (ideally ~sqrt(F)).  Contrast with
+    write_range_clustered(x): perfect on x but a y slice overlaps
+    EVERY file (asserted), which is exactly the gap z-order closes.
+    Content and selective-read results stay identical to the input."""
+    from pyspark.sql import functions as F
+
+    from mcp_ocr_server_spark.sources.tables import (
+        file_stats,
+        write_range_clustered,
+        write_zorder_clustered,
+    )
+
+    n = 40_000
+    # x uniform; y decorrelated from x via a Weyl-sequence hash so the
+    # two dimensions are independent (the hard case for 1-D layouts)
+    df = spark.range(n).selectExpr(
+        "id AS x",
+        f"cast((id * 2654435761) % {n} AS bigint) AS y",
+        "md5(cast(id AS string)) AS payload",
+    )
+    zloc, rloc = str(tmp_path / "zorder"), str(tmp_path / "rangex")
+    write_zorder_clustered(df, zloc, ["x", "y"], n_files=16)
+    write_range_clustered(df, rloc, "x", n_files=16)
+
+    def overlapping(loc, col, lo, hi):
+        return sum(
+            1 for (_f, fl, fh) in file_stats(loc, col)
+            if fl <= hi and fh >= lo
+        )
+
+    lo, hi = n // 2, n // 2 + n // 8 - 1  # a 1/8-of-domain slice
+    zx, zy = overlapping(zloc, "x", lo, hi), overlapping(zloc, "y", lo, hi)
+    # ideal 4x4 Morton grid -> ~4-5 files per slice; repartitionByRange
+    # cuts by SAMPLED z quantiles (equal file sizes beat grid-aligned
+    # cuts at scale), so boundary files may straddle two cells — allow
+    # up to 10 of 16.  The contrast that matters: the 1-D layout below
+    # overlaps ALL 16 on y.
+    assert zx <= 10 and zy <= 10, (zx, zy)
+    # the 1-D layout: perfect on x, useless on y
+    assert overlapping(rloc, "x", lo, hi) <= 3
+    assert overlapping(rloc, "y", lo, hi) == 16
+
+    back = spark.read.parquet(zloc)
+    assert back.count() == n
+    sel = back.filter(F.col("y").between(lo, hi)).collect()
+    ref = df.filter(F.col("y").between(lo, hi)).collect()
+    assert sorted(map(tuple, sel)) == sorted(map(tuple, ref))
+
+
 def test_bucketed_join_is_shuffle_free(spark, tmp_path):
     """Bucketing evidence (co-located joins, the pre-shuffle answer for
     repeated joins on one key at 100 TB): two tables bucketed by the
