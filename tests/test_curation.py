@@ -200,3 +200,35 @@ def test_url_canonical_grammar_exhaustive(spark):
     # to exactly ONE canonical key across all its surface variants
     for key, forms in groups.items():
         assert len(forms) == 1, (key, forms)
+
+
+def test_url_blocklist_suffix_semantics(spark):
+    """The gate blocks a rule's exact host AND its subdomains, never a
+    sibling; the inert negative-control rule matches nothing; the
+    matched rule is always a dot-boundary suffix of the host (no
+    substring matching — 'notsrc1.example.com' style hosts must pass)."""
+    from mcp_ocr_server_spark.queries import (
+        URL_BLOCKLIST,
+        q_url_blocklist,
+    )
+
+    rows = q_url_blocklist(spark, "/root/testdata/sf0.001").collect()
+    assert rows and any(r["blocked"] for r in rows)
+    blocked_rules = set(URL_BLOCKLIST)
+    saw_subdomain_block = False
+    for r in rows:
+        expect = any(
+            r["host"] == rule or r["host"].endswith("." + rule)
+            for rule in blocked_rules
+        )
+        assert r["blocked"] is expect, r
+        if r["blocked"]:
+            rule = r["matched_rule"]
+            assert rule in blocked_rules and rule != "badsite.org", r
+            assert r["host"] == rule or r["host"].endswith("." + rule), r
+            if r["host"] != rule:
+                saw_subdomain_block = True
+        else:
+            assert r["matched_rule"] is None, r
+    # the planted cdn. sub-subdomain exercised the suffix path
+    assert saw_subdomain_block
