@@ -261,6 +261,7 @@ def compact_table(
     location: str,
     target_file_bytes: int = 128 * 1024 * 1024,
     cluster_col: str | None = None,
+    zorder_cols: list[str] | None = None,
 ) -> tuple[int, int]:
     """Small-files maintenance: rewrite `location` so data files
     approach `target_file_bytes` each — the parquet-path analogue of
@@ -275,7 +276,11 @@ def compact_table(
 
     With `cluster_col` the rewrite goes through write_range_clustered,
     so compaction RESTORES min/max pruning for layouts whose appends
-    interleaved key ranges; without it a plain repartition binpacks.
+    interleaved key ranges; with `zorder_cols` it goes through
+    write_zorder_clustered instead (Iceberg rewrite_data_files with the
+    sort strategy's zorder(...) — multi-column pruning restored by the
+    same maintenance job); without either a plain repartition binpacks.
+    cluster_col and zorder_cols are mutually exclusive.
 
     Crash safety (same discipline as streaming compact_memo): the
     rewrite lands in a sibling `<location>.__compact_tmp` first and is
@@ -290,6 +295,8 @@ def compact_table(
     import os
     import shutil
 
+    if cluster_col is not None and zorder_cols is not None:
+        raise ValueError("pass cluster_col OR zorder_cols, not both")
     tmp = location.rstrip("/") + ".__compact_tmp"
     old = location.rstrip("/") + ".__compact_old"
     if not os.path.exists(location) and os.path.exists(old):
@@ -303,6 +310,8 @@ def compact_table(
     df = spark.read.parquet(location)
     if cluster_col is not None:
         write_range_clustered(df, tmp, cluster_col, n_target)
+    elif zorder_cols is not None:
+        write_zorder_clustered(df, tmp, zorder_cols, n_target)
     else:
         df.repartition(n_target).write.mode("overwrite").parquet(tmp)
     os.rename(location, old)

@@ -286,3 +286,47 @@ def test_compact_table_self_heals_after_crash(spark, tmp_path):
     assert got == want
     assert not os.path.exists(loc + ".__compact_tmp")
     assert not os.path.exists(loc + ".__compact_old")
+
+
+def test_compact_table_zorder_restores_multidim_pruning(spark, tmp_path):
+    """Fragmented appends destroy any clustering; compact_table with
+    zorder_cols must binpack AND restore useful min/max on BOTH keys
+    (the Iceberg rewrite_data_files sort-strategy-zorder analogue)."""
+    from mcp_ocr_server_spark.sources.tables import (
+        compact_table,
+        file_stats,
+    )
+
+    n = 40_000
+    df = spark.range(n).selectExpr(
+        "id AS x", f"cast((id * 2654435761) % {n} AS bigint) AS y"
+    )
+    loc = str(tmp_path / "frag")
+    for chunk in range(4):  # interleaved tiny appends
+        df.filter(f"id % 4 = {chunk}").repartition(8) \
+          .write.mode("append").parquet(loc)
+    want = sorted(r["x"] for r in df.collect())
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        compact_table(spark, loc, cluster_col="x", zorder_cols=["x", "y"])
+
+    # target sized so the rewrite keeps >= ~8 files: with only 2, the
+    # top Morton bit can split just ONE dimension and the per-dim
+    # pruning claim below is vacuous
+    n_before, n_after = compact_table(
+        spark, loc, target_file_bytes=1 << 15, zorder_cols=["x", "y"]
+    )
+    assert n_before == 32 and 4 <= n_after < n_before
+
+    def overlapping(col, lo, hi):
+        st = file_stats(loc, col)
+        return sum(1 for (_f, fl, fh) in st if fl <= hi and fh >= lo), len(st)
+
+    lo, hi = n // 2, n // 2 + n // 8 - 1
+    for col in ("x", "y"):
+        k, total = overlapping(col, lo, hi)
+        assert k < total, (col, k, total)  # SOME pruning on every dim
+    got = sorted(r["x"] for r in spark.read.parquet(loc).collect())
+    assert got == want
