@@ -838,3 +838,86 @@ def test_corpus_profile_plan_single_scan_with_expand(spark):
     assert rows["doc_id"]["n_distinct"] == n
     for r in rows.values():
         assert 0 < r["n_distinct"] <= n
+
+
+def test_bm25_search_plan_prefilter_and_topk(spark):
+    """The query-term filter must live INSIDE the explode's generator
+    (a row-local array lambda), so the generator never emits
+    non-query tokens; the final ranking must be TakeOrderedAndProject
+    (per-partition heaps), never a global Sort; the tiny df/stats
+    sides must not force a sort-merge join.  Invariants: <= top-k
+    rows, scores strictly ordered by (score desc, doc_id asc),
+    1 <= n_terms_matched <= |query|."""
+    df = Q.QUERIES["bm25_search"][0](spark, SF)
+    plan = _plan(spark, df, "simple")
+    assert re.search(r"Generate explode\(filter\(", plan), plan
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    rows = df.collect()
+    assert 0 < len(rows) <= Q.BM25_TOP_K
+    keys = [(-r.score, r.doc_id) for r in rows]
+    assert keys == sorted(keys)
+    for r in rows:
+        assert 1 <= r.n_terms_matched <= len(Q.BM25_QUERY)
+        assert r.score > 0
+
+
+def _winnow_ref(text):
+    """Independent pure-python winnowing reference (hashlib, no
+    Spark): k-gram 60-bit md5-prefix hashes, min per w-window."""
+    import hashlib
+
+    k, w = Q.WINNOW_K, Q.WINNOW_W
+    toks = re.findall(r"[a-z0-9]+", text.lower())
+    hs = [
+        int(hashlib.md5(" ".join(toks[i:i + k]).encode()).hexdigest()[:15], 16)
+        for i in range(len(toks) - k + 1)
+    ]
+    return {min(hs[j:j + w]) for j in range(len(hs) - w + 1)}
+
+
+def test_fingerprint_winnow_matches_reference_and_plan(spark):
+    """Value check against the from-scratch python reference over the
+    whole sf0.001 corpus, plus the zero-shuffle-until-distinct plan
+    contract: exactly ONE Exchange (the final distinct) and no python
+    UDF — the sweep is whole-stage-codegen array expressions."""
+    df = Q.QUERIES["fingerprint_winnow"][0](spark, SF)
+    plan = _plan(spark, df, "simple")
+    assert plan.count("Exchange") == 1, plan
+    assert "pythonUDF" not in plan and "BatchEvalPython" not in plan, plan
+    got = {}
+    for r in df.collect():
+        got.setdefault(r.doc_id, set()).add(r.fingerprint)
+    docs = spark.read.parquet(f"{SF}/documents.parquet").collect()
+    assert docs
+    for d in docs:
+        expect = _winnow_ref(d.text)
+        assert got.get(d.doc_id, set()) == expect, d.doc_id
+
+
+def test_fingerprint_winnow_shared_run_guarantee(spark, tmp_path):
+    """Schleimer'03 theorem: any two docs sharing a run of at least
+    k + w - 1 tokens share at least one fingerprint — the property
+    that makes winnowing a NEAR-dup detector rather than a sampler.
+    Constructed corpus: doc a and doc b embed the same 12-token run
+    inside different surroundings (k+w-1 = 8 here); doc c shares
+    nothing.  Guarantee must hold for (a, b) and not fire for c."""
+    run = "zq" + " zq".join(str(i) for i in range(12))  # 12 unique toks
+    rows = [
+        (0, f"alpha beta gamma {run} delta epsilon", "en", "s", 1),
+        (1, f"one two {run} three four five six", "en", "s", 1),
+        (2, "totally disjoint vocabulary with nothing shared at all "
+            "seven eight nine ten eleven twelve thirteen", "en", "s", 1),
+    ]
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    ).write.parquet(f"{sf}/documents.parquet")
+    by_doc = {}
+    for r in Q.QUERIES["fingerprint_winnow"][0](spark, sf).collect():
+        by_doc.setdefault(r.doc_id, set()).add(r.fingerprint)
+    assert by_doc[0] & by_doc[1], "shared 12-token run must share a fp"
+    assert not (by_doc[0] & by_doc[2])
+    assert not (by_doc[1] & by_doc[2])
