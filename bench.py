@@ -43,6 +43,16 @@ def main() -> None:
     n_docs = int(os.environ.get("BENCH_DOCS", "2400"))
     only = os.environ.get("BENCH_QUERIES", "")
     selected = set(only.split(",")) if only else None
+    if selected:
+        from mcp_ocr_server_spark import queries as _Q
+
+        known = set(_Q.QUERIES) | {
+            "extract_e2e", "extract_e2e_interleaved", "ann_ivf_train",
+        }
+        for bad in sorted(selected - known):
+            # a typo'd name would otherwise just vanish from the output
+            print(f"bench: unknown BENCH_QUERIES entry {bad!r} ignored",
+                  file=sys.stderr)
 
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     spark = get_spark(
