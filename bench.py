@@ -147,7 +147,7 @@ def main() -> None:
         "extract_interleaved", "jsonl_ingest",
         "media_words", "media_image_features", "media_audio_features",
         "media_orphans", "pdf_text",
-        "bm25_search", "fingerprint_winnow",
+        "bm25_search", "fingerprint_winnow", "dedup_winnow_pairs",
         "dedup_exact", "dedup_ngram_jaccard", "dedup_minhash",
         "dedup_minhash_pairs",
         "dedup_simhash", "dedup_simhash_pairs", "dedup_source_matrix",

@@ -901,7 +901,7 @@ def test_fingerprint_winnow_shared_run_guarantee(spark, tmp_path):
     k + w - 1 tokens share at least one fingerprint — the property
     that makes winnowing a NEAR-dup detector rather than a sampler.
     Constructed corpus: doc a and doc b embed the same 12-token run
-    inside different surroundings (k+w-1 = 8 here); doc c shares
+    inside different surroundings (k+w-1 = 9 here); doc c shares
     nothing.  Guarantee must hold for (a, b) and not fire for c."""
     run = "zq" + " zq".join(str(i) for i in range(12))  # 12 unique toks
     rows = [
@@ -921,3 +921,26 @@ def test_fingerprint_winnow_shared_run_guarantee(spark, tmp_path):
     assert by_doc[0] & by_doc[1], "shared 12-token run must share a fp"
     assert not (by_doc[0] & by_doc[2])
     assert not (by_doc[1] & by_doc[2])
+
+
+def test_dedup_winnow_pairs_persists_index_and_invariants(spark):
+    """The fingerprint table must be persisted and reused by all its
+    consumers (DF filter, sizes, both self-join aliases) — the plan
+    must read it via InMemoryTableScan, never re-run the winnow sweep
+    per consumer — and no text column can reach the join (the index
+    carries only 60-bit hashes by construction).  Invariants:
+    doc_a < doc_b, 0 < jaccard_est <= 1, n_shared >= 1."""
+    Q.clear_caches(spark)
+    df = Q.QUERIES["dedup_winnow_pairs"][0](spark, SF)
+    plan = _plan(spark, df, "simple")
+    assert plan.count("InMemoryTableScan") >= 3, plan
+    assert "CartesianProduct" not in plan, plan
+    # the tokenize+sweep may appear ONLY inside the one InMemoryRelation
+    # cache-build subtree, never inlined per consumer
+    assert plan.count("regexp_extract_all") <= plan.count("InMemoryRelation"), plan
+    rows = df.collect()
+    assert rows
+    for r in rows:
+        assert r.doc_a < r.doc_b
+        assert r.n_shared >= 1
+        assert 0 < r.jaccard_est <= 1
