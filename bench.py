@@ -154,7 +154,8 @@ def main() -> None:
         "dedup_clusters",
         "dedup_incremental", "dedup_lsh_buckets",
         "dedup_embedding",
-        # ann_recall_eval, dedup_pair_eval and dedup_canonical are
+        # ann_recall_eval, dedup_pair_eval, winnow_pair_eval and
+        # dedup_canonical are
         # registry/correctness-only: each re-runs queries timed above
         # (the three ANN queries; the minhash pair miner; the simhash
         # cluster resolution), so timing them in the headline total
