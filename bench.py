@@ -43,17 +43,6 @@ def main() -> None:
     n_docs = int(os.environ.get("BENCH_DOCS", "2400"))
     only = os.environ.get("BENCH_QUERIES", "")
     selected = set(only.split(",")) if only else None
-    if selected:
-        from mcp_ocr_server_spark import queries as _Q
-
-        known = set(_Q.QUERIES) | {
-            "extract_e2e", "extract_e2e_interleaved", "ann_ivf_train",
-        }
-        for bad in sorted(selected - known):
-            # a typo'd name would otherwise just vanish from the output
-            print(f"bench: unknown BENCH_QUERIES entry {bad!r} ignored",
-                  file=sys.stderr)
-
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     spark = get_spark(
         app_name="bench",
@@ -189,6 +178,27 @@ def main() -> None:
         "customer_set_ops", "pricing_summary", "top_suppliers",
         "nation_profit",
     ]
+
+    if selected:
+        # validate against what bench can actually TIME, not the full
+        # registry: a typo'd (or deliberately-untimed) name would
+        # otherwise just vanish from the output JSON
+        runnable = set(analytics) | {
+            "extract_e2e", "extract_e2e_interleaved", "ann_ivf_train",
+        }
+        untimed = {  # registry queries excluded by design (see comment
+            "ann_recall_eval", "dedup_pair_eval", "winnow_pair_eval",
+            "dedup_canonical",  # in the analytics list above)
+        }
+        for bad in sorted(selected - runnable):
+            why = (
+                "excluded from timing by design (re-runs queries timed"
+                " above)" if bad in untimed else "unknown"
+            )
+            print(
+                f"bench: BENCH_QUERIES entry {bad!r} ignored ({why})",
+                file=sys.stderr,
+            )
 
     # Warm-up: spawn/reuse python workers, trigger codegen + Arrow path
     # JIT once, so timings measure the job, not JVM/worker bring-up.

@@ -118,6 +118,25 @@ def table_num_rows(
         return None
 
 
+def _write_with_stats(df: DataFrame, location: str, mode: str) -> None:
+    """Parquet write that guarantees footer min/max stats on EVERY
+    column type, including timestamps: Spark's default
+    outputTimestampType is INT96 (Impala-era compat), and parquet
+    writers emit NO min/max statistics for INT96 — so a
+    timestamp-clustered layout would silently carry zero pruning
+    evidence on exactly the column it was clustered by.  Set
+    TIMESTAMP_MICROS for the write, restore after (the conf is
+    session-wide; restoring keeps this writer side-effect-free)."""
+    conf = df.sparkSession.conf
+    key = "spark.sql.parquet.outputTimestampType"
+    prev = conf.get(key)
+    conf.set(key, "TIMESTAMP_MICROS")
+    try:
+        df.write.mode(mode).parquet(location)
+    finally:
+        conf.set(key, prev)
+
+
 def write_range_clustered(
     df: DataFrame,
     location: str,
@@ -148,7 +167,49 @@ def write_range_clustered(
         df.repartitionByRange(n_files, col)
         .sortWithinPartitions(col)
     )
-    out.write.mode(mode).parquet(location)
+    _write_with_stats(out, location, mode)
+
+
+def _zorder_surrogate(df: DataFrame, c: str):
+    """Order-preserving DOUBLE-comparable surrogate for a z-order
+    cluster column (approxQuantile accepts only numeric columns):
+    numerics cast to double; timestamp/date map to their epoch
+    micros/days (monotone); strings map to their first 7.5 bytes as a
+    60-bit big-endian integer (lexicographic up to that prefix).
+    Unsupported types fail fast with the supported list."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    dt = df.schema[c].dataType
+    if isinstance(dt, T.NumericType):
+        return F.col(c).cast("double")
+    if isinstance(dt, T.BooleanType):
+        return F.col(c).cast("int").cast("double")
+    if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+        # ntz -> ltz uses the session zone: a fixed monotone offset,
+        # which is all bucketing needs
+        return F.unix_micros(F.col(c).cast("timestamp")).cast("double")
+    if isinstance(dt, T.DateType):
+        return F.datediff(F.col(c), F.lit("1970-01-01")).cast("double")
+    if isinstance(dt, T.StringType):
+        # first 15 hex chars = 7.5 bytes, zero-padded so short strings
+        # order correctly against longer ones sharing their prefix
+        return F.conv(
+            F.substring(
+                F.concat(
+                    F.hex(F.encode(F.col(c), "utf-8")),
+                    F.lit("0" * 15),
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+    raise ValueError(
+        f"z-order cluster column {c!r} has unsupported type {dt}:"
+        " numeric, boolean, timestamp, date, and string are supported"
+    )
 
 
 def write_zorder_clustered(
@@ -192,6 +253,15 @@ def write_zorder_clustered(
         lives in each file's ordinary per-column min/max footer stats
         (see file_stats), which any reader (Spark, Trino, DuckDB,
         Iceberg manifests) already consumes.
+      - Column types: numeric columns cluster on their own value;
+        timestamp/date cluster on their epoch surrogate (monotone, so
+        range locality is preserved); strings cluster on the first
+        7.5 bytes as a lexicographic 60-bit integer (order-preserving
+        up to that prefix — enough to separate URL/doc-id prefixes,
+        the realistic string cluster keys).  approxQuantile only
+        accepts numerics, so the surrogate is what gets sampled.
+        Anything else (array/struct/binary) raises ValueError up
+        front rather than failing mid-job.
     """
     from pyspark.sql import functions as F
 
@@ -200,11 +270,18 @@ def write_zorder_clustered(
     k = len(cols)
     if bits * k > 62:
         raise ValueError("bits * len(cols) must fit a signed 64-bit z")
+
+    surrogates = [_zorder_surrogate(df, c) for c in cols]
     probs = [i / (1 << bits) for i in range(1, 1 << bits)]
-    quantiles = df.stat.approxQuantile(list(cols), probs, rel_err)
+    proj = df.select(
+        *(s.alias(f"__zq{j}") for j, s in enumerate(surrogates))
+    )
+    quantiles = proj.stat.approxQuantile(
+        [f"__zq{j}" for j in range(k)], probs, rel_err
+    )
 
     z = F.lit(0).cast("bigint")
-    for j, (c, bounds) in enumerate(zip(cols, quantiles)):
+    for j, (surr, bounds) in enumerate(zip(surrogates, quantiles)):
         # strictly increasing boundary list (duplicates collapse when a
         # heavy value spans several quantiles — its rows share a bucket)
         uniq: list[float] = []
@@ -217,7 +294,7 @@ def write_zorder_clustered(
             F.lit(uniq),
             F.lit(0),
             lambda acc, b: acc
-            + F.when(F.col(c).cast("double") >= b, 1).otherwise(0),
+            + F.when(surr >= b, 1).otherwise(0),
         ).cast("bigint")
         for i in range(bits):
             z = z + F.shiftleft(
@@ -231,7 +308,7 @@ def write_zorder_clustered(
         .sortWithinPartitions("__z")
         .drop("__z")
     )
-    out.write.mode(mode).parquet(location)
+    _write_with_stats(out, location, mode)
 
 
 def file_stats(location: str, col: str) -> list[tuple]:

@@ -212,7 +212,7 @@ def test_url_blocklist_suffix_semantics(spark):
         q_url_blocklist,
     )
 
-    rows = q_url_blocklist(spark, "/root/testdata/sf0.001").collect()
+    rows = q_url_blocklist(spark, SF).collect()
     assert rows and any(r["blocked"] for r in rows)
     blocked_rules = set(URL_BLOCKLIST)
     saw_subdomain_block = False

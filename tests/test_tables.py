@@ -330,3 +330,67 @@ def test_compact_table_zorder_restores_multidim_pruning(spark, tmp_path):
         assert k < total, (col, k, total)  # SOME pruning on every dim
     got = sorted(r["x"] for r in spark.read.parquet(loc).collect())
     assert got == want
+
+
+def test_zorder_handles_timestamp_date_and_string_columns(spark, tmp_path):
+    """The docstring's own motivating case — cluster by (user, time) —
+    must actually run: timestamp/date columns cluster via their epoch
+    surrogate and string columns via a lexicographic 60-bit prefix
+    (approxQuantile accepts only numerics, so the writer samples the
+    surrogate).  Pruning must work on the time dimension, content must
+    round-trip, and unsupported types must fail fast with ValueError."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from mcp_ocr_server_spark.sources.tables import (
+        file_stats,
+        write_zorder_clustered,
+    )
+
+    n = 20_000
+    df = spark.range(n).selectExpr(
+        f"cast((id * 2654435761) % {n} AS bigint) AS user_id",
+        "timestamp_micros(cast(id * 1000000 AS bigint)) AS event_time",
+        "cast(timestamp_micros(cast(id * 86400000000 AS bigint)) AS date)"
+        " AS day",
+        "concat('https://example.com/', lpad(cast(id AS string), 8, '0'))"
+        " AS url",
+    )
+    loc = str(tmp_path / "zts")
+    write_zorder_clustered(df, loc, ["user_id", "event_time"], n_files=16)
+    back = spark.read.parquet(loc)
+    assert back.count() == n
+    # time-slice pruning: files are clustered on event_time too
+    stats = file_stats(loc, "event_time")
+    assert len(stats) == 16
+    lo = df.selectExpr(
+        f"timestamp_micros(cast({n // 2} AS bigint) * 1000000) AS t"
+    ).collect()[0]["t"]
+    hi = df.selectExpr(
+        f"timestamp_micros(cast({n // 2 + n // 8 - 1} AS bigint) * 1000000)"
+        " AS t"
+    ).collect()[0]["t"]
+    # parquet stats are tz-aware UTC; Spark collect() yields naive
+    # datetimes in the session zone (pinned UTC) — align for comparison
+    from datetime import timezone
+
+    lo_utc = lo.replace(tzinfo=timezone.utc)
+    hi_utc = hi.replace(tzinfo=timezone.utc)
+    n_overlap = sum(
+        1 for (_f, fl, fh) in stats if fl <= hi_utc and fh >= lo_utc
+    )
+    assert n_overlap <= 10, n_overlap
+    # value fidelity on a selective time read
+    sel = back.filter(F.col("event_time").between(lo, hi)).collect()
+    ref = df.filter(F.col("event_time").between(lo, hi)).collect()
+    assert sorted(map(tuple, sel)) == sorted(map(tuple, ref))
+
+    # date + string cluster keys at least run and round-trip
+    loc2 = str(tmp_path / "zds")
+    write_zorder_clustered(df, loc2, ["day", "url"], n_files=8)
+    assert spark.read.parquet(loc2).count() == n
+
+    # unsupported type fails fast, naming the column
+    bad = df.withColumn("arr", F.array(F.lit(1)))
+    with pytest.raises(ValueError, match="arr"):
+        write_zorder_clustered(bad, str(tmp_path / "zbad"), ["arr"], 4)
