@@ -17,10 +17,13 @@ Schemas:
                       duration_s:double, sample_rate:int>)
 
 Stages (each a mapInPandas over an Arrow batch iterator):
-    image_features   — REAL: decode PNG -> quality metrics + dims
-    audio_features   — REAL for WAV (stdlib wave + numpy); stub for
-                       compressed formats -> clip energy summary
-    video_keyframes  — stub decode -> every-Nth-frame sample refs
+    image_features       — REAL: decode PNG -> quality metrics + dims
+    audio_features       — REAL for WAV (stdlib wave + numpy); stub
+                           for compressed formats -> energy summary
+    video_keyframes      — REAL frame extraction for AVI containers
+                           (functions/avi.py); stub for mp4/webm
+    video_frame_features — REAL frame-sample -> PNG pixel decode ->
+                           analyzer metrics per sampled frame
 """
 
 from __future__ import annotations
@@ -123,14 +126,27 @@ def _decode_audio(data: bytes, sample_rate: int) -> np.ndarray:
 
 
 def _decode_video_frames(data: bytes, every_n: int) -> list[tuple[int, bytes]]:
-    """Video decode seam (STUB — no codecs in container): deterministic
-    fake that treats each 4 KiB chunk as one 'frame'."""
+    """Video frame-sampling seam.  AVI/RIFF containers parse for REAL
+    (functions/avi.py — pure-stdlib chunk walker; truncated/foreign
+    RIFF raises, surfacing as an error row).  Non-AVI containers
+    (mp4/webm) need PyAV/ffmpeg, absent here — those fall to a
+    deterministic fake (STUB, clearly marked) so the Spark-side
+    plumbing stays exercised."""
+    if data[:4] == b"RIFF" and data[8:12] == b"AVI ":
+        from .avi import parse_avi_frames
+
+        return [
+            (i, f)
+            for i, f in enumerate(parse_avi_frames(data))
+            if i % every_n == 0
+        ]
     try:
         import av  # noqa: F401  (absent in this container)
     except ImportError:
+        # STUB: each 4 KiB chunk as one 'frame'
         chunks = [data[i : i + 4096] for i in range(0, max(len(data), 1), 4096)]
         return [(i, c) for i, c in enumerate(chunks) if i % every_n == 0]
-    raise NotImplementedError("real video decode requires PyAV/ffmpeg")
+    raise NotImplementedError("real non-AVI video decode requires PyAV/ffmpeg")
 
 
 def image_feature_row(ref: str, data: bytes) -> dict:
@@ -212,9 +228,67 @@ def audio_features(media: DataFrame, sample_rate: int = 16_000) -> DataFrame:
     )
 
 
+VIDEO_FRAME_FEATURES_SCHEMA = (
+    "media_ref string, frame_idx int, width int, height int,"
+    " sharpness double, contrast double, brightness double, error string"
+)
+
+
+def video_frame_row(ref: str, idx: int, frame: bytes) -> dict:
+    """One sampled frame's feature row — decode + analyzer metrics,
+    shared verbatim by the Spark UDF and the golden-fixture generator
+    (the image_feature_row pattern, per frame)."""
+    row = image_feature_row(ref, frame)
+    return dict(
+        media_ref=ref, frame_idx=idx, width=row["width"],
+        height=row["height"], sharpness=row["sharpness"],
+        contrast=row["contrast"], brightness=row["brightness"],
+        error=row["error"],
+    )
+
+
+def video_frame_features(media: DataFrame, every_n: int = 2) -> DataFrame:
+    """REAL frame-sample -> decode -> feature-extract chain for AVI
+    payloads: the container parse is functions/avi.py (stdlib), the
+    per-frame pixel decode is imaging/png.py (the synthetic corpus
+    stores PNG frames — the lossless-capture pattern), and the feature
+    extraction is the SAME analyzer the image pipeline uses.  A frame
+    whose payload is not decodable PNG (a genuinely compressed codec
+    bitstream) surfaces as a per-FRAME error row — frame sampling
+    still worked; only pixel decode needs the absent codec.  Container
+    failures (truncated/foreign) surface as one per-CLIP error row."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["media_ref", "frame_idx", "width", "height",
+                "sharpness", "contrast", "brightness", "error"]
+        for pdf in batches:
+            rows = []
+            for ref, data in zip(pdf["media_ref"], pdf["bytes"]):
+                rows.extend(video_feature_rows(ref, bytes(data), every_n))
+            yield pd.DataFrame(rows, columns=cols)
+
+    return media.select("media_ref", "bytes").mapInPandas(
+        run, schema=VIDEO_FRAME_FEATURES_SCHEMA
+    )
+
+
+def video_feature_rows(ref: str, data: bytes, every_n: int = 2) -> list:
+    """One clip's frame-feature rows — shared verbatim by the Spark UDF
+    and the golden-fixture generator (the audio_feature_row pattern)."""
+    try:
+        sampled = _decode_video_frames(data, every_n)
+    except Exception as exc:
+        return [dict(
+            media_ref=ref, frame_idx=None, width=None, height=None,
+            sharpness=None, contrast=None, brightness=None,
+            error=str(exc))]
+    return [video_frame_row(ref, idx, frame) for idx, frame in sampled]
+
+
 def video_keyframes(media: DataFrame, every_n: int = 4) -> DataFrame:
-    """Stub-decode -> sampled frame fingerprints (1:N row fan-out — the
-    real plumbing a frame-sampling stage needs)."""
+    """Sampled frame fingerprints (1:N row fan-out): REAL container
+    frame extraction for AVI via functions/avi.py; non-AVI containers
+    via the documented codec-stub seam."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -76,7 +76,7 @@ class CorpusConfig:
 
 
 # streams for Philox keys — one namespace per generator family
-_S_DOC, _S_MEDIA, _S_TEXT, _S_AUDIO, _S_PDF = 1, 2, 3, 4, 5
+_S_DOC, _S_MEDIA, _S_TEXT, _S_AUDIO, _S_PDF, _S_VIDEO = 1, 2, 3, 4, 5, 6
 
 _DEGRADATIONS = (
     "clean", "clean", "clean",        # weight 3
@@ -525,6 +525,81 @@ def audio_df(spark, cfg: CorpusConfig, n: int = N_AUDIO_CLIPS):
 
     return spark.range(0, n, numPartitions=4).mapInPandas(
         gen, schema=AUDIO_MEDIA_SCHEMA
+    )
+
+
+# ---------------------------------------------------------------------------
+# video corpus (for functions/multimodal.video_frame_features) — every
+# clip a pure function of (seed, j); AVI containers with PNG frame
+# payloads (the lossless-capture pattern), muxed by functions/avi.py
+
+VIDEO_MEDIA_SCHEMA = "media_ref string, bytes binary, kind string"
+
+N_VIDEO_CLIPS = 24  # fixed: goldens for this corpus are committed
+
+
+def video_ref(j: int) -> str:
+    return f"vid-{j:06d}"
+
+
+def video_item(cfg: CorpusConfig, j: int) -> tuple[str, bytes, str]:
+    """(media_ref, bytes, kind).  Kind classes exercise every branch of
+    the video frame-features row contract:
+
+      avi            — REAL chain: container parse + PNG frame decode
+                       + analyzer metrics (3-8 gradient+noise frames)
+      avi_opaque     — real container parse, frames are a compressed
+                       codec's bitstream (not PNG) => per-frame pixel-
+                       decode error rows, frame COUNT still right
+      avi_truncated  — RIFF/'AVI ' magic, chopped => per-clip error row
+      compressed     — non-RIFF magic (mp4) => documented stub seam
+    """
+    from ..functions.avi import encode_avi
+    from ..imaging.png import encode_png
+
+    rng = _rng(cfg.seed, _S_VIDEO, j)
+    w, h = 24, 16
+    n_frames = 3 + (j % 6)
+    if j % 10 == 9:
+        fake = b"\x00\x00\x00\x20ftypisom" + rng.integers(
+            0, 256, 256
+        ).astype(np.uint8).tobytes()
+        return video_ref(j), fake, "compressed"
+    if j % 8 == 5:
+        frames = [
+            rng.integers(0, 256, 192).astype(np.uint8).tobytes()
+            for _ in range(n_frames)
+        ]
+        return (
+            video_ref(j),
+            encode_avi(frames, w, h, fps=12, fourcc=b"H264"),
+            "avi_opaque",
+        )
+    frames = []
+    for k in range(n_frames):
+        # moving gradient + per-frame noise: distinct, decodable frames
+        ramp = (
+            np.linspace(0, 255, w, dtype=np.float64)[None, :]
+            + np.full((h, 1), 8.0 * k)
+        )
+        img = np.clip(
+            ramp + rng.integers(0, 24, (h, w)), 0, 255
+        ).astype(np.uint8)
+        frames.append(encode_png(img))
+    data = encode_avi(frames, w, h, fps=12, fourcc=b"PNG ")
+    if j % 12 == 7:
+        return video_ref(j), data[: len(data) // 3], "avi_truncated"
+    return video_ref(j), data, "avi"
+
+
+def video_df(spark, cfg: CorpusConfig, n: int = N_VIDEO_CLIPS):
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [video_item(cfg, int(j)) for j in pdf["id"]]
+            yield pd.DataFrame(rows, columns=["media_ref", "bytes", "kind"])
+
+    return spark.range(0, n, numPartitions=4).mapInPandas(
+        gen, schema=VIDEO_MEDIA_SCHEMA
     )
 
 

@@ -143,6 +143,27 @@ def gen_pdf_meta() -> pd.DataFrame:
     return df
 
 
+def gen_video_meta() -> pd.DataFrame:
+    """Golden for the video frame-features stage over the deterministic
+    AVI corpus (multimodal.video_feature_rows — shared with the UDF)."""
+    from mcp_ocr_server_spark.functions.multimodal import video_feature_rows
+
+    rows = []
+    for j in range(S.N_VIDEO_CLIPS):
+        ref, data, kind = S.video_item(FLAGSHIP_CORPUS, j)
+        for row in video_feature_rows(ref, data):
+            row["kind"] = kind
+            rows.append(row)
+    df = pd.DataFrame(
+        rows, columns=["media_ref", "frame_idx", "width", "height",
+                       "sharpness", "contrast", "brightness", "error",
+                       "kind"]
+    )
+    for c in ("frame_idx", "width", "height"):
+        df[c] = df[c].astype("Int64")
+    return df
+
+
 INTERLEAVED_CORPUS = S.INTERLEAVED_CORPUS
 
 
@@ -269,6 +290,11 @@ def main() -> None:
     audio.to_parquet(os.path.join(FIXTURES_DIR, "audio_meta.parquet"), index=False)
     pdfm = gen_pdf_meta()
     pdfm.to_parquet(os.path.join(FIXTURES_DIR, "pdf_meta.parquet"), index=False)
+    vid = gen_video_meta()
+    vid.to_parquet(os.path.join(FIXTURES_DIR, "video_meta.parquet"), index=False)
+    print(f"video_meta: {len(vid)} rows over {vid.media_ref.nunique()}"
+          f" clips ({int(vid.error.notna().sum())} errors;"
+          f" kinds {vid.kind.value_counts().to_dict()})")
     words = gen_word_boxes()
     words.to_parquet(
         os.path.join(FIXTURES_DIR, "word_boxes.parquet"), index=False

