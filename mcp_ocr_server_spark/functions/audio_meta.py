@@ -1,0 +1,176 @@
+"""Pure-stdlib audio CONTAINER metadata — the audio analogue of
+functions/avi.py: no codec, real header/page/frame-structure work.
+
+What is REAL here: format detection and the typed metadata a
+training-data pipeline filters on BEFORE paying for decode (dedupe by
+PCM md5, drop clips outside a duration/rate band, route by codec):
+
+    wav         — RIFF fmt chunk (stdlib wave)
+    flac        — STREAMINFO block: rate, channels, bits, exact total
+                  samples => exact duration, and the 16-byte md5 of
+                  the DECODED PCM (the dedup key libFLAC embeds)
+    ogg/vorbis  — identification header (rate, channels) + the LAST
+                  page's granule position => exact duration
+    ogg/opus    — OpusHead (channels, pre-skip); granule is in 48 kHz
+                  units per RFC 7845 regardless of input rate
+    mp3         — first MPEG frame header (version/layer/bitrate/rate)
+                  + CBR duration estimate from stream size
+
+What is NOT attempted: decompressing any codec bitstream — decode
+stays behind multimodal._decode_audio's documented seam.  Unknown or
+truncated payloads surface as error rows (refuse loudly, the pdf.py /
+avi.py principle), never as silent zeros.
+"""
+
+from __future__ import annotations
+
+import struct
+
+# MPEG-1/2/2.5 Layer III bitrate (kbps) and sample-rate tables
+_MP3_BITRATE = {
+    (1, 3): [0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224,
+             256, 320],
+    (2, 3): [0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144,
+             160],
+}
+_MP3_RATE = {1: [44100, 48000, 32000], 2: [22050, 24000, 16000],
+             25: [11025, 12000, 8000]}
+
+
+def _sniff_wav(data: bytes) -> dict:
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(data), "rb") as w:
+        rate = w.getframerate()
+        n = w.getnframes()
+        return dict(
+            format="wav", codec="pcm_s%dle" % (8 * w.getsampwidth()),
+            sample_rate=rate, channels=w.getnchannels(),
+            duration_s=(n / rate) if rate else None, pcm_md5=None,
+        )
+
+
+def _sniff_flac(data: bytes) -> dict:
+    # fLaC magic, then metadata blocks: 1-byte header (last<<7 | type),
+    # 3-byte big-endian length.  STREAMINFO (type 0) must come first.
+    if len(data) < 4 + 4 + 34:
+        raise ValueError("flac: truncated before STREAMINFO")
+    btype = data[4] & 0x7F
+    (blen,) = struct.unpack(">I", b"\x00" + data[5:8])
+    if btype != 0 or blen < 34:
+        raise ValueError("flac: first block is not a 34-byte STREAMINFO")
+    si = data[8:8 + 34]
+    if len(si) < 34:
+        raise ValueError("flac: truncated STREAMINFO")
+    # [min/max blocksize u16 x2][min/max framesize u24 x2] then the
+    # packed fields: 20b rate | 3b channels-1 | 5b bps-1 | 36b samples
+    packed = int.from_bytes(si[10:18], "big")
+    rate = packed >> 44
+    channels = ((packed >> 41) & 0x7) + 1
+    bits = ((packed >> 36) & 0x1F) + 1
+    total = packed & ((1 << 36) - 1)
+    if rate == 0:
+        raise ValueError("flac: STREAMINFO sample rate is 0")
+    return dict(
+        format="flac", codec=f"flac_{bits}bit", sample_rate=rate,
+        channels=channels,
+        duration_s=(total / rate) if total else None,
+        pcm_md5=si[18:34].hex(),
+    )
+
+
+def _sniff_ogg(data: bytes) -> dict:
+    # First page: 'OggS' v0 header (27 bytes) + seg table, then the
+    # codec identification packet.
+    if len(data) < 28:
+        raise ValueError("ogg: truncated first page")
+    n_segs = data[26]
+    body = data[27 + n_segs:]
+    if body[:7] == b"\x01vorbis":
+        if len(body) < 16:
+            raise ValueError("ogg: truncated vorbis id header")
+        channels = body[11]
+        (rate,) = struct.unpack_from("<I", body, 12)
+        gran_rate = rate
+        codec = "vorbis"
+    elif body[:8] == b"OpusHead":
+        if len(body) < 13:
+            raise ValueError("ogg: truncated OpusHead")
+        channels = body[9]
+        (rate,) = struct.unpack_from("<I", body, 12)  # input rate hint
+        gran_rate = 48_000  # RFC 7845: granule is always 48 kHz
+        codec = "opus"
+    else:
+        raise ValueError("ogg: unknown codec id packet")
+    if rate == 0:
+        raise ValueError(f"ogg/{codec}: sample rate is 0")
+    # duration: granule position of the LAST page (end-of-stream PCM
+    # sample count).  rfind is exact for well-formed streams; a granule
+    # of -1 (unset) or 0 yields duration None.
+    last = data.rfind(b"OggS")
+    duration = None
+    if last >= 0 and last + 14 <= len(data):
+        (granule,) = struct.unpack_from("<q", data, last + 6)
+        if granule > 0:
+            duration = granule / gran_rate
+    return dict(
+        format="ogg", codec=codec, sample_rate=rate, channels=channels,
+        duration_s=duration, pcm_md5=None,
+    )
+
+
+def _sniff_mp3(data: bytes) -> dict:
+    # Skip an ID3v2 tag if present (10-byte header, syncsafe size)
+    pos = 0
+    if data[:3] == b"ID3" and len(data) >= 10:
+        size = ((data[6] & 0x7F) << 21) | ((data[7] & 0x7F) << 14) \
+            | ((data[8] & 0x7F) << 7) | (data[9] & 0x7F)
+        pos = 10 + size
+    # find the first frame sync (11 set bits)
+    while pos + 4 <= len(data):
+        if data[pos] == 0xFF and (data[pos + 1] & 0xE0) == 0xE0:
+            break
+        pos += 1
+    else:
+        raise ValueError("mp3: no frame sync found")
+    b1, b2, b3 = data[pos + 1], data[pos + 2], data[pos + 3]
+    ver_bits = (b1 >> 3) & 0x3  # 3=MPEG1, 2=MPEG2, 0=MPEG2.5
+    layer_bits = (b1 >> 1) & 0x3  # 1=Layer III
+    version = {3: 1, 2: 2, 0: 25}.get(ver_bits)
+    if version is None or layer_bits != 1:
+        raise ValueError("mp3: unsupported version/layer")
+    br_idx, sr_idx = (b2 >> 4) & 0xF, (b2 >> 2) & 0x3
+    if br_idx in (0, 15) or sr_idx == 3:
+        raise ValueError("mp3: free-form/invalid bitrate or rate index")
+    table = _MP3_BITRATE[(1, 3)] if version == 1 else _MP3_BITRATE[(2, 3)]
+    bitrate = table[br_idx] * 1000
+    rate = _MP3_RATE[version][sr_idx]
+    mode = (b3 >> 6) & 0x3
+    channels = 1 if mode == 3 else 2
+    # CBR estimate: audio bytes after the sync at the header bitrate
+    duration = (len(data) - pos) * 8 / bitrate
+    return dict(
+        format="mp3", codec=f"mp3v{version}", sample_rate=rate,
+        channels=channels, duration_s=duration, pcm_md5=None,
+    )
+
+
+def sniff_audio(data: bytes) -> dict:
+    """Typed container metadata for an opaque audio payload.  Returns
+    dict(format, codec, sample_rate, channels, duration_s, pcm_md5);
+    raises ValueError on unknown or truncated input."""
+    data = bytes(data)
+    if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
+        return _sniff_wav(data)
+    if data[:4] == b"fLaC":
+        return _sniff_flac(data)
+    if data[:4] == b"OggS":
+        return _sniff_ogg(data)
+    if data[:3] == b"ID3" or (
+        len(data) >= 2 and data[0] == 0xFF and (data[1] & 0xE0) == 0xE0
+    ):
+        return _sniff_mp3(data)
+    raise ValueError(
+        f"unknown audio container (magic {data[:4]!r})"
+    )

@@ -228,6 +228,48 @@ def audio_features(media: DataFrame, sample_rate: int = 16_000) -> DataFrame:
     )
 
 
+AUDIO_INVENTORY_SCHEMA = (
+    "media_ref string, format string, codec string, sample_rate int,"
+    " channels int, duration_s double, pcm_md5 string, error string"
+)
+
+
+def audio_inventory_row(ref: str, data: bytes) -> dict:
+    """One payload's container-metadata row (functions/audio_meta.py)
+    — shared verbatim by the Spark UDF and the golden generator."""
+    from .audio_meta import sniff_audio
+
+    row = dict(media_ref=ref, format=None, codec=None, sample_rate=None,
+               channels=None, duration_s=None, pcm_md5=None, error=None)
+    try:
+        row.update(sniff_audio(bytes(data)))
+    except Exception as exc:
+        row["error"] = str(exc)
+    return row
+
+
+def audio_inventory(media: DataFrame) -> DataFrame:
+    """REAL container-metadata sniff over opaque audio payloads — the
+    routing/filter stage a pipeline runs BEFORE paying for decode:
+    format/codec/rate/channels/duration per clip (exact for wav/flac/
+    ogg, CBR-estimated for mp3), plus FLAC's embedded decoded-PCM md5
+    (the dedup key).  Unknown/truncated payloads are error rows."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["media_ref", "format", "codec", "sample_rate",
+                "channels", "duration_s", "pcm_md5", "error"]
+        for pdf in batches:
+            rows = [
+                audio_inventory_row(ref, bytes(data))
+                for ref, data in zip(pdf["media_ref"], pdf["bytes"])
+            ]
+            yield pd.DataFrame(rows, columns=cols)
+
+    return media.select("media_ref", "bytes").mapInPandas(
+        run, schema=AUDIO_INVENTORY_SCHEMA
+    )
+
+
 VIDEO_FRAME_FEATURES_SCHEMA = (
     "media_ref string, frame_idx int, width int, height int,"
     " sharpness double, contrast double, brightness double, error string"

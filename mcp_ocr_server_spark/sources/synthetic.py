@@ -76,7 +76,9 @@ class CorpusConfig:
 
 
 # streams for Philox keys — one namespace per generator family
-_S_DOC, _S_MEDIA, _S_TEXT, _S_AUDIO, _S_PDF, _S_VIDEO = 1, 2, 3, 4, 5, 6
+_S_DOC, _S_MEDIA, _S_TEXT, _S_AUDIO, _S_PDF, _S_VIDEO, _S_SNIFF = (
+    1, 2, 3, 4, 5, 6, 7
+)
 
 _DEGRADATIONS = (
     "clean", "clean", "clean",        # weight 3
@@ -521,6 +523,96 @@ def audio_df(spark, cfg: CorpusConfig, n: int = N_AUDIO_CLIPS):
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = [audio_item(cfg, int(j)) for j in pdf["id"]]
+            yield pd.DataFrame(rows, columns=["media_ref", "bytes", "kind"])
+
+    return spark.range(0, n, numPartitions=4).mapInPandas(
+        gen, schema=AUDIO_MEDIA_SCHEMA
+    )
+
+
+# ---------------------------------------------------------------------------
+# audio-container corpus (for functions/multimodal.audio_inventory) —
+# hand-built deterministic payloads across every container the sniffer
+# supports; only HEADERS need to be well-formed (the stage never
+# decodes bitstreams), so bodies are rng filler
+
+N_SNIFF_CLIPS = 28
+
+
+def sniff_ref(j: int) -> str:
+    return f"snd-{j:06d}"
+
+
+def _flac_bytes(rate: int, channels: int, bits: int, total: int,
+                md5: bytes) -> bytes:
+    import struct
+
+    packed = ((rate << 44) | ((channels - 1) << 41) | ((bits - 1) << 36)
+              | total)
+    si = (struct.pack(">HH", 1024, 1024) + b"\x00\x01\x00"
+          + b"\x00\x02\x00" + packed.to_bytes(8, "big") + md5)
+    return b"fLaC" + bytes([0x80]) + (34).to_bytes(3, "big") + si
+
+
+def _ogg_page(granule: int, body: bytes, seq: int) -> bytes:
+    import struct
+
+    return (b"OggS\x00\x02" + struct.pack("<q", granule)
+            + struct.pack("<I", 7) + struct.pack("<I", seq)
+            + b"\x00\x00\x00\x00" + bytes([1, len(body)]) + body)
+
+
+def _mp3_bytes(n_payload: int) -> bytes:
+    # MPEG1 Layer III, 128 kbps, 44100 Hz, stereo
+    return b"\xff\xfb\x90\x00" + b"\x00" * n_payload
+
+
+def sniff_item(cfg: CorpusConfig, j: int) -> tuple[str, bytes, str]:
+    """(media_ref, bytes, kind) across the sniffer's branches: wav,
+    flac (exact duration + embedded PCM md5), ogg_vorbis / ogg_opus
+    (last-page granule duration), mp3 (CBR estimate), flac_truncated
+    and garbage (error rows)."""
+    import struct
+
+    rng = _rng(cfg.seed, _S_SNIFF, j)
+    cls = j % 7
+    if cls == 0:
+        pcm = (rng.standard_normal(800) * 2000).astype("<i2")
+        return sniff_ref(j), _wav_bytes(pcm, 8000), "wav"
+    if cls == 1:
+        md5 = rng.integers(0, 256, 16).astype(np.uint8).tobytes()
+        return sniff_ref(j), _flac_bytes(
+            44100, 1 + j % 2, 16, 44100 * (1 + j % 5), md5
+        ), "flac"
+    if cls == 2:
+        body = (b"\x01vorbis" + struct.pack("<I", 0) + bytes([2])
+                + struct.pack("<I", 44100) + b"\x00" * 9)
+        data = _ogg_page(0, body, 0) + _ogg_page(
+            44100 * (1 + j % 4), b"\x00" * 10, 1
+        )
+        return sniff_ref(j), data, "ogg_vorbis"
+    if cls == 3:
+        body = (b"OpusHead" + bytes([1, 1]) + struct.pack("<H", 312)
+                + struct.pack("<I", 16000) + b"\x00\x00\x00")
+        data = _ogg_page(0, body, 0) + _ogg_page(
+            48000 * (1 + j % 3), b"\x00" * 10, 1
+        )
+        return sniff_ref(j), data, "ogg_opus"
+    if cls == 4:
+        return sniff_ref(j), _mp3_bytes(4000 * (1 + j % 4)), "mp3"
+    if cls == 5:
+        full = _flac_bytes(44100, 2, 16, 44100, bytes(16))
+        return sniff_ref(j), full[:20], "flac_truncated"
+    # leading NUL: can never alias an mp3 frame sync or any magic
+    return sniff_ref(j), b"\x00" + rng.integers(1, 255, 63).astype(
+        np.uint8
+    ).tobytes(), "garbage"
+
+
+def sniff_df(spark, cfg: CorpusConfig, n: int = N_SNIFF_CLIPS):
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [sniff_item(cfg, int(j)) for j in pdf["id"]]
             yield pd.DataFrame(rows, columns=["media_ref", "bytes", "kind"])
 
     return spark.range(0, n, numPartitions=4).mapInPandas(

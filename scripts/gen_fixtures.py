@@ -143,6 +143,30 @@ def gen_pdf_meta() -> pd.DataFrame:
     return df
 
 
+def gen_audio_inventory() -> pd.DataFrame:
+    """Golden for the audio container-metadata sniff over the
+    deterministic multi-format corpus (multimodal.audio_inventory_row
+    — shared with the UDF)."""
+    from mcp_ocr_server_spark.functions.multimodal import (
+        audio_inventory_row,
+    )
+
+    rows = []
+    for j in range(S.N_SNIFF_CLIPS):
+        ref, data, kind = S.sniff_item(FLAGSHIP_CORPUS, j)
+        row = audio_inventory_row(ref, data)
+        row["kind"] = kind
+        rows.append(row)
+    df = pd.DataFrame(
+        rows, columns=["media_ref", "format", "codec", "sample_rate",
+                       "channels", "duration_s", "pcm_md5", "error",
+                       "kind"]
+    )
+    for c in ("sample_rate", "channels"):
+        df[c] = df[c].astype("Int64")
+    return df
+
+
 def gen_video_meta() -> pd.DataFrame:
     """Golden for the video frame-features stage over the deterministic
     AVI corpus (multimodal.video_feature_rows — shared with the UDF)."""
@@ -292,6 +316,13 @@ def main() -> None:
     pdfm.to_parquet(os.path.join(FIXTURES_DIR, "pdf_meta.parquet"), index=False)
     vid = gen_video_meta()
     vid.to_parquet(os.path.join(FIXTURES_DIR, "video_meta.parquet"), index=False)
+    inv = gen_audio_inventory()
+    inv.to_parquet(
+        os.path.join(FIXTURES_DIR, "audio_inventory.parquet"), index=False
+    )
+    print(f"audio_inventory: {len(inv)} rows"
+          f" ({int(inv.error.notna().sum())} errors;"
+          f" formats {inv['format'].value_counts(dropna=True).to_dict()})")
     print(f"video_meta: {len(vid)} rows over {vid.media_ref.nunique()}"
           f" clips ({int(vid.error.notna().sum())} errors;"
           f" kinds {vid.kind.value_counts().to_dict()})")

@@ -1,0 +1,105 @@
+"""Audio container sniffer (functions/audio_meta.py) + the
+audio_inventory stage over the deterministic multi-format corpus."""
+
+import io
+import struct
+import wave
+
+import pytest
+
+from mcp_ocr_server_spark.functions.audio_meta import sniff_audio
+from mcp_ocr_server_spark.sources import synthetic as S
+
+
+def _wav(rate=8000, channels=2, n_frames=1600, width=2):
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(channels)
+        w.setsampwidth(width)
+        w.setframerate(rate)
+        w.writeframes(b"\x00" * (n_frames * channels * width))
+    return buf.getvalue()
+
+
+def test_sniff_wav_exact():
+    m = sniff_audio(_wav())
+    assert m == dict(format="wav", codec="pcm_s16le", sample_rate=8000,
+                     channels=2, duration_s=0.2, pcm_md5=None)
+
+
+def test_sniff_flac_streaminfo_bitfields():
+    """The 20/3/5/36-bit packed STREAMINFO fields and the embedded
+    decoded-PCM md5 must come out exactly."""
+    md5 = bytes(range(16))
+    data = S._flac_bytes(96000, 2, 24, 96000 * 7, md5)
+    m = sniff_audio(data)
+    assert m == dict(format="flac", codec="flac_24bit",
+                     sample_rate=96000, channels=2, duration_s=7.0,
+                     pcm_md5=md5.hex())
+
+
+def test_sniff_ogg_vorbis_and_opus_durations():
+    """Vorbis duration = last granule / input rate; opus granule is
+    ALWAYS 48 kHz units (RFC 7845) regardless of the input rate."""
+    body = (b"\x01vorbis" + struct.pack("<I", 0) + bytes([2])
+            + struct.pack("<I", 44100) + b"\x00" * 9)
+    vorb = S._ogg_page(0, body, 0) + S._ogg_page(88200, b"\x00" * 9, 1)
+    m = sniff_audio(vorb)
+    assert (m["codec"], m["sample_rate"], m["duration_s"]) == (
+        "vorbis", 44100, 2.0)
+
+    body = (b"OpusHead" + bytes([1, 1]) + struct.pack("<H", 312)
+            + struct.pack("<I", 16000) + b"\x00" * 3)
+    opus = S._ogg_page(0, body, 0) + S._ogg_page(96000, b"\x00" * 9, 1)
+    m = sniff_audio(opus)
+    # 96000 granule units at 48 kHz = 2 s even though input is 16 kHz
+    assert (m["codec"], m["sample_rate"], m["duration_s"]) == (
+        "opus", 16000, 2.0)
+
+
+def test_sniff_mp3_header_tables_and_id3_skip():
+    data = S._mp3_bytes(15996)  # 128 kbps => 16000 bytes ~ 1.0 s
+    m = sniff_audio(data)
+    assert (m["codec"], m["sample_rate"], m["channels"]) == (
+        "mp3v1", 44100, 2)
+    assert abs(m["duration_s"] - 1.0) < 0.01
+    # ID3v2-tagged: 100-byte syncsafe tag, then the same frame
+    tag = b"ID3\x04\x00\x00" + bytes([0, 0, 0, 100]) + b"\x00" * 100
+    assert sniff_audio(tag + data)["codec"] == "mp3v1"
+
+
+def test_sniff_refuses_unknown_and_truncated():
+    with pytest.raises(ValueError, match="unknown audio container"):
+        sniff_audio(b"\x00\x01\x02\x03garbage")
+    with pytest.raises(ValueError, match="truncated"):
+        sniff_audio(S._flac_bytes(44100, 2, 16, 44100, bytes(16))[:20])
+    with pytest.raises(ValueError, match="unknown codec"):
+        sniff_audio(S._ogg_page(0, b"\x00notacodec\x00\x00\x00\x00", 0))
+    with pytest.raises(ValueError, match="no frame sync"):
+        sniff_audio(b"ID3\x04\x00\x00" + bytes([0, 0, 0, 4])
+                    + b"\x00" * 20)
+
+
+def test_audio_inventory_stage_matches_golden(spark):
+    """The Spark stage over the deterministic corpus equals the
+    committed golden row-for-row (same file the registry oracle
+    checks); error classes land on exactly the truncated/garbage
+    clips."""
+    import pandas as pd
+
+    from mcp_ocr_server_spark.functions.multimodal import audio_inventory
+
+    out = {r.media_ref: r for r in audio_inventory(
+        S.sniff_df(spark, S.CorpusConfig(n_docs=1))).collect()}
+    golden = pd.read_parquet("fixtures/audio_inventory.parquet")
+    assert len(out) == len(golden) == S.N_SNIFF_CLIPS
+    for _, g in golden.iterrows():
+        r = out[g["media_ref"]]
+        assert (r.format, r.codec) == (
+            None if pd.isna(g["format"]) else g["format"],
+            None if pd.isna(g["codec"]) else g["codec"],
+        )
+        if g["kind"] in ("flac_truncated", "garbage"):
+            assert r.error is not None
+        else:
+            assert r.error is None and r.sample_rate == g["sample_rate"]
