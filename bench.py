@@ -22,6 +22,15 @@ single-query run — rather than a sequence-dependent figure inflated
 (or subsidized) by whatever ran before it.  Queries that share a
 derived table (flagship spans, shingles) each pay their own
 materialization, exactly as an isolated run would.
+
+Besides seconds, each query's SHUFFLE WRITE volume (MB moved through
+the exchange layer, from the app-status store's executor totals) is
+recorded as "shuffle_write_mb" — at 100 TB the shuffle term, not the
+CPU term, is what decides whether a plan survives, so the bench tracks
+it round-over-round the same way it tracks time.  The status store is
+updated asynchronously off the event bus; a short post-query settle
+keeps deltas attributed to the right query (±a few stage-completion
+events at worst, noted rather than hidden).
 """
 
 from __future__ import annotations
@@ -211,25 +220,35 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     n_rows: dict[str, int] = {}
+    shuffle_mb: dict[str, float] = {}
+
+    def _shuffle_written() -> int:
+        """Cumulative shuffle-write bytes across executors from the
+        app-status store (works with spark.ui.enabled=false)."""
+        ex = spark.sparkContext._jsc.sc().statusStore().executorList(False)
+        return sum(ex.apply(i).totalShuffleWrite() for i in range(ex.size()))
+
+    def _timed(name, fn):
+        s0 = _shuffle_written()
+        t0 = time.monotonic()
+        n = fn()
+        timings[name] = round(time.monotonic() - t0, 3)
+        time.sleep(0.2)  # let the async status bus drain this query's stages
+        shuffle_mb[name] = round((_shuffle_written() - s0) / 1e6, 3)
+        n_rows[name] = n
 
     def run(name, fn):
         if selected is not None and name not in selected:
             return
         Q.clear_caches(spark)  # cold, isolated, reproducible timing
-        t0 = time.monotonic()
-        n = fn()
-        timings[name] = round(time.monotonic() - t0, 3)
-        n_rows[name] = n
+        _timed(name, fn)
 
     def run_warm(name, fn):
         """Timed WITHOUT clearing caches first — for steady-state cost
         of a query whose one-off setup was just timed separately."""
         if selected is not None and name not in selected:
             return
-        t0 = time.monotonic()
-        n = fn()
-        timings[name] = round(time.monotonic() - t0, 3)
-        n_rows[name] = n
+        _timed(name, fn)
 
     run("extract_e2e", bench_extract)
     run("extract_e2e_interleaved", bench_extract_interleaved)
@@ -249,10 +268,10 @@ def main() -> None:
                 or "ann_ivf_train" in selected
             ) and "ann_ivf_train" not in timings:
                 Q.clear_caches(spark)
-                t0 = time.monotonic()
-                n_cent = len(Q.ann_ivf_train(spark, sf_dir))
-                timings["ann_ivf_train"] = round(time.monotonic() - t0, 3)
-                n_rows["ann_ivf_train"] = n_cent
+                _timed(
+                    "ann_ivf_train",
+                    lambda: len(Q.ann_ivf_train(spark, sf_dir)),
+                )
             run_warm(name, lambda qfn=qfn: force(qfn(spark, sf_dir)))
         else:
             run(name, lambda qfn=qfn: force(qfn(spark, sf_dir)))
@@ -267,6 +286,7 @@ def main() -> None:
         "cpus": cpus,
         "n_docs": n_docs,
         "rows": n_rows,
+        "shuffle_write_mb": shuffle_mb,
     }
     if "extract_e2e" in timings and timings["extract_e2e"] > 0:
         out["docs_per_sec"] = round(n_docs / timings["extract_e2e"], 2)
