@@ -944,3 +944,17 @@ def test_dedup_winnow_pairs_persists_index_and_invariants(spark):
         assert r.doc_a < r.doc_b
         assert r.n_shared >= 1
         assert 0 < r.jaccard_est <= 1
+
+
+def test_doc_fingerprint_plan_is_shuffle_free(spark):
+    """Both fingerprint aggregates are per-doc facts of the token
+    array: the plan must contain no Exchange (the explode+groupBy
+    formulation shuffled the full distinct shingle text — caught by
+    bench.py's shuffle_write_mb metric and rewritten row-local)."""
+    plan = (
+        Q.QUERIES["doc_fingerprint"][0](spark, SF)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan, plan
