@@ -192,18 +192,18 @@ def main() -> None:
     if selected:
         # validate against what bench can actually TIME, not the full
         # registry: a typo'd (or deliberately-untimed) name would
-        # otherwise just vanish from the output JSON
+        # otherwise just vanish from the output JSON.  Registry names
+        # outside the timing list get the accurate "not timed" message
+        # (eval queries that re-run timed work; extraction queries
+        # whose cost is the flagship extract_e2e materialization).
         runnable = set(analytics) | {
             "extract_e2e", "extract_e2e_interleaved", "ann_ivf_train",
         }
-        untimed = {  # registry queries excluded by design (see comment
-            "ann_recall_eval", "dedup_pair_eval", "winnow_pair_eval",
-            "dedup_canonical",  # in the analytics list above)
-        }
         for bad in sorted(selected - runnable):
             why = (
-                "excluded from timing by design (re-runs queries timed"
-                " above)" if bad in untimed else "unknown"
+                "a registry query bench does not time (correctness-"
+                "only, or it re-runs work timed under another name)"
+                if bad in Q.QUERIES else "unknown"
             )
             print(
                 f"bench: BENCH_QUERIES entry {bad!r} ignored ({why})",

@@ -41,14 +41,19 @@ def _sniff_wav(data: bytes) -> dict:
     import io
     import wave
 
-    with wave.open(io.BytesIO(data), "rb") as w:
-        rate = w.getframerate()
-        n = w.getnframes()
-        return dict(
-            format="wav", codec="pcm_s%dle" % (8 * w.getsampwidth()),
-            sample_rate=rate, channels=w.getnchannels(),
-            duration_s=(n / rate) if rate else None, pcm_md5=None,
-        )
+    try:
+        with wave.open(io.BytesIO(data), "rb") as w:
+            rate = w.getframerate()
+            n = w.getnframes()
+            return dict(
+                format="wav", codec="pcm_s%dle" % (8 * w.getsampwidth()),
+                sample_rate=rate, channels=w.getnchannels(),
+                duration_s=(n / rate) if rate else None, pcm_md5=None,
+            )
+    except (wave.Error, EOFError, struct.error) as exc:
+        # contract: ValueError on malformed input, whatever the stdlib
+        # module raised internally
+        raise ValueError(f"wav: truncated or malformed ({exc})") from exc
 
 
 def _sniff_flac(data: bytes) -> dict:
@@ -80,6 +85,33 @@ def _sniff_flac(data: bytes) -> dict:
     )
 
 
+def _ogg_last_granule(data: bytes) -> int:
+    """Walk pages FORWARD by their encoded lengths (27-byte header +
+    segment table + summed lacing values) and return the last complete
+    page's granule position.  Byte-exact — unlike scanning backwards
+    for the 'OggS' capture pattern, which Ogg does NOT escape inside
+    packet bodies, so a payload containing those four bytes would
+    yield a garbage granule.  Raises on structural corruption."""
+    pos, granule = 0, -1
+    while pos + 27 <= len(data):
+        if data[pos:pos + 4] != b"OggS":
+            raise ValueError(f"ogg: bad page capture at byte {pos}")
+        if data[pos + 4] != 0:
+            raise ValueError("ogg: unknown page version")
+        n_segs = data[pos + 26]
+        table_end = pos + 27 + n_segs
+        if table_end > len(data):
+            break  # truncated final page: keep the last complete one
+        body_len = sum(data[pos + 27:table_end])
+        if table_end + body_len > len(data):
+            break
+        (g,) = struct.unpack_from("<q", data, pos + 6)
+        if g >= 0:  # -1 marks a page with no finished packet
+            granule = g
+        pos = table_end + body_len
+    return granule
+
+
 def _sniff_ogg(data: bytes) -> dict:
     # First page: 'OggS' v0 header (27 bytes) + seg table, then the
     # codec identification packet.
@@ -87,6 +119,7 @@ def _sniff_ogg(data: bytes) -> dict:
         raise ValueError("ogg: truncated first page")
     n_segs = data[26]
     body = data[27 + n_segs:]
+    pre_skip = 0
     if body[:7] == b"\x01vorbis":
         if len(body) < 16:
             raise ValueError("ogg: truncated vorbis id header")
@@ -95,9 +128,10 @@ def _sniff_ogg(data: bytes) -> dict:
         gran_rate = rate
         codec = "vorbis"
     elif body[:8] == b"OpusHead":
-        if len(body) < 13:
+        if len(body) < 16:
             raise ValueError("ogg: truncated OpusHead")
         channels = body[9]
+        (pre_skip,) = struct.unpack_from("<H", body, 10)
         (rate,) = struct.unpack_from("<I", body, 12)  # input rate hint
         gran_rate = 48_000  # RFC 7845: granule is always 48 kHz
         codec = "opus"
@@ -105,15 +139,12 @@ def _sniff_ogg(data: bytes) -> dict:
         raise ValueError("ogg: unknown codec id packet")
     if rate == 0:
         raise ValueError(f"ogg/{codec}: sample rate is 0")
-    # duration: granule position of the LAST page (end-of-stream PCM
-    # sample count).  rfind is exact for well-formed streams; a granule
-    # of -1 (unset) or 0 yields duration None.
-    last = data.rfind(b"OggS")
+    # duration: last complete page's granule = end-of-stream PCM sample
+    # count; opus subtracts the OpusHead pre-skip (RFC 7845 §4.2)
+    granule = _ogg_last_granule(data)
     duration = None
-    if last >= 0 and last + 14 <= len(data):
-        (granule,) = struct.unpack_from("<q", data, last + 6)
-        if granule > 0:
-            duration = granule / gran_rate
+    if granule > 0:
+        duration = max(granule - pre_skip, 0) / gran_rate
     return dict(
         format="ogg", codec=codec, sample_rate=rate, channels=channels,
         duration_s=duration, pcm_md5=None,

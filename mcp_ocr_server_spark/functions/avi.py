@@ -96,8 +96,11 @@ def encode_avi(
     movi_body = b"movi"
     idx_entries = []
     for f in frames:
-        # idx1 offsets are relative to the 'movi' fourcc position
-        idx_entries.append((len(movi_body) - 4, len(f)))
+        # idx1 offsets point at the frame's ckid, measured from the
+        # 'movi' fourcc position — so the FIRST frame's offset is 4
+        # (fourcc itself is bytes 0-3), the convention index-seeking
+        # demuxers (ffmpeg's odml path) expect
+        idx_entries.append((len(movi_body), len(f)))
         movi_body += _chunk(b"00dc", f)
     movi = _chunk(b"LIST", movi_body)
     idx1 = _chunk(

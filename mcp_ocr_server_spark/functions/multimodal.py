@@ -6,10 +6,14 @@ video are treated the way a 100 TB training-data pipeline treats them:
 opaque `binary` columns + typed metadata structs, processed by
 Arrow-batched `mapInPandas` stages.  This container ships no
 audio/video codecs; WAV audio decodes for REAL (pure stdlib+numpy,
-like the PNG codec), while compressed-audio/video DECODE is stubbed
-behind an import-try with a clearly-marked deterministic fake, and
-everything Spark-side (schemas, batch shapes, partitioning, UDF
-signatures) is real and tested either way.
+like the PNG codec) and AVI containers demux for real
+(functions/avi.py), while compressed-codec BITSTREAM decode is a
+clearly-marked deterministic fake — applied UNCONDITIONALLY to those
+formats (not import-gated), so committed goldens keep their meaning
+regardless of what happens to be installed; wiring a real backend is
+a deliberate code change re-goldened in the same commit.  Everything
+Spark-side (schemas, batch shapes, partitioning, UDF signatures) is
+real and tested either way.
 
 Schemas:
     media(media_ref string, kind string, bytes binary,
@@ -114,15 +118,16 @@ def _decode_audio(data: bytes, sample_rate: int) -> np.ndarray:
     if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
         pcm, _rate = decode_wav(data)
         return pcm
-    try:
-        import soundfile  # noqa: F401  (absent in this container)
-    except ImportError:
-        # STUB: bytes -> repeatable float32 signal in [-1, 1]
-        raw = np.frombuffer(
-            hashlib.sha256(data).digest() * max(1, len(data) // 32), dtype=np.uint8
-        )
-        return (raw.astype(np.float32) - 127.5) / 127.5
-    raise NotImplementedError("real compressed-audio decode requires soundfile/ffmpeg")
+    # STUB: compressed formats (mp3/ogg/flac) would need a codec
+    # backend (soundfile/ffmpeg) at this seam; the deterministic fake
+    # below is used UNCONDITIONALLY for them — not import-gated — so
+    # committed goldens and oracles cannot silently change meaning if
+    # a codec library appears in the environment (a real backend is a
+    # deliberate code change here, re-goldened in the same commit).
+    raw = np.frombuffer(
+        hashlib.sha256(data).digest() * max(1, len(data) // 32), dtype=np.uint8
+    )
+    return (raw.astype(np.float32) - 127.5) / 127.5
 
 
 def _decode_video_frames(data: bytes, every_n: int) -> list[tuple[int, bytes]]:
@@ -140,13 +145,13 @@ def _decode_video_frames(data: bytes, every_n: int) -> list[tuple[int, bytes]]:
             for i, f in enumerate(parse_avi_frames(data))
             if i % every_n == 0
         ]
-    try:
-        import av  # noqa: F401  (absent in this container)
-    except ImportError:
-        # STUB: each 4 KiB chunk as one 'frame'
-        chunks = [data[i : i + 4096] for i in range(0, max(len(data), 1), 4096)]
-        return [(i, c) for i, c in enumerate(chunks) if i % every_n == 0]
-    raise NotImplementedError("real non-AVI video decode requires PyAV/ffmpeg")
+    # STUB: non-AVI containers (mp4/webm) would need PyAV/ffmpeg at
+    # this seam; the deterministic 4 KiB-chunk fake is used
+    # UNCONDITIONALLY for them — not import-gated — so committed
+    # goldens cannot silently change if a codec library appears (a
+    # real backend is a deliberate, re-goldened code change).
+    chunks = [data[i : i + 4096] for i in range(0, max(len(data), 1), 4096)]
+    return [(i, c) for i, c in enumerate(chunks) if i % every_n == 0]
 
 
 def image_feature_row(ref: str, data: bytes) -> dict:

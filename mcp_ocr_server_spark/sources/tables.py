@@ -174,9 +174,17 @@ def _zorder_surrogate(df: DataFrame, c: str):
     """Order-preserving DOUBLE-comparable surrogate for a z-order
     cluster column (approxQuantile accepts only numeric columns):
     numerics cast to double; timestamp/date map to their epoch
-    micros/days (monotone); strings map to their first 7.5 bytes as a
-    60-bit big-endian integer (lexicographic up to that prefix).
-    Unsupported types fail fast with the supported list."""
+    micros/days (monotone); strings map to 7.5 bytes taken AFTER the
+    dataset's common prefix as a 60-bit big-endian integer.  The
+    prefix strip matters: real string cluster keys share long
+    prefixes (every URL starts 'https://'), and hashing the first
+    bytes verbatim would collapse the whole column to ONE surrogate
+    value — the dimension would silently contribute zero clustering.
+    The common prefix of min(c) and max(c) is the common prefix of
+    every value (lexicographic order), so it costs one column-pruned
+    min/max job at write time.  Order among values is preserved:
+    stripping a shared prefix is monotone.  Unsupported types fail
+    fast with the supported list."""
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
 
@@ -192,12 +200,19 @@ def _zorder_surrogate(df: DataFrame, c: str):
     if isinstance(dt, T.DateType):
         return F.datediff(F.col(c), F.lit("1970-01-01")).cast("double")
     if isinstance(dt, T.StringType):
-        # first 15 hex chars = 7.5 bytes, zero-padded so short strings
-        # order correctly against longer ones sharing their prefix
+        import os.path
+
+        mn, mx = df.agg(F.min(c), F.max(c)).collect()[0]
+        if mn is None:  # all-null column: constant surrogate
+            return F.lit(0).cast("bigint")
+        lcp = len(os.path.commonprefix([mn, mx]))
+        # 15 hex chars = 7.5 post-prefix bytes, zero-padded so short
+        # strings order correctly against longer ones sharing them
         return F.conv(
             F.substring(
                 F.concat(
-                    F.hex(F.encode(F.col(c), "utf-8")),
+                    F.hex(F.encode(F.substring(F.col(c), lcp + 1,
+                                               1 << 30), "utf-8")),
                     F.lit("0" * 15),
                 ),
                 1,

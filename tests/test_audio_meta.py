@@ -52,9 +52,10 @@ def test_sniff_ogg_vorbis_and_opus_durations():
             + struct.pack("<I", 16000) + b"\x00" * 3)
     opus = S._ogg_page(0, body, 0) + S._ogg_page(96000, b"\x00" * 9, 1)
     m = sniff_audio(opus)
-    # 96000 granule units at 48 kHz = 2 s even though input is 16 kHz
-    assert (m["codec"], m["sample_rate"], m["duration_s"]) == (
-        "opus", 16000, 2.0)
+    # granule is 48 kHz units regardless of the 16 kHz input rate, and
+    # RFC 7845 subtracts the OpusHead pre-skip from the PCM duration
+    assert (m["codec"], m["sample_rate"]) == ("opus", 16000)
+    assert m["duration_s"] == (96000 - 312) / 48000
 
 
 def test_sniff_mp3_header_tables_and_id3_skip():
@@ -78,6 +79,28 @@ def test_sniff_refuses_unknown_and_truncated():
     with pytest.raises(ValueError, match="no frame sync"):
         sniff_audio(b"ID3\x04\x00\x00" + bytes([0, 0, 0, 4])
                     + b"\x00" * 20)
+    # the contract is ValueError for EVERY malformed input — including
+    # the paths where the stdlib/struct layer raises something else
+    with pytest.raises(ValueError, match="wav"):
+        sniff_audio(_wav()[:30])  # RIFF/WAVE magic, chopped chunks
+    with pytest.raises(ValueError, match="truncated OpusHead"):
+        sniff_audio(S._ogg_page(0, b"OpusHead" + bytes([1, 1]) + b"\x00"
+                                * 3, 0))  # 13-byte body, rate cut off
+
+
+def test_sniff_ogg_granule_ignores_capture_pattern_in_payload():
+    """Ogg does NOT escape 'OggS' inside packet bodies; the duration
+    walk must follow page lengths forward, not scan backwards for the
+    magic — a payload containing 'OggS' + garbage after the true last
+    page header must not corrupt the granule."""
+    body = (b"\x01vorbis" + struct.pack("<I", 0) + bytes([2])
+            + struct.pack("<I", 44100) + b"\x00" * 9)
+    # second (last) page's PAYLOAD embeds a fake capture pattern
+    # followed by a huge little-endian 'granule'
+    trap = b"OggS" + struct.pack("<q", 10**15) + b"\x00" * 10
+    data = S._ogg_page(0, body, 0) + S._ogg_page(88200, trap, 1)
+    m = sniff_audio(data)
+    assert m["duration_s"] == 2.0  # 88200 / 44100, not 10^15 / 44100
 
 
 def test_audio_inventory_stage_matches_golden(spark):

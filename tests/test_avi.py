@@ -152,3 +152,23 @@ def test_video_stage_over_synthetic_corpus(spark):
             # whose pixel decode rightly errors (not PNG payloads)
             assert all(r.frame_idx is not None and r.error is not None
                        for r in rows)
+
+
+def test_avi_idx1_offsets_point_at_frame_ckids():
+    """idx1 entries must point at each frame's ckid measured from the
+    'movi' fourcc position (frame 0 -> offset 4) — the convention
+    index-seeking demuxers expect."""
+    frames = [b"aaa", b"bb" * 10, b"c"]
+    data = encode_avi(frames, 8, 8)
+    movi_pos = data.index(b"movi")
+    idx_pos = data.index(b"idx1")
+    (idx_size,) = struct.unpack_from("<I", data, idx_pos + 4)
+    assert idx_size == 16 * len(frames)
+    for k in range(len(frames)):
+        ckid, flags, off, size = struct.unpack_from(
+            "<4sIII", data, idx_pos + 8 + 16 * k
+        )
+        assert ckid == b"00dc" and flags == 0x10
+        assert data[movi_pos + off:movi_pos + off + 4] == b"00dc"
+        (chunk_size,) = struct.unpack_from("<I", data, movi_pos + off + 4)
+        assert chunk_size == size == len(frames[k])

@@ -385,10 +385,21 @@ def test_zorder_handles_timestamp_date_and_string_columns(spark, tmp_path):
     ref = df.filter(F.col("event_time").between(lo, hi)).collect()
     assert sorted(map(tuple, sel)) == sorted(map(tuple, ref))
 
-    # date + string cluster keys at least run and round-trip
+    # date + string cluster keys: run, round-trip, AND the string
+    # dimension must actually cluster despite every url sharing the
+    # 'https://example.com/' prefix (the surrogate strips the common
+    # prefix — hashing the first 7.5 bytes verbatim would collapse the
+    # whole column to one bucket and prune nothing)
     loc2 = str(tmp_path / "zds")
     write_zorder_clustered(df, loc2, ["day", "url"], n_files=8)
     assert spark.read.parquet(loc2).count() == n
+    ustats = file_stats(loc2, "url")
+    u_lo = f"https://example.com/{n // 2:08d}"
+    u_hi = f"https://example.com/{n // 2 + n // 8 - 1:08d}"
+    u_overlap = sum(
+        1 for (_f, fl, fh) in ustats if fl <= u_hi and fh >= u_lo
+    )
+    assert u_overlap <= 5, (u_overlap, [(a, b) for _, a, b in ustats])
 
     # unsupported type fails fast, naming the column
     bad = df.withColumn("arr", F.array(F.lit(1)))
