@@ -179,7 +179,7 @@ def main() -> None:
         "corpus_diff", "merge_upsert", "corpus_profile",
         "decontaminate", "decontaminate_bloom", "curation_funnel",
         "pack_sequences", "source_mix",
-        "lang_sample_weights", "url_dedup", "url_blocklist",
+        "lang_sample_weights", "url_dedup", "url_blocklist", "url_robots",
         "source_lang_pivot",
         "events_hourly", "events_anomaly", "events_cube", "events_sliding",
         "event_sessions",

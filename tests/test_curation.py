@@ -232,3 +232,39 @@ def test_url_blocklist_suffix_semantics(spark):
             assert r["matched_rule"] is None, r
     # the planted cdn. sub-subdomain exercised the suffix path
     assert saw_subdomain_block
+
+
+def test_url_robots_longest_match_semantics(spark):
+    """RFC 9309 traps, asserted per row against independently computed
+    buckets: site-wide Disallow '/' loses to the longer Allow
+    '/docs/2' carve-out; the exact-length Allow/Disallow tie resolves
+    to Allow; rule-less hosts and non-web schemes default to allowed
+    with a null matched rule."""
+    import hashlib
+
+    rows = Q.QUERIES["url_robots"][0](spark, SF).collect()
+    assert rows
+    by_bucket = {0: 0, 1: 0, 2: 0, 3: 0, 4: 0}
+    for r in rows:
+        if r.host == "":  # ftp: robots out of scope
+            assert r.allowed and r.matched_rule is None
+            continue
+        b = int(hashlib.md5(r.host.encode()).hexdigest()[:6], 16) % 5
+        by_bucket[b] += 1
+        if r.matched_rule is not None:
+            assert r.path.startswith(r.matched_rule)
+        if b == 0:
+            assert r.allowed and r.matched_rule is None
+        elif b == 3:
+            # Disallow '/' everywhere except the Allow '/docs/2' carve
+            assert r.allowed == r.path.startswith("/docs/2"), r
+        elif b == 4:
+            # both rules match every /docs/ path at equal length: Allow
+            assert r.allowed and r.matched_rule == "/docs/", r
+        elif b in (1, 2):
+            expect_block = r.path.startswith("/docs/1")
+            if b == 2 and r.path.startswith("/docs/12"):
+                expect_block = False
+            assert r.allowed == (not expect_block), (b, r)
+    # the corpus must actually exercise at least 4 of 5 buckets
+    assert sum(1 for v in by_bucket.values() if v) >= 4, by_bucket
