@@ -50,10 +50,15 @@ def _sniff_wav(data: bytes) -> dict:
                 sample_rate=rate, channels=w.getnchannels(),
                 duration_s=(n / rate) if rate else None, pcm_md5=None,
             )
-    except (wave.Error, EOFError, struct.error) as exc:
+    except ValueError:
+        raise
+    except Exception as exc:
         # contract: ValueError on malformed input, whatever the stdlib
-        # module raised internally
-        raise ValueError(f"wav: truncated or malformed ({exc})") from exc
+        # wave/chunk internals raised — fuzzing surfaced wave.Error,
+        # EOFError, struct.error AND a bare RuntimeError (wave.py:155),
+        # so enumerating types is a losing game for a parser we don't
+        # own; anything it throws on these bytes means malformed input
+        raise ValueError(f"wav: truncated or malformed ({exc!r})") from exc
 
 
 def _sniff_flac(data: bytes) -> dict:

@@ -172,3 +172,23 @@ def test_avi_idx1_offsets_point_at_frame_ckids():
         assert data[movi_pos + off:movi_pos + off + 4] == b"00dc"
         (chunk_size,) = struct.unpack_from("<I", data, movi_pos + off + 4)
         assert chunk_size == size == len(frames[k])
+
+
+@settings(max_examples=120, deadline=None)
+@given(st.binary(min_size=0, max_size=300))
+def test_avi_parser_exception_contract_fuzz(data):
+    """For arbitrary bytes — raw, RIFF-prefixed, and spliced into a
+    valid container's movi region — the parser either returns frames
+    or raises ValueError; no IndexError/struct.error leaks."""
+    valid = encode_avi([b"x" * 10], 8, 8)
+    for payload in (
+        data,
+        b"RIFF" + data,
+        b"RIFF" + struct.pack("<I", len(data) + 4) + b"AVI " + data,
+        valid[: len(valid) // 2] + data,
+    ):
+        for fn in (parse_avi_frames, avi_metadata):
+            try:
+                fn(payload)
+            except ValueError:
+                pass
