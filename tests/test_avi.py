@@ -192,3 +192,39 @@ def test_avi_parser_exception_contract_fuzz(data):
                 fn(payload)
             except ValueError:
                 pass
+
+
+def test_video_stage_invariants_at_larger_corpus(spark):
+    """Size-dependent regression guard (the 500-doc extract pattern):
+    run the video stage at ~8x the golden corpus size and machine-check
+    the structural invariants a fixed golden cannot — per-clip sampled
+    row count derived from the container's own header frame count, no
+    duplicate (clip, frame) pairs, and error classes landing per the
+    kind contract."""
+    n = 200
+    cfg = S.CorpusConfig(n_docs=1)
+    from mcp_ocr_server_spark.functions.multimodal import (
+        video_frame_features,
+    )
+
+    out = video_frame_features(S.video_df(spark, cfg, n=n)).collect()
+    by_ref: dict = {}
+    for r in out:
+        by_ref.setdefault(r.media_ref, []).append(r)
+    assert len(by_ref) == n
+    seen_pairs = set()
+    for j in range(n):
+        ref, data, kind = S.video_item(cfg, j)
+        rows = by_ref[ref]
+        for r in rows:
+            key = (r.media_ref, r.frame_idx)
+            assert key not in seen_pairs  # no duplicated frame rows
+            seen_pairs.add(key)
+        if kind in ("avi", "avi_opaque"):
+            n_frames = avi_metadata(data)["n_frames"]
+            expect = len(range(0, n_frames, 2))  # every_n = 2 default
+            assert len(rows) == expect, (ref, kind, n_frames, len(rows))
+            assert sorted(r.frame_idx for r in rows) == list(
+                range(0, n_frames, 2))
+        elif kind == "avi_truncated":
+            assert len(rows) == 1 and rows[0].frame_idx is None
