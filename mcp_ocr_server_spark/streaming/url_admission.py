@@ -59,6 +59,76 @@ def streaming_url_admission(
     )
 
 
+def streaming_robots_admission(
+    docs_stream: DataFrame, url_col: str = "url"
+) -> DataFrame:
+    """Robots-gated first-arrival admission — the full crawl-ingest
+    gate: the stateless RFC 9309 verdict (queries.robots_verdict,
+    shared VERBATIM with the batch q_url_robots — a row-local array
+    fold over a broadcast stream-static rules join, legal in append
+    mode because it aggregates nothing) drops disallowed URLs BEFORE
+    the stateful canonical-URL dedup, so a disallowed URL never
+    consumes admission state; the surviving stream then goes through
+    the same sharded first-seen operator as streaming_url_admission."""
+    from ..queries import robots_verdict, url_canonical
+
+    canon = docs_stream.select(
+        "doc_id", url_canonical(url_col).alias("canonical_url")
+    )
+    urls = canon.select(
+        "doc_id",
+        "canonical_url",
+        F.regexp_extract(
+            "canonical_url", r"^https?://([^/?#]+)", 1
+        ).alias("host"),
+        F.regexp_extract(
+            "canonical_url", r"^https?://[^/?#]+([^?#]*)", 1
+        ).alias("path"),
+    )
+    allowed = (
+        robots_verdict(urls)
+        .filter(F.col("allowed"))
+        .select("doc_id", "canonical_url")
+        .withColumn("h", F.md5("canonical_url"))
+    )
+    return (
+        allowed.withColumn("shard", F.substring("h", 1, 2))
+        .groupBy("shard")
+        .applyInPandasWithState(
+            _admit_fn,
+            outputStructType=OUTPUT_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def run_streaming_robots_admission(
+    spark,
+    docs_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+):
+    """File-source wiring for the robots-gated admission chain."""
+    stream = (
+        spark.readStream.schema("doc_id long, source string, url string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(docs_dir)
+    )
+    admitted = streaming_robots_admission(stream)
+    writer = (
+        admitted.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def run_streaming_url_admission(
     spark,
     docs_dir: str,

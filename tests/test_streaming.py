@@ -708,3 +708,42 @@ def test_streaming_url_admission_matches_batch(spark, tmp_path):
     # every admitted doc_id really carries that canonical URL in batch
     pair_ok = {(r.canonical_url, r.doc_id) for r in batch}
     assert all((r.canonical_url, r.doc_id) in pair_ok for r in got)
+
+
+def test_streaming_robots_admission_matches_batch(spark, tmp_path):
+    """Robots-gated streaming admission: the admitted canonical-URL
+    set equals {canonical URLs carried by at least one robots-ALLOWED
+    doc} derived from the two batch queries, every admitted doc is
+    itself allowed, and one admission per URL across micro-batches."""
+    from mcp_ocr_server_spark import queries as Q
+    from mcp_ocr_server_spark.streaming.url_admission import (
+        run_streaming_robots_admission,
+    )
+
+    SF = "/root/testdata/sf0.001"
+    aug = Q._url_augment(
+        Q._t(spark, SF, "documents").select("doc_id", "source")
+    )
+    landing = str(tmp_path / "docs_landing")
+    aug.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.parquet(
+        landing, mode="append"
+    )
+    aug.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.parquet(
+        landing, mode="append"
+    )
+    q = run_streaming_robots_admission(
+        spark, landing, str(tmp_path / "r_out"), str(tmp_path / "r_ckpt"),
+    )
+    q.awaitTermination(300)
+
+    got = spark.read.parquet(str(tmp_path / "r_out")).collect()
+    verdict = {r.doc_id: r.allowed
+               for r in Q.QUERIES["url_robots"][0](spark, SF).collect()}
+    canon = {r.doc_id: r.canonical_url
+             for r in Q.QUERIES["url_dedup"][0](spark, SF).collect()}
+    want_urls = {canon[d] for d, ok in verdict.items() if ok}
+    assert {r.canonical_url for r in got} == want_urls
+    assert len(got) == len({r.canonical_url for r in got})  # one each
+    for r in got:
+        assert verdict[r.doc_id], r  # never admits a disallowed doc
+        assert canon[r.doc_id] == r.canonical_url
