@@ -45,7 +45,7 @@ def _sniff_wav(data: bytes) -> dict:
         with wave.open(io.BytesIO(data), "rb") as w:
             rate = w.getframerate()
             n = w.getnframes()
-            return dict(
+            meta = dict(
                 format="wav", codec="pcm_s%dle" % (8 * w.getsampwidth()),
                 sample_rate=rate, channels=w.getnchannels(),
                 duration_s=(n / rate) if rate else None, pcm_md5=None,
@@ -59,6 +59,12 @@ def _sniff_wav(data: bytes) -> dict:
         # so enumerating types is a losing game for a parser we don't
         # own; anything it throws on these bytes means malformed input
         raise ValueError(f"wav: truncated or malformed ({exc!r})") from exc
+    if rate == 0:
+        # stdlib wave validates channels/width but NOT framerate; a
+        # declared rate of 0 must be an error row, not a silent zero
+        # (the same rule flac/ogg already enforce)
+        raise ValueError("wav: fmt chunk declares sample rate 0")
+    return meta
 
 
 def _sniff_flac(data: bytes) -> dict:

@@ -37,17 +37,16 @@ STATE_SCHEMA = "seen array<string>, n_admitted long"
 _admit_fn = make_first_seen_fn("h", ["canonical_url", "doc_id"])
 
 
-def streaming_url_admission(
-    docs_stream: DataFrame, url_col: str = "url"
-) -> DataFrame:
-    """(doc_id, url) stream → first-admitted (canonical_url, doc_id)."""
-    from ..queries import url_canonical
-
-    canon = docs_stream.select(
-        "doc_id", url_canonical(url_col).alias("canonical_url")
-    ).withColumn("h", F.md5("canonical_url"))
+def _admit_first_seen(canon: DataFrame) -> DataFrame:
+    """Shared tail of every admission variant: md5-shard the canonical
+    URL into 256 state partitions and run the first-seen operator.
+    ONE copy — a change to shard width, state schema, or timeout must
+    hit the plain and robots-gated paths together (review finding:
+    the two tails were verbatim copies that could drift, the same
+    class the _admit_fn factoring already fixed once)."""
     return (
-        canon.withColumn("shard", F.substring("h", 1, 2))
+        canon.withColumn("h", F.md5("canonical_url"))
+        .withColumn("shard", F.substring("h", 1, 2))
         .groupBy("shard")
         .applyInPandasWithState(
             _admit_fn,
@@ -55,6 +54,19 @@ def streaming_url_admission(
             stateStructType=STATE_SCHEMA,
             outputMode="append",
             timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def streaming_url_admission(
+    docs_stream: DataFrame, url_col: str = "url"
+) -> DataFrame:
+    """(doc_id, url) stream → first-admitted (canonical_url, doc_id)."""
+    from ..queries import url_canonical
+
+    return _admit_first_seen(
+        docs_stream.select(
+            "doc_id", url_canonical(url_col).alias("canonical_url")
         )
     )
 
@@ -69,57 +81,43 @@ def streaming_robots_admission(
     mode because it aggregates nothing) drops disallowed URLs BEFORE
     the stateful canonical-URL dedup, so a disallowed URL never
     consumes admission state; the surviving stream then goes through
-    the same sharded first-seen operator as streaming_url_admission."""
-    from ..queries import robots_verdict, url_canonical
+    the same sharded first-seen operator as streaming_url_admission
+    (host/path extraction shared via queries.host_path_of)."""
+    from ..queries import host_path_of, robots_verdict, url_canonical
 
     canon = docs_stream.select(
         "doc_id", url_canonical(url_col).alias("canonical_url")
     )
+    host, path = host_path_of("canonical_url")
     urls = canon.select(
-        "doc_id",
-        "canonical_url",
-        F.regexp_extract(
-            "canonical_url", r"^https?://([^/?#]+)", 1
-        ).alias("host"),
-        F.regexp_extract(
-            "canonical_url", r"^https?://[^/?#]+([^?#]*)", 1
-        ).alias("path"),
+        "doc_id", "canonical_url",
+        host.alias("host"), path.alias("path"),
     )
-    allowed = (
+    return _admit_first_seen(
         robots_verdict(urls)
         .filter(F.col("allowed"))
         .select("doc_id", "canonical_url")
-        .withColumn("h", F.md5("canonical_url"))
-    )
-    return (
-        allowed.withColumn("shard", F.substring("h", 1, 2))
-        .groupBy("shard")
-        .applyInPandasWithState(
-            _admit_fn,
-            outputStructType=OUTPUT_SCHEMA,
-            stateStructType=STATE_SCHEMA,
-            outputMode="append",
-            timeoutConf=GroupStateTimeout.NoTimeout,
-        )
     )
 
 
-def run_streaming_robots_admission(
+def _run_admission(
     spark,
     docs_dir: str,
     out_dir: str,
     checkpoint_dir: str,
+    admit,
     available_now: bool = True,
 ):
-    """File-source wiring for the robots-gated admission chain."""
+    """File-source wiring shared by both admission runners: watch a
+    crawled-docs landing dir carrying a raw `url` column, emit
+    first-admitted rows."""
     stream = (
         spark.readStream.schema("doc_id long, source string, url string")
         .option("maxFilesPerTrigger", 1)
         .parquet(docs_dir)
     )
-    admitted = streaming_robots_admission(stream)
     writer = (
-        admitted.writeStream.outputMode("append")
+        admit(stream).writeStream.outputMode("append")
         .format("parquet")
         .option("path", out_dir)
         .option("checkpointLocation", checkpoint_dir)
@@ -130,26 +128,18 @@ def run_streaming_robots_admission(
 
 
 def run_streaming_url_admission(
-    spark,
-    docs_dir: str,
-    out_dir: str,
-    checkpoint_dir: str,
-    available_now: bool = True,
+    spark, docs_dir, out_dir, checkpoint_dir, available_now=True
 ):
-    """File-source wiring: watch a crawled-docs landing dir carrying a
-    raw `url` column, emit first-admitted rows."""
-    stream = (
-        spark.readStream.schema("doc_id long, source string, url string")
-        .option("maxFilesPerTrigger", 1)
-        .parquet(docs_dir)
+    return _run_admission(
+        spark, docs_dir, out_dir, checkpoint_dir,
+        streaming_url_admission, available_now,
     )
-    admitted = streaming_url_admission(stream)
-    writer = (
-        admitted.writeStream.outputMode("append")
-        .format("parquet")
-        .option("path", out_dir)
-        .option("checkpointLocation", checkpoint_dir)
+
+
+def run_streaming_robots_admission(
+    spark, docs_dir, out_dir, checkpoint_dir, available_now=True
+):
+    return _run_admission(
+        spark, docs_dir, out_dir, checkpoint_dir,
+        streaming_robots_admission, available_now,
     )
-    if available_now:
-        writer = writer.trigger(availableNow=True)
-    return writer.start()

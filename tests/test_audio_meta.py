@@ -158,6 +158,11 @@ def test_sniff_exception_contract_fuzz_magic_prefixed(data):
                   b"ID3", b"\xff\xfb"):
         payload = magic + data
         try:
-            sniff_audio(payload)
+            m = sniff_audio(payload)
         except ValueError:
-            pass
+            continue
+        # success must mean WELL-FORMED metadata — no silent zeros
+        # (the rate-0 WAV hole a review caught sailed through when
+        # this branch asserted nothing)
+        assert m["sample_rate"] > 0 and m["channels"] >= 1, m
+        assert m["format"] in ("wav", "flac", "ogg", "mp3")

@@ -268,3 +268,29 @@ def test_url_robots_longest_match_semantics(spark):
             assert r.allowed == (not expect_block), (b, r)
     # the corpus must actually exercise at least 4 of 5 buckets
     assert sum(1 for v in by_bucket.values() if v) >= 4, by_bucket
+
+
+def test_url_robots_empty_path_matches_as_root(spark):
+    """RFC 9309: a URL with no path component matches rules as '/' —
+    a site-wide Disallow must gate the homepage even though the
+    canonicalizer strips the trailing slash (review finding: the
+    synthetic corpus always carries '/docs/N' paths, so only a
+    constructed root URL exercises this)."""
+    import hashlib
+
+    def bucket(h):
+        return int(hashlib.md5(h.encode()).hexdigest()[:6], 16) % 5
+
+    host3 = next(f"h{i}.example.com" for i in range(1000)
+                 if bucket(f"h{i}.example.com") == 3)
+    host0 = next(f"h{i}.example.com" for i in range(1000)
+                 if bucket(f"h{i}.example.com") == 0)
+    urls = spark.createDataFrame(
+        [(1, host3, ""), (2, host3, "/docs/2"), (3, host0, "")],
+        "doc_id long, host string, path string",
+    )
+    rows = {r.doc_id: r for r in Q.robots_verdict(urls).collect()}
+    # bucket 3 = Disallow '/' with Allow '/docs/2' carve-out
+    assert not rows[1].allowed and rows[1].matched_rule == "/"
+    assert rows[2].allowed and rows[2].matched_rule == "/docs/2"
+    assert rows[3].allowed and rows[3].matched_rule is None  # no rules
