@@ -170,7 +170,7 @@ def main() -> None:
         "doc_fingerprint", "repetition_stats", "quality_filter",
         "source_gate",
         "pii_scrub", "line_dedup", "dedup_substring", "text_normalize",
-        "doc_chunks", "lm_score", "lm_buckets",
+        "doc_chunks", "lm_score", "lm_buckets", "lm_buckets_sampled",
         "source_quota",
         "events_json", "event_quantiles", "event_cardinality",
         "event_funnel", "user_retention",
