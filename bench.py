@@ -153,12 +153,13 @@ def main() -> None:
         "dedup_clusters",
         "dedup_incremental", "dedup_lsh_buckets",
         "dedup_embedding",
-        # ann_recall_eval, dedup_pair_eval, winnow_pair_eval and
-        # dedup_canonical are
+        # ann_recall_eval, dedup_pair_eval, winnow_pair_eval,
+        # lm_bucket_eval, split_leakage and dedup_canonical are
         # registry/correctness-only: each re-runs queries timed above
-        # (the three ANN queries; the minhash pair miner; the simhash
-        # cluster resolution), so timing them in the headline total
-        # would double-count work already measured
+        # (the three ANN queries; the minhash pair miner; both lm
+        # bucket paths; the simhash cluster resolution), so timing
+        # them in the headline total would double-count work already
+        # measured
         # dedup_semantic directly follows ann_ivf: both are steady-state
         # consumers of the codebook trained (and timed) as ann_ivf_train,
         # and no cache-clearing run() may intervene between them

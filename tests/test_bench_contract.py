@@ -12,8 +12,15 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def test_bench_json_contract():
-    env = dict(os.environ, BENCH_DOCS="64",
-               BENCH_QUERIES="extract_e2e,lang_id,doc_fingerprint")
+    # ONE subprocess covers both halves of the contract (JSON shape
+    # AND the stderr warnings): each run pays full JVM bring-up, so a
+    # second invocation doubles the wall-clock for nothing (review)
+    env = dict(
+        os.environ, BENCH_DOCS="64",
+        BENCH_QUERIES=(
+            "extract_e2e,lang_id,doc_fingerprint,winnow_pair_eval,typo_x"
+        ),
+    )
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py")],
         env=env, cwd=REPO, capture_output=True, text=True, timeout=420,
@@ -24,8 +31,11 @@ def test_bench_json_contract():
     d = json.loads(lines[0])
     assert d["metric"] == "headline_queries_total_seconds"
     assert d["unit"] == "sec" and d["value"] > 0
+    # the unknown and deliberately-untimed names are EXCLUDED from the
+    # JSON and warned about on stderr (never stdout)
     assert set(d["queries"]) == {"extract_e2e", "lang_id",
                                  "doc_fingerprint"}
+    assert "typo_x" in out.stderr and "winnow_pair_eval" in out.stderr
     # every timed query carries rows and a shuffle-write delta
     assert set(d["rows"]) == set(d["queries"])
     assert set(d["shuffle_write_mb"]) == set(d["queries"])
@@ -34,15 +44,3 @@ def test_bench_json_contract():
     assert d["docs_per_sec"] > 0 and d["n_docs"] == 64
     # doc_fingerprint's zero-shuffle contract, visible in telemetry
     assert d["shuffle_write_mb"]["doc_fingerprint"] == 0.0
-    # the unknown/untimed warnings must go to stderr, not pollute stdout
-    env2 = dict(env, BENCH_QUERIES="lang_id,winnow_pair_eval,typo_x")
-    out2 = subprocess.run(
-        [sys.executable, os.path.join(REPO, "bench.py")],
-        env=env2, cwd=REPO, capture_output=True, text=True, timeout=420,
-    )
-    assert out2.returncode == 0
-    assert "typo_x" in out2.stderr and "winnow_pair_eval" in out2.stderr
-    d2 = json.loads(
-        [ln for ln in out2.stdout.splitlines() if ln.startswith("{")][0]
-    )
-    assert set(d2["queries"]) == {"lang_id"}
