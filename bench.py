@@ -1,12 +1,19 @@
 """Benchmark harness (driver contract).
 
 Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
-/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
-line:
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+COMPACT JSON line (the driver tail-captures stdout with a ~2000-char
+buffer — the r4 line outgrew it and parsed as null):
 
-    {"metric": "...", "value": N, "unit": "sec",
-     "queries": {...per-query seconds...}, "sf": ...,
-     "docs_per_sec": ..., "n_docs": ..., "cpus": ...}
+    {"metric": "...", "value": N, "unit": "sec", "sf": ..., "cpus": ...,
+     "n_docs": ..., "n_queries": ..., "total_shuffle_mb": ...,
+     "docs_per_sec": ..., "detail": "BENCH_DETAIL.json",
+     "queries": {...most-expensive timings that fit the line budget...},
+     "queries_omitted": K}
+
+The FULL per-query detail (all timings, row counts, shuffle-write MB)
+is written to $BENCH_DETAIL_PATH (default <repo>/BENCH_DETAIL.json),
+committed per round for round-over-round comparison.
 
 The flagship entry is the end-to-end extraction job over the synthetic
 interleaved-docs corpus (size via $BENCH_DOCS, default 600 — media
@@ -149,7 +156,7 @@ def main() -> None:
         "bm25_search", "fingerprint_winnow", "dedup_winnow_pairs",
         "dedup_exact", "dedup_ngram_jaccard", "dedup_minhash",
         "dedup_minhash_pairs",
-        "dedup_simhash", "dedup_simhash_pairs", "dedup_source_matrix",
+        "dedup_simhash", "dedup_source_matrix", "dedup_simhash_pairs",
         "dedup_clusters",
         "dedup_incremental", "dedup_lsh_buckets",
         "dedup_embedding",
@@ -274,23 +281,82 @@ def main() -> None:
                     lambda: len(Q.ann_ivf_train(spark, sf_dir)),
                 )
             run_warm(name, lambda qfn=qfn: force(qfn(spark, sf_dir)))
+        elif name == "dedup_clusters":
+            # VERDICT r4 "What's wrong #3": under cold isolation the
+            # CC query re-mined the simhash pairs (~3.5 s) before the
+            # label loop, double-counting work already measured as
+            # dedup_simhash_pairs.  Same treatment as ann_ivf_train:
+            # the pair mine is timed as its own line (immediately
+            # above in the list, result persisted by the query), and
+            # clusters runs WARM so its number is the steady-state
+            # label-propagation loop over the mined pair table.
+            if (
+                selected is None or name in selected
+            ) and "dedup_simhash_pairs" not in timings:
+                Q.clear_caches(spark)
+                _timed(
+                    "dedup_simhash_pairs",
+                    lambda: force(
+                        Q.QUERIES["dedup_simhash_pairs"][0](spark, sf_dir)
+                    ),
+                )
+            run_warm(name, lambda qfn=qfn: force(qfn(spark, sf_dir)))
         else:
             run(name, lambda qfn=qfn: force(qfn(spark, sf_dir)))
 
     total = round(sum(timings.values()), 3)
-    out = {
+    # Full per-query detail goes to a SIDECAR file: with ~90 queries the
+    # three per-query dicts pushed the stdout line past the driver's
+    # tail-capture buffer and BENCH_r04.json came back parsed:null
+    # (VERDICT r4 "What's wrong #1").  The stdout line keeps the
+    # headline fields plus as many of the most expensive per-query
+    # timings as fit a hard line budget; everything lives in the
+    # sidecar.
+    detail = {
         "metric": "headline_queries_total_seconds",
         "value": total,
         "unit": "sec",
-        "queries": timings,
         "sf": sf,
         "cpus": cpus,
         "n_docs": n_docs,
+        "queries": timings,
         "rows": n_rows,
         "shuffle_write_mb": shuffle_mb,
     }
     if "extract_e2e" in timings and timings["extract_e2e"] > 0:
-        out["docs_per_sec"] = round(n_docs / timings["extract_e2e"], 2)
+        detail["docs_per_sec"] = round(n_docs / timings["extract_e2e"], 2)
+    detail_path = os.environ.get(
+        "BENCH_DETAIL_PATH",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "BENCH_DETAIL.json"),
+    )
+    with open(detail_path, "w") as fh:
+        json.dump(detail, fh, indent=1, sort_keys=True)
+
+    out = {
+        "metric": detail["metric"],
+        "value": total,
+        "unit": "sec",
+        "sf": sf,
+        "cpus": cpus,
+        "n_docs": n_docs,
+        "n_queries": len(timings),
+        "total_shuffle_mb": round(sum(shuffle_mb.values()), 1),
+        "detail": os.path.basename(detail_path),
+        "queries": {},
+    }
+    if "docs_per_sec" in detail:
+        out["docs_per_sec"] = detail["docs_per_sec"]
+    # most-expensive-first, admitted while the serialized line stays
+    # under the budget; the driver's tail capture truncates somewhere
+    # past ~2000 chars, so stop well short of it
+    line_budget = int(os.environ.get("BENCH_LINE_BUDGET", "1400"))
+    for qname in sorted(timings, key=timings.get, reverse=True):
+        out["queries"][qname] = timings[qname]
+        if len(json.dumps(out)) > line_budget:
+            del out["queries"][qname]
+            break
+    out["queries_omitted"] = len(timings) - len(out["queries"])
     print(json.dumps(out))
     spark.stop()
 

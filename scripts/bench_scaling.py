@@ -21,6 +21,7 @@ import json
 import os
 import subprocess
 import sys
+import tempfile
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 N_DOCS = int(os.environ.get("SCALING_DOCS", "24000"))
@@ -83,23 +84,31 @@ def run_at(cpus: int, query: str = "extract_e2e",
     """Best-of-N: the host shows ~5 cores of phantom co-tenant load
     (loadavg ~5 with no local process), so single runs vary up to 1.5x;
     the minimum wall across repeats is the least-interference estimate."""
+    detail_path = os.path.join(
+        tempfile.gettempdir(), f"bench_scaling_detail_{os.getpid()}.json"
+    )
     env = dict(
         os.environ,
         SPARK_GRAFT_CPUS=str(cpus),
         BENCH_DOCS=str(N_DOCS),
         BENCH_QUERIES=query,
+        # the stdout line is compact (r5 bench contract); the sidecar
+        # carries the full per-query detail this script consumes
+        BENCH_DETAIL_PATH=detail_path,
     )
     if sf_dir is not None:
         env["SPARK_GRAFT_SF_DIR"] = sf_dir
     best = None
     for _ in range(REPEATS):
-        out = subprocess.run(
+        subprocess.run(
             [sys.executable, os.path.join(REPO, "bench.py")],
             env=env, capture_output=True, text=True, timeout=1800,
         )
-        r = json.loads(out.stdout.strip().splitlines()[-1])
+        with open(detail_path) as fh:
+            r = json.load(fh)
         if best is None or r["queries"][query] < best["queries"][query]:
             best = r
+    os.unlink(detail_path)
     return best
 
 

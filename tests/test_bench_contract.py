@@ -1,7 +1,14 @@
 """The driver consumes bench.py's single JSON line — pin its contract
 (a bench.py edit that breaks JSON emission or drops a field would
 otherwise surface only in the driver's per-round BENCH_r{N} capture,
-after the fact)."""
+after the fact).
+
+Round-5 shape (VERDICT r4 "What's wrong #1"): the stdout line is
+COMPACT — headline fields plus the most expensive per-query timings
+that fit a hard line budget — and the full per-query detail (all
+timings, rows, shuffle-write MB) lives in the BENCH_DETAIL.json
+sidecar.  The r4 line carried three ~90-entry dicts and outgrew the
+driver's tail-capture buffer, so BENCH_r04.json parsed as null."""
 
 import json
 import os
@@ -11,12 +18,13 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def test_bench_json_contract():
+def test_bench_json_contract(tmp_path):
     # ONE subprocess covers both halves of the contract (JSON shape
     # AND the stderr warnings): each run pays full JVM bring-up, so a
     # second invocation doubles the wall-clock for nothing (review)
+    detail_path = str(tmp_path / "BENCH_DETAIL.json")
     env = dict(
-        os.environ, BENCH_DOCS="64",
+        os.environ, BENCH_DOCS="64", BENCH_DETAIL_PATH=detail_path,
         BENCH_QUERIES=(
             "extract_e2e,lang_id,doc_fingerprint,winnow_pair_eval,typo_x"
         ),
@@ -28,6 +36,10 @@ def test_bench_json_contract():
     assert out.returncode == 0, out.stderr[-2000:]
     lines = [ln for ln in out.stdout.splitlines() if ln.startswith("{")]
     assert len(lines) == 1, out.stdout[-2000:]
+    # the driver tail-captures stdout: the line must stay well under
+    # its ~2000-char buffer even when all ~90 queries run (here only 3
+    # run, but the budget logic caps the line regardless of count)
+    assert len(lines[0]) <= 1500, len(lines[0])
     d = json.loads(lines[0])
     assert d["metric"] == "headline_queries_total_seconds"
     assert d["unit"] == "sec" and d["value"] > 0
@@ -35,12 +47,28 @@ def test_bench_json_contract():
     # JSON and warned about on stderr (never stdout)
     assert set(d["queries"]) == {"extract_e2e", "lang_id",
                                  "doc_fingerprint"}
+    assert d["queries_omitted"] == 0 and d["n_queries"] == 3
     assert "typo_x" in out.stderr and "winnow_pair_eval" in out.stderr
-    # every timed query carries rows and a shuffle-write delta
-    assert set(d["rows"]) == set(d["queries"])
-    assert set(d["shuffle_write_mb"]) == set(d["queries"])
-    assert all(v >= 0 for v in d["shuffle_write_mb"].values())
-    assert d["rows"]["lang_id"] > 0
     assert d["docs_per_sec"] > 0 and d["n_docs"] == 64
-    # doc_fingerprint's zero-shuffle contract, visible in telemetry
-    assert d["shuffle_write_mb"]["doc_fingerprint"] == 0.0
+    assert d["total_shuffle_mb"] >= 0
+    assert d["detail"] == "BENCH_DETAIL.json"
+
+    # the sidecar carries the FULL per-query detail
+    det = json.load(open(detail_path))
+    # stdout timings are a verbatim subset of the sidecar's
+    assert all(det["queries"][k] == v for k, v in d["queries"].items())
+    assert set(det["queries"]) == {"extract_e2e", "lang_id",
+                                   "doc_fingerprint"}
+    # every timed query carries rows and a shuffle-write delta
+    assert set(det["rows"]) == set(det["queries"])
+    assert set(det["shuffle_write_mb"]) == set(det["queries"])
+    assert all(v >= 0 for v in det["shuffle_write_mb"].values())
+    assert det["rows"]["lang_id"] > 0
+    assert det["docs_per_sec"] == d["docs_per_sec"]
+    # doc_fingerprint's zero-shuffle contract: the PLAN property is
+    # pinned by test_doc_fingerprint_plan_is_shuffle_free; the
+    # status-store telemetry is asynchronous (attribution is accurate
+    # to "a few stage-completion events"), so assert a small epsilon
+    # rather than an exact 0.0 that a slow status bus can flake
+    # (ADVICE r4).
+    assert det["shuffle_write_mb"]["doc_fingerprint"] <= 0.5
