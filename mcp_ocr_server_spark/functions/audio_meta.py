@@ -129,7 +129,13 @@ def _sniff_ogg(data: bytes) -> dict:
     if len(data) < 28:
         raise ValueError("ogg: truncated first page")
     n_segs = data[26]
-    body = data[27 + n_segs:]
+    # Bound the id packet to the FIRST page's body (sum of its lacing
+    # values, same walk as _ogg_last_granule).  An unbounded data[...:]
+    # slice would read the NEXT page's header bytes as channels/rate
+    # when a malformed first page carries an under-sized body —
+    # returning garbage metadata instead of refusing loudly (ADVICE r4).
+    body_len = sum(data[27:27 + n_segs])
+    body = data[27 + n_segs:27 + n_segs + body_len]
     pre_skip = 0
     if body[:7] == b"\x01vorbis":
         if len(body) < 16:

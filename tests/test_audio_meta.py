@@ -88,6 +88,23 @@ def test_sniff_refuses_unknown_and_truncated():
                                 * 3, 0))  # 13-byte body, rate cut off
 
 
+def test_sniff_ogg_bounds_id_packet_to_first_page_body():
+    """The id packet slice must be bounded by the first page's summed
+    lacing values: a malformed first page whose body is under 16 bytes
+    followed by another page must refuse loudly, not silently read the
+    NEXT page's header bytes as channels/sample_rate (ADVICE r4)."""
+    # 12-byte body: valid '\x01vorbis' prefix but the rate field is cut
+    short = b"\x01vorbis" + struct.pack("<I", 0)
+    data = S._ogg_page(0, short, 0) + S._ogg_page(88200, b"\x00" * 9, 1)
+    with pytest.raises(ValueError, match="truncated vorbis id header"):
+        sniff_audio(data)
+    # same shape, non-codec prefix: unknown, never next-page garbage
+    data = S._ogg_page(0, b"\x00nothere", 0) + S._ogg_page(
+        88200, b"\x00" * 9, 1)
+    with pytest.raises(ValueError, match="unknown codec"):
+        sniff_audio(data)
+
+
 def test_sniff_ogg_granule_ignores_capture_pattern_in_payload():
     """Ogg does NOT escape 'OggS' inside packet bodies; the duration
     walk must follow page lengths forward, not scan backwards for the
