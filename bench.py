@@ -80,7 +80,8 @@ def main() -> None:
     # it would re-render every image and time corpus synthesis instead
     # of extraction.
     corpus_dir = os.environ.get(
-        "BENCH_INPUT_DIR", f"/tmp/bench_corpus_{n_docs}"
+        "BENCH_INPUT_DIR",
+        f"/tmp/bench_corpus_{n_docs}_v{S.CORPUS_VERSION}",
     )
     if not os.path.exists(os.path.join(corpus_dir, "docs", "_SUCCESS")):
         S.docs_df(spark, corpus).write.mode("overwrite").parquet(
@@ -104,7 +105,8 @@ def main() -> None:
     # plain extract_e2e stays pdf-free so its number remains comparable
     # round-over-round
     inter_dir = os.environ.get(
-        "BENCH_INTER_DIR", f"/tmp/bench_corpus_{n_docs}_pdf"
+        "BENCH_INTER_DIR",
+        f"/tmp/bench_corpus_{n_docs}_pdf_v{S.CORPUS_VERSION}",
     )
     inter_corpus = S.CorpusConfig(n_docs=n_docs, p_pdf=0.2)
     if (selected is None or "extract_e2e_interleaved" in selected) and (

@@ -14,11 +14,16 @@ Documented scope (honest limits, stated where a user hits them):
     there is no way to fix that without the font tables; callers get
     whatever bytes the string held (same behavior as `strings`-style
     extractors).
-  - unencrypted documents (an /Encrypt trailer raises ValueError).
-  - classic-xref documents (PDF <= 1.4 layout).  1.5+ compressed
-    cross-reference / object streams (/XRef, /ObjStm) hide page objects
-    where a flat scan cannot see them — those files raise ValueError
-    rather than silently extracting nothing.
+  - unencrypted documents (an /Encrypt entry — in the classic trailer
+    or in a 1.5+ /XRef stream dict — raises ValueError).
+  - classic-xref (PDF <= 1.4) AND 1.5+ compressed-object layouts: the
+    objects hidden inside Flate /ObjStm payloads are expanded into the
+    object table (ISO 32000-1 §7.5.7), and for trailer-less files the
+    /XRef stream's dict is treated as the trailer.  The /XRef offset
+    table itself is never decoded — the sequential scan plus ObjStm
+    expansion reaches every object without it.  ObjStm payloads with
+    /DecodeParms predictors refuse loudly (an /XRef-stream idiom,
+    rare on ObjStm).
   - stream payload extents come from the dict's direct /Length when it
     is present and consistent (so payloads containing 'endstream'
     bytes parse correctly); indirect or wrong /Length falls back to
@@ -230,6 +235,53 @@ def _stream_of(obj: _Obj | None) -> bytes | None:
     )
 
 
+def _expand_objstms(objs: dict[int, _Obj]) -> None:
+    """Inline the objects stored inside /ObjStm streams (PDF 1.5+
+    compressed object storage, ISO 32000-1 §7.5.7).
+
+    The decompressed payload is N whitespace-separated (objnum, offset)
+    integer pairs, then — starting at /First — the concatenated object
+    bodies.  Only plain objects may live in an ObjStm (streams cannot),
+    so every entry becomes an _Obj(body, None).  We never decode the
+    /XRef stream's offset table: the flat scan already found every
+    top-level object, and this expansion surfaces the compressed ones,
+    which together is the full object set a reader reached via xref.
+    Entries do not overwrite a same-numbered top-level object (we
+    ignore generations; the flat-scanned copy is from the same file).
+
+    Raises ValueError on structural corruption (missing /N or /First,
+    header shorter than the pair count) and on /DecodeParms predictors
+    (rare on ObjStm — predictors are an /XRef-stream idiom — and
+    out of scope like the non-Flate filters)."""
+    stms = [
+        o for o in objs.values()
+        if o.stream is not None
+        and re.search(rb"/Type\s*/ObjStm\b", o.body)
+    ]
+    for o in stms:
+        if re.search(rb"/DecodeParms\b", o.body):
+            raise ValueError(
+                "ObjStm with /DecodeParms (predictor) unsupported"
+            )
+        payload = _stream_of(o)
+        nm = re.search(rb"/N\s+(\d+)", o.body)
+        fm = re.search(rb"/First\s+(\d+)", o.body)
+        if payload is None or nm is None or fm is None:
+            raise ValueError("ObjStm missing /N or /First")
+        n, first = int(nm.group(1)), int(fm.group(1))
+        header = payload[:first].split()
+        if len(header) < 2 * n:
+            raise ValueError("ObjStm header shorter than /N pairs")
+        pairs = [
+            (int(header[2 * i]), int(header[2 * i + 1]))
+            for i in range(n)
+        ]
+        for i, (num, off) in enumerate(pairs):
+            end = first + pairs[i + 1][1] if i + 1 < n else len(payload)
+            if num not in objs:
+                objs[num] = _Obj(payload[first + off:end], None)
+
+
 def _page_order(data: bytes, objs: dict[int, _Obj]) -> list[int]:
     """Page object numbers in reading order via the /Root -> /Pages ->
     /Kids tree; falls back to object-number order of /Type /Page
@@ -347,24 +399,33 @@ def extract_pdf_text(data: bytes) -> list[str]:
         if re.search(rb"/Encrypt\b", tm.group(1)):
             raise ValueError("encrypted PDF: decryption unsupported")
     objs = _objects(data)
-    # PDF 1.5+ cross-reference / object streams: page objects live
-    # INSIDE compressed /ObjStm payloads and the trailer dict inside a
-    # /XRef stream, so the flat object scan would silently return
-    # n_pages=0 (and miss /Encrypt).  Refuse loudly instead — same
-    # principle as the unsupported-filter and encryption paths.  The
-    # /Type check runs on parsed object HEADS, not the whole file, so
-    # page text that merely mentions these names cannot false-positive.
+    # PDF 1.5+ layout: with no 'trailer' keyword the trailer dict IS
+    # the /XRef stream's dict (its head sits UNCOMPRESSED in the file,
+    # so the flat scan sees it) — that is where /Encrypt lives for
+    # these files, and the check must run BEFORE ObjStm expansion or
+    # an encrypted payload would surface as a zlib error instead of
+    # the contract's refusal.  The /Type checks run on parsed object
+    # HEADS, not the whole file, so page text that merely mentions
+    # these names cannot false-positive.
     if b"trailer" not in data:
-        raise ValueError(
-            "PDF 1.5+ cross-reference stream (no trailer keyword):"
-            " compressed xref unsupported"
-        )
-    for o in objs.values():
-        if re.search(rb"/Type\s*/(?:XRef|ObjStm)\b", o.body):
+        xref_heads = [
+            o.body for o in objs.values()
+            if o.stream is not None
+            and re.search(rb"/Type\s*/XRef\b", o.body)
+        ]
+        if not xref_heads:
             raise ValueError(
-                "PDF 1.5+ object/xref streams (/ObjStm, /XRef):"
-                " compressed object storage unsupported"
+                "no trailer keyword and no /XRef stream:"
+                " cross-reference unparseable"
             )
+        for h in xref_heads:
+            if re.search(rb"/Encrypt\b", h):
+                raise ValueError(
+                    "encrypted PDF: decryption unsupported"
+                )
+    # surface objects hidden inside /ObjStm payloads (PDF 1.5+
+    # compressed object storage) — the r4 refusal path, now parsed
+    _expand_objstms(objs)
     out: list[str] = []
     for pnum in _page_order(data, objs):
         body = objs[pnum].body

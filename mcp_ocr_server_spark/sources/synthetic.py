@@ -703,6 +703,12 @@ PDF_MEDIA_SCHEMA = "media_ref string, bytes binary, kind string"
 
 N_PDF_DOCS = 36  # fixed: goldens for this corpus are committed
 
+# Bump when any generator's OUTPUT changes: consumers that cache a
+# materialized corpus on disk (bench.py's /tmp parquet) key their cache
+# dirs on this, so a generator edit cannot silently benchmark (or
+# golden-check) a stale corpus.
+CORPUS_VERSION = 2
+
 # The four-kind interleaved corpus (text/html/image/pdf in one doc
 # stream) — single source of truth shared by queries.q_extract_interleaved
 # and scripts/gen_fixtures.gen_interleaved_spans, so goldens can never be
@@ -775,11 +781,118 @@ def make_pdf_bytes(pages: list[list[str]], compress: bool = False) -> bytes:
     return bytes(out)
 
 
+def make_pdf15_bytes(pages: list[list[str]]) -> bytes:
+    """PDF 1.5 compressed-object layout (ISO 32000-1 §7.5.7-7.5.8),
+    the structure most post-2005 generators emit: catalog / page tree /
+    font / page dicts live inside a Flate /ObjStm, the cross-reference
+    is a binary /XRef STREAM (W [1 2 2], type-1 rows for top-level
+    objects, type-2 rows for ObjStm members), and there is NO 'trailer'
+    keyword — the XRef stream's dict is the trailer.  Content streams
+    stay top-level (streams may not live inside an ObjStm).
+    Deterministic, like make_pdf_bytes."""
+    import struct
+    import zlib
+
+    n = len(pages)
+    # object numbering: 1..n content streams, n+1 ObjStm, then the
+    # ObjStm members (catalog n+2, pages n+3, font n+4, page dicts
+    # n+5..), and the /XRef stream last
+    objstm_num = n + 1
+    cat, pgs, font = n + 2, n + 3, n + 4
+    page_nums = [n + 5 + i for i in range(n)]
+    xref_num = n + 5 + n
+    size = xref_num + 1
+
+    contents: list[bytes] = []
+    for lines in pages:
+        parts = [b"BT /F1 12 Tf 72 720 Td"]
+        for k, line in enumerate(lines):
+            if k:
+                parts.append(b"0 -14 Td")
+            parts.append(b"(" + _pdf_escape(line) + b") Tj")
+        parts.append(b"ET")
+        payload = zlib.compress(b" ".join(parts))
+        contents.append(
+            b"<< /Length " + str(len(payload)).encode()
+            + b" /Filter /FlateDecode >>\nstream\n" + payload
+            + b"\nendstream"
+        )
+
+    kids = " ".join(f"{p} 0 R" for p in page_nums).encode()
+    members: list[tuple[int, bytes]] = [
+        (cat, b"<< /Type /Catalog /Pages " + str(pgs).encode()
+         + b" 0 R >>"),
+        (pgs, b"<< /Type /Pages /Kids [" + kids + b"] /Count "
+         + str(n).encode() + b" >>"),
+        (font, b"<< /Type /Font /Subtype /Type1 /BaseFont"
+         b" /Helvetica >>"),
+    ]
+    for i, p in enumerate(page_nums):
+        members.append((
+            p,
+            b"<< /Type /Page /Parent " + str(pgs).encode()
+            + b" 0 R /MediaBox [0 0 612 792] /Resources"
+            b" << /Font << /F1 3 0 R >> >> /Contents "
+            + str(i + 1).encode() + b" 0 R >>",
+        ))
+    bodies = b" ".join(b for _, b in members)
+    offs, pos = [], 0
+    for _, b in members:
+        offs.append(pos)
+        pos += len(b) + 1  # the joining space
+    header = " ".join(
+        f"{num} {off}" for (num, _), off in zip(members, offs)
+    ).encode() + b"\n"
+    stm_payload = zlib.compress(header + bodies)
+    objstm = (
+        b"<< /Type /ObjStm /N " + str(len(members)).encode()
+        + b" /First " + str(len(header)).encode()
+        + b" /Length " + str(len(stm_payload)).encode()
+        + b" /Filter /FlateDecode >>\nstream\n" + stm_payload
+        + b"\nendstream"
+    )
+
+    out = bytearray(b"%PDF-1.5\n")
+    top_offsets: dict[int, int] = {}
+    for num, body in [*zip(range(1, n + 1), contents),
+                      (objstm_num, objstm)]:
+        top_offsets[num] = len(out)
+        out += f"{num} 0 obj\n".encode() + body + b"\nendobj\n"
+    xref_at = len(out)
+
+    def row(t: int, a: int, b: int) -> bytes:
+        return struct.pack(">BHH", t, a, b)
+
+    rows = [row(0, 0, 65535)]
+    for num in range(1, size):
+        if num in top_offsets:
+            rows.append(row(1, top_offsets[num], 0))
+        elif num == xref_num:
+            rows.append(row(1, xref_at, 0))
+        else:  # ObjStm member: (container object, index within it)
+            idx = next(
+                i for i, (m, _) in enumerate(members) if m == num
+            )
+            rows.append(row(2, objstm_num, idx))
+    xdata = zlib.compress(b"".join(rows))
+    out += (
+        f"{xref_num} 0 obj\n".encode()
+        + b"<< /Type /XRef /Size " + str(size).encode()
+        + b" /Root " + str(cat).encode() + b" 0 R /W [1 2 2] /Index [0 "
+        + str(size).encode() + b"] /Length " + str(len(xdata)).encode()
+        + b" /Filter /FlateDecode >>\nstream\n" + xdata
+        + b"\nendstream\nendobj\n"
+    )
+    out += b"startxref\n" + str(xref_at).encode() + b"\n%%EOF\n"
+    return bytes(out)
+
+
 def pdf_item(cfg: CorpusConfig, j: int) -> tuple[str, bytes, str]:
     """(media_ref, bytes, kind).  Kind classes cover the extractor's
-    whole row contract: ok (stored + Flate), garbage (not a PDF),
-    encrypted, and lzw (unsupported filter) — the last three are
-    error-row classes."""
+    whole row contract: ok (stored + Flate, classic xref), ok15
+    (PDF 1.5 ObjStm + XRef-stream layout, the post-2005 default),
+    garbage (not a PDF), encrypted, and lzw (unsupported filter) —
+    the last three are error-row classes."""
     rng = _rng(cfg.seed, _S_PDF, j)
     n_pages = 1 + j % 3
     pages = [
@@ -805,6 +918,8 @@ def pdf_item(cfg: CorpusConfig, j: int) -> tuple[str, bytes, str]:
             data.replace(b"/Filter /FlateDecode", b"/Filter /LZWDecode"),
             "lzw",
         )
+    if j % 5 == 4:
+        return pdf_ref(j), make_pdf15_bytes(pages), "ok15"
     return pdf_ref(j), data, "ok"
 
 

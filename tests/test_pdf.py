@@ -264,19 +264,59 @@ def test_indirect_length_falls_back_to_marker_scan():
     assert extract_pdf_text(patched) == ["\n".join(p) for p in PAGES]
 
 
-def test_xref_stream_and_objstm_refused():
-    """PDF 1.5+ compressed-xref files hide page objects inside /ObjStm
-    streams and the trailer inside an /XRef stream; the flat scanner
-    would silently return empty text, so both markers and the missing
-    'trailer' keyword must raise (ADVICE finding)."""
-    pdf = make_pdf(PAGES)
-    for marker in (b"/Type /XRef", b"/Type /ObjStm"):
-        bad = pdf.replace(b"/Type /Catalog", marker, 1)
-        with pytest.raises(ValueError, match="unsupported"):
-            extract_pdf_text(bad)
-    headless = pdf.replace(b"trailer", b"trailex")
+def test_pdf15_objstm_xref_stream_extracts():
+    """PDF 1.5+ layout (the post-2005 default): page/catalog objects
+    inside a Flate /ObjStm, cross-reference as a binary /XRef stream,
+    NO 'trailer' keyword.  r4 refused these; now they parse
+    (VERDICT r4 next #5)."""
+    from mcp_ocr_server_spark.sources.synthetic import make_pdf15_bytes
+
+    pdf = make_pdf15_bytes(PAGES)
+    assert b"trailer" not in pdf and b"/ObjStm" in pdf
+    assert extract_pdf_text(pdf) == ["\n".join(p) for p in PAGES]
+
+
+def test_pdf15_encrypted_and_corrupt_objstm_refused():
+    """The refusal contract survives the 1.5 support: /Encrypt in the
+    XRef stream's dict (the trailer-less trailer) refuses BEFORE any
+    ObjStm decompression; structurally-corrupt ObjStm headers and
+    predictor DecodeParms refuse loudly rather than emitting garbage;
+    a file with neither trailer nor /XRef stream stays unparseable."""
+    from mcp_ocr_server_spark.sources.synthetic import make_pdf15_bytes
+
+    pdf = make_pdf15_bytes(PAGES)
+    with pytest.raises(ValueError, match="encrypted"):
+        extract_pdf_text(pdf.replace(
+            b"/Type /XRef /Size", b"/Type /XRef /Encrypt 9 0 R /Size"))
+    with pytest.raises(ValueError, match="/N or /First"):
+        extract_pdf_text(pdf.replace(b"/Type /ObjStm /N",
+                                     b"/Type /ObjStm /Z"))
+    with pytest.raises(ValueError, match="DecodeParms"):
+        extract_pdf_text(pdf.replace(
+            b"/Type /ObjStm /N",
+            b"/Type /ObjStm /DecodeParms << >> /N"))
+    headless = make_pdf(PAGES).replace(b"trailer", b"trailex")
     with pytest.raises(ValueError, match="no trailer keyword"):
         extract_pdf_text(headless)
+
+
+def test_pdf15_objstm_member_does_not_shadow_toplevel():
+    """An ObjStm member whose number collides with a top-level object
+    must not overwrite it (generations are out of scope; the flat-scan
+    copy is from the same file)."""
+    from mcp_ocr_server_spark.functions.pdf import _Obj, _expand_objstms
+    import zlib
+
+    header = b"9 0\n"
+    payload = zlib.compress(header + b"<< /Shadow true >>")
+    stm = _Obj(
+        b"<< /Type /ObjStm /N 1 /First " + str(len(header)).encode()
+        + b" /Filter /FlateDecode >>",
+        payload,
+    )
+    objs = {1: stm, 9: _Obj(b"<< /Original true >>", None)}
+    _expand_objstms(objs)
+    assert objs[9].body == b"<< /Original true >>"
 
 
 def test_xref_mention_in_page_text_still_extracts():
