@@ -6,9 +6,12 @@ video are treated the way a 100 TB training-data pipeline treats them:
 opaque `binary` columns + typed metadata structs, processed by
 Arrow-batched `mapInPandas` stages.  This container ships no
 audio/video codecs; WAV audio decodes for REAL (pure stdlib+numpy,
-like the PNG codec) and AVI containers demux for real
-(functions/avi.py), while compressed-codec BITSTREAM decode is a
-clearly-marked deterministic fake — applied UNCONDITIONALLY to those
+like the PNG codec), FLAC audio decodes for REAL (functions/flac.py —
+lossless integer bitstream, no codec backend needed, CRC/MD5
+self-verified) and AVI containers demux for real (functions/avi.py),
+while the remaining compressed-codec BITSTREAM decode (mp3/ogg-vorbis
+MDCT synthesis, mp4/webm demux) is a clearly-marked deterministic
+fake — applied UNCONDITIONALLY to those
 formats (not import-gated), so committed goldens keep their meaning
 regardless of what happens to be installed; wiring a real backend is
 a deliberate code change re-goldened in the same commit.  Everything
@@ -22,8 +25,9 @@ Schemas:
 
 Stages (each a mapInPandas over an Arrow batch iterator):
     image_features       — REAL: decode PNG -> quality metrics + dims
-    audio_features       — REAL for WAV (stdlib wave + numpy); stub
-                           for compressed formats -> energy summary
+    audio_features       — REAL for WAV (stdlib wave + numpy) and
+                           FLAC (functions/flac.py); stub for
+                           mp3/ogg-vorbis -> energy summary
     video_keyframes      — REAL frame extraction for AVI containers
                            (functions/avi.py); stub for mp4/webm
     video_frame_features — REAL frame-sample -> PNG pixel decode ->
@@ -111,19 +115,27 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
 
 def _decode_audio(data: bytes, sample_rate: int) -> np.ndarray:
     """Audio decode seam.  WAV/RIFF payloads decode for REAL
-    (decode_wav, pure stdlib+numpy).  Compressed formats (mp3/ogg/flac)
-    need soundfile/ffmpeg, absent in this container — those fall to a
-    deterministic fake (STUB, clearly marked) so the Spark-side
-    plumbing stays exercised."""
+    (decode_wav, pure stdlib+numpy); FLAC payloads decode for REAL
+    (functions/flac.py — bit-exact rice/LPC reconstruction,
+    CRC-8/CRC-16/MD5 self-verified, refuse-loudly).  mp3/ogg-vorbis
+    need float MDCT synthesis (soundfile/ffmpeg, absent in this
+    container) — those fall to a deterministic fake (STUB, clearly
+    marked) so the Spark-side plumbing stays exercised."""
     if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
         pcm, _rate = decode_wav(data)
         return pcm
-    # STUB: compressed formats (mp3/ogg/flac) would need a codec
-    # backend (soundfile/ffmpeg) at this seam; the deterministic fake
-    # below is used UNCONDITIONALLY for them — not import-gated — so
-    # committed goldens and oracles cannot silently change meaning if
-    # a codec library appears in the environment (a real backend is a
-    # deliberate code change here, re-goldened in the same commit).
+    if data[:4] == b"fLaC":
+        from .flac import decode_flac
+
+        pcm, _rate = decode_flac(data)
+        return pcm
+    # STUB: the remaining compressed formats (mp3/ogg-vorbis) would
+    # need a codec backend (soundfile/ffmpeg) at this seam; the
+    # deterministic fake below is used UNCONDITIONALLY for them — not
+    # import-gated — so committed goldens and oracles cannot silently
+    # change meaning if a codec library appears in the environment (a
+    # real backend is a deliberate code change here, re-goldened in
+    # the same commit — exactly what the FLAC branch above did).
     raw = np.frombuffer(
         hashlib.sha256(data).digest() * max(1, len(data) // 32), dtype=np.uint8
     )

@@ -490,8 +490,13 @@ def audio_item(cfg: CorpusConfig, j: int) -> tuple[str, bytes, str]:
 
       wav            — real 16-bit PCM decode (mono or stereo)
       wav_empty      — legal zero-frame container: rms = peak = 0.0
-      compressed     — non-RIFF magic => documented deterministic stub
-                       (no codec in container)
+      flac           — REAL lossless decode (functions/flac.py):
+                       mono fixed-predictor+rice or mid/side-stereo
+                       LPC streams, bit-exact, CRC+MD5 self-verified
+      flac_corrupt   — one flipped payload byte => the decoder's
+                       frame-CRC refuses loudly => error row
+      compressed     — non-FLAC compressed magic (ogg) => documented
+                       deterministic stub (MDCT codec not in container)
       wav_truncated  — RIFF/WAVE magic but chopped chunks => error row
     """
     rng = _rng(cfg.seed, _S_AUDIO, j)
@@ -511,6 +516,25 @@ def audio_item(cfg: CorpusConfig, j: int) -> tuple[str, bytes, str]:
     if j % 10 == 9:
         fake = b"OggS" + rng.integers(0, 256, 512).astype(np.uint8).tobytes()
         return audio_ref(j), fake, "compressed"
+    if j % 6 == 1:  # real FLAC, mono fixed-predictor + rice
+        from ..functions.flac import encode_flac
+
+        data = encode_flac(pcm.astype(np.int64), rate, bits=16,
+                           block_size=512, mode="fixed2")
+        if j % 36 == 13:  # flip one payload byte: frame CRC refuses
+            b = bytearray(data)
+            b[-10] ^= 0xFF
+            return audio_ref(j), bytes(b), "flac_corrupt"
+        return audio_ref(j), data, "flac"
+    if j % 6 == 3:  # real FLAC, mid/side stereo LPC
+        from ..functions.flac import encode_flac
+
+        st = np.stack(
+            [pcm.astype(np.int64), pcm.astype(np.int64) // 3], axis=1
+        )
+        data = encode_flac(st, rate, bits=16, block_size=512,
+                           mode="lpc", stereo="mid_side")
+        return audio_ref(j), data, "flac"
     if j % 4 == 2:  # stereo: decode must average channels to mono
         stereo = np.empty(2 * n, dtype="<i2")
         stereo[0::2] = pcm
