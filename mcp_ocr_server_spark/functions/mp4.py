@@ -1,0 +1,218 @@
+"""REAL ISO-BMFF (mp4/mov) container-metadata parse — pure stdlib,
+the video twin of functions/audio_meta.py's container sniffer and the
+second real video container next to functions/avi.py.
+
+Scope (container level, by design): box walk + the metadata a
+pipeline needs to route/filter/dedup video BEFORE paying for any
+codec decode — brand, movie duration (mvhd), and per-track handler /
+codec fourcc (stsd) / dimensions (tkhd) / sample count (stsz).
+Codec BITSTREAMS (avc1/hev1 NAL units) stay behind the documented
+deterministic-fake seam in multimodal._decode_video_frames: entropy-
+decoding H.264 is a real codec backend, the box structure is not.
+webm/mkv (EBML magic) is detected and refused loudly — a distinct
+error from "foreign payload", so the inventory can say WHICH
+unsupported container it saw.
+
+The writer half (`encode_mp4`) is the deterministic corpus/test
+writer (the pattern of avi.encode_avi / flac.encode_flac /
+synthetic.make_pdf15_bytes): a spec-shaped ftyp + moov(mvhd,
+trak(tkhd, mdia(mdhd, hdlr, minf(stbl(stsd, stsz))))) + mdat tree
+with real VisualSampleEntry layout, so parser tests round-trip
+against independently-constructed structures rather than the
+parser's own output.
+
+Scale shape: per-clip work inside Arrow-batched mapInPandas
+(multimodal.video_inventory) — headers parse in microseconds and the
+payload bytes never leave the executor.
+"""
+
+from __future__ import annotations
+
+import struct
+
+__all__ = ["encode_mp4", "mp4_metadata", "walk_boxes"]
+
+_CONTAINERS = {b"moov", b"trak", b"mdia", b"minf", b"stbl"}
+_EBML_MAGIC = b"\x1a\x45\xdf\xa3"
+
+
+def walk_boxes(data: bytes, start: int, end: int):
+    """Yield (box_type, payload_start, payload_end) for the sibling
+    boxes in data[start:end].  Loud ValueError on structural
+    corruption (box overruns its parent, size below the header size,
+    truncated largesize)."""
+    pos = start
+    while pos < end:
+        if pos + 8 > end:
+            raise ValueError("mp4: truncated box header")
+        size = int.from_bytes(data[pos:pos + 4], "big")
+        btype = data[pos + 4:pos + 8]
+        payload = pos + 8
+        if size == 1:
+            if pos + 16 > end:
+                raise ValueError("mp4: truncated largesize")
+            size = int.from_bytes(data[pos + 8:pos + 16], "big")
+            payload = pos + 16
+        elif size == 0:
+            size = end - pos
+        if size < payload - pos or pos + size > end:
+            raise ValueError(
+                f"mp4: box {btype!r} overruns its parent")
+        yield btype, payload, pos + size
+        pos += size
+
+
+def _full_box(data: bytes, payload: int) -> tuple[int, int]:
+    """(version, first-field offset) of a FullBox payload."""
+    return data[payload], payload + 4
+
+
+def _parse_track(data: bytes, start: int, end: int) -> dict:
+    tk: dict = {}
+    for btype, p, e in walk_boxes(data, start, end):
+        if btype == b"tkhd":
+            ver, q = _full_box(data, p)
+            # width/height are the LAST 8 bytes (16.16 fixed-point)
+            tk["width"] = int.from_bytes(data[e - 8:e - 4], "big") >> 16
+            tk["height"] = int.from_bytes(data[e - 4:e], "big") >> 16
+        elif btype == b"mdia":
+            for b2, p2, e2 in walk_boxes(data, p, e):
+                if b2 == b"mdhd":
+                    ver, q = _full_box(data, p2)
+                    if ver == 1:
+                        ts = int.from_bytes(data[q + 16:q + 20], "big")
+                        dur = int.from_bytes(data[q + 20:q + 28], "big")
+                    else:
+                        ts = int.from_bytes(data[q + 8:q + 12], "big")
+                        dur = int.from_bytes(data[q + 12:q + 16], "big")
+                    if ts:
+                        tk["duration_s"] = dur / ts
+                elif b2 == b"hdlr":
+                    tk["handler"] = data[p2 + 8:p2 + 12].decode(
+                        "ascii", "replace")
+                elif b2 == b"minf":
+                    for b3, p3, e3 in walk_boxes(data, p2, e2):
+                        if b3 == b"stbl":
+                            tk.update(_parse_stbl(data, p3, e3))
+    return tk
+
+
+def _parse_stbl(data: bytes, start: int, end: int) -> dict:
+    out: dict = {}
+    for btype, p, e in walk_boxes(data, start, end):
+        if btype == b"stsd":
+            _, q = _full_box(data, p)
+            n = int.from_bytes(data[q:q + 4], "big")
+            if n >= 1 and q + 12 <= e:
+                out["codec"] = data[q + 8:q + 12].decode(
+                    "ascii", "replace")
+        elif btype == b"stsz":
+            _, q = _full_box(data, p)
+            out["n_samples"] = int.from_bytes(data[q + 4:q + 8], "big")
+    return out
+
+
+def mp4_metadata(data: bytes) -> dict:
+    """dict(brand, duration_s, n_tracks, and — from the first video
+    track — codec, width, height, n_frames).  Loud ValueError on
+    EBML (webm/mkv), foreign payloads, or structural corruption."""
+    data = bytes(data)
+    if data[:4] == _EBML_MAGIC:
+        raise ValueError("webm/mkv: EBML container parse not supported")
+    if len(data) < 12 or data[4:8] != b"ftyp":
+        raise ValueError("mp4: no ftyp box")
+    meta: dict = {"n_tracks": 0}
+    saw_moov = False
+    for btype, p, e in walk_boxes(data, 0, len(data)):
+        if btype == b"ftyp":
+            meta["brand"] = data[p:p + 4].decode("ascii", "replace")
+        elif btype == b"moov":
+            saw_moov = True
+            for b2, p2, e2 in walk_boxes(data, p, e):
+                if b2 == b"mvhd":
+                    ver, q = _full_box(data, p2)
+                    if ver == 1:
+                        ts = int.from_bytes(data[q + 16:q + 20], "big")
+                        dur = int.from_bytes(data[q + 20:q + 28], "big")
+                    else:
+                        ts = int.from_bytes(data[q + 8:q + 12], "big")
+                        dur = int.from_bytes(data[q + 12:q + 16], "big")
+                    if ts == 0:
+                        raise ValueError("mp4: mvhd timescale is 0")
+                    meta["duration_s"] = dur / ts
+                elif b2 == b"trak":
+                    meta["n_tracks"] += 1
+                    tk = _parse_track(data, p2, e2)
+                    if (tk.get("handler") == "vide"
+                            and "codec" not in meta):
+                        meta["codec"] = tk.get("codec")
+                        meta["width"] = tk.get("width")
+                        meta["height"] = tk.get("height")
+                        meta["n_frames"] = tk.get("n_samples")
+    if not saw_moov:
+        raise ValueError("mp4: no moov box (streaming-only fragment?)")
+    return meta
+
+
+# --- writer (deterministic corpus/test writer) ------------------------------
+
+def _box(btype: bytes, payload: bytes) -> bytes:
+    return struct.pack(">I", 8 + len(payload)) + btype + payload
+
+
+def _full(btype: bytes, version: int, payload: bytes) -> bytes:
+    return _box(btype, bytes([version, 0, 0, 0]) + payload)
+
+
+_UNITY_MATRIX = struct.pack(
+    ">9I", 0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000
+)
+
+
+def _visual_sample_entry(codec: bytes, width: int, height: int) -> bytes:
+    body = (
+        b"\x00" * 6 + struct.pack(">H", 1)        # reserved + data_ref
+        + b"\x00" * 16                              # predefined/reserved
+        + struct.pack(">HH", width, height)
+        + struct.pack(">II", 0x00480000, 0x00480000)  # 72 dpi
+        + b"\x00" * 4 + struct.pack(">H", 1)       # reserved + frames
+        + b"\x00" * 32                              # compressor name
+        + struct.pack(">Hh", 24, -1)               # depth, predefined
+    )
+    return _box(codec, body)
+
+
+def encode_mp4(duration_s: float, timescale: int = 1000,
+               codec: bytes = b"avc1", width: int = 640,
+               height: int = 360, n_frames: int = 48,
+               mdat: bytes = b"\x00" * 64) -> bytes:
+    """Minimal spec-shaped mp4: ftyp + moov(mvhd, one video trak) +
+    mdat.  Metadata-only by design — the mdat payload is opaque filler
+    (codec bitstreams are behind the documented stub seam)."""
+    dur = int(round(duration_s * timescale))
+    mvhd = _full(b"mvhd", 0, struct.pack(
+        ">IIII", 0, 0, timescale, dur)
+        + struct.pack(">IHH", 0x00010000, 0x0100, 0)
+        + b"\x00" * 8 + _UNITY_MATRIX + b"\x00" * 24
+        + struct.pack(">I", 2))
+    tkhd = _full(b"tkhd", 0, struct.pack(
+        ">IIIII", 0, 0, 1, 0, dur)
+        + b"\x00" * 8 + struct.pack(">HHHH", 0, 0, 0, 0)
+        + _UNITY_MATRIX
+        + struct.pack(">II", width << 16, height << 16))
+    mdhd = _full(b"mdhd", 0, struct.pack(
+        ">IIII", 0, 0, timescale, dur)
+        + struct.pack(">HH", 0x55C4, 0))
+    hdlr = _full(b"hdlr", 0, struct.pack(
+        ">I", 0) + b"vide" + b"\x00" * 12 + b"VideoHandler\x00")
+    stsd = _full(b"stsd", 0, struct.pack(">I", 1)
+                 + _visual_sample_entry(codec, width, height))
+    stsz = _full(b"stsz", 0, struct.pack(">II", 999, n_frames))
+    stbl = _box(b"stbl", stsd + stsz)
+    minf = _box(b"minf", stbl)
+    mdia = _box(b"mdia", mdhd + hdlr + minf)
+    trak = _box(b"trak", tkhd + mdia)
+    moov = _box(b"moov", mvhd + trak)
+    ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 512)
+                + b"isomiso2mp41")
+    return ftyp + moov + _box(b"mdat", mdat)

@@ -9,9 +9,11 @@ audio/video codecs; WAV audio decodes for REAL (pure stdlib+numpy,
 like the PNG codec), FLAC audio decodes for REAL (functions/flac.py —
 lossless integer bitstream, no codec backend needed, CRC/MD5
 self-verified) and AVI containers demux for real (functions/avi.py),
-while the remaining compressed-codec BITSTREAM decode (mp3/ogg-vorbis
-MDCT synthesis, mp4/webm demux) is a clearly-marked deterministic
-fake — applied UNCONDITIONALLY to those
+and mp4 containers parse for real at the metadata level
+(functions/mp4.py — ISO-BMFF box walk: brand/duration/codec/dims/
+frame count), while the remaining compressed-codec BITSTREAM decode
+(mp3/ogg-vorbis MDCT synthesis, mp4 NAL-unit / webm frame demux) is
+a clearly-marked deterministic fake — applied UNCONDITIONALLY to those
 formats (not import-gated), so committed goldens keep their meaning
 regardless of what happens to be installed; wiring a real backend is
 a deliberate code change re-goldened in the same commit.  Everything
@@ -32,6 +34,9 @@ Stages (each a mapInPandas over an Arrow batch iterator):
                            (functions/avi.py); stub for mp4/webm
     video_frame_features — REAL frame-sample -> PNG pixel decode ->
                            analyzer metrics per sampled frame
+    video_inventory      — REAL container-metadata sniff for AVI
+                           (RIFF walk) and mp4 (ISO-BMFF box walk);
+                           webm/foreign payloads are error rows
 """
 
 from __future__ import annotations
@@ -367,4 +372,69 @@ def video_keyframes(media: DataFrame, every_n: int = 4) -> DataFrame:
 
     return media.select("media_ref", "bytes").mapInPandas(
         run, schema=VIDEO_KEYFRAMES_SCHEMA
+    )
+
+
+VIDEO_INVENTORY_SCHEMA = (
+    "media_ref string, container string, codec string, width int,"
+    " height int, duration_s double, n_frames int, error string"
+)
+
+
+def video_inventory_row(ref: str, data: bytes) -> dict:
+    """One payload's video container-metadata row — shared verbatim by
+    the Spark UDF and the golden generator (the video twin of
+    audio_inventory_row).  AVI routes through functions/avi.py, mp4
+    through functions/mp4.py; webm/mkv and foreign payloads refuse
+    loudly with a container-specific error string."""
+    row = dict(media_ref=ref, container=None, codec=None, width=None,
+               height=None, duration_s=None, n_frames=None, error=None)
+    try:
+        data = bytes(data)
+        if data[:4] == b"RIFF" and data[8:12] == b"AVI ":
+            from .avi import avi_metadata
+
+            m = avi_metadata(data)
+            fps = m.get("fps")
+            n = m.get("n_frames")
+            row.update(
+                container="avi", codec=m.get("codec"),
+                width=m.get("width"), height=m.get("height"),
+                n_frames=n,
+                duration_s=(n / fps) if fps and n is not None else None,
+            )
+        else:
+            from .mp4 import mp4_metadata
+
+            m = mp4_metadata(data)
+            row.update(
+                container="mp4", codec=m.get("codec"),
+                width=m.get("width"), height=m.get("height"),
+                duration_s=m.get("duration_s"),
+                n_frames=m.get("n_frames"),
+            )
+    except Exception as exc:
+        row["error"] = str(exc)
+    return row
+
+
+def video_inventory(media: DataFrame) -> DataFrame:
+    """REAL video container-metadata sniff over opaque payloads — the
+    routing/filter stage a pipeline runs BEFORE paying for any codec
+    decode: container/codec/dims/duration/frame-count per clip for
+    AVI (RIFF walk) and mp4 (ISO-BMFF box walk); webm and foreign
+    payloads are error rows naming what was seen."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["media_ref", "container", "codec", "width", "height",
+                "duration_s", "n_frames", "error"]
+        for pdf in batches:
+            rows = [
+                video_inventory_row(ref, bytes(data))
+                for ref, data in zip(pdf["media_ref"], pdf["bytes"])
+            ]
+            yield pd.DataFrame(rows, columns=cols)
+
+    return media.select("media_ref", "bytes").mapInPandas(
+        run, schema=VIDEO_INVENTORY_SCHEMA
     )

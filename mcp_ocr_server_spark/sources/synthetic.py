@@ -76,9 +76,8 @@ class CorpusConfig:
 
 
 # streams for Philox keys — one namespace per generator family
-_S_DOC, _S_MEDIA, _S_TEXT, _S_AUDIO, _S_PDF, _S_VIDEO, _S_SNIFF = (
-    1, 2, 3, 4, 5, 6, 7
-)
+(_S_DOC, _S_MEDIA, _S_TEXT, _S_AUDIO, _S_PDF, _S_VIDEO, _S_SNIFF,
+ _S_VSNIFF) = (1, 2, 3, 4, 5, 6, 7, 8)
 
 _DEGRADATIONS = (
     "clean", "clean", "clean",        # weight 3
@@ -712,6 +711,71 @@ def video_df(spark, cfg: CorpusConfig, n: int = N_VIDEO_CLIPS):
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = [video_item(cfg, int(j)) for j in pdf["id"]]
+            yield pd.DataFrame(rows, columns=["media_ref", "bytes", "kind"])
+
+    return spark.range(0, n, numPartitions=4).mapInPandas(
+        gen, schema=VIDEO_MEDIA_SCHEMA
+    )
+
+
+# ---------------------------------------------------------------------------
+# video-container sniff corpus (for multimodal.video_inventory) — the
+# video twin of sniff_df: AVI via the real encode_avi writer, mp4 via
+# the real functions/mp4.encode_mp4 writer, plus webm-magic /
+# truncated / foreign error classes
+
+N_VIDEO_SNIFF_CLIPS = 21
+
+
+def vsniff_ref(j: int) -> str:
+    return f"vid-{j:06d}"
+
+
+def video_sniff_item(cfg: CorpusConfig, j: int) -> tuple[str, bytes, str]:
+    """(media_ref, bytes, kind) across video_inventory's branches:
+    avi (RIFF hdrl metadata), mp4_avc1 / mp4_hev1 (ISO-BMFF moov
+    metadata, varied dims/durations), webm (EBML magic => loud
+    container-specific refusal), mp4_truncated and garbage (error
+    rows)."""
+    from ..functions.avi import encode_avi
+    from ..functions.mp4 import encode_mp4
+
+    rng = _rng(cfg.seed, _S_VSNIFF, j)
+    cls = j % 7
+    if cls in (0, 1):
+        frames = [
+            rng.integers(0, 256, 128).astype(np.uint8).tobytes()
+            for _ in range(3 + j % 5)
+        ]
+        return vsniff_ref(j), encode_avi(
+            frames, 32 + 8 * (j % 3), 24, fps=10 + (j % 3),
+            fourcc=b"MJPG" if cls else b"PNG ",
+        ), "avi"
+    if cls in (2, 3):
+        codec = b"avc1" if cls == 2 else b"hev1"
+        data = encode_mp4(
+            duration_s=2.0 + (j % 9) * 1.5,
+            codec=codec, width=320 + 64 * (j % 4),
+            height=180 + 36 * (j % 4), n_frames=24 * (1 + j % 6),
+            mdat=rng.integers(0, 256, 256).astype(np.uint8).tobytes(),
+        )
+        return vsniff_ref(j), data, f"mp4_{codec.decode()}"
+    if cls == 4:
+        data = encode_mp4(5.0)
+        return vsniff_ref(j), data[: 40 + j % 20], "mp4_truncated"
+    if cls == 5:
+        data = (b"\x1a\x45\xdf\xa3"
+                + rng.integers(0, 256, 96).astype(np.uint8).tobytes())
+        return vsniff_ref(j), data, "webm"
+    return vsniff_ref(j), b"\x00" + rng.integers(1, 255, 63).astype(
+        np.uint8
+    ).tobytes(), "garbage"
+
+
+def video_sniff_df(spark, cfg: CorpusConfig, n: int = N_VIDEO_SNIFF_CLIPS):
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [video_sniff_item(cfg, int(j)) for j in pdf["id"]]
             yield pd.DataFrame(rows, columns=["media_ref", "bytes", "kind"])
 
     return spark.range(0, n, numPartitions=4).mapInPandas(

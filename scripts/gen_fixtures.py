@@ -167,6 +167,30 @@ def gen_audio_inventory() -> pd.DataFrame:
     return df
 
 
+def gen_video_inventory() -> pd.DataFrame:
+    """Golden for the video container-metadata sniff over the
+    deterministic avi/mp4/webm/garbage corpus
+    (multimodal.video_inventory_row — shared with the UDF)."""
+    from mcp_ocr_server_spark.functions.multimodal import (
+        video_inventory_row,
+    )
+
+    rows = []
+    for j in range(S.N_VIDEO_SNIFF_CLIPS):
+        ref, data, kind = S.video_sniff_item(FLAGSHIP_CORPUS, j)
+        row = video_inventory_row(ref, data)
+        row["kind"] = kind
+        rows.append(row)
+    df = pd.DataFrame(
+        rows, columns=["media_ref", "container", "codec", "width",
+                       "height", "duration_s", "n_frames", "error",
+                       "kind"]
+    )
+    for c in ("width", "height", "n_frames"):
+        df[c] = df[c].astype("Int64")
+    return df
+
+
 def gen_video_meta() -> pd.DataFrame:
     """Golden for the video frame-features stage over the deterministic
     AVI corpus (multimodal.video_feature_rows — shared with the UDF)."""
@@ -323,6 +347,14 @@ def main() -> None:
     print(f"audio_inventory: {len(inv)} rows"
           f" ({int(inv.error.notna().sum())} errors;"
           f" formats {inv['format'].value_counts(dropna=True).to_dict()})")
+    vinv = gen_video_inventory()
+    vinv.to_parquet(
+        os.path.join(FIXTURES_DIR, "video_inventory.parquet"), index=False
+    )
+    print(f"video_inventory: {len(vinv)} rows"
+          f" ({int(vinv.error.notna().sum())} errors;"
+          f" containers"
+          f" {vinv['container'].value_counts(dropna=True).to_dict()})")
     print(f"video_meta: {len(vid)} rows over {vid.media_ref.nunique()}"
           f" clips ({int(vid.error.notna().sum())} errors;"
           f" kinds {vid.kind.value_counts().to_dict()})")
