@@ -30,7 +30,8 @@ from __future__ import annotations
 
 import struct
 
-__all__ = ["encode_mp4", "mp4_metadata", "walk_boxes"]
+__all__ = ["encode_mp4", "mp4_metadata", "parse_mp4_frames",
+           "walk_boxes"]
 
 _CONTAINERS = {b"moov", b"trak", b"mdia", b"minf", b"stbl"}
 _EBML_MAGIC = b"\x1a\x45\xdf\xa3"
@@ -108,7 +109,40 @@ def _parse_stbl(data: bytes, start: int, end: int) -> dict:
                     "ascii", "replace")
         elif btype == b"stsz":
             _, q = _full_box(data, p)
-            out["n_samples"] = int.from_bytes(data[q + 4:q + 8], "big")
+            uniform = int.from_bytes(data[q:q + 4], "big")
+            count = int.from_bytes(data[q + 4:q + 8], "big")
+            out["n_samples"] = count
+            if uniform:
+                out["sizes"] = [uniform] * count
+            else:
+                if q + 8 + 4 * count > e:
+                    raise ValueError("mp4: stsz table truncated")
+                out["sizes"] = [
+                    int.from_bytes(data[q + 8 + 4 * i:q + 12 + 4 * i],
+                                   "big")
+                    for i in range(count)
+                ]
+        elif btype == b"stsc":
+            _, q = _full_box(data, p)
+            n = int.from_bytes(data[q:q + 4], "big")
+            if q + 4 + 12 * n > e:
+                raise ValueError("mp4: stsc table truncated")
+            out["stsc"] = [
+                (int.from_bytes(data[q + 4 + 12 * i:q + 8 + 12 * i],
+                                "big"),
+                 int.from_bytes(data[q + 8 + 12 * i:q + 12 + 12 * i],
+                                "big"))
+                for i in range(n)
+            ]
+        elif btype == b"stco":
+            _, q = _full_box(data, p)
+            n = int.from_bytes(data[q:q + 4], "big")
+            if q + 4 + 4 * n > e:
+                raise ValueError("mp4: stco table truncated")
+            out["stco"] = [
+                int.from_bytes(data[q + 4 + 4 * i:q + 8 + 4 * i], "big")
+                for i in range(n)
+            ]
     return out
 
 
@@ -154,6 +188,64 @@ def mp4_metadata(data: bytes) -> dict:
     return meta
 
 
+def parse_mp4_frames(data: bytes) -> list[bytes]:
+    """REAL sample demux for the first video track: expand the
+    stsc/stsz/stco sample tables into per-sample byte ranges and slice
+    the payloads out of mdat, in stream order — the mp4 analogue of
+    avi.parse_avi_frames.  This is pure table walking (no codec); the
+    returned payloads are whatever the track carries (PNG frames in
+    the lossless-capture corpus, opaque NAL units for avc1/hev1).
+    Loud ValueError on missing/truncated tables or ranges that
+    overrun the file."""
+    data = bytes(data)
+    if data[:4] == _EBML_MAGIC:
+        raise ValueError("webm/mkv: EBML container parse not supported")
+    if len(data) < 12 or data[4:8] != b"ftyp":
+        raise ValueError("mp4: no ftyp box")
+    track = None
+    for btype, p, e in walk_boxes(data, 0, len(data)):
+        if btype != b"moov":
+            continue
+        for b2, p2, e2 in walk_boxes(data, p, e):
+            if b2 == b"trak":
+                tk = _parse_track(data, p2, e2)
+                if tk.get("handler") == "vide":
+                    track = tk
+                    break
+        if track:
+            break
+    if track is None:
+        raise ValueError("mp4: no video track")
+    sizes = track.get("sizes")
+    stsc = track.get("stsc")
+    stco = track.get("stco")
+    if not sizes or not stsc or not stco:
+        raise ValueError("mp4: video track has no sample tables")
+    # expand stsc runs: entry i applies from first_chunk_i (1-based)
+    # up to the next entry's first_chunk
+    frames: list[bytes] = []
+    si = 0
+    for ci, off in enumerate(stco):
+        per_chunk = 0
+        for first, spc in stsc:
+            if ci + 1 >= first:
+                per_chunk = spc
+        pos = off
+        for _ in range(per_chunk):
+            if si >= len(sizes):
+                break
+            sz = sizes[si]
+            if pos + sz > len(data):
+                raise ValueError("mp4: sample range overruns the file")
+            frames.append(data[pos:pos + sz])
+            pos += sz
+            si += 1
+    if si != len(sizes):
+        raise ValueError(
+            f"mp4: sample tables cover {si} of {len(sizes)} samples")
+    return frames
+
+
 # --- writer (deterministic corpus/test writer) ------------------------------
 
 def _box(btype: bytes, payload: bytes) -> bytes:
@@ -185,10 +277,18 @@ def _visual_sample_entry(codec: bytes, width: int, height: int) -> bytes:
 def encode_mp4(duration_s: float, timescale: int = 1000,
                codec: bytes = b"avc1", width: int = 640,
                height: int = 360, n_frames: int = 48,
-               mdat: bytes = b"\x00" * 64) -> bytes:
+               mdat: bytes = b"\x00" * 64,
+               frames: list[bytes] | None = None) -> bytes:
     """Minimal spec-shaped mp4: ftyp + moov(mvhd, one video trak) +
-    mdat.  Metadata-only by design — the mdat payload is opaque filler
-    (codec bitstreams are behind the documented stub seam)."""
+    mdat.  With `frames`, the mdat carries the concatenated frame
+    payloads and the trak gets REAL stsc/stsz/stco sample tables
+    (one chunk, per-sample sizes, absolute chunk offset) so
+    parse_mp4_frames can demux them back; without it, the mdat is
+    opaque filler and stsz records a uniform-size sample count
+    (metadata-only stream)."""
+    if frames is not None:
+        n_frames = len(frames)
+        mdat = b"".join(frames)
     dur = int(round(duration_s * timescale))
     mvhd = _full(b"mvhd", 0, struct.pack(
         ">IIII", 0, 0, timescale, dur)
@@ -207,12 +307,29 @@ def encode_mp4(duration_s: float, timescale: int = 1000,
         ">I", 0) + b"vide" + b"\x00" * 12 + b"VideoHandler\x00")
     stsd = _full(b"stsd", 0, struct.pack(">I", 1)
                  + _visual_sample_entry(codec, width, height))
-    stsz = _full(b"stsz", 0, struct.pack(">II", 999, n_frames))
-    stbl = _box(b"stbl", stsd + stsz)
-    minf = _box(b"minf", stbl)
-    mdia = _box(b"mdia", mdhd + hdlr + minf)
-    trak = _box(b"trak", tkhd + mdia)
-    moov = _box(b"moov", mvhd + trak)
     ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 512)
                 + b"isomiso2mp41")
+
+    def build_moov(mdat_payload_off: int) -> bytes:
+        if frames is not None:
+            stsz = _full(b"stsz", 0, struct.pack(">II", 0, n_frames)
+                         + b"".join(struct.pack(">I", len(f))
+                                    for f in frames))
+            stsc = _full(b"stsc", 0, struct.pack(">I", 1)
+                         + struct.pack(">III", 1, n_frames, 1))
+            stco = _full(b"stco", 0, struct.pack(">II", 1,
+                                                 mdat_payload_off))
+            stbl = _box(b"stbl", stsd + stsc + stsz + stco)
+        else:
+            stsz = _full(b"stsz", 0, struct.pack(">II", 999, n_frames))
+            stbl = _box(b"stbl", stsd + stsz)
+        minf = _box(b"minf", stbl)
+        mdia = _box(b"mdia", mdhd + hdlr + minf)
+        trak = _box(b"trak", tkhd + mdia)
+        return _box(b"moov", mvhd + trak)
+
+    # two-pass: moov's length is independent of the offset VALUE
+    # stored in stco, so size it with a placeholder first
+    moov_len = len(build_moov(0))
+    moov = build_moov(len(ftyp) + moov_len + 8)
     return ftyp + moov + _box(b"mdat", mdat)

@@ -30,8 +30,10 @@ Stages (each a mapInPandas over an Arrow batch iterator):
     audio_features       — REAL for WAV (stdlib wave + numpy) and
                            FLAC (functions/flac.py); stub for
                            mp3/ogg-vorbis -> energy summary
-    video_keyframes      — REAL frame extraction for AVI containers
-                           (functions/avi.py); stub for mp4/webm
+    video_keyframes      — REAL frame extraction for AVI
+                           (functions/avi.py) AND mp4 sample tables
+                           (functions/mp4.py); webm/foreign refuse
+                           loudly as error rows
     video_frame_features — REAL frame-sample -> PNG pixel decode ->
                            analyzer metrics per sampled frame
     video_inventory      — REAL container-metadata sniff for AVI
@@ -148,27 +150,26 @@ def _decode_audio(data: bytes, sample_rate: int) -> np.ndarray:
 
 
 def _decode_video_frames(data: bytes, every_n: int) -> list[tuple[int, bytes]]:
-    """Video frame-sampling seam.  AVI/RIFF containers parse for REAL
-    (functions/avi.py — pure-stdlib chunk walker; truncated/foreign
-    RIFF raises, surfacing as an error row).  Non-AVI containers
-    (mp4/webm) need PyAV/ffmpeg, absent here — those fall to a
-    deterministic fake (STUB, clearly marked) so the Spark-side
-    plumbing stays exercised."""
+    """Video frame-sampling seam — REAL for both supported containers,
+    refuse-loudly for everything else (the audio_meta/pdf discipline;
+    this retired the old deterministic-fake chunking, re-goldened in
+    the same commit).  AVI/RIFF parses via functions/avi.py (chunk
+    walker) and mp4 via functions/mp4.py (stsc/stsz/stco sample-table
+    demux) — both are pure table/structure work, no codec backend;
+    what needs a codec is only decoding the returned frame PAYLOADS
+    when they are compressed bitstreams (per-frame error rows
+    downstream, frame sampling itself still real).  webm/mkv (EBML)
+    and foreign payloads raise ValueError naming what was seen,
+    surfacing as per-clip error rows."""
     if data[:4] == b"RIFF" and data[8:12] == b"AVI ":
         from .avi import parse_avi_frames
 
-        return [
-            (i, f)
-            for i, f in enumerate(parse_avi_frames(data))
-            if i % every_n == 0
-        ]
-    # STUB: non-AVI containers (mp4/webm) would need PyAV/ffmpeg at
-    # this seam; the deterministic 4 KiB-chunk fake is used
-    # UNCONDITIONALLY for them — not import-gated — so committed
-    # goldens cannot silently change if a codec library appears (a
-    # real backend is a deliberate, re-goldened code change).
-    chunks = [data[i : i + 4096] for i in range(0, max(len(data), 1), 4096)]
-    return [(i, c) for i, c in enumerate(chunks) if i % every_n == 0]
+        frames = parse_avi_frames(data)
+    else:
+        from .mp4 import parse_mp4_frames
+
+        frames = parse_mp4_frames(data)  # loud on EBML/foreign
+    return [(i, f) for i, f in enumerate(frames) if i % every_n == 0]
 
 
 def image_feature_row(ref: str, data: bytes) -> dict:
@@ -313,14 +314,16 @@ def video_frame_row(ref: str, idx: int, frame: bytes) -> dict:
 
 def video_frame_features(media: DataFrame, every_n: int = 2) -> DataFrame:
     """REAL frame-sample -> decode -> feature-extract chain for AVI
-    payloads: the container parse is functions/avi.py (stdlib), the
+    AND mp4 payloads: the container parse is functions/avi.py (stdlib
+    RIFF walk) or functions/mp4.py (ISO-BMFF sample-table demux), the
     per-frame pixel decode is imaging/png.py (the synthetic corpus
     stores PNG frames — the lossless-capture pattern), and the feature
     extraction is the SAME analyzer the image pipeline uses.  A frame
     whose payload is not decodable PNG (a genuinely compressed codec
     bitstream) surfaces as a per-FRAME error row — frame sampling
     still worked; only pixel decode needs the absent codec.  Container
-    failures (truncated/foreign) surface as one per-CLIP error row."""
+    failures (truncated/EBML/foreign) surface as one per-CLIP error
+    row naming what was seen."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cols = ["media_ref", "frame_idx", "width", "height",
@@ -351,8 +354,9 @@ def video_feature_rows(ref: str, data: bytes, every_n: int = 2) -> list:
 
 def video_keyframes(media: DataFrame, every_n: int = 4) -> DataFrame:
     """Sampled frame fingerprints (1:N row fan-out): REAL container
-    frame extraction for AVI via functions/avi.py; non-AVI containers
-    via the documented codec-stub seam."""
+    frame extraction for AVI (functions/avi.py) and mp4 sample tables
+    (functions/mp4.py); webm/foreign payloads are per-clip error
+    rows."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

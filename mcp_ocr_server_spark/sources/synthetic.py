@@ -663,11 +663,15 @@ def video_item(cfg: CorpusConfig, j: int) -> tuple[str, bytes, str]:
 
       avi            — REAL chain: container parse + PNG frame decode
                        + analyzer metrics (3-8 gradient+noise frames)
+      mp4            — REAL chain via the OTHER container: ISO-BMFF
+                       sample-table demux (functions/mp4.py) + the
+                       same PNG frame decode + analyzer metrics
       avi_opaque     — real container parse, frames are a compressed
                        codec's bitstream (not PNG) => per-frame pixel-
                        decode error rows, frame COUNT still right
       avi_truncated  — RIFF/'AVI ' magic, chopped => per-clip error row
-      compressed     — non-RIFF magic (mp4) => documented stub seam
+      webm           — EBML magic => loud container-specific refusal,
+                       one per-clip error row
     """
     from ..functions.avi import encode_avi
     from ..imaging.png import encode_png
@@ -675,11 +679,26 @@ def video_item(cfg: CorpusConfig, j: int) -> tuple[str, bytes, str]:
     rng = _rng(cfg.seed, _S_VIDEO, j)
     w, h = 24, 16
     n_frames = 3 + (j % 6)
+    if j % 20 == 17:
+        data = (b"\x1a\x45\xdf\xa3"
+                + rng.integers(0, 256, 128).astype(np.uint8).tobytes())
+        return video_ref(j), data, "webm"
     if j % 10 == 9:
-        fake = b"\x00\x00\x00\x20ftypisom" + rng.integers(
-            0, 256, 256
-        ).astype(np.uint8).tobytes()
-        return video_ref(j), fake, "compressed"
+        from ..functions.mp4 import encode_mp4
+
+        pngs = []
+        for k in range(n_frames):
+            ramp = (
+                np.linspace(0, 255, w, dtype=np.float64)[None, :]
+                + np.full((h, 1), 11.0 * k)
+            )
+            img = np.clip(
+                ramp + rng.integers(0, 24, (h, w)), 0, 255
+            ).astype(np.uint8)
+            pngs.append(encode_png(img))
+        data = encode_mp4(n_frames / 12.0, codec=b"png ", width=w,
+                          height=h, frames=pngs)
+        return video_ref(j), data, "mp4"
     if j % 8 == 5:
         frames = [
             rng.integers(0, 256, 192).astype(np.uint8).tobytes()

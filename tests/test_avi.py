@@ -147,11 +147,15 @@ def test_video_stage_over_synthetic_corpus(spark):
                        for r in rows)
         elif kind == "avi_truncated":
             assert len(rows) == 1 and rows[0].frame_idx is None
-        elif kind == "compressed":
-            # stub seam: 4 KiB chunk 'frames' sampled (frame_idx set),
-            # whose pixel decode rightly errors (not PNG payloads)
-            assert all(r.frame_idx is not None and r.error is not None
-                       for r in rows)
+        elif kind == "mp4":
+            # REAL ISO-BMFF sample-table demux + PNG pixel decode —
+            # the same full chain as the avi class, other container
+            assert all(r.error is None for r in rows), (ref, rows)
+            assert all(r.frame_idx % 2 == 0 for r in rows)
+        elif kind == "webm":
+            # EBML is refused loudly by name: one per-clip error row
+            assert len(rows) == 1 and rows[0].frame_idx is None
+            assert "EBML" in rows[0].error
 
 
 def test_avi_idx1_offsets_point_at_frame_ckids():

@@ -45,19 +45,32 @@ def test_image_features_real_decode(spark):
     assert all(r.sharpness is not None for r in ok)
 
 
-def test_audio_video_stub_plumbing(spark):
+def test_audio_video_keyframe_plumbing(spark):
     media = S.media_df(spark, S.CorpusConfig(n_docs=20))
     a = audio_features(media).collect()
     assert all(r.error is None and r.n_samples > 0 and r.rms >= 0 for r in a)
-    v = video_keyframes(media, every_n=4).collect()
-    assert all(r.error is None for r in v)
-    # frame fan-out: at least one media produced multiple sampled frames
+    # video_keyframes over the VIDEO corpus: real demux for avi + mp4,
+    # loud per-clip error rows for truncated/EBML; non-container bytes
+    # (the image corpus above) would likewise be error rows now that
+    # the old deterministic-fake chunking seam is retired
+    cfg = S.CorpusConfig(n_docs=1)
+    clips = S.video_df(spark, cfg)
+    kinds = {S.video_ref(j): S.video_item(cfg, j)[2]
+             for j in range(S.N_VIDEO_CLIPS)}
+    v = video_keyframes(clips, every_n=4).collect()
     per_ref = {}
     for r in v:
-        per_ref[r.media_ref] = per_ref.get(r.media_ref, 0) + 1
-    assert max(per_ref.values()) >= 2
+        per_ref.setdefault(r.media_ref, []).append(r)
+    assert set(per_ref) == set(kinds)
+    for ref, rows in per_ref.items():
+        if kinds[ref] in ("avi", "mp4", "avi_opaque"):
+            assert all(r.error is None and r.frame_sha for r in rows)
+        else:
+            assert len(rows) == 1 and rows[0].error
+    # frame fan-out: at least one clip produced multiple sampled frames
+    assert max(len(rows) for rows in per_ref.values()) >= 2
     # determinism: same bytes => same frame hashes
-    v2 = video_keyframes(media, every_n=4).collect()
+    v2 = video_keyframes(clips, every_n=4).collect()
     assert sorted((r.media_ref, r.frame_idx, r.frame_sha) for r in v) == sorted(
         (r.media_ref, r.frame_idx, r.frame_sha) for r in v2
     )
