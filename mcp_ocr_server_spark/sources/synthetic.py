@@ -803,6 +803,85 @@ def video_sniff_df(spark, cfg: CorpusConfig, n: int = N_VIDEO_SNIFF_CLIPS):
 
 
 # ---------------------------------------------------------------------------
+# WARC corpus (for functions/warc.warc_records + the warc->html
+# main-content composition) — real archives built by the real writer,
+# html payloads from the SAME make_html generator the extraction
+# corpus uses
+
+N_WARC_FILES = 16
+_S_WARC = 9
+
+
+def warc_ref(j: int) -> str:
+    return f"warc-{j:06d}"
+
+
+def warc_item(cfg: CorpusConfig, j: int) -> tuple[str, bytes, str]:
+    """(warc_ref, bytes, kind).  Kind classes:
+
+      warc           — plain WARC/1.0: warcinfo + request/response
+                       pairs (html 200s from make_html, one image/png,
+                       one 404, one 301 redirect)
+      warc_gz        — the SAME record mix, per-record gzip members
+                       (the .warc.gz crawl layout)
+      warc_truncated — chopped mid-block => one loud error row
+      garbage        — foreign bytes => one loud error row
+    """
+    from ..functions.warc import encode_warc
+
+    rng = _rng(cfg.seed, _S_WARC, j)
+    if j % 8 == 6:
+        data = encode_warc([dict(
+            type="response", url=f"http://s{j}.example/x",
+            http_status=200, mime="text/html",
+            payload=b"<html><p>x</p></html>")])
+        return warc_ref(j), data[: 50 + int(rng.integers(0, 20))], \
+            "warc_truncated"
+    if j % 8 == 7:
+        return warc_ref(j), b"\x00" + rng.integers(1, 255, 63).astype(
+            np.uint8).tobytes(), "garbage"
+    recs = [dict(type="warcinfo",
+                 payload=f"software: synth-crawler/{j}\r\n".encode())]
+    n_pages = 2 + j % 3
+    for k in range(n_pages):
+        url = f"http://site{j % 5}.example/page/{j}-{k}"
+        recs.append(dict(type="request", url=url,
+                         payload=f"GET /page/{j}-{k} HTTP/1.1\r\n\r\n"
+                         .encode()))
+        html_doc, _main = make_html(rng)
+        recs.append(dict(type="response", url=url, http_status=200,
+                         mime="text/html",
+                         payload=html_doc.encode()))
+    recs.append(dict(
+        type="response", url=f"http://site{j % 5}.example/logo.png",
+        http_status=200, mime="image/png",
+        payload=b"\x89PNG\r\n\x1a\n"
+        + rng.integers(0, 256, 48).astype(np.uint8).tobytes()))
+    recs.append(dict(type="response",
+                     url=f"http://site{j % 5}.example/gone",
+                     http_status=404, mime="text/html",
+                     payload=b"not found"))
+    recs.append(dict(type="response",
+                     url=f"http://site{j % 5}.example/moved",
+                     http_status=301, mime="text/html", payload=b""))
+    gz = j % 2 == 1
+    return warc_ref(j), encode_warc(recs, gzip_members=gz), (
+        "warc_gz" if gz else "warc")
+
+
+def warc_df(spark, cfg: CorpusConfig, n: int = N_WARC_FILES):
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [warc_item(cfg, int(j)) for j in pdf["id"]]
+            yield pd.DataFrame(
+                rows, columns=["warc_ref", "bytes", "kind"])
+
+    return spark.range(0, n, numPartitions=4).mapInPandas(
+        gen, schema="warc_ref string, bytes binary, kind string"
+    )
+
+
+# ---------------------------------------------------------------------------
 # PDF corpus (for functions/pdf.pdf_text) — a deterministic minimal
 # writer (classic xref, FlateDecode or stored) + per-class degradations
 

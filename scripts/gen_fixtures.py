@@ -167,6 +167,35 @@ def gen_audio_inventory() -> pd.DataFrame:
     return df
 
 
+def gen_warc_goldens() -> tuple[pd.DataFrame, pd.DataFrame]:
+    """Goldens for WARC ingestion (warc_record_rows) and the fused
+    warc->main-content composition (warc_main_rows) — same row code
+    as the Spark UDFs."""
+    from mcp_ocr_server_spark.functions.warc import (
+        warc_main_rows,
+        warc_record_rows,
+    )
+
+    recs, mains = [], []
+    for j in range(S.N_WARC_FILES):
+        ref, data, kind = S.warc_item(FLAGSHIP_CORPUS, j)
+        recs.extend(warc_record_rows(ref, data))
+        mains.extend(warc_main_rows(ref, data))
+    rdf = pd.DataFrame(
+        recs, columns=["warc_ref", "rec_idx", "warc_type", "url",
+                       "date", "http_status", "mime", "payload_len",
+                       "payload_md5", "error"])
+    for c in ("rec_idx", "http_status"):
+        rdf[c] = rdf[c].astype("Int64")
+    rdf["payload_len"] = rdf["payload_len"].astype("Int64")
+    mdf = pd.DataFrame(
+        mains, columns=["warc_ref", "rec_idx", "url", "main_text",
+                        "n_chars", "error"])
+    mdf["rec_idx"] = mdf["rec_idx"].astype("Int64")
+    mdf["n_chars"] = mdf["n_chars"].astype("Int64")
+    return rdf, mdf
+
+
 def gen_video_inventory() -> pd.DataFrame:
     """Golden for the video container-metadata sniff over the
     deterministic avi/mp4/webm/garbage corpus
@@ -355,6 +384,17 @@ def main() -> None:
           f" ({int(vinv.error.notna().sum())} errors;"
           f" containers"
           f" {vinv['container'].value_counts(dropna=True).to_dict()})")
+    wrec, wmain = gen_warc_goldens()
+    wrec.to_parquet(
+        os.path.join(FIXTURES_DIR, "warc_records.parquet"), index=False
+    )
+    wmain.to_parquet(
+        os.path.join(FIXTURES_DIR, "warc_main.parquet"), index=False
+    )
+    print(f"warc: {len(wrec)} records"
+          f" ({int(wrec.error.notna().sum())} errors;"
+          f" types {wrec.warc_type.value_counts(dropna=True).to_dict()}),"
+          f" {len(wmain)} main-content rows")
     print(f"video_meta: {len(vid)} rows over {vid.media_ref.nunique()}"
           f" clips ({int(vid.error.notna().sum())} errors;"
           f" kinds {vid.kind.value_counts().to_dict()})")

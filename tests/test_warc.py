@@ -1,0 +1,124 @@
+"""functions/warc.py — WARC/1.0 round-trips (plain + per-record-gzip),
+the HTTP response split, the refuse-loudly error contract, a fuzz
+sweep, and the fused warc->main-content composition against the html
+generator's known prose."""
+
+import numpy as np
+import pytest
+
+from mcp_ocr_server_spark.functions.warc import (
+    encode_warc,
+    gunzip_members,
+    iter_warc_records,
+    split_http_response,
+    warc_main_rows,
+    warc_record_rows,
+)
+
+RECS = [
+    dict(type="warcinfo", payload=b"software: t\r\n"),
+    dict(type="request", url="http://ex.com/a",
+         payload=b"GET /a HTTP/1.1\r\n\r\n"),
+    dict(type="response", url="http://ex.com/a", http_status=200,
+         mime="text/html",
+         payload=b"<html><body><p>hello prose</p></body></html>"),
+    dict(type="response", url="http://ex.com/miss", http_status=404,
+         mime="text/html", payload=b"nope"),
+    dict(type="response", url="http://ex.com/i", http_status=200,
+         mime="image/png", payload=b"\x89PNG fake"),
+]
+
+
+@pytest.mark.parametrize("gz", [False, True])
+def test_roundtrip_record_mix(gz):
+    data = encode_warc(RECS, gzip_members=gz)
+    rows = warc_record_rows("w0", data)
+    assert [r["warc_type"] for r in rows] == [
+        "warcinfo", "request", "response", "response", "response"]
+    assert all(r["error"] is None for r in rows)
+    assert rows[2]["http_status"] == 200
+    assert rows[2]["mime"] == "text/html"
+    assert rows[3]["http_status"] == 404
+    assert rows[4]["mime"] == "image/png"
+    assert rows[2]["payload_len"] == len(RECS[2]["payload"])
+    # payloads cross as md5, never bytes
+    assert all(len(r["payload_md5"]) == 32 for r in rows)
+
+
+def test_gzip_members_multi_member():
+    # gzip.decompress would stop after member one; the multi-member
+    # loop must recover every record
+    data = encode_warc(RECS, gzip_members=True)
+    assert data.count(b"\x1f\x8b\x08") >= len(RECS)
+    plain = gunzip_members(data)
+    assert len(list(iter_warc_records(plain))) == len(RECS)
+
+
+def test_split_http_response():
+    block = (b"HTTP/1.1 301 Moved Permanently\r\n"
+             b"Content-Type: text/html; charset=utf-8\r\n"
+             b"Location: /new\r\n\r\nbody")
+    status, mime, payload = split_http_response(block)
+    assert (status, mime, payload) == (301, "text/html", b"body")
+    with pytest.raises(ValueError, match="status line"):
+        split_http_response(b"NOTHTTP\r\n\r\n")
+    with pytest.raises(ValueError, match="terminator"):
+        split_http_response(b"HTTP/1.1 200 OK\r\n")
+
+
+def test_error_contract_one_loud_row():
+    for data, needle in [
+        (b"NOTWARC/1.0\r\n\r\n", "bad record magic"),
+        (encode_warc(RECS)[:60], "truncated"),
+        (b"\x1f\x8b" + b"j" * 40, "gzip"),
+        (b"WARC/1.0\r\nWARC-Type: x\r\n\r\n", "Content-Length"),
+    ]:
+        rows = warc_record_rows("w", data)
+        assert len(rows) >= 1 and rows[-1]["error"], (needle, rows)
+        assert needle in rows[-1]["error"]
+
+
+def test_fuzz_exception_discipline():
+    good = encode_warc(RECS)
+    rng = np.random.default_rng(11)
+    for _ in range(200):
+        b = bytearray(good)
+        for _ in range(rng.integers(1, 4)):
+            b[rng.integers(0, len(b))] = rng.integers(0, 256)
+        rows = warc_record_rows("w", bytes(b))   # never raises
+        assert rows
+    gz = encode_warc(RECS, gzip_members=True)
+    for cut in range(1, len(gz), 13):
+        assert warc_record_rows("w", gz[:cut])
+    # zero bytes = an empty archive: zero records, zero errors
+    assert warc_record_rows("w", b"") == []
+
+
+def test_main_content_composition_strips_boilerplate():
+    from mcp_ocr_server_spark.queries import FLAGSHIP_CORPUS
+    from mcp_ocr_server_spark.sources.synthetic import (
+        N_WARC_FILES,
+        warc_item,
+    )
+
+    kinds = {}
+    for j in range(N_WARC_FILES):
+        ref, data, kind = warc_item(FLAGSHIP_CORPUS, j)
+        kinds[kind] = kinds.get(kind, 0) + 1
+        rows = warc_main_rows(ref, data)
+        if kind in ("warc", "warc_gz"):
+            # only the 200 text/html responses survive the route —
+            # never the png / 404 / 301 / request / warcinfo records
+            assert len(rows) == len(
+                [r for r in warc_record_rows(ref, data)
+                 if r["http_status"] == 200 and r["mime"] == "text/html"]
+            )
+            for r in rows:
+                assert r["error"] is None and r["n_chars"] > 50
+                # boilerplate stripped: nav/footer markers never leak
+                assert "copyright" not in r["main_text"]
+                assert "sponsored" not in r["main_text"]
+        else:
+            assert len(rows) == 1 and rows[0]["error"]
+    assert set(kinds) == {"warc", "warc_gz", "warc_truncated",
+                          "garbage"}
