@@ -153,7 +153,8 @@ def main() -> None:
         "html_links", "anchor_text", "link_rank", "keyword_rank",
         "extract_interleaved", "jsonl_ingest",
         "media_words", "media_image_features", "media_audio_features",
-        "media_orphans", "pdf_text", "media_video_frames",
+        "media_orphans", "pdf_text", "pdf_scan_ocr",
+        "media_video_frames",
         "media_audio_inventory", "media_video_inventory",
         "warc_records", "warc_main_content",
         "bm25_search", "fingerprint_winnow", "dedup_winnow_pairs",

@@ -71,24 +71,23 @@ VIDEO_KEYFRAMES_SCHEMA = (
 
 
 def parse_pdf_pages(data: bytes) -> list[np.ndarray]:
-    """PDF page RASTERIZATION seam (north rule "PDF/layout parse").
+    """PDF page rasters — REAL for the scanned-PDF class (north rule
+    "PDF/layout parse").
 
-    The born-digital TEXT path is REAL — functions/pdf.py extracts
-    per-page text with a stdlib-only parser (zlib FlateDecode +
-    content-stream operator interpreter), so text PDFs never need
-    rasterizing.  THIS seam is only for scanned/image PDFs whose pages
-    must be rendered for the OCR path; rendering requires a rasterizer
-    (pypdf + renderer, or poppler) this container does not ship, so the
-    raster decode is an explicit stub behind the same interface.
-    """
-    try:
-        import pypdf  # noqa: F401  (absent in this container)
-    except ImportError:
-        raise NotImplementedError(
-            "PDF container decode requires pypdf/poppler; rasterized "
-            "pages go through imaging.layout.parse_page"
-        ) from None
-    raise NotImplementedError("rasterization backend not available")
+    The born-digital TEXT path is functions/pdf.extract_pdf_text
+    (stdlib object parse + Flate + content-stream interpreter) — text
+    PDFs never need rasterizing.  A SCANNED page's raster IS its
+    embedded /Subtype /Image XObject, so no renderer is involved:
+    functions/pdf.extract_pdf_page_rasters parses the object graph and
+    decodes the samples (unfiltered + FlateDecode at 1/8-bit
+    DeviceGray and 8-bit DeviceRGB; DCTDecode via the in-repo baseline
+    JPEG decoder when present).  Pages needing true COMPOSITING
+    (vector art, multiple images, text-over-image) raise ValueError by
+    name — rendering those is the one part that still needs a real
+    rasterizer backend."""
+    from .pdf import extract_pdf_page_rasters
+
+    return extract_pdf_page_rasters(data)
 
 
 def decode_wav(data: bytes) -> tuple[np.ndarray, int]:

@@ -28,10 +28,10 @@ Documented scope (honest limits, stated where a user hits them):
     is present and consistent (so payloads containing 'endstream'
     bytes parse correctly); indirect or wrong /Length falls back to
     the first endstream marker.
-  - page RASTERIZATION (for the OCR path) still requires a renderer and
-    stays behind the multimodal.parse_pdf_pages stub seam — this module
-    is the born-digital text path that makes rasterizing unnecessary
-    for text PDFs.
+  - page rasters for SCANNED PDFs are real too (extract_pdf_page_rasters
+    below — the page raster is the embedded image XObject, no renderer
+    involved); only true compositing (vector art, text-over-image,
+    multi-image pages) still needs a renderer and refuses by name.
 
 A deterministic test writer (make_pdf) lives in tests/test_pdf.py so
 round-trips never depend on external fixtures.
@@ -499,3 +499,214 @@ def pdf_text(media: DataFrame) -> DataFrame:
     return media.select("media_ref", "bytes").mapInPandas(
         run, schema=PDF_TEXT_SCHEMA
     )
+
+
+# ---------------------------------------------------------------------------
+# Scanned/image PDFs — embedded image-XObject raster extraction.
+#
+# A "scanned" PDF carries no usable content-stream text: each page is one
+# (occasionally several) /Subtype /Image XObject painted by a `cm … Do`
+# pair.  Rasterizing such a page does NOT need a renderer — the page
+# raster IS the embedded image, so extraction is object parsing plus the
+# image filter.  This section implements that path for the filters that
+# are pure stdlib/numpy: unfiltered samples and /FlateDecode (zlib), at
+# 1- and 8-bit DeviceGray and 8-bit DeviceRGB (luma-folded).  DCTDecode
+# payloads are literal JPEG files and decode via imaging/jpeg.py when it
+# is importable; anything else (JPXDecode, CCITTFaxDecode, /Indexed,
+# /Decode inversion arrays, /SMask transparency) refuses loudly by name
+# rather than emitting a silently-wrong raster.
+#
+# Reference parity: mcp-ocr-server only ever receives ready image bytes
+# (server.go routes base64/file images straight to Tesseract); scanned
+# PDFs are the corpus-side reality the north rule adds ("PDF/layout
+# parse" feeding the OCR path).  extract_pdf_page_rasters is the REAL
+# implementation behind multimodal.parse_pdf_pages.
+
+_IMG_INT_RE = {
+    k: re.compile(rb"/" + k + rb"\s+(\d+)(?!\d)")
+    for k in (b"Width", b"Height", b"BitsPerComponent")
+}
+
+
+def _balanced_dict(body: bytes, start: int) -> bytes | None:
+    """Slice the balanced `<< … >>` dict beginning at/after `start`
+    (returns the bytes INSIDE the outermost delimiters)."""
+    m = re.compile(rb"<<").search(body, start)
+    if m is None:
+        return None
+    depth, pos = 1, m.end()
+    while depth and pos < len(body):
+        nxt_open = body.find(b"<<", pos)
+        nxt_close = body.find(b">>", pos)
+        if nxt_close == -1:
+            return None
+        if nxt_open != -1 and nxt_open < nxt_close:
+            depth, pos = depth + 1, nxt_open + 2
+        else:
+            depth, pos = depth - 1, nxt_close + 2
+    return body[m.end() : pos - 2] if depth == 0 else None
+
+
+def _resources_xobjects(
+    page_body: bytes, objs: dict[int, _Obj]
+) -> list[tuple[bytes, int]]:
+    """(name, objnum) pairs of the page's /XObject resources, in the
+    order the resource dict declares them.  /Resources may be inline or
+    an indirect reference; the /XObject sub-dict likewise."""
+    rm = re.search(rb"/Resources\s*(?=(<<)|(\d+)\s+\d+\s+R)", page_body)
+    if rm is None:
+        return []
+    if rm.group(2) is not None:
+        ro = objs.get(int(rm.group(2)))
+        res = ro.body if ro is not None else b""
+        xs = re.search(rb"/XObject\s*(?=(<<)|(\d+)\s+\d+\s+R)", res)
+        base = res
+    else:
+        base = _balanced_dict(page_body, rm.start()) or b""
+        xs = re.search(rb"/XObject\s*(?=(<<)|(\d+)\s+\d+\s+R)", base)
+    if xs is None:
+        return []
+    if xs.group(2) is not None:
+        xo = objs.get(int(xs.group(2)))
+        xdict = xo.body if xo is not None else b""
+    else:
+        xdict = _balanced_dict(base, xs.start()) or b""
+    return [
+        (m.group(1), int(m.group(2)))
+        for m in re.finditer(
+            rb"(/[^\s/<>\[\]()]+)\s+(\d+)\s+\d+\s+R", xdict
+        )
+    ]
+
+
+def _image_filter(body: bytes) -> bytes:
+    fm = re.search(rb"/Filter\s*(\[[^\]]*\]|/[^\s/<>\[\]()]*)", body)
+    if fm is None:
+        return b""
+    return re.sub(rb"[\[\]\s]", b"", fm.group(1))
+
+
+def _decode_image_xobject(obj: _Obj) -> "np.ndarray":
+    """One /Subtype /Image XObject -> grayscale uint8 raster.
+
+    Supported: no-filter + /FlateDecode at DeviceGray 1/8-bit and
+    DeviceRGB 8-bit (ITU-R BT.601 integer luma fold); /DCTDecode via
+    the in-repo baseline JPEG decoder (imaging/jpeg.py) when present.
+    Everything else raises ValueError naming the unsupported feature.
+    """
+    import numpy as np
+
+    body = obj.body
+    for bad, why in (
+        (rb"/Decode\s*\[", "/Decode inversion array"),
+        (rb"/SMask\b", "/SMask transparency"),
+        (rb"/Indexed\b", "/Indexed palette colorspace"),
+    ):
+        if re.search(bad, body):
+            raise ValueError(f"image XObject: {why} unsupported")
+    ints = {}
+    for key, rx in _IMG_INT_RE.items():
+        m = rx.search(body)
+        if m is None:
+            raise ValueError(
+                f"image XObject missing /{key.decode()}"
+            )
+        ints[key] = int(m.group(1))
+    w, h = ints[b"Width"], ints[b"Height"]
+    bpc = ints[b"BitsPerComponent"]
+    if w <= 0 or h <= 0 or w * h > 64_000_000:
+        raise ValueError("image XObject dimensions out of range")
+    cs = re.search(rb"/ColorSpace\s*/(DeviceGray|DeviceRGB)\b", body)
+    filt = _image_filter(body)
+    raw = obj.stream or b""
+    if filt == b"/DCTDecode":
+        # the payload is a complete JPEG file — decode with the in-repo
+        # baseline decoder (JFIF handles its own geometry/colorspace)
+        try:
+            from ..imaging.jpeg import decode_jpeg_gray
+        except ImportError:
+            raise ValueError(
+                "image XObject: /DCTDecode needs imaging.jpeg"
+            ) from None
+        img = decode_jpeg_gray(raw)
+        if img.shape != (h, w):
+            raise ValueError(
+                "DCTDecode geometry mismatch vs /Width /Height"
+            )
+        return img
+    if cs is None:
+        raise ValueError(
+            "image XObject: only /DeviceGray and /DeviceRGB supported"
+        )
+    ncomp = 1 if cs.group(1) == b"DeviceGray" else 3
+    if filt == b"/FlateDecode":
+        samples = zlib.decompress(raw)
+    elif filt == b"":
+        samples = raw
+    else:
+        raise ValueError(
+            "image XObject: unsupported filter "
+            + filt.decode("latin-1", "replace")
+        )
+    if bpc == 8:
+        need = w * h * ncomp
+        if len(samples) < need:
+            raise ValueError("image XObject: sample data truncated")
+        a = np.frombuffer(samples[:need], dtype=np.uint8)
+        if ncomp == 1:
+            return a.reshape(h, w).copy()
+        rgb = a.reshape(h, w, 3).astype(np.uint32)
+        # BT.601 integer luma — exact, reproducible across hosts
+        return (
+            (77 * rgb[..., 0] + 150 * rgb[..., 1] + 29 * rgb[..., 2] + 128)
+            >> 8
+        ).astype(np.uint8)
+    if bpc == 1 and ncomp == 1:
+        stride = (w + 7) // 8  # rows padded to byte boundaries
+        if len(samples) < stride * h:
+            raise ValueError("image XObject: sample data truncated")
+        rows = np.frombuffer(
+            samples[: stride * h], dtype=np.uint8
+        ).reshape(h, stride)
+        bits = np.unpackbits(rows, axis=1)[:, :w]
+        return (bits * np.uint8(255)).astype(np.uint8)  # 1 = white
+    raise ValueError(
+        f"image XObject: {bpc}-bit/{ncomp}-component samples unsupported"
+    )
+
+
+def extract_pdf_page_rasters(data: bytes) -> list["np.ndarray"]:
+    """Per-page raster of a scanned/image PDF, page-tree order.
+
+    Each page must paint at least one image XObject; pages with several
+    refuse loudly (multi-image layout needs true rendering).  Raises
+    ValueError for non-PDF bytes, encrypted documents, pages without an
+    image, and unsupported image features — same refusal contract as
+    extract_pdf_text."""
+    if not data.startswith(b"%PDF-"):
+        raise ValueError("not a PDF: missing %PDF- header")
+    for tm in re.finditer(rb"trailer(.*?)startxref", data, re.S):
+        if re.search(rb"/Encrypt\b", tm.group(1)):
+            raise ValueError("encrypted PDF: decryption unsupported")
+    objs = _objects(data)
+    _expand_objstms(objs)
+    out = []
+    for pnum in _page_order(data, objs):
+        imgs = [
+            num
+            for _name, num in _resources_xobjects(objs[pnum].body, objs)
+            if num in objs
+            and re.search(rb"/Subtype\s*/Image\b", objs[num].body)
+        ]
+        if not imgs:
+            raise ValueError(
+                "scanned-PDF page has no image XObject"
+                " (born-digital pages go through extract_pdf_text)"
+            )
+        if len(imgs) > 1:
+            raise ValueError(
+                "page paints multiple image XObjects: compositing"
+                " needs a renderer"
+            )
+        out.append(_decode_image_xobject(objs[imgs[0]]))
+    return out

@@ -190,3 +190,47 @@ def word_box_rows(ref: str, png: bytes, cfg: JobConfig) -> list[dict]:
              confidence=round(b.confidence, 6))
         for i, b in enumerate(boxes)
     ]
+
+
+# Scanned-PDF OCR: page raster = embedded image XObject (no renderer
+# needed — functions/pdf.extract_pdf_page_rasters), then the SAME
+# preprocess + engine chain the image branch runs.  The reference never
+# sees PDFs (server.go routes ready image bytes only); this is the
+# north-rule "PDF/layout parse" feeding the OCR path.
+SCAN_PDF_SCHEMA = (
+    "media_ref string, page_idx int, text string, confidence double,"
+    " error string"
+)
+
+
+def scan_pdf_rows(ref: str, data: bytes, cfg: JobConfig) -> list[dict]:
+    """OCR rows for one scanned PDF — shared VERBATIM by the Spark
+    stage (queries.q_pdf_scan_ocr) and the golden-fixture generator.
+    Document-level raster failures (non-PDF, encrypted, born-digital
+    pages, unsupported image features) yield ONE error row with
+    page_idx null; per-page OCR failures isolate to their page (P1)."""
+    from ..functions.pdf import extract_pdf_page_rasters
+    from ..ocr.engine import get_engine
+
+    try:
+        rasters = extract_pdf_page_rasters(bytes(data))
+    except Exception as exc:
+        return [dict(media_ref=ref, page_idx=None, text=None,
+                     confidence=None, error=str(exc))]
+    engine = get_engine(cfg.ocr)
+    out: list[dict] = []
+    for i, img in enumerate(rasters):
+        row = dict(media_ref=ref, page_idx=i, text=None,
+                   confidence=None, error=None)
+        try:
+            try:
+                processed, _q, _steps = preprocess(img, cfg.preprocessing)
+            except Exception:
+                processed = img  # fail-soft, handler.go:271-275
+            res = engine.recognize(processed)
+            row["text"] = res.text
+            row["confidence"] = round(res.confidence, 6)
+        except Exception as exc:
+            row["error"] = str(exc)
+        out.append(row)
+    return out

@@ -1121,3 +1121,160 @@ def pdf_df(spark, cfg: CorpusConfig, n: int = N_PDF_DOCS):
 
 
 INTERLEAVED_CORPUS = CorpusConfig(n_docs=60, p_pdf=0.35)
+
+
+# ---------------------------------------------------------------------------
+# scanned/image PDFs — pages that are embedded image XObjects, the class
+# whose text lives in pixels, not content streams (north rule "PDF/layout
+# parse" feeding the OCR path; functions/pdf.extract_pdf_page_rasters is
+# the extractor under test)
+
+_S_SCANPDF = 10
+N_SCAN_PDFS = 24  # fixed: goldens for this corpus are committed
+
+
+def scan_pdf_ref(j: int) -> str:
+    return f"/corpus/scan/{j:05d}.pdf"
+
+
+def make_scanned_pdf_bytes(
+    images: list[np.ndarray],
+    bits: int = 8,
+    color: str = "gray",
+    flate: bool = True,
+) -> bytes:
+    """Minimal structurally-correct scanned-PDF writer: one page per
+    grayscale uint8 image, each page a single /Subtype /Image XObject
+    painted by `cm … Do`.  Modes: 8-bit /DeviceGray, 1-bit /DeviceGray
+    (rows padded to byte boundaries, 1 = white), 8-bit /DeviceRGB with
+    R=G=B (luma folds back to the input exactly).  Deterministic."""
+    import zlib
+
+    objs: list[bytes] = []
+    page_nums = [3 + 3 * i for i in range(len(images))]
+    kids = " ".join(f"{n} 0 R" for n in page_nums).encode()
+    objs.append(b"<< /Type /Catalog /Pages 2 0 R >>")
+    objs.append(
+        b"<< /Type /Pages /Kids [" + kids + b"] /Count "
+        + str(len(images)).encode() + b" >>"
+    )
+    for i, img in enumerate(images):
+        h, w = img.shape[:2]
+        pnum = page_nums[i]
+        if bits == 1:
+            stride = (w + 7) // 8
+            rowbits = (img >= 128).astype(np.uint8)
+            packed = np.packbits(rowbits, axis=1)
+            assert packed.shape == (h, stride)
+            samples = packed.tobytes()
+            cs, bpc = b"/DeviceGray", b"1"
+        elif color == "rgb":
+            samples = np.repeat(img.reshape(h, w, 1), 3, axis=2).tobytes()
+            cs, bpc = b"/DeviceRGB", b"8"
+        else:
+            samples = img.tobytes()
+            cs, bpc = b"/DeviceGray", b"8"
+        if flate:
+            payload = zlib.compress(samples)
+            filt = b" /Filter /FlateDecode"
+        else:
+            payload = samples
+            filt = b""
+        objs.append(
+            b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 "
+            + str(w).encode() + b" " + str(h).encode()
+            + b"] /Resources << /XObject << /Im0 "
+            + str(pnum + 1).encode() + b" 0 R >> >> /Contents "
+            + str(pnum + 2).encode() + b" 0 R >>"
+        )
+        objs.append(
+            b"<< /Subtype /Image /Width " + str(w).encode()
+            + b" /Height " + str(h).encode()
+            + b" /ColorSpace " + cs + b" /BitsPerComponent " + bpc
+            + filt + b" /Length " + str(len(payload)).encode()
+            + b" >>\nstream\n" + payload + b"\nendstream"
+        )
+        content = (
+            b"q " + str(w).encode() + b" 0 0 " + str(h).encode()
+            + b" 0 0 cm /Im0 Do Q"
+        )
+        objs.append(
+            b"<< /Length " + str(len(content)).encode() + b" >>\nstream\n"
+            + content + b"\nendstream"
+        )
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = []
+    for i, body in enumerate(objs):
+        offsets.append(len(out))
+        out += f"{i + 1} 0 obj\n".encode() + body + b"\nendobj\n"
+    xref_at = len(out)
+    out += f"xref\n0 {len(objs) + 1}\n".encode()
+    out += b"0000000000 65535 f \n"
+    for off in offsets:
+        out += f"{off:010d} 00000 n \n".encode()
+    out += (
+        b"trailer\n<< /Size " + str(len(objs) + 1).encode()
+        + b" /Root 1 0 R >>\nstartxref\n" + str(xref_at).encode()
+        + b"\n%%EOF\n"
+    )
+    return bytes(out)
+
+
+# degradations safe for each sample class: 1-bit re-thresholds at the
+# writer, so only geometry-preserving classes keep glyphs recoverable
+_SCAN_DEGRADATIONS = ("clean", "low_contrast", "dark", "bright")
+
+
+def scan_pdf_item(cfg: CorpusConfig, j: int) -> tuple[str, bytes, str, str]:
+    """(media_ref, bytes, kind, true_text).  Kind classes cover the
+    raster extractor's whole contract: gray8 (Flate), raw (unfiltered),
+    gray1 (1-bit packed rows), rgb (luma fold), multi (2-page), plus
+    error classes noimage (born-digital text PDF) and garbage."""
+    rng = _rng(cfg.seed, _S_SCANPDF, j)
+    n_lines = int(rng.integers(1, 3))
+    lines = [
+        _words(rng, _FONT_WORDS, int(rng.integers(2, 5)))
+        for _ in range(n_lines)
+    ]
+    true_text = "\n".join(lines)
+    if j % 11 == 10:
+        return scan_pdf_ref(j), b"\xffnot a pdf at all\x00" * 3, "garbage", ""
+    if j % 7 == 6:
+        pages = [[_words(rng, _PROSE_WORDS, 4)]]
+        return (
+            scan_pdf_ref(j), make_pdf_bytes(pages, compress=True),
+            "noimage", "",
+        )
+    img = render_text(true_text, scale=3)
+    if j % 5 == 4:
+        data = make_scanned_pdf_bytes([img], color="rgb")
+        return scan_pdf_ref(j), data, "rgb", true_text
+    if j % 3 == 2:
+        data = make_scanned_pdf_bytes([img], bits=1)
+        return scan_pdf_ref(j), data, "gray1", true_text
+    deg = _SCAN_DEGRADATIONS[int(rng.integers(0, len(_SCAN_DEGRADATIONS)))]
+    img = _degrade(img, deg, rng, cfg.oversize_bytes)
+    if j % 2 == 1:
+        data = make_scanned_pdf_bytes([img], flate=False)
+        return scan_pdf_ref(j), data, "raw", true_text
+    data = make_scanned_pdf_bytes([img])
+    return scan_pdf_ref(j), data, "gray8", true_text
+
+
+SCAN_PDF_SCHEMA = (
+    "media_ref string, bytes binary, kind string, true_text string"
+)
+
+
+def scan_pdf_df(spark, cfg: CorpusConfig, n: int = N_SCAN_PDFS):
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [scan_pdf_item(cfg, int(j)) for j in pdf["id"]]
+            yield pd.DataFrame(
+                rows,
+                columns=["media_ref", "bytes", "kind", "true_text"],
+            )
+
+    return spark.range(0, n, numPartitions=4).mapInPandas(
+        gen, schema=SCAN_PDF_SCHEMA
+    )

@@ -281,6 +281,23 @@ def gen_word_boxes() -> pd.DataFrame:
     return df
 
 
+def gen_pdf_scan_meta() -> pd.DataFrame:
+    """Golden for the scanned-PDF OCR query: SAME row code the Spark
+    stage runs (media_ocr.scan_pdf_rows) over the scan-pdf corpus."""
+    from mcp_ocr_server_spark.operators.media_ocr import scan_pdf_rows
+
+    rows: list[dict] = []
+    for j in range(S.N_SCAN_PDFS):
+        ref, data, _kind, _true = S.scan_pdf_item(FLAGSHIP_CORPUS, j)
+        rows.extend(scan_pdf_rows(ref, data, FIXTURE_JOB))
+    df = pd.DataFrame(
+        rows, columns=["media_ref", "page_idx", "text", "confidence",
+                       "error"]
+    )
+    df["page_idx"] = df["page_idx"].astype("Int64")
+    return df
+
+
 def gen_b64_media() -> pd.DataFrame:
     """S2 base64-ingestion golden: (media_ref, data_b64, corrupted)."""
     rows = []
@@ -367,6 +384,12 @@ def main() -> None:
     audio.to_parquet(os.path.join(FIXTURES_DIR, "audio_meta.parquet"), index=False)
     pdfm = gen_pdf_meta()
     pdfm.to_parquet(os.path.join(FIXTURES_DIR, "pdf_meta.parquet"), index=False)
+    scan = gen_pdf_scan_meta()
+    scan.to_parquet(
+        os.path.join(FIXTURES_DIR, "pdf_scan_meta.parquet"), index=False
+    )
+    print(f"pdf_scan_meta: {len(scan)} rows"
+          f" ({int(scan.error.notna().sum())} errors)")
     vid = gen_video_meta()
     vid.to_parquet(os.path.join(FIXTURES_DIR, "video_meta.parquet"), index=False)
     inv = gen_audio_inventory()

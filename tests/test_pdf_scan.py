@@ -1,0 +1,141 @@
+"""Scanned-PDF raster extraction (functions/pdf.extract_pdf_page_rasters)
+— the REAL implementation behind multimodal.parse_pdf_pages.
+
+A scanned page's raster IS its embedded image XObject, so extraction is
+object parsing + the sample filter, no renderer.  These tests pin the
+writer/extractor round-trip bit-exactly per sample class, the refusal
+contract, and end-to-end OCR text recovery through the shared row code.
+"""
+
+import numpy as np
+import pytest
+
+from mcp_ocr_server_spark.config import DEFAULT_CONFIG, FIXTURE_JOB
+from mcp_ocr_server_spark.functions.multimodal import parse_pdf_pages
+from mcp_ocr_server_spark.functions.pdf import extract_pdf_page_rasters
+from mcp_ocr_server_spark.imaging.font import render_text
+from mcp_ocr_server_spark.operators.media_ocr import scan_pdf_rows
+from mcp_ocr_server_spark.sources import synthetic as S
+
+CORPUS = S.INTERLEAVED_CORPUS
+IMG = render_text("HELLO WORLD\nSECOND LINE", scale=3)
+
+
+@pytest.mark.parametrize(
+    "kwargs",
+    [dict(), dict(flate=False), dict(color="rgb")],
+    ids=["gray8-flate", "gray8-raw", "rgb8"],
+)
+def test_roundtrip_bit_exact(kwargs):
+    data = S.make_scanned_pdf_bytes([IMG], **kwargs)
+    (out,) = extract_pdf_page_rasters(data)
+    assert out.dtype == np.uint8
+    # rgb mode writes R=G=B, so the BT.601 integer luma folds back
+    # to the input exactly — the writer/extractor pair is lossless
+    assert np.array_equal(out, IMG)
+
+
+def test_roundtrip_1bit_threshold():
+    data = S.make_scanned_pdf_bytes([IMG], bits=1)
+    (out,) = extract_pdf_page_rasters(data)
+    expected = (IMG >= 128).astype(np.uint8) * 255  # 1 = white
+    assert np.array_equal(out, expected)
+
+
+def test_1bit_row_padding():
+    # width not divisible by 8 exercises the per-row byte padding
+    img = IMG[:, : IMG.shape[1] - 5].copy()
+    assert img.shape[1] % 8 != 0
+    data = S.make_scanned_pdf_bytes([img], bits=1)
+    (out,) = extract_pdf_page_rasters(data)
+    assert out.shape == img.shape
+
+
+def test_multi_page_order():
+    small = IMG[::2, ::2].copy()
+    data = S.make_scanned_pdf_bytes([IMG, small])
+    pages = extract_pdf_page_rasters(data)
+    assert [p.shape for p in pages] == [IMG.shape, small.shape]
+
+
+def test_parse_pdf_pages_is_real():
+    # the former stub seam now delegates to the real extractor
+    data = S.make_scanned_pdf_bytes([IMG])
+    (out,) = parse_pdf_pages(data)
+    assert np.array_equal(out, IMG)
+
+
+@pytest.mark.parametrize(
+    "data,msg",
+    [
+        (b"\x00not a pdf", "missing %PDF-"),
+        (S.make_pdf_bytes([["born digital"]]), "no image XObject"),
+    ],
+    ids=["garbage", "born-digital"],
+)
+def test_refusals(data, msg):
+    with pytest.raises(ValueError, match=msg):
+        extract_pdf_page_rasters(data)
+
+
+def test_refuses_decode_array():
+    data = S.make_scanned_pdf_bytes([IMG])
+    data = data.replace(
+        b"/BitsPerComponent 8", b"/Decode [1 0] /BitsPerComponent 8"
+    )
+    with pytest.raises(ValueError, match="/Decode inversion"):
+        extract_pdf_page_rasters(data)
+
+
+def test_refuses_unsupported_filter():
+    data = S.make_scanned_pdf_bytes([IMG])
+    data = data.replace(b"/Filter /FlateDecode", b"/Filter /CCITTFaxDecode")
+    with pytest.raises(ValueError, match="unsupported filter"):
+        extract_pdf_page_rasters(data)
+
+
+def test_truncated_samples_refuse():
+    # decompressed sample data shorter than /Width * /Height
+    import zlib
+
+    from mcp_ocr_server_spark.functions.pdf import (
+        _decode_image_xobject, _Obj,
+    )
+
+    h, w = IMG.shape
+    head = (
+        b"<< /Subtype /Image /Width " + str(w).encode()
+        + b" /Height " + str(h).encode()
+        + b" /ColorSpace /DeviceGray /BitsPerComponent 8"
+        b" /Filter /FlateDecode >>"
+    )
+    short = zlib.compress(IMG.tobytes()[: h * w // 2])
+    with pytest.raises(ValueError, match="truncated"):
+        _decode_image_xobject(_Obj(head, short))
+
+
+def test_corpus_classes_and_ocr_recovery():
+    """Every non-error corpus item OCRs back to its rendered text via
+    the shared row code; error classes yield page_idx-null error rows."""
+    kinds = set()
+    for j in range(S.N_SCAN_PDFS):
+        ref, data, kind, true_text = S.scan_pdf_item(CORPUS, j)
+        kinds.add(kind)
+        rows = scan_pdf_rows(ref, data, FIXTURE_JOB)
+        if kind in ("garbage", "noimage"):
+            assert len(rows) == 1
+            assert rows[0]["page_idx"] is None
+            assert rows[0]["error"]
+            continue
+        assert [r["error"] for r in rows] == [None]
+        assert rows[0]["text"].strip() == true_text
+        assert rows[0]["confidence"] > 0
+    # the corpus must keep exercising every sample-class branch
+    assert kinds == {"gray8", "raw", "gray1", "rgb", "noimage", "garbage"}
+
+
+def test_determinism():
+    a = S.scan_pdf_item(CORPUS, 0)
+    b = S.scan_pdf_item(CORPUS, 0)
+    assert a == b
+    assert DEFAULT_CONFIG is not None

@@ -39,7 +39,9 @@ ZERO_SHUFFLE = [
     "extract_base64", "html_main_content", "html_links", "link_rank",
     "media_words", "media_image_features",
     "media_audio_features", "pdf_text", "media_video_frames",
-    "media_audio_inventory", "dedup_simhash", "lang_id",
+    "media_audio_inventory", "media_video_inventory",
+    "warc_records", "warc_main_content", "pdf_scan_ocr",
+    "dedup_simhash", "lang_id",
     "text_quality", "token_stats", "doc_fingerprint",
 ]
 
