@@ -1,0 +1,713 @@
+"""Baseline JPEG (ITU-T T.81 / ISO 10918-1) codec — pure stdlib+numpy,
+the DCT analogue of imaging/png.py and functions/flac.py.
+
+Independent re-derivation from the published standard (markers §B,
+Huffman entropy coding §C/§F.2, the default tables of Annex K); no
+code is taken from libjpeg or any other implementation.
+
+Scope (honest limits, loud refusals):
+  - DECODE: baseline sequential DCT (SOF0), 8-bit samples, grayscale
+    and 3-component YCbCr with any h/v sampling factors up to 2
+    (4:4:4, 4:2:2, 4:2:0), restart intervals (DRI/RSTn), multiple
+    DQT/DHT segments, 0xFF00 byte unstuffing.  Progressive (SOF2),
+    arithmetic coding (SOF9/10), 12-bit precision, and hierarchical
+    modes raise ValueError by name.
+  - ENCODE: baseline grayscale or YCbCr 4:4:4 / 4:2:0 with the Annex K
+    quantization (quality-scaled, the IJG curve — published in the
+    libjpeg *documentation*, re-derived here from the formula) and
+    Annex K Huffman tables.  Deterministic: same input -> same bytes.
+
+Decode strategy: the entropy decode is a per-block Python loop (bit
+reader + canonical Huffman), but dequantization and the IDCT run
+vectorized over ALL blocks at once (matrix form of the 8x8 DCT-III:
+P = C.T @ Q @ C for every block in one einsum) — the same
+batch-the-math shape the FLAC decoder uses for LPC reconstruction.
+
+Used by: functions/pdf.py (/DCTDecode image XObjects — scanned PDFs),
+functions/avi.py MJPG frame payloads (an MJPEG stream is concatenated
+baseline JPEGs), and the multimodal image stages.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# ---------------------------------------------------------------------------
+# shared tables (T.81 Annex K) and the 8x8 DCT basis
+
+# zigzag: index i of the scan -> (row, col) in the 8x8 block
+_ZIGZAG = np.array([
+     0,  1,  8, 16,  9,  2,  3, 10,
+    17, 24, 32, 25, 18, 11,  4,  5,
+    12, 19, 26, 33, 40, 48, 41, 34,
+    27, 20, 13,  6,  7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36,
+    29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46,
+    53, 60, 61, 54, 47, 55, 62, 63,
+], dtype=np.int64)
+# Annex K Table K.1 (luminance) / K.2 (chrominance), row-major order
+# (converted to zigzag at DQT-write time)
+_QT_LUM = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+], dtype=np.int64)
+_QT_CHROM = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+], dtype=np.int64)
+
+# Annex K Huffman specs: (BITS[1..16], HUFFVAL) — canonical code
+# assignment per T.81 §C.2
+_DC_LUM_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+_DC_LUM_VALS = list(range(12))
+_DC_CHROM_BITS = [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0]
+_DC_CHROM_VALS = list(range(12))
+_AC_LUM_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+_AC_LUM_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+    0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+    0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+    0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+    0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+    0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+    0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+    0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+    0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+_AC_CHROM_BITS = [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77]
+_AC_CHROM_VALS = [
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+    0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+    0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15,
+    0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17,
+    0x18, 0x19, 0x1A, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37,
+    0x38, 0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A,
+    0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65,
+    0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+    0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A,
+    0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+    0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5,
+    0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+    0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9,
+    0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+
+
+def _dct_basis() -> np.ndarray:
+    """8x8 DCT-II basis matrix C with C @ x = DCT(x) for a column x;
+    orthonormal (C @ C.T = I), so the inverse transform is C.T."""
+    k = np.arange(8).reshape(8, 1)
+    n = np.arange(8).reshape(1, 8)
+    c = np.cos((2 * n + 1) * k * np.pi / 16) * np.sqrt(2 / 8)
+    c[0, :] = np.sqrt(1 / 8)
+    return c
+
+
+_C = _dct_basis()
+
+
+def _canonical_codes(bits: list[int], vals: list[int]):
+    """T.81 §C.2: (code, length) per symbol in spec order."""
+    out = []
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out.append((vals[k], code, length))
+            k += 1
+            code += 1
+        code <<= 1
+    return out
+
+
+class _HuffDecode:
+    """Canonical Huffman decode table: (length, code) -> symbol, plus
+    the per-length first-code/first-index arrays for fast lookup."""
+
+    def __init__(self, bits: list[int], vals: list[int]):
+        self.lut: dict[tuple[int, int], int] = {}
+        for sym, code, length in _canonical_codes(bits, vals):
+            self.lut[(length, code)] = sym
+        self.maxlen = max(
+            (ln for ln in range(1, 17) if bits[ln - 1]), default=0
+        )
+
+
+class _BitReader:
+    """MSB-first bit reader over entropy-coded data with 0xFF00
+    unstuffing; stops at any non-RST marker.  T.81 §F.2.2.5."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.nbits = 0
+        self.marker: int | None = None  # marker that ended the segment
+
+    def _fill(self) -> None:
+        d = self.data
+        while self.nbits <= 24:
+            if self.marker is not None:
+                # past a marker: feed 0 bits (spec: decoder pads)
+                self.acc = (self.acc << 8) & 0xFFFFFFFF
+                self.nbits += 8
+                continue
+            if self.pos >= len(d):
+                raise ValueError("jpeg: truncated entropy stream")
+            b = d[self.pos]
+            if b == 0xFF:
+                nxt = d[self.pos + 1] if self.pos + 1 < len(d) else None
+                if nxt == 0x00:
+                    self.pos += 2  # stuffed 0xFF data byte
+                elif nxt is not None and 0xD0 <= nxt <= 0xD7:
+                    # RST markers are consumed by reset(), not here
+                    self.marker = nxt
+                    continue
+                else:
+                    self.marker = nxt if nxt is not None else 0xD9
+                    continue
+            else:
+                self.pos += 1
+            self.acc = ((self.acc << 8) | b) & 0xFFFFFFFFFF
+            self.nbits += 8
+
+    def read_bit(self) -> int:
+        if self.nbits == 0:
+            self._fill()
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def receive(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def decode_huff(self, table: _HuffDecode) -> int:
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | self.read_bit()
+            sym = table.lut.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("jpeg: invalid Huffman code")
+
+    def reset_at_rst(self) -> None:
+        """Consume the pending RSTn marker and realign to byte
+        boundary (restart interval, T.81 §F.2.1.3.1)."""
+        self.acc = 0
+        self.nbits = 0
+        if self.marker is None:
+            # interval ended exactly on a byte boundary: the marker
+            # was never reached by _fill — it sits at pos directly
+            d = self.data
+            if (self.pos + 1 < len(d) and d[self.pos] == 0xFF
+                    and 0xD0 <= d[self.pos + 1] <= 0xD7):
+                self.marker = d[self.pos + 1]
+        if self.marker is not None and 0xD0 <= self.marker <= 0xD7:
+            # skip the 0xFF RSTn pair in the byte stream
+            self.pos += 2
+            self.marker = None
+        else:
+            raise ValueError("jpeg: expected restart marker")
+
+
+def _extend(v: int, n: int) -> int:
+    """T.81 §F.2.2.1 EXTEND: map an n-bit magnitude to its signed
+    value."""
+    if n == 0:
+        return 0
+    return v if v >= (1 << (n - 1)) else v - (1 << n) + 1
+
+
+# ---------------------------------------------------------------------------
+# decoder
+
+def decode_jpeg(data: bytes) -> np.ndarray:
+    """Decode a baseline JPEG to uint8: (h, w) for grayscale, (h, w, 3)
+    RGB for YCbCr.  Raises ValueError (naming the feature) for
+    progressive/arithmetic/12-bit/hierarchical streams and structural
+    corruption."""
+    if len(data) < 4 or data[0:2] != b"\xff\xd8":
+        raise ValueError("jpeg: missing SOI marker")
+    qt: dict[int, np.ndarray] = {}
+    huff_dc: dict[int, _HuffDecode] = {}
+    huff_ac: dict[int, _HuffDecode] = {}
+    restart_interval = 0
+    frame = None  # (h, w, comps) with comps = [(cid, hs, vs, tq)]
+    pos = 2
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            raise ValueError("jpeg: marker sync lost")
+        marker = data[pos + 1]
+        if marker == 0xD8:
+            pos += 2
+            continue
+        if marker == 0xD9:
+            break
+        seglen = struct.unpack(">H", data[pos + 2 : pos + 4])[0]
+        if pos + 2 + seglen > len(data):
+            raise ValueError("jpeg: truncated marker segment")
+        seg = data[pos + 4 : pos + 2 + seglen]
+        if marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                      0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            kind = {
+                0xC2: "progressive DCT (SOF2)",
+                0xC9: "arithmetic coding (SOF9)",
+                0xCA: "progressive arithmetic (SOF10)",
+            }.get(marker, f"SOF{marker - 0xC0} mode")
+            raise ValueError(f"jpeg: {kind} unsupported (baseline only)")
+        if marker == 0xC0:  # SOF0 baseline
+            prec, h, w, nc = struct.unpack(">BHHB", seg[:6])
+            if prec != 8:
+                raise ValueError("jpeg: only 8-bit precision supported")
+            comps = []
+            for i in range(nc):
+                cid, hv, tq = struct.unpack(
+                    ">BBB", seg[6 + 3 * i : 9 + 3 * i]
+                )
+                comps.append((cid, hv >> 4, hv & 0xF, tq))
+            if nc not in (1, 3):
+                raise ValueError("jpeg: only 1 or 3 components supported")
+            frame = (h, w, comps)
+            pos += 2 + seglen
+            continue
+        if marker == 0xC4:  # DHT (may hold several tables)
+            p = 0
+            while p < len(seg):
+                tc_th = seg[p]
+                bits = list(seg[p + 1 : p + 17])
+                nv = sum(bits)
+                vals = list(seg[p + 17 : p + 17 + nv])
+                tbl = _HuffDecode(bits, vals)
+                if tc_th >> 4 == 0:
+                    huff_dc[tc_th & 0xF] = tbl
+                else:
+                    huff_ac[tc_th & 0xF] = tbl
+                p += 17 + nv
+            pos += 2 + seglen
+            continue
+        if marker == 0xDB:  # DQT
+            p = 0
+            while p < len(seg):
+                pq_tq = seg[p]
+                if pq_tq >> 4 != 0:
+                    raise ValueError("jpeg: 16-bit quant tables unsupported")
+                qz = np.frombuffer(
+                    seg[p + 1 : p + 65], dtype=np.uint8
+                ).astype(np.int64)
+                tbl = np.zeros(64, dtype=np.int64)
+                tbl[_ZIGZAG] = qz  # zigzag order -> row-major
+                qt[pq_tq & 0xF] = tbl
+                p += 65
+            pos += 2 + seglen
+            continue
+        if marker == 0xDD:  # DRI
+            restart_interval = struct.unpack(">H", seg[:2])[0]
+            pos += 2 + seglen
+            continue
+        if marker == 0xDA:  # SOS — scan follows
+            if frame is None:
+                raise ValueError("jpeg: SOS before SOF0")
+            ns = seg[0]
+            scan = []
+            for i in range(ns):
+                cs, td_ta = seg[1 + 2 * i], seg[2 + 2 * i]
+                scan.append((cs, td_ta >> 4, td_ta & 0xF))
+            return _decode_scan(
+                data, pos + 2 + seglen, frame, scan, qt,
+                huff_dc, huff_ac, restart_interval,
+            )
+        pos += 2 + seglen  # APPn / COM / others: skip
+    raise ValueError("jpeg: no SOS scan found")
+
+
+def _decode_scan(data, pos, frame, scan, qt, huff_dc, huff_ac, dri):
+    h, w, comps = frame
+    if len(scan) != len(comps):
+        raise ValueError("jpeg: non-interleaved scans unsupported")
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    by_id = {cid: (hs, vs, tq) for cid, hs, vs, tq in comps}
+    # per scan component: sampling, tables, coefficient store
+    parts = []
+    for cs, td, ta in scan:
+        if cs not in by_id:
+            raise ValueError("jpeg: scan references unknown component")
+        hs, vs, tq = by_id[cs]
+        if tq not in qt or td not in huff_dc or ta not in huff_ac:
+            raise ValueError("jpeg: missing quant/Huffman table")
+        nblocks = mcux * hs * mcuy * vs
+        parts.append(dict(
+            cid=cs, hs=hs, vs=vs, q=qt[tq], dc=huff_dc[td],
+            ac=huff_ac[ta], coef=np.zeros((nblocks, 64), dtype=np.int64),
+            bw=mcux * hs,  # blocks per row
+            pred=0,
+        ))
+    br = _BitReader(data, pos)
+    mcu_count = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if dri and mcu_count and mcu_count % dri == 0:
+                br.reset_at_rst()
+                for p in parts:
+                    p["pred"] = 0
+            for p in parts:
+                for v in range(p["vs"]):
+                    for hh in range(p["hs"]):
+                        bx = mx * p["hs"] + hh
+                        by = my * p["vs"] + v
+                        blk = p["coef"][by * p["bw"] + bx]
+                        # DC (§F.2.2.1)
+                        t = br.decode_huff(p["dc"])
+                        diff = _extend(br.receive(t), t)
+                        p["pred"] += diff
+                        blk[0] = p["pred"]
+                        # AC (§F.2.2.2)
+                        k = 1
+                        while k < 64:
+                            rs = br.decode_huff(p["ac"])
+                            r, s = rs >> 4, rs & 0xF
+                            if s == 0:
+                                if r == 15:  # ZRL
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += r
+                            if k > 63:
+                                raise ValueError(
+                                    "jpeg: AC index past block end"
+                                )
+                            blk[k] = _extend(br.receive(s), s)
+                            k += 1
+            mcu_count += 1
+    # batch dequant + IDCT per component, then assemble planes
+    planes = []
+    for p in parts:
+        deq = np.zeros_like(p["coef"], dtype=np.float64)
+        deq[:, _ZIGZAG] = (p["coef"] * p["q"][_ZIGZAG])  # scan->row-major
+        blocks = deq.reshape(-1, 8, 8)
+        # IDCT: C.T @ B @ C for every block
+        pix = np.einsum("ij,njk,kl->nil", _C.T, blocks, _C) + 128.0
+        bw = p["bw"]
+        bh = len(blocks) // bw
+        plane = (
+            pix.reshape(bh, bw, 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(bh * 8, bw * 8)
+        )
+        planes.append(np.clip(np.round(plane), 0, 255).astype(np.uint8))
+    if len(parts) == 1:
+        return planes[0][:h, :w]
+    # upsample chroma to Y geometry (nearest), YCbCr -> RGB (JFIF)
+    full = []
+    for p, plane in zip(parts, planes):
+        ry, rx = vmax // p["vs"], hmax // p["hs"]
+        if ry > 1 or rx > 1:
+            plane = np.repeat(np.repeat(plane, ry, axis=0), rx, axis=1)
+        full.append(plane[: mcuy * vmax * 8, : mcux * hmax * 8])
+    y = full[0].astype(np.float64)[:h, :w]
+    cb = full[1].astype(np.float64)[:h, :w] - 128.0
+    cr = full[2].astype(np.float64)[:h, :w] - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    return np.clip(
+        np.round(np.stack([r, g, b], axis=-1)), 0, 255
+    ).astype(np.uint8)
+
+
+def decode_jpeg_gray(data: bytes) -> np.ndarray:
+    """Grayscale view of a baseline JPEG: the Y plane for YCbCr streams
+    (exact — no colorspace round-trip), the single component for
+    grayscale ones."""
+    out = decode_jpeg(data)
+    if out.ndim == 2:
+        return out
+    # luma from RGB would round-trip the color transform; recompute the
+    # BT.601 fold instead (identical to the Y plane up to clipping)
+    rgb = out.astype(np.uint32)
+    return (
+        (77 * rgb[..., 0] + 150 * rgb[..., 1] + 29 * rgb[..., 2] + 128)
+        >> 8
+    ).astype(np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# encoder
+
+def _quality_scale(base: np.ndarray, quality: int) -> np.ndarray:
+    """IJG quality curve (re-derived from the published formula):
+    q<50 scales up (5000/q), q>=50 scales down (200-2q)."""
+    quality = min(max(int(quality), 1), 100)
+    s = 5000 // quality if quality < 50 else 200 - 2 * quality
+    t = (base * s + 50) // 100
+    return np.clip(t, 1, 255)
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            self.nbits -= 8
+            b = (self.acc >> self.nbits) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:
+                self.out.append(0x00)  # byte stuffing
+
+    def flush(self) -> None:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)  # pad with 1-bits (spec)
+
+
+def _magnitude(v: int) -> tuple[int, int]:
+    """(size, code) for a signed coefficient (T.81 §F.1.2.1.1)."""
+    if v == 0:
+        return 0, 0
+    a = abs(v)
+    n = a.bit_length()
+    code = v if v > 0 else v + (1 << n) - 1
+    return n, code
+
+
+def _encode_blocks(
+    bw: _BitWriter, blocks: np.ndarray, q: np.ndarray,
+    dc_codes: dict, ac_codes: dict, pred: int,
+) -> int:
+    """Quantize + entropy-code a (n, 8, 8) stack of level-shifted
+    blocks; returns the updated DC predictor."""
+    # DCT-II all blocks at once, quantize, zigzag
+    coefs = np.einsum("ij,njk,kl->nil", _C, blocks, _C.T)
+    qmat = q.reshape(8, 8).astype(np.float64)
+    quant = np.round(coefs / qmat).astype(np.int64).reshape(-1, 64)
+    zz = quant[:, _ZIGZAG]
+    for blk in zz:
+        diff = int(blk[0]) - pred
+        pred = int(blk[0])
+        n, code = _magnitude(diff)
+        c, ln = dc_codes[n]
+        bw.write(c, ln)
+        if n:
+            bw.write(code, n)
+        run = 0
+        nz = np.nonzero(blk[1:])[0]
+        last = nz[-1] + 1 if len(nz) else 0
+        for k in range(1, last + 1):
+            v = int(blk[k])
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                c, ln = ac_codes[0xF0]  # ZRL
+                bw.write(c, ln)
+                run -= 16
+            n, code = _magnitude(v)
+            c, ln = ac_codes[(run << 4) | n]
+            bw.write(c, ln)
+            bw.write(code, n)
+            run = 0
+        if last < 63:
+            c, ln = ac_codes[0x00]  # EOB
+            bw.write(c, ln)
+    return pred
+
+
+def _codes_dict(bits: list[int], vals: list[int]) -> dict:
+    return {
+        sym: (code, length)
+        for sym, code, length in _canonical_codes(bits, vals)
+    }
+
+
+def _blockify(plane: np.ndarray) -> np.ndarray:
+    """(h, w) float plane (already level-shifted) -> (n, 8, 8) blocks in
+    raster order; h and w must be multiples of 8."""
+    h, w = plane.shape
+    return (
+        plane.reshape(h // 8, 8, w // 8, 8)
+        .transpose(0, 2, 1, 3)
+        .reshape(-1, 8, 8)
+    )
+
+
+def _pad_to(img: np.ndarray, mh: int, mw: int) -> np.ndarray:
+    """Edge-replicate to multiples of (mh, mw) — replication keeps the
+    boundary blocks' high-frequency energy (and thus ringing) low."""
+    h, w = img.shape
+    ph = (mh - h % mh) % mh
+    pw = (mw - w % mw) % mw
+    return np.pad(img, ((0, ph), (0, pw)), mode="edge")
+
+
+def encode_jpeg(
+    img: np.ndarray, quality: int = 90, subsample: bool = False,
+    restart_interval: int = 0,
+) -> bytes:
+    """Deterministic baseline JPEG encoder.
+
+    (h, w) uint8 -> grayscale JFIF; (h, w, 3) uint8 RGB -> YCbCr,
+    4:4:4 by default or 4:2:0 with subsample=True (2x2 box-averaged
+    chroma).  Annex K tables, quality-scaled quantization.
+    restart_interval > 0 emits DRI + RSTn markers every n MCUs
+    (grayscale only — enough to pin the decoder's restart path)."""
+    img = np.asarray(img)
+    if img.dtype != np.uint8 or img.ndim not in (2, 3):
+        raise ValueError("encode_jpeg expects uint8 (h,w) or (h,w,3)")
+    h, w = img.shape[:2]
+    if h == 0 or w == 0:
+        raise ValueError("encode_jpeg: empty image")
+    color = img.ndim == 3
+    qlum = _quality_scale(_QT_LUM, quality)
+    qchrom = _quality_scale(_QT_CHROM, quality)
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += (
+        b"\xff\xe0\x00\x10JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    )
+    # DQT (zigzag order on the wire)
+    for tq, q in ([(0, qlum), (1, qchrom)] if color else [(0, qlum)]):
+        out += b"\xff\xdb" + struct.pack(">HB", 67, tq)
+        out += bytes(int(q[z]) for z in _ZIGZAG)
+    # SOF0
+    nc = 3 if color else 1
+    out += b"\xff\xc0" + struct.pack(">HBHHB", 8 + 3 * nc, 8, h, w, nc)
+    if color:
+        sub = 0x22 if subsample else 0x11
+        out += bytes([1, sub, 0, 2, 0x11, 1, 3, 0x11, 1])
+    else:
+        out += bytes([1, 0x11, 0])
+    # DHT
+    def dht(tc_th: int, bits: list[int], vals: list[int]) -> bytes:
+        return (
+            b"\xff\xc4"
+            + struct.pack(">HB", 19 + len(vals), tc_th)
+            + bytes(bits) + bytes(vals)
+        )
+
+    out += dht(0x00, _DC_LUM_BITS, _DC_LUM_VALS)
+    out += dht(0x10, _AC_LUM_BITS, _AC_LUM_VALS)
+    if color:
+        out += dht(0x01, _DC_CHROM_BITS, _DC_CHROM_VALS)
+        out += dht(0x11, _AC_CHROM_BITS, _AC_CHROM_VALS)
+    if restart_interval:
+        if color:
+            raise ValueError(
+                "encode_jpeg: restart_interval is grayscale-only"
+            )
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+    # SOS
+    out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * nc, nc)
+    if color:
+        out += bytes([1, 0x00, 2, 0x11, 3, 0x11])
+    else:
+        out += bytes([1, 0x00])
+    out += bytes([0, 63, 0])
+    bw = _BitWriter()
+    dc_lum = _codes_dict(_DC_LUM_BITS, _DC_LUM_VALS)
+    ac_lum = _codes_dict(_AC_LUM_BITS, _AC_LUM_VALS)
+    if not color:
+        plane = _pad_to(img.astype(np.float64), 8, 8) - 128.0
+        blocks = _blockify(plane)
+        if not restart_interval:
+            _encode_blocks(bw, blocks, qlum, dc_lum, ac_lum, 0)
+        else:
+            rst = 0
+            for i in range(0, len(blocks), restart_interval):
+                if i:
+                    bw.flush()
+                    bw.out += bytes([0xFF, 0xD0 + rst])
+                    rst = (rst + 1) % 8
+                # DC predictor resets to 0 at every restart (§F.2.1.3.1)
+                _encode_blocks(
+                    bw, blocks[i : i + restart_interval], qlum,
+                    dc_lum, ac_lum, 0,
+                )
+    else:
+        dc_ch = _codes_dict(_DC_CHROM_BITS, _DC_CHROM_VALS)
+        ac_ch = _codes_dict(_AC_CHROM_BITS, _AC_CHROM_VALS)
+        rgb = img.astype(np.float64)
+        y = (0.299 * rgb[..., 0] + 0.587 * rgb[..., 1]
+             + 0.114 * rgb[..., 2])
+        cb = 128.0 - 0.168736 * rgb[..., 0] - 0.331264 * rgb[..., 1] \
+            + 0.5 * rgb[..., 2]
+        cr = 128.0 + 0.5 * rgb[..., 0] - 0.418688 * rgb[..., 1] \
+            - 0.081312 * rgb[..., 2]
+        if subsample:
+            y = _pad_to(y, 16, 16)
+            cb = _pad_to(cb, 16, 16)
+            cr = _pad_to(cr, 16, 16)
+            # 2x2 box average
+            cb = cb.reshape(cb.shape[0] // 2, 2, -1, 2).mean(axis=(1, 3))
+            cr = cr.reshape(cr.shape[0] // 2, 2, -1, 2).mean(axis=(1, 3))
+        else:
+            y = _pad_to(y, 8, 8)
+            cb = _pad_to(cb, 8, 8)
+            cr = _pad_to(cr, 8, 8)
+        yb = _blockify(y - 128.0)
+        cbb = _blockify(cb - 128.0)
+        crb = _blockify(cr - 128.0)
+        if not subsample:
+            # interleave per MCU: one block each of Y, Cb, Cr
+            preds = [0, 0, 0]
+            for i in range(len(yb)):
+                preds[0] = _encode_blocks(
+                    bw, yb[i : i + 1], qlum, dc_lum, ac_lum, preds[0])
+                preds[1] = _encode_blocks(
+                    bw, cbb[i : i + 1], qchrom, dc_ch, ac_ch, preds[1])
+                preds[2] = _encode_blocks(
+                    bw, crb[i : i + 1], qchrom, dc_ch, ac_ch, preds[2])
+        else:
+            # MCU = 4 Y blocks (2x2) + 1 Cb + 1 Cr
+            ybw = y.shape[1] // 8
+            cbw = cb.shape[1] // 8
+            mcux, mcuy = ybw // 2, y.shape[0] // 16
+            preds = [0, 0, 0]
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    for v in range(2):
+                        for hh in range(2):
+                            idx = (my * 2 + v) * ybw + mx * 2 + hh
+                            preds[0] = _encode_blocks(
+                                bw, yb[idx : idx + 1], qlum,
+                                dc_lum, ac_lum, preds[0])
+                    ci = my * cbw + mx
+                    preds[1] = _encode_blocks(
+                        bw, cbb[ci : ci + 1], qchrom, dc_ch, ac_ch,
+                        preds[1])
+                    preds[2] = _encode_blocks(
+                        bw, crb[ci : ci + 1], qchrom, dc_ch, ac_ch,
+                        preds[2])
+    bw.flush()
+    out += bw.out
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)

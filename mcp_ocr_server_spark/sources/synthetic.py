@@ -1142,12 +1142,15 @@ def make_scanned_pdf_bytes(
     bits: int = 8,
     color: str = "gray",
     flate: bool = True,
+    dct: bool = False,
 ) -> bytes:
     """Minimal structurally-correct scanned-PDF writer: one page per
     grayscale uint8 image, each page a single /Subtype /Image XObject
     painted by `cm … Do`.  Modes: 8-bit /DeviceGray, 1-bit /DeviceGray
     (rows padded to byte boundaries, 1 = white), 8-bit /DeviceRGB with
-    R=G=B (luma folds back to the input exactly).  Deterministic."""
+    R=G=B (luma folds back to the input exactly), and dct=True for
+    /DCTDecode (a real baseline JPEG payload via imaging/jpeg.py —
+    the filter real-world scanners emit).  Deterministic."""
     import zlib
 
     objs: list[bytes] = []
@@ -1161,7 +1164,13 @@ def make_scanned_pdf_bytes(
     for i, img in enumerate(images):
         h, w = img.shape[:2]
         pnum = page_nums[i]
-        if bits == 1:
+        if dct:
+            from ..imaging.jpeg import encode_jpeg
+
+            payload = encode_jpeg(img, quality=95)
+            filt = b" /Filter /DCTDecode"
+            cs, bpc = b"/DeviceGray", b"8"
+        elif bits == 1:
             stride = (w + 7) // 8
             rowbits = (img >= 128).astype(np.uint8)
             packed = np.packbits(rowbits, axis=1)
@@ -1174,12 +1183,13 @@ def make_scanned_pdf_bytes(
         else:
             samples = img.tobytes()
             cs, bpc = b"/DeviceGray", b"8"
-        if flate:
-            payload = zlib.compress(samples)
-            filt = b" /Filter /FlateDecode"
-        else:
-            payload = samples
-            filt = b""
+        if not dct:
+            if flate:
+                payload = zlib.compress(samples)
+                filt = b" /Filter /FlateDecode"
+            else:
+                payload = samples
+                filt = b""
         objs.append(
             b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 "
             + str(w).encode() + b" " + str(h).encode()
@@ -1246,6 +1256,11 @@ def scan_pdf_item(cfg: CorpusConfig, j: int) -> tuple[str, bytes, str, str]:
             "noimage", "",
         )
     img = render_text(true_text, scale=3)
+    if j % 13 == 3:
+        # /DCTDecode: the payload is a real baseline JPEG (q95) —
+        # lossy, but far inside the OCR chain's recovery margin
+        data = make_scanned_pdf_bytes([img], dct=True)
+        return scan_pdf_ref(j), data, "dct", true_text
     if j % 5 == 4:
         data = make_scanned_pdf_bytes([img], color="rgb")
         return scan_pdf_ref(j), data, "rgb", true_text

@@ -1,0 +1,126 @@
+"""Baseline JPEG codec (imaging/jpeg.py) — pure stdlib+numpy, ITU-T
+T.81 re-derivation.  Pins: DCT basis orthonormality, encoder/decoder
+round-trip error bounds per mode, exactness on DC-only images, the
+restart-interval path (bit-different stream, pixel-identical output),
+marker/structure refusals, and determinism.
+"""
+
+import numpy as np
+import pytest
+
+from mcp_ocr_server_spark.imaging.font import render_text
+from mcp_ocr_server_spark.imaging.jpeg import (
+    _C,
+    decode_jpeg,
+    decode_jpeg_gray,
+    encode_jpeg,
+)
+
+
+def _grad(h, w):
+    # smooth (non-wrapping) gradient: wrap discontinuities would add
+    # legitimate ringing and turn the bound into a test of content,
+    # not of the codec
+    y, x = np.mgrid[0:h, 0:w]
+    g = x * 2 + y * 2
+    return np.clip(g, 0, 255).astype(np.uint8)
+
+
+def test_dct_basis_orthonormal():
+    assert np.allclose(_C @ _C.T, np.eye(8), atol=1e-12)
+
+
+def test_solid_image_exact():
+    # a constant block is pure DC: quantization cannot touch it beyond
+    # the rounding the level shift already absorbed
+    for v in (0, 128, 200, 255):
+        img = np.full((24, 40), v, np.uint8)
+        out = decode_jpeg(encode_jpeg(img, quality=50))
+        assert int(np.abs(out.astype(int) - v).max()) <= 1, v
+
+
+@pytest.mark.parametrize("quality,bound", [(50, 3), (75, 3), (95, 2)])
+def test_gray_roundtrip_error_bound(quality, bound):
+    img = _grad(40, 52)
+    out = decode_jpeg(encode_jpeg(img, quality=quality))
+    assert out.shape == img.shape and out.dtype == np.uint8
+    assert np.abs(out.astype(int) - img.astype(int)).max() <= bound
+
+
+@pytest.mark.parametrize("subsample", [False, True])
+def test_color_roundtrip(subsample):
+    y, x = np.mgrid[0:45, 0:61]
+    rgb = np.stack(
+        [(x * 4) % 256, (y * 4) % 256, ((x + y) * 2) % 256], axis=-1
+    ).astype(np.uint8)
+    out = decode_jpeg(encode_jpeg(rgb, quality=90, subsample=subsample))
+    assert out.shape == rgb.shape
+    err = np.abs(out.astype(int) - rgb.astype(int))
+    # 4:2:0 averages chroma 2x2, so its bound is looser
+    assert err.max() <= (8 if subsample else 4)
+
+
+def test_gray_view_of_color_stream():
+    g = _grad(33, 47)
+    rgb = np.repeat(g[..., None], 3, axis=2)
+    out = decode_jpeg_gray(encode_jpeg(rgb, quality=95))
+    assert out.shape == g.shape
+    assert np.abs(out.astype(int) - g.astype(int)).mean() < 1.0
+
+
+@pytest.mark.parametrize("shape", [(1, 1), (7, 9), (8, 8), (17, 23)])
+def test_odd_sizes(shape):
+    img = _grad(*shape)
+    out = decode_jpeg(encode_jpeg(img, quality=90))
+    assert out.shape == shape
+
+
+def test_restart_interval_pixel_identical():
+    img = _grad(40, 64)
+    base = decode_jpeg(encode_jpeg(img, 90))
+    for dri in (1, 3, 40):
+        data = encode_jpeg(img, 90, restart_interval=dri)
+        assert b"\xff\xdd" in data  # DRI segment present
+        assert np.array_equal(decode_jpeg(data), base)
+
+
+def test_restart_color_refused_at_encode():
+    rgb = np.zeros((16, 16, 3), np.uint8)
+    with pytest.raises(ValueError, match="grayscale-only"):
+        encode_jpeg(rgb, restart_interval=2)
+
+
+def test_text_image_ocr_margin():
+    img = render_text("QUICK BROWN FOX", scale=3)
+    out = decode_jpeg_gray(encode_jpeg(img, quality=95))
+    err = np.abs(out.astype(int) - img.astype(int))
+    assert err.mean() < 1.0  # far inside the binarization margin
+
+
+def test_determinism():
+    img = _grad(30, 30)
+    assert encode_jpeg(img, 85) == encode_jpeg(img, 85)
+
+
+@pytest.mark.parametrize(
+    "mutate,msg",
+    [
+        (lambda d: b"\x89PNG" + d[4:], "missing SOI"),
+        (lambda d: d.replace(b"\xff\xc0", b"\xff\xc2", 1), "progressive"),
+        (lambda d: d.replace(b"\xff\xc0", b"\xff\xc9", 1), "arithmetic"),
+        (lambda d: d[: len(d) // 2], "truncated"),
+    ],
+    ids=["not-jpeg", "sof2", "sof9", "truncated"],
+)
+def test_refusals(mutate, msg):
+    data = encode_jpeg(_grad(24, 24), 90)
+    with pytest.raises(ValueError, match=msg):
+        decode_jpeg(mutate(data))
+
+
+def test_refuses_12bit_precision():
+    data = bytearray(encode_jpeg(_grad(24, 24), 90))
+    i = data.find(b"\xff\xc0")
+    data[i + 4] = 12  # precision byte inside SOF0
+    with pytest.raises(ValueError, match="8-bit"):
+        decode_jpeg(bytes(data))

@@ -51,6 +51,17 @@ def test_1bit_row_padding():
     assert out.shape == img.shape
 
 
+def test_dct_roundtrip_near_lossless():
+    # /DCTDecode payload is a real baseline JPEG; q95 is lossy but the
+    # per-pixel error stays far inside the binarization margin
+    data = S.make_scanned_pdf_bytes([IMG], dct=True)
+    assert b"/DCTDecode" in data
+    (out,) = extract_pdf_page_rasters(data)
+    assert out.shape == IMG.shape
+    err = np.abs(out.astype(int) - IMG.astype(int))
+    assert err.mean() < 1.0 and err.max() < 48
+
+
 def test_multi_page_order():
     small = IMG[::2, ::2].copy()
     data = S.make_scanned_pdf_bytes([IMG, small])
@@ -131,7 +142,9 @@ def test_corpus_classes_and_ocr_recovery():
         assert rows[0]["text"].strip() == true_text
         assert rows[0]["confidence"] > 0
     # the corpus must keep exercising every sample-class branch
-    assert kinds == {"gray8", "raw", "gray1", "rgb", "noimage", "garbage"}
+    assert kinds == {
+        "gray8", "raw", "gray1", "rgb", "dct", "noimage", "garbage",
+    }
 
 
 def test_determinism():
