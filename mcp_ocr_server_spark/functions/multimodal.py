@@ -173,16 +173,18 @@ def _decode_video_frames(data: bytes, every_n: int) -> list[tuple[int, bytes]]:
 
 def image_feature_row(ref: str, data: bytes) -> dict:
     """One image's feature row — shared verbatim by the Spark UDF and
-    the golden-fixture generator, so the oracle runs the SAME code."""
+    the golden-fixture generator, so the oracle runs the SAME code.
+    Pixel decode sniffs the magic bytes (imaging/codecs.decode_image):
+    PNG and baseline JPEG both decode for real."""
     from ..config import DEFAULT_CONFIG
     from ..imaging.analyzer import analyze
-    from ..imaging.png import decode_png
+    from ..imaging.codecs import decode_image
 
     row = dict(media_ref=ref, width=None, height=None,
                sharpness=None, contrast=None, brightness=None,
                error=None)
     try:
-        img = decode_png(bytes(data))
+        img = decode_image(bytes(data))
         row["height"], row["width"] = img.shape[:2]
         q = analyze(img, DEFAULT_CONFIG.preprocessing)
         row.update(sharpness=q.sharpness, contrast=q.contrast,

@@ -39,7 +39,7 @@ from ..config import (
 )
 from ..deadline import DeadlineExceeded
 from ..imaging.analyzer import preprocess
-from ..imaging.png import decode_png
+from ..imaging.codecs import decode_image
 
 # Output schema of the OCR stage: one row per distinct content_hash.
 OCR_RESULT_SCHEMA = (
@@ -92,7 +92,7 @@ def make_ocr_map(cfg: JobConfig):
                 )
                 img = None
                 try:
-                    img = decode_png(bytes(data))
+                    img = decode_image(bytes(data))
                 except Exception as exc:  # F4 empty/bad decode
                     row["error_code"] = PREPROCESSING_FAILED
                     row["error_msg"] = f"decode: {exc}"
@@ -178,7 +178,7 @@ def word_box_rows(ref: str, png: bytes, cfg: JobConfig) -> list[dict]:
 
     if len(png) > cfg.ocr.max_image_size:
         return []
-    img = decode_png(bytes(png))
+    img = decode_image(bytes(png))
     try:
         processed, _q, _steps = preprocess(img, cfg.preprocessing)
     except Exception:

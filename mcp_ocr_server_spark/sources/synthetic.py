@@ -666,9 +666,11 @@ def video_item(cfg: CorpusConfig, j: int) -> tuple[str, bytes, str]:
       mp4            — REAL chain via the OTHER container: ISO-BMFF
                        sample-table demux (functions/mp4.py) + the
                        same PNG frame decode + analyzer metrics
+      avi_mjpeg      — REAL chain through the LOSSY codec: true MJPEG
+                       (per-frame baseline JPEGs, imaging/jpeg.py)
       avi_opaque     — real container parse, frames are a compressed
-                       codec's bitstream (not PNG) => per-frame pixel-
-                       decode error rows, frame COUNT still right
+                       codec's bitstream (not PNG/JPEG) => per-frame
+                       pixel-decode error rows, frame COUNT still right
       avi_truncated  — RIFF/'AVI ' magic, chopped => per-clip error row
       webm           — EBML magic => loud container-specific refusal,
                        one per-clip error row
@@ -709,6 +711,24 @@ def video_item(cfg: CorpusConfig, j: int) -> tuple[str, bytes, str]:
             encode_avi(frames, w, h, fps=12, fourcc=b"H264"),
             "avi_opaque",
         )
+    if j % 6 == 3:
+        # true MJPEG: every frame is an independent baseline JPEG
+        # (imaging/jpeg.py) — the whole chain is real, lossy codec
+        # included
+        from ..imaging.jpeg import encode_jpeg
+
+        frames = []
+        for k in range(n_frames):
+            ramp = (
+                np.linspace(0, 255, w, dtype=np.float64)[None, :]
+                + np.full((h, 1), 9.0 * k)
+            )
+            img = np.clip(
+                ramp + rng.integers(0, 24, (h, w)), 0, 255
+            ).astype(np.uint8)
+            frames.append(encode_jpeg(img, quality=90))
+        data = encode_avi(frames, w, h, fps=12, fourcc=b"MJPG")
+        return video_ref(j), data, "avi_mjpeg"
     frames = []
     for k in range(n_frames):
         # moving gradient + per-frame noise: distinct, decodable frames

@@ -124,3 +124,37 @@ def test_refuses_12bit_precision():
     data[i + 4] = 12  # precision byte inside SOF0
     with pytest.raises(ValueError, match="8-bit"):
         decode_jpeg(bytes(data))
+
+
+def test_decode_image_sniffs_both_codecs():
+    from mcp_ocr_server_spark.imaging.codecs import decode_image, to_gray
+    from mcp_ocr_server_spark.imaging.png import encode_png
+
+    img = _grad(20, 28)
+    assert np.array_equal(decode_image(encode_png(img)), img)
+    out = decode_image(encode_jpeg(img, 95))
+    assert out.shape == img.shape
+    rgb = np.repeat(img[..., None], 3, axis=2)
+    assert np.array_equal(to_gray(rgb), img)
+    with pytest.raises(ValueError, match="not PNG or baseline JPEG"):
+        decode_image(b"GIF89a_not_supported")
+
+
+def test_mjpeg_avi_chain_is_real():
+    # true MJPEG: container demux (functions/avi.py) + per-frame
+    # baseline-JPEG decode + analyzer metrics, no error rows
+    from mcp_ocr_server_spark.functions.multimodal import (
+        video_feature_rows,
+    )
+    from mcp_ocr_server_spark.sources import synthetic as S
+
+    seen = 0
+    for j in range(S.N_VIDEO_CLIPS):
+        ref, data, kind = S.video_item(S.INTERLEAVED_CORPUS, j)
+        if kind != "avi_mjpeg":
+            continue
+        seen += 1
+        rows = video_feature_rows(ref, data, 2)
+        assert rows and all(r["error"] is None for r in rows)
+        assert all(r["sharpness"] is not None for r in rows)
+    assert seen >= 1
