@@ -155,7 +155,7 @@ def main() -> None:
         "media_words", "media_image_features", "media_audio_features",
         "media_orphans", "pdf_text", "pdf_scan_ocr",
         "media_video_frames",
-        "media_audio_inventory", "media_video_inventory",
+        "media_audio_inventory", "audio_tags", "media_video_inventory",
         "warc_records", "warc_main_content",
         "bm25_search", "fingerprint_winnow", "dedup_winnow_pairs",
         "dedup_exact", "dedup_ngram_jaccard", "dedup_minhash",

@@ -13,8 +13,12 @@ PCM md5, drop clips outside a duration/rate band, route by codec):
                   page's granule position => exact duration
     ogg/opus    — OpusHead (channels, pre-skip); granule is in 48 kHz
                   units per RFC 7845 regardless of input rate
-    mp3         — first MPEG frame header (version/layer/bitrate/rate)
-                  + CBR duration estimate from stream size
+    mp3         — first MPEG frame header (version/layer/bitrate/rate);
+                  duration from a Xing/Info VBR header when present,
+                  else an exact full frame-header walk, falling back
+                  to the CBR estimate only for unwalkable streams
+    tags        — Vorbis comments (FLAC block 4 / Ogg comment packet),
+                  ID3v2 text frames, RIFF LIST-INFO (audio_tags below)
 
 What is NOT attempted: decompressing any codec bitstream — decode
 stays behind multimodal._decode_audio's documented seam.  Unknown or
@@ -196,8 +200,22 @@ def _sniff_mp3(data: bytes) -> dict:
     rate = _MP3_RATE[version][sr_idx]
     mode = (b3 >> 6) & 0x3
     channels = 1 if mode == 3 else 2
-    # CBR estimate: audio bytes after the sync at the header bitrate
-    duration = (len(data) - pos) * 8 / bitrate
+    # duration, most-exact-first: (1) a Xing/Info VBR header's frame
+    # count, (2) a full frame-header walk when it consumes the stream
+    # cleanly (tail shorter than one frame), (3) the CBR estimate from
+    # the first header — the only option for a stream whose body this
+    # parser cannot walk (mid-stream corruption)
+    spf = _SPF[version]
+    xing = _mp3_xing_frames(data, pos, version, channels)
+    if xing:
+        duration = xing * spf / rate
+    else:
+        n_frames, end = _mp3_frame_walk(data, pos)
+        min_flen = (144 if version == 1 else 72) * bitrate // rate
+        if n_frames and len(data) - end < min_flen:
+            duration = n_frames * spf / rate
+        else:
+            duration = (len(data) - pos) * 8 / bitrate
     return dict(
         format="mp3", codec=f"mp3v{version}", sample_rate=rate,
         channels=channels, duration_s=duration, pcm_md5=None,
@@ -222,3 +240,246 @@ def sniff_audio(data: bytes) -> dict:
     raise ValueError(
         f"unknown audio container (magic {data[:4]!r})"
     )
+
+
+# ---------------------------------------------------------------------------
+# embedded tag metadata (title/artist/album) — still pure container
+# work: Vorbis comments (the shared FLAC/Ogg tag structure), ID3v2 text
+# frames for mp3, RIFF LIST/INFO for wav.  A curation pipeline dedups
+# and routes on these long before any PCM exists.
+
+_TAG_KEYS = ("title", "artist", "album")
+# RIFF INFO fourcc -> canonical tag key (the subset a pipeline uses)
+_RIFF_INFO = {b"INAM": "title", b"IART": "artist", b"IPRD": "album"}
+# ID3v2 text-frame ids (v2.3/v2.4)
+_ID3_FRAMES = {b"TIT2": "title", b"TPE1": "artist", b"TALB": "album"}
+
+
+def parse_vorbis_comments(payload: bytes) -> tuple[str, list]:
+    """The Vorbis-comment structure (shared verbatim by FLAC block
+    type 4 and the Ogg Vorbis comment packet): little-endian
+    length-prefixed vendor string, then N length-prefixed KEY=value
+    pairs.  Returns (vendor, [(key_lower, value), ...]); raises
+    ValueError on truncation."""
+    if len(payload) < 8:
+        raise ValueError("vorbis comments: truncated header")
+    (vlen,) = struct.unpack("<I", payload[:4])
+    pos = 4 + vlen
+    if pos + 4 > len(payload):
+        raise ValueError("vorbis comments: truncated vendor string")
+    vendor = payload[4:pos].decode("utf-8", "replace")
+    (n,) = struct.unpack("<I", payload[pos : pos + 4])
+    pos += 4
+    if n > 10_000:
+        raise ValueError("vorbis comments: implausible tag count")
+    tags = []
+    for _ in range(n):
+        if pos + 4 > len(payload):
+            raise ValueError("vorbis comments: truncated tag length")
+        (ln,) = struct.unpack("<I", payload[pos : pos + 4])
+        pos += 4
+        if pos + ln > len(payload):
+            raise ValueError("vorbis comments: truncated tag body")
+        kv = payload[pos : pos + ln].decode("utf-8", "replace")
+        pos += ln
+        if "=" in kv:
+            k, v = kv.split("=", 1)
+            tags.append((k.lower(), v))
+    return vendor, tags
+
+
+def _flac_comment_block(data: bytes) -> bytes | None:
+    """Payload of the VORBIS_COMMENT metadata block (type 4), walking
+    the block chain after the STREAMINFO the sniffer validated."""
+    pos = 4
+    while pos + 4 <= len(data):
+        head = data[pos]
+        (blen,) = struct.unpack(">I", b"\x00" + data[pos + 1 : pos + 4])
+        body = data[pos + 4 : pos + 4 + blen]
+        if head & 0x7F == 4:
+            if len(body) < blen:
+                raise ValueError("flac: truncated VORBIS_COMMENT block")
+            return body
+        pos += 4 + blen
+        if head & 0x80:  # last-metadata-block flag
+            break
+    return None
+
+
+def _ogg_packet_pages(data: bytes) -> list[bytes]:
+    """Per-page body bytes of an Ogg stream (enough for the header
+    packets, which the spec requires to start their own pages)."""
+    out = []
+    pos = 0
+    while True:
+        pos = data.find(b"OggS", pos)
+        if pos < 0 or pos + 27 > len(data):
+            return out
+        n_segs = data[pos + 26]
+        lacing = data[pos + 27 : pos + 27 + n_segs]
+        if len(lacing) < n_segs:
+            return out
+        blen = sum(lacing)
+        body = data[pos + 27 + n_segs : pos + 27 + n_segs + blen]
+        out.append(body)
+        pos += 27 + n_segs + blen
+
+
+def _id3v2_tags(data: bytes) -> list:
+    """ID3v2.3/2.4 text frames (latin-1 or utf-16 encodings)."""
+    if data[:3] != b"ID3" or len(data) < 10:
+        return []
+    ver = data[3]
+    size = ((data[6] & 0x7F) << 21) | ((data[7] & 0x7F) << 14) \
+        | ((data[8] & 0x7F) << 7) | (data[9] & 0x7F)
+    end = min(10 + size, len(data))
+    pos = 10
+    tags = []
+    while pos + 10 <= end:
+        fid = data[pos : pos + 4]
+        if fid == b"\x00\x00\x00\x00":
+            break  # padding
+        raw = data[pos + 4 : pos + 8]
+        if ver >= 4:  # v2.4 frame sizes are syncsafe
+            flen = ((raw[0] & 0x7F) << 21) | ((raw[1] & 0x7F) << 14) \
+                | ((raw[2] & 0x7F) << 7) | (raw[3] & 0x7F)
+        else:
+            (flen,) = struct.unpack(">I", raw)
+        body = data[pos + 10 : pos + 10 + flen]
+        pos += 10 + flen
+        key = _ID3_FRAMES.get(fid)
+        if key is None or not body:
+            continue
+        enc, text = body[0], body[1:]
+        if enc == 0:
+            val = text.decode("latin-1", "replace")
+        elif enc == 1:
+            val = text.decode("utf-16", "replace")
+        elif enc == 3:
+            val = text.decode("utf-8", "replace")
+        else:
+            continue
+        tags.append((key, val.rstrip("\x00")))
+    return tags
+
+
+def _riff_info_tags(data: bytes) -> list:
+    """LIST/INFO chunk of a RIFF/WAVE file (INAM/IART/IPRD)."""
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        return []
+    tags = []
+    pos = 12
+    while pos + 8 <= len(data):
+        cid = data[pos : pos + 4]
+        (clen,) = struct.unpack("<I", data[pos + 4 : pos + 8])
+        body = data[pos + 8 : pos + 8 + clen]
+        if cid == b"LIST" and body[:4] == b"INFO":
+            p = 4
+            while p + 8 <= len(body):
+                sid = body[p : p + 4]
+                (slen,) = struct.unpack("<I", body[p + 4 : p + 8])
+                sval = body[p + 8 : p + 8 + slen]
+                key = _RIFF_INFO.get(sid)
+                if key is not None:
+                    tags.append(
+                        (key,
+                         sval.rstrip(b"\x00").decode("latin-1", "replace"))
+                    )
+                p += 8 + slen + (slen & 1)  # RIFF even-byte padding
+        pos += 8 + clen + (clen & 1)
+    return tags
+
+
+def audio_tags(data: bytes) -> dict:
+    """Embedded tag metadata for an opaque audio payload: one row of
+    (format, vendor, title, artist, album, n_tags).  Formats without a
+    tag structure present return n_tags=0 with null fields (absence is
+    data, not an error); unknown containers raise ValueError like
+    sniff_audio."""
+    vendor = None
+    tags: list = []
+    if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
+        fmt = "wav"
+        tags = _riff_info_tags(data)
+    elif data[:4] == b"fLaC":
+        fmt = "flac"
+        body = _flac_comment_block(data)
+        if body is not None:
+            vendor, tags = parse_vorbis_comments(body)
+    elif data[:4] == b"OggS":
+        fmt = "ogg"
+        for body in _ogg_packet_pages(data):
+            if body[:7] == b"\x03vorbis":
+                vendor, tags = parse_vorbis_comments(body[7:])
+                break
+            if body[:8] == b"OpusTags":
+                vendor, tags = parse_vorbis_comments(body[8:])
+                break
+    elif data[:3] == b"ID3" or (
+        len(data) >= 2 and data[0] == 0xFF and (data[1] & 0xE0) == 0xE0
+    ):
+        fmt = "mp3"
+        tags = _id3v2_tags(data)
+    else:
+        raise ValueError("audio tags: unknown container magic")
+    by_key = {}
+    for k, v in tags:
+        by_key.setdefault(k, v)  # first occurrence wins (spec order)
+    return dict(
+        format=fmt, vendor=vendor,
+        title=by_key.get("title"), artist=by_key.get("artist"),
+        album=by_key.get("album"), n_tags=len(tags),
+    )
+
+
+# ---------------------------------------------------------------------------
+# exact mp3 duration: full frame walk + Xing/Info VBR header
+
+_SPF = {1: 1152, 2: 576, 25: 576}  # samples/frame, Layer III
+
+
+def _mp3_frame_walk(data: bytes, pos: int) -> tuple[int, int]:
+    """Walk consecutive MPEG frame headers from pos; returns
+    (n_frames, bytes_consumed_end).  Stops at the first non-sync."""
+    n = 0
+    while pos + 4 <= len(data):
+        if not (data[pos] == 0xFF and (data[pos + 1] & 0xE0) == 0xE0):
+            break
+        b1, b2 = data[pos + 1], data[pos + 2]
+        ver_bits = (b1 >> 3) & 0x3
+        version = {3: 1, 2: 2, 0: 25}.get(ver_bits)
+        layer_bits = (b1 >> 1) & 0x3
+        br_idx, sr_idx = (b2 >> 4) & 0xF, (b2 >> 2) & 0x3
+        pad = (b2 >> 1) & 1
+        if version is None or layer_bits != 1 or br_idx in (0, 15) \
+                or sr_idx == 3:
+            break
+        table = _MP3_BITRATE[(1, 3)] if version == 1 \
+            else _MP3_BITRATE[(2, 3)]
+        bitrate = table[br_idx] * 1000
+        rate = _MP3_RATE[version][sr_idx]
+        coeff = 144 if version == 1 else 72
+        flen = coeff * bitrate // rate + pad
+        if flen < 4:
+            break
+        n += 1
+        pos += flen
+    return n, pos
+
+
+def _mp3_xing_frames(data: bytes, pos: int, version: int,
+                     channels: int) -> int | None:
+    """Frame count from a Xing/Info VBR header in the first frame, at
+    the canonical offset past the side-info block."""
+    side = {(1, 2): 32, (1, 1): 17, (2, 2): 17, (2, 1): 9,
+            (25, 2): 17, (25, 1): 9}[(version, channels)]
+    at = pos + 4 + side
+    if at + 12 > len(data):
+        return None
+    magic = data[at : at + 4]
+    if magic not in (b"Xing", b"Info"):
+        return None
+    (flags,) = struct.unpack(">I", data[at + 4 : at + 8])
+    if not flags & 0x1:  # frames field absent
+        return None
+    return struct.unpack(">I", data[at + 8 : at + 12])[0]

@@ -276,8 +276,10 @@ def audio_inventory(media: DataFrame) -> DataFrame:
     """REAL container-metadata sniff over opaque audio payloads — the
     routing/filter stage a pipeline runs BEFORE paying for decode:
     format/codec/rate/channels/duration per clip (exact for wav/flac/
-    ogg, CBR-estimated for mp3), plus FLAC's embedded decoded-PCM md5
-    (the dedup key).  Unknown/truncated payloads are error rows."""
+    ogg AND for walkable mp3 — Xing header or full frame walk, CBR
+    estimate only as the unwalkable-stream fallback), plus FLAC's
+    embedded decoded-PCM md5 (the dedup key).  Unknown/truncated
+    payloads are error rows."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cols = ["media_ref", "format", "codec", "sample_rate",
@@ -291,6 +293,49 @@ def audio_inventory(media: DataFrame) -> DataFrame:
 
     return media.select("media_ref", "bytes").mapInPandas(
         run, schema=AUDIO_INVENTORY_SCHEMA
+    )
+
+
+AUDIO_TAGS_SCHEMA = (
+    "media_ref string, format string, vendor string, title string,"
+    " artist string, album string, n_tags int, error string"
+)
+
+
+def audio_tags_row(ref: str, data: bytes) -> dict:
+    """One payload's embedded-tag row (functions/audio_meta.audio_tags)
+    — shared verbatim by the Spark UDF and the golden generator."""
+    from .audio_meta import audio_tags
+
+    row = dict(media_ref=ref, format=None, vendor=None, title=None,
+               artist=None, album=None, n_tags=None, error=None)
+    try:
+        row.update(audio_tags(bytes(data)))
+    except Exception as exc:
+        row["error"] = str(exc)
+    return row
+
+
+def audio_tags_stage(media: DataFrame) -> DataFrame:
+    """REAL embedded-tag extraction over opaque audio payloads: Vorbis
+    comments (FLAC metadata block 4 / Ogg comment packet), ID3v2 text
+    frames, RIFF LIST-INFO — the catalog metadata a curation pipeline
+    dedups and routes on without decoding a sample.  Formats without a
+    tag structure return n_tags=0 (absence is data); unknown containers
+    are error rows."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["media_ref", "format", "vendor", "title", "artist",
+                "album", "n_tags", "error"]
+        for pdf in batches:
+            rows = [
+                audio_tags_row(ref, bytes(data))
+                for ref, data in zip(pdf["media_ref"], pdf["bytes"])
+            ]
+            yield pd.DataFrame(rows, columns=cols)
+
+    return media.select("media_ref", "bytes").mapInPandas(
+        run, schema=AUDIO_TAGS_SCHEMA
     )
 
 

@@ -470,8 +470,10 @@ def audio_ref(j: int) -> str:
     return f"clip-{j:06d}"
 
 
-def _wav_bytes(pcm16: np.ndarray, rate: int, n_channels: int = 1) -> bytes:
+def _wav_bytes(pcm16: np.ndarray, rate: int, n_channels: int = 1,
+               tags: dict | None = None) -> bytes:
     import io
+    import struct
     import wave
 
     buf = io.BytesIO()
@@ -480,7 +482,19 @@ def _wav_bytes(pcm16: np.ndarray, rate: int, n_channels: int = 1) -> bytes:
         w.setsampwidth(2)
         w.setframerate(rate)
         w.writeframes(pcm16.astype("<i2").tobytes())
-    return buf.getvalue()
+    data = bytearray(buf.getvalue())
+    if tags:
+        # trailing LIST/INFO chunk (INAM/IART/IPRD), RIFF size patched
+        fourcc = {"title": b"INAM", "artist": b"IART", "album": b"IPRD"}
+        body = bytearray(b"INFO")
+        for k, v in tags.items():
+            val = v.encode("latin-1") + b"\x00"
+            if len(val) % 2:
+                val += b"\x00"
+            body += fourcc[k] + struct.pack("<I", len(val)) + val
+        data += b"LIST" + struct.pack("<I", len(body)) + bytes(body)
+        data[4:8] = struct.pack("<I", len(data) - 8)
+    return bytes(data)
 
 
 def audio_item(cfg: CorpusConfig, j: int) -> tuple[str, bytes, str]:
@@ -567,14 +581,30 @@ def sniff_ref(j: int) -> str:
 
 
 def _flac_bytes(rate: int, channels: int, bits: int, total: int,
-                md5: bytes) -> bytes:
+                md5: bytes, tags: dict | None = None) -> bytes:
     import struct
 
     packed = ((rate << 44) | ((channels - 1) << 41) | ((bits - 1) << 36)
               | total)
     si = (struct.pack(">HH", 1024, 1024) + b"\x00\x01\x00"
           + b"\x00\x02\x00" + packed.to_bytes(8, "big") + md5)
-    return b"fLaC" + bytes([0x80]) + (34).to_bytes(3, "big") + si
+    if not tags:
+        return b"fLaC" + bytes([0x80]) + (34).to_bytes(3, "big") + si
+    vc = _vorbis_comment_payload(tags)
+    return (b"fLaC" + bytes([0x00]) + (34).to_bytes(3, "big") + si
+            + bytes([0x84]) + len(vc).to_bytes(3, "big") + vc)
+
+
+def _vorbis_comment_payload(tags: dict) -> bytes:
+    import struct
+
+    vendor = b"spark-graft synthetic corpus"
+    out = struct.pack("<I", len(vendor)) + vendor
+    out += struct.pack("<I", len(tags))
+    for k, v in tags.items():
+        kv = f"{k.upper()}={v}".encode()
+        out += struct.pack("<I", len(kv)) + kv
+    return out
 
 
 def _ogg_page(granule: int, body: bytes, seq: int) -> bytes:
@@ -585,34 +615,76 @@ def _ogg_page(granule: int, body: bytes, seq: int) -> bytes:
             + b"\x00\x00\x00\x00" + bytes([1, len(body)]) + body)
 
 
-def _mp3_bytes(n_payload: int) -> bytes:
-    # MPEG1 Layer III, 128 kbps, 44100 Hz, stereo
-    return b"\xff\xfb\x90\x00" + b"\x00" * n_payload
+def _mp3_bytes(n_frames: int, xing: bool = False,
+               tags: dict | None = None) -> bytes:
+    """Real MPEG1 Layer III frame SEQUENCE (128 kbps, 44100 Hz,
+    stereo): n_frames valid headers at exact 417-byte CBR spacing, so
+    the sniffer's frame walk counts them; xing=True plants a Xing VBR
+    header (frame count) in frame 1; tags prepends an ID3v2.3 block.
+    Frame BODIES are zeros — header/duration structure is what the
+    container layer reads."""
+    import struct
+
+    flen = 144 * 128000 // 44100  # 417, padding bit clear
+    frame = b"\xff\xfb\x90\x00" + b"\x00" * (flen - 4)
+    frames = bytearray(frame * n_frames)
+    if xing and n_frames:
+        at = 4 + 32  # MPEG1 stereo side-info offset
+        frames[at : at + 12] = (
+            b"Xing" + struct.pack(">I", 0x1) + struct.pack(">I", n_frames)
+        )
+    head = b""
+    if tags:
+        fid = {"title": b"TIT2", "artist": b"TPE1", "album": b"TALB"}
+        body = bytearray()
+        for k, v in tags.items():
+            payload = b"\x00" + v.encode("latin-1")
+            body += fid[k] + struct.pack(">I", len(payload)) + b"\x00\x00"
+            body += payload
+        sz = len(body)
+        head = b"ID3\x03\x00\x00" + bytes([
+            (sz >> 21) & 0x7F, (sz >> 14) & 0x7F,
+            (sz >> 7) & 0x7F, sz & 0x7F,
+        ]) + bytes(body)
+    return head + bytes(frames)
+
+
+def _sniff_tags(j: int) -> dict:
+    """Deterministic tag triple for sniff-corpus index j."""
+    return dict(
+        title=f"TRACK {j:03d}",
+        artist=("SYNTH ENSEMBLE", "CORPUS QUARTET")[j % 2],
+        album="SPARK GRAFT VOL 1",
+    )
 
 
 def sniff_item(cfg: CorpusConfig, j: int) -> tuple[str, bytes, str]:
-    """(media_ref, bytes, kind) across the sniffer's branches: wav,
-    flac (exact duration + embedded PCM md5), ogg_vorbis / ogg_opus
-    (last-page granule duration), mp3 (CBR estimate), flac_truncated
-    and garbage (error rows)."""
+    """(media_ref, bytes, kind) across the sniffer's branches: wav
+    (RIFF INFO tags on evens), flac (exact duration + embedded PCM md5
+    + Vorbis comments on odds), ogg_vorbis (comment packet, always) /
+    ogg_opus (last-page granule duration), mp3 (REAL frame sequence —
+    exact walked duration; Xing header on odds, ID3v2 when j%3==0),
+    flac_truncated and garbage (error rows)."""
     import struct
 
     rng = _rng(cfg.seed, _S_SNIFF, j)
     cls = j % 7
     if cls == 0:
         pcm = (rng.standard_normal(800) * 2000).astype("<i2")
-        return sniff_ref(j), _wav_bytes(pcm, 8000), "wav"
+        tags = _sniff_tags(j) if j % 2 == 0 else None
+        return sniff_ref(j), _wav_bytes(pcm, 8000, tags=tags), "wav"
     if cls == 1:
         md5 = rng.integers(0, 256, 16).astype(np.uint8).tobytes()
+        tags = _sniff_tags(j) if j % 2 == 1 else None
         return sniff_ref(j), _flac_bytes(
-            44100, 1 + j % 2, 16, 44100 * (1 + j % 5), md5
+            44100, 1 + j % 2, 16, 44100 * (1 + j % 5), md5, tags=tags
         ), "flac"
     if cls == 2:
         body = (b"\x01vorbis" + struct.pack("<I", 0) + bytes([2])
                 + struct.pack("<I", 44100) + b"\x00" * 9)
-        data = _ogg_page(0, body, 0) + _ogg_page(
-            44100 * (1 + j % 4), b"\x00" * 10, 1
-        )
+        cbody = b"\x03vorbis" + _vorbis_comment_payload(_sniff_tags(j))
+        data = (_ogg_page(0, body, 0) + _ogg_page(0, cbody, 1)
+                + _ogg_page(44100 * (1 + j % 4), b"\x00" * 10, 2))
         return sniff_ref(j), data, "ogg_vorbis"
     if cls == 3:
         body = (b"OpusHead" + bytes([1, 1]) + struct.pack("<H", 312)
@@ -622,7 +694,10 @@ def sniff_item(cfg: CorpusConfig, j: int) -> tuple[str, bytes, str]:
         )
         return sniff_ref(j), data, "ogg_opus"
     if cls == 4:
-        return sniff_ref(j), _mp3_bytes(4000 * (1 + j % 4)), "mp3"
+        tags = _sniff_tags(j) if j % 3 == 0 else None
+        return sniff_ref(j), _mp3_bytes(
+            20 * (1 + j % 4), xing=j % 2 == 1, tags=tags
+        ), "mp3"
     if cls == 5:
         full = _flac_bytes(44100, 2, 16, 44100, bytes(16))
         return sniff_ref(j), full[:20], "flac_truncated"

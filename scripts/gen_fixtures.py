@@ -281,6 +281,23 @@ def gen_word_boxes() -> pd.DataFrame:
     return df
 
 
+def gen_audio_tags() -> pd.DataFrame:
+    """Golden for the embedded-tag query: SAME row code the Spark
+    stage runs (multimodal.audio_tags_row) over the sniff corpus."""
+    from mcp_ocr_server_spark.functions.multimodal import audio_tags_row
+
+    rows = []
+    for j in range(S.N_SNIFF_CLIPS):
+        ref, data, _kind = S.sniff_item(FLAGSHIP_CORPUS, j)
+        rows.append(audio_tags_row(ref, data))
+    df = pd.DataFrame(
+        rows, columns=["media_ref", "format", "vendor", "title",
+                       "artist", "album", "n_tags", "error"]
+    )
+    df["n_tags"] = df["n_tags"].astype("Int64")
+    return df
+
+
 def gen_pdf_scan_meta() -> pd.DataFrame:
     """Golden for the scanned-PDF OCR query: SAME row code the Spark
     stage runs (media_ocr.scan_pdf_rows) over the scan-pdf corpus."""
@@ -390,6 +407,13 @@ def main() -> None:
     )
     print(f"pdf_scan_meta: {len(scan)} rows"
           f" ({int(scan.error.notna().sum())} errors)")
+    atags = gen_audio_tags()
+    atags.to_parquet(
+        os.path.join(FIXTURES_DIR, "audio_tags.parquet"), index=False
+    )
+    print(f"audio_tags: {len(atags)} rows"
+          f" ({int(atags.error.notna().sum())} errors;"
+          f" tagged {int(atags.n_tags.fillna(0).gt(0).sum())})")
     vid = gen_video_meta()
     vid.to_parquet(os.path.join(FIXTURES_DIR, "video_meta.parquet"), index=False)
     inv = gen_audio_inventory()

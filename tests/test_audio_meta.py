@@ -59,14 +59,50 @@ def test_sniff_ogg_vorbis_and_opus_durations():
 
 
 def test_sniff_mp3_header_tables_and_id3_skip():
-    data = S._mp3_bytes(15996)  # 128 kbps => 16000 bytes ~ 1.0 s
+    data = S._mp3_bytes(38)  # 38 frames x 1152 samples @ 44100
     m = sniff_audio(data)
     assert (m["codec"], m["sample_rate"], m["channels"]) == (
         "mp3v1", 44100, 2)
-    assert abs(m["duration_s"] - 1.0) < 0.01
-    # ID3v2-tagged: 100-byte syncsafe tag, then the same frame
+    # exact duration from the frame walk, not a byte-rate estimate
+    assert m["duration_s"] == 38 * 1152 / 44100
+    # ID3v2-tagged: 100-byte syncsafe tag, then the same frames
     tag = b"ID3\x04\x00\x00" + bytes([0, 0, 0, 100]) + b"\x00" * 100
-    assert sniff_audio(tag + data)["codec"] == "mp3v1"
+    assert sniff_audio(tag + data)["duration_s"] == 38 * 1152 / 44100
+
+
+def test_sniff_mp3_duration_sources():
+    # Xing VBR header wins over the walk (same answer on this stream)
+    xing = S._mp3_bytes(25, xing=True)
+    assert sniff_audio(xing)["duration_s"] == 25 * 1152 / 44100
+    # unwalkable stream (sync + garbage body) falls back to the CBR
+    # byte-rate estimate — never an error, never silent zero
+    broken = b"\xff\xfb\x90\x00" + b"\x01" * 5000
+    est = sniff_audio(broken)["duration_s"]
+    assert abs(est - 5004 * 8 / 128000) < 1e-9
+
+
+def test_audio_tags_per_format():
+    from mcp_ocr_server_spark.functions.audio_meta import audio_tags
+
+    tags = dict(title="T1", artist="A1", album="B1")
+    flac = S._flac_bytes(44100, 2, 16, 44100, bytes(16), tags=tags)
+    got = audio_tags(flac)
+    assert (got["title"], got["artist"], got["album"]) == ("T1", "A1", "B1")
+    assert got["n_tags"] == 3 and got["vendor"]
+    # untagged flac: absence is data, not an error
+    bare = audio_tags(S._flac_bytes(44100, 2, 16, 44100, bytes(16)))
+    assert bare["n_tags"] == 0 and bare["title"] is None
+    mp3 = S._mp3_bytes(10, tags=dict(title="M", artist="N"))
+    got = audio_tags(mp3)
+    assert (got["title"], got["artist"], got["n_tags"]) == ("M", "N", 2)
+    import numpy as np
+
+    wav = S._wav_bytes(np.zeros(50, "<i2"), 8000, tags=dict(album="W"))
+    assert audio_tags(wav)["album"] == "W"
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unknown container"):
+        audio_tags(b"\x00\x01garbage bytes")
 
 
 def test_sniff_refuses_unknown_and_truncated():

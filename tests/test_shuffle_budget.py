@@ -40,7 +40,7 @@ ZERO_SHUFFLE = [
     "media_words", "media_image_features",
     "media_audio_features", "pdf_text", "media_video_frames",
     "media_audio_inventory", "media_video_inventory",
-    "warc_records", "warc_main_content", "pdf_scan_ocr",
+    "warc_records", "warc_main_content", "pdf_scan_ocr", "audio_tags",
     "dedup_simhash", "lang_id",
     "text_quality", "token_stats", "doc_fingerprint",
 ]
