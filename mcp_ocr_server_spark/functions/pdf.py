@@ -385,12 +385,13 @@ def _content_text(content: bytes) -> str:
     return "\n".join(text_lines)
 
 
-def extract_pdf_text(data: bytes) -> list[str]:
-    """Per-page text of a PDF, in page-tree order.
+def _page_content_streams(data: bytes) -> list[bytes]:
+    """Validated parse shared by every extractor: header/encryption
+    checks, object scan, ObjStm expansion, page-tree walk, and the
+    concatenated decoded /Contents stream per page (page-tree order).
 
     Raises ValueError for non-PDF bytes or encrypted documents; pages
-    whose content stream cannot be located contribute an empty string.
-    """
+    whose content stream cannot be located contribute empty bytes."""
     if not data.startswith(b"%PDF-"):
         raise ValueError("not a PDF: missing %PDF- header")
     # /Encrypt only means encryption inside the TRAILER dict — grepping
@@ -426,7 +427,7 @@ def extract_pdf_text(data: bytes) -> list[str]:
     # surface objects hidden inside /ObjStm payloads (PDF 1.5+
     # compressed object storage) — the r4 refusal path, now parsed
     _expand_objstms(objs)
-    out: list[str] = []
+    out: list[bytes] = []
     for pnum in _page_order(data, objs):
         body = objs[pnum].body
         content = b""
@@ -440,8 +441,17 @@ def extract_pdf_text(data: bytes) -> list[str]:
             s = _stream_of(objs.get(r))
             if s:
                 content += s + b"\n"
-        out.append(_content_text(content))
+        out.append(content)
     return out
+
+
+def extract_pdf_text(data: bytes) -> list[str]:
+    """Per-page text of a PDF, in page-tree order.
+
+    Raises ValueError for non-PDF bytes or encrypted documents; pages
+    whose content stream cannot be located contribute an empty string.
+    """
+    return [_content_text(c) for c in _page_content_streams(data)]
 
 
 def pdf_text_row(ref: str, data: bytes) -> dict:
@@ -710,3 +720,144 @@ def extract_pdf_page_rasters(data: bytes) -> list["np.ndarray"]:
             )
         out.append(_decode_image_xobject(objs[imgs[0]]))
     return out
+
+
+# ---------------------------------------------------------------------------
+# position-aware layout extraction (ISO 32000-1 §9.4 text positioning)
+#
+# _content_text above is the EMISSION-ORDER interpreter: it trusts that
+# generators write lines top-to-bottom (true for most, and its output
+# is the committed golden).  Real-world generators frequently emit text
+# runs out of reading order (column-major, z-ordered overlays, tagged-
+# content reflows); recovering reading order then REQUIRES the text
+# matrix, not the stream order.  This interpreter tracks Tm/Td/TD/T*/TL
+# exactly, anchors every shown string at its text-space origin, and
+# reassembles lines by descending y (PDF y grows upward) with runs
+# sorted by x — the geometry pass a layout-aware extractor runs.
+
+def _content_runs(content: bytes) -> list[tuple[float, float, str]]:
+    """(x, y, text) of every shown string, anchored at the text-space
+    origin the text matrix held when the show operator ran.  q/Q/cm
+    (the CTM) are not tracked: text PDFs position with the text matrix;
+    pages that paint through a transformed CTM refuse via the multi-
+    image/compositing rules elsewhere."""
+    runs: list[tuple[float, float, str]] = []
+    stack: list[object] = []
+    arr: list[object] | None = None
+    in_text = False
+    # text line matrix (a b c d e f), leading
+    tlm = [1.0, 0.0, 0.0, 1.0, 0.0, 0.0]
+    tm = list(tlm)
+    leading = 0.0
+
+    def show(s: bytes) -> None:
+        runs.append((tm[4], tm[5], s.decode("latin-1")))
+
+    def translate_line(tx: float, ty: float) -> None:
+        # tlm = [[1 0 0],[0 1 0],[tx ty 1]] x tlm  (row-vector form)
+        nonlocal tlm, tm
+        e = tx * tlm[0] + ty * tlm[2] + tlm[4]
+        f = tx * tlm[1] + ty * tlm[3] + tlm[5]
+        tlm = [tlm[0], tlm[1], tlm[2], tlm[3], e, f]
+        tm = list(tlm)
+
+    for tok in _tokens(content):
+        first = tok[:1]
+        if tok == b"[":
+            arr = []
+            continue
+        if tok == b"]":
+            stack.append(arr if arr is not None else [])
+            arr = None
+            continue
+        target = arr if arr is not None else stack
+        if first in (b"(", b"<") and tok not in (b"<<", b">>"):
+            target.append(_string_bytes(tok))
+            continue
+        if first == b"/" or tok in (b"<<", b">>"):
+            target.append(tok)
+            continue
+        if re.fullmatch(rb"[-+]?[0-9]*\.?[0-9]+", tok):
+            target.append(float(tok))
+            continue
+        op = tok
+        if op == b"BT":
+            in_text = True
+            tlm = [1.0, 0.0, 0.0, 1.0, 0.0, 0.0]
+            tm = list(tlm)
+        elif op == b"ET":
+            in_text = False
+        elif in_text and op == b"Tm" and len(stack) >= 6:
+            nums = [v for v in stack[-6:] if isinstance(v, float)]
+            if len(nums) == 6:
+                tlm = list(nums)
+                tm = list(tlm)
+        elif in_text and op in (b"Td", b"TD") and len(stack) >= 2:
+            tx, ty = stack[-2], stack[-1]
+            if isinstance(tx, float) and isinstance(ty, float):
+                if op == b"TD":
+                    leading = -ty
+                translate_line(tx, ty)
+        elif in_text and op == b"TL" and stack \
+                and isinstance(stack[-1], float):
+            leading = stack[-1]
+        elif in_text and op == b"T*":
+            translate_line(0.0, -leading)
+        elif in_text and op == b"Tj":
+            if stack and isinstance(stack[-1], bytes):
+                show(stack[-1])
+        elif in_text and op in (b"'", b'"'):
+            translate_line(0.0, -leading)
+            if stack and isinstance(stack[-1], bytes):
+                show(stack[-1])
+        elif in_text and op == b"TJ":
+            if stack and isinstance(stack[-1], list):
+                parts = [
+                    el.decode("latin-1")
+                    for el in stack[-1]
+                    if isinstance(el, bytes)
+                ]
+                if parts:
+                    show("".join(parts).encode("latin-1"))
+        stack.clear()
+    return runs
+
+
+def extract_pdf_layout(data: bytes) -> list[dict]:
+    """Per-line layout rows in READING order (top-to-bottom, runs
+    left-to-right within a line), independent of the content stream's
+    emission order: (page_idx, line_idx, x, y, text).  x/y are PDF
+    points (y grows upward; lines are ordered by descending y).  Same
+    refusal contract as extract_pdf_text."""
+    out: list[dict] = []
+    for page_idx, content in enumerate(_page_content_streams(data)):
+        runs = _content_runs(content)
+        by_y: dict[float, list[tuple[float, str]]] = {}
+        for x, y, text in runs:
+            by_y.setdefault(round(y, 3), []).append((x, text))
+        for line_idx, y in enumerate(sorted(by_y, reverse=True)):
+            parts = sorted(by_y[y], key=lambda p: p[0])
+            out.append(dict(
+                page_idx=page_idx, line_idx=line_idx,
+                x=round(parts[0][0], 3), y=y,
+                text=" ".join(t for _x, t in parts if t),
+            ))
+    return out
+
+
+PDF_LAYOUT_SCHEMA = (
+    "media_ref string, page_idx int, line_idx int, x double, y double,"
+    " text string, error string"
+)
+
+
+def pdf_layout_rows(ref: str, data: bytes) -> list[dict]:
+    """Layout rows for one document — shared VERBATIM by the Spark
+    stage (queries.q_pdf_layout) and the golden-fixture generator.
+    Document-level failures yield ONE error row with null geometry."""
+    try:
+        rows = extract_pdf_layout(bytes(data))
+    except Exception as exc:
+        return [dict(media_ref=ref, page_idx=None, line_idx=None,
+                     x=None, y=None, text=None, error=str(exc))]
+    return [dict(media_ref=ref, error=None, **r) for r in rows]

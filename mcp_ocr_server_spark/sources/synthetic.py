@@ -1388,3 +1388,140 @@ def scan_pdf_df(spark, cfg: CorpusConfig, n: int = N_SCAN_PDFS):
     return spark.range(0, n, numPartitions=4).mapInPandas(
         gen, schema=SCAN_PDF_SCHEMA
     )
+
+
+# ---------------------------------------------------------------------------
+# layout-PDF corpus: pages whose content streams emit text runs OUT of
+# reading order with absolute Tm positions — the class where stream
+# order lies and only the text matrix (functions/pdf.extract_pdf_layout)
+# recovers reading order
+
+_S_LAYOUTPDF = 11
+N_LAYOUT_PDFS = 18
+
+
+def layout_pdf_ref(j: int) -> str:
+    return f"/corpus/layout/{j:05d}.pdf"
+
+
+def make_positioned_pdf_bytes(
+    pages: list[list[tuple[float, float, str]]],
+) -> bytes:
+    """PDF writer whose pages position every text run with an absolute
+    Tm — runs are emitted in the LIST ORDER given, which need not be
+    reading order (that is the point).  Same object skeleton as
+    make_pdf_bytes."""
+    objs: list[bytes] = []
+    page_nums = [4 + 2 * i for i in range(len(pages))]
+    kids = " ".join(f"{n} 0 R" for n in page_nums).encode()
+    objs.append(b"<< /Type /Catalog /Pages 2 0 R >>")
+    objs.append(
+        b"<< /Type /Pages /Kids [" + kids + b"] /Count "
+        + str(len(pages)).encode() + b" >>"
+    )
+    objs.append(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+    for i, runs in enumerate(pages):
+        cnum = page_nums[i] + 1
+        objs.append(
+            b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            b"/Resources << /Font << /F1 3 0 R >> >> /Contents "
+            + str(cnum).encode() + b" 0 R >>"
+        )
+        parts = []
+        for x, y, text in runs:
+            parts.append(
+                b"BT /F1 12 Tf 1 0 0 1 " + f"{x:g}".encode() + b" "
+                + f"{y:g}".encode() + b" Tm ("
+                + _pdf_escape(text) + b") Tj ET"
+            )
+        content = b" ".join(parts)
+        objs.append(
+            b"<< /Length " + str(len(content)).encode()
+            + b" >>\nstream\n" + content + b"\nendstream"
+        )
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = []
+    for i, body in enumerate(objs):
+        offsets.append(len(out))
+        out += f"{i + 1} 0 obj\n".encode() + body + b"\nendobj\n"
+    xref_at = len(out)
+    out += f"xref\n0 {len(objs) + 1}\n".encode()
+    out += b"0000000000 65535 f \n"
+    for off in offsets:
+        out += f"{off:010d} 00000 n \n".encode()
+    out += (
+        b"trailer\n<< /Size " + str(len(objs) + 1).encode()
+        + b" /Root 1 0 R >>\nstartxref\n" + str(xref_at).encode()
+        + b"\n%%EOF\n"
+    )
+    return bytes(out)
+
+
+def layout_pdf_item(cfg: CorpusConfig, j: int) -> tuple[str, bytes, str]:
+    """(media_ref, bytes, kind).  ok_shuffled: absolute-Tm runs emitted
+    in a seeded shuffle of reading order, some lines split into two
+    x-ordered runs (column-ish emission, the class where stream order
+    lies); ok_relative: classic Td/TL/T*/' relative positioning (the
+    make_pdf_bytes idiom); garbage / encrypted: error rows."""
+    rng = _rng(cfg.seed, _S_LAYOUTPDF, j)
+    if j % 9 == 8:
+        return layout_pdf_ref(j), b"\x00not a pdf\xff" * 5, "garbage"
+    n_pages = 1 + j % 2
+    pages = []
+    for _p in range(n_pages):
+        n_lines = int(rng.integers(3, 6))
+        runs = []
+        for li in range(n_lines):
+            y = 720.0 - 14.0 * li
+            words = _words(rng, _PROSE_WORDS, int(rng.integers(2, 6)))
+            if rng.integers(0, 3) == 0 and " " in words:
+                # split the line into two runs at different x — within-
+                # line x-sort must reassemble them left-to-right
+                head, tail = words.split(" ", 1)
+                runs.append((72.0, y, head))
+                runs.append((72.0 + 10.0 * len(head), y, tail))
+            else:
+                runs.append((72.0, y, words))
+        order = rng.permutation(len(runs))
+        pages.append([runs[int(k)] for k in order])
+    if j % 7 == 6:
+        # relative positioning: same content through Td/TL/T*
+        rel_pages = [
+            [line for line in _layout_reading_lines(pg)]
+            for pg in pages
+        ]
+        data = make_pdf_bytes(rel_pages, compress=j % 2 == 0)
+        return layout_pdf_ref(j), data, "ok_relative"
+    data = make_positioned_pdf_bytes(pages)
+    if j % 11 == 10:
+        data = data.replace(b"/Root 1 0 R", b"/Root 1 0 R /Encrypt 9 0 R")
+        return layout_pdf_ref(j), data, "encrypted"
+    return layout_pdf_ref(j), data, "ok_shuffled"
+
+
+def _layout_reading_lines(runs: list[tuple[float, float, str]]) -> list[str]:
+    """Reading-order line texts of a positioned-run page (the writer's
+    own notion, used to build the relative-positioning variant)."""
+    by_y: dict[float, list[tuple[float, str]]] = {}
+    for x, y, t in runs:
+        by_y.setdefault(y, []).append((x, t))
+    return [
+        " ".join(t for _x, t in sorted(by_y[y]))
+        for y in sorted(by_y, reverse=True)
+    ]
+
+
+LAYOUT_PDF_SCHEMA = "media_ref string, bytes binary, kind string"
+
+
+def layout_pdf_df(spark, cfg: CorpusConfig, n: int = N_LAYOUT_PDFS):
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [layout_pdf_item(cfg, int(j))[:3] for j in pdf["id"]]
+            yield pd.DataFrame(
+                rows, columns=["media_ref", "bytes", "kind"]
+            )
+
+    return spark.range(0, n, numPartitions=4).mapInPandas(
+        gen, schema=LAYOUT_PDF_SCHEMA
+    )

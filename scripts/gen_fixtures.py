@@ -281,6 +281,24 @@ def gen_word_boxes() -> pd.DataFrame:
     return df
 
 
+def gen_pdf_layout() -> pd.DataFrame:
+    """Golden for the layout query: SAME row code the Spark stage runs
+    (functions/pdf.pdf_layout_rows) over the layout-pdf corpus."""
+    from mcp_ocr_server_spark.functions.pdf import pdf_layout_rows
+
+    rows = []
+    for j in range(S.N_LAYOUT_PDFS):
+        ref, data, _kind = S.layout_pdf_item(FLAGSHIP_CORPUS, j)
+        rows.extend(pdf_layout_rows(ref, data))
+    df = pd.DataFrame(
+        rows, columns=["media_ref", "page_idx", "line_idx", "x", "y",
+                       "text", "error"]
+    )
+    for c in ("page_idx", "line_idx"):
+        df[c] = df[c].astype("Int64")
+    return df
+
+
 def gen_audio_tags() -> pd.DataFrame:
     """Golden for the embedded-tag query: SAME row code the Spark
     stage runs (multimodal.audio_tags_row) over the sniff corpus."""
@@ -414,6 +432,12 @@ def main() -> None:
     print(f"audio_tags: {len(atags)} rows"
           f" ({int(atags.error.notna().sum())} errors;"
           f" tagged {int(atags.n_tags.fillna(0).gt(0).sum())})")
+    lay = gen_pdf_layout()
+    lay.to_parquet(
+        os.path.join(FIXTURES_DIR, "pdf_layout.parquet"), index=False
+    )
+    print(f"pdf_layout: {len(lay)} rows"
+          f" ({int(lay.error.notna().sum())} errors)")
     vid = gen_video_meta()
     vid.to_parquet(os.path.join(FIXTURES_DIR, "video_meta.parquet"), index=False)
     inv = gen_audio_inventory()
