@@ -454,52 +454,111 @@ def extract_pdf_text(data: bytes) -> list[str]:
     return [_content_text(c) for c in _page_content_streams(data)]
 
 
-def pdf_text_row(ref: str, data: bytes) -> dict:
-    """One document's extraction row — shared verbatim by the Spark
-    UDF and the golden-fixture generator."""
-    row = dict(media_ref=ref, n_pages=None, text=None, error=None)
+def _ocr_pdf_rasters(data: bytes, ocr_cfg) -> tuple[list[str], float] | None:
+    """OCR the embedded page rasters of a scanned PDF: (page texts,
+    mean confidence), or None when the document has no extractable
+    image pages (born-digital empty doc — nothing to OCR)."""
     try:
-        pages = extract_pdf_text(bytes(data))
+        rasters = extract_pdf_page_rasters(data)
+    except Exception:
+        return None
+    from ..imaging.analyzer import preprocess
+    from ..ocr.engine import get_engine
+
+    engine = get_engine(ocr_cfg.ocr)
+    texts: list[str] = []
+    confs: list[float] = []
+    for img in rasters:
+        try:
+            processed, _q, _steps = preprocess(img, ocr_cfg.preprocessing)
+        except Exception:
+            processed = img  # fail-soft, handler.go:271-275
+        res = engine.recognize(processed)
+        texts.append(res.text)
+        confs.append(res.confidence)
+    return texts, (sum(confs) / len(confs) if confs else 0.0)
+
+
+def pdf_text_row(ref: str, data: bytes, ocr_cfg=None) -> dict:
+    """One document's extraction row — shared verbatim by the Spark
+    UDF and the golden-fixture generator.
+
+    With ocr_cfg set, a document whose content streams yield NO text
+    falls through to the scanned-PDF path: page rasters are the
+    embedded image XObjects (extract_pdf_page_rasters) and the SAME
+    preprocess + OCR chain the image branch runs recognizes them —
+    confidence then carries the engine's mean page confidence (0-100,
+    the image branch's scale) instead of the born-digital 100.0."""
+    row = dict(media_ref=ref, n_pages=None, text=None, confidence=None,
+               error=None)
+    try:
+        data = bytes(data)
+        pages = extract_pdf_text(data)
         row["n_pages"] = len(pages)
         row["text"] = "\f".join(pages)
+        # born-digital: the parse is exact — top of the SAME 0-100
+        # scale the OCR engine reports, so pdf and image spans are
+        # comparable in one column
+        row["confidence"] = 100.0
+        if ocr_cfg is not None and pages and not any(
+            p.strip() for p in pages
+        ):
+            got = _ocr_pdf_rasters(data, ocr_cfg)
+            if got is not None:
+                texts, conf = got
+                row["n_pages"] = len(texts)
+                row["text"] = "\f".join(texts)
+                row["confidence"] = round(conf, 6)
     except Exception as exc:
         row["error"] = str(exc)
+        row["confidence"] = None
     return row
 
 
 PDF_RESULT_SCHEMA = (
-    "content_hash string, text string, n_pages int, error string"
+    "content_hash string, text string, n_pages int, confidence double,"
+    " error string"
 )
 
 
-def pdf_parse_map(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """mapInPandas stage over DISTINCT work units (content_hash, bytes)
-    — the pipeline's pdf analogue of the OCR stage: one parse per
-    distinct byte content, results joined back to every referencing
-    span (C2's shape, minus durable memo — the parse is cheap enough
-    that recomputation beats carrying a second memo table)."""
-    for pdf in batches:
-        rows = []
-        for h, data in zip(pdf["content_hash"], pdf["bytes"]):
-            r = pdf_text_row(h, bytes(data))
-            rows.append(
-                dict(content_hash=h, text=r["text"],
-                     n_pages=r["n_pages"], error=r["error"])
+def make_pdf_parse_map(ocr_cfg=None):
+    """Build the mapInPandas stage over DISTINCT work units
+    (content_hash, bytes) — the pipeline's pdf analogue of the OCR
+    stage: one parse per distinct byte content, results joined back to
+    every referencing span (C2's shape, minus durable memo — the parse
+    is cheap enough that recomputation beats carrying a second memo
+    table).  ocr_cfg enables the scanned-PDF OCR fallback."""
+
+    def pdf_parse_map(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for h, data in zip(pdf["content_hash"], pdf["bytes"]):
+                r = pdf_text_row(h, bytes(data), ocr_cfg=ocr_cfg)
+                rows.append(
+                    dict(content_hash=h, text=r["text"],
+                         n_pages=r["n_pages"],
+                         confidence=r["confidence"], error=r["error"])
+                )
+            yield pd.DataFrame(
+                rows, columns=["content_hash", "text", "n_pages",
+                               "confidence", "error"]
             )
-        yield pd.DataFrame(
-            rows, columns=["content_hash", "text", "n_pages", "error"]
-        )
+
+    return pdf_parse_map
 
 
-def pdf_text(media: DataFrame) -> DataFrame:
+def pdf_text(media: DataFrame, ocr_cfg=None) -> DataFrame:
     """mapInPandas stage: (media_ref, bytes) -> per-doc extracted text
     (pages joined by form-feed), REAL decode path — errors isolate per
-    row exactly like the OCR stage (P1)."""
+    row exactly like the OCR stage (P1).  ocr_cfg enables the
+    scanned-PDF OCR fallback for text-less documents."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = [
-                pdf_text_row(ref, bytes(data))
+                pdf_text_row(ref, bytes(data), ocr_cfg=ocr_cfg)
                 for ref, data in zip(pdf["media_ref"], pdf["bytes"])
             ]
             yield pd.DataFrame(

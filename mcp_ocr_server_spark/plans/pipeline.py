@@ -260,7 +260,7 @@ def extract(
 
     out = non_media.unionByName(media_out)
     if pdfs is not None:
-        out = out.unionByName(_pdf_branch(spans, pdfs, pdfs_hashed))
+        out = out.unionByName(_pdf_branch(spans, pdfs, pdfs_hashed, cfg))
     return ExtractResult(
         spans=out.select(*SPAN_COLS), ocr_results=ocr_results
     )
@@ -270,14 +270,22 @@ def _pdf_branch(
     spans: DataFrame,
     pdfs: DataFrame,
     pdfs_hashed: DataFrame | None = None,
+    cfg: JobConfig = DEFAULT_CONFIG,
 ) -> DataFrame:
     """pdf-kind spans -> extracted-text span rows, image-branch shape:
     the hash projection keeps bytes inside the pdf scan, distinct
     hashes parse exactly once (hot refs and byte-dup refs collapse),
-    and only (hash, text) rows rejoin the span side."""
+    and only (hash, text) rows rejoin the span side.  Documents whose
+    content streams hold no text ride the scanned-PDF fallback inside
+    the same stage: embedded image-XObject rasters through the SAME
+    preprocess + OCR chain as the image branch (pdf_text_row ocr_cfg),
+    with the engine's mean confidence instead of the born-digital
+    1.0."""
     from ..config import PDF_PARSE_FAILED
-    from ..functions.pdf import PDF_RESULT_SCHEMA, pdf_parse_map
+    from ..functions.pdf import PDF_RESULT_SCHEMA, make_pdf_parse_map
     from ..operators.partitioning import repartition_media
+
+    pdf_parse_map = make_pdf_parse_map(ocr_cfg=cfg)
 
     pdf_hashed = (
         pdfs_hashed
@@ -304,11 +312,11 @@ def _pdf_branch(
         .select(
             "doc_id", "order", "kind", "media_ref",
             F.coalesce(F.col("text"), F.lit("")).alias("text"),
-            # born-digital: no OCR uncertainty — confidence 1.0 on
-            # success, null on any error row (mirrors the image branch)
+            # parse confidence: 100.0 born-digital, the OCR engine's mean
+            # page confidence for scanned docs, null on any error row
             F.when(
                 F.col("content_hash").isNotNull() & F.col("error").isNull(),
-                F.lit(1.0),
+                F.col("confidence"),
             ).alias("confidence"),
             _null("string").alias("language"),
             F.when(F.col("content_hash").isNull(), F.lit(FILE_NOT_FOUND))

@@ -289,18 +289,20 @@ def doc_item(cfg: CorpusConfig, i: int) -> tuple[str, list[dict]]:
 
 
 @lru_cache(maxsize=4096)
-def golden_pdf(cfg: CorpusConfig, pj: int) -> tuple[str, str | None]:
-    """Fixture-build-time golden for pdf index pj: (text, error_code).
-    Runs the SAME parser the pipeline's pdf branch runs
-    (functions/pdf.pdf_text_row)."""
+def golden_pdf(
+    cfg: CorpusConfig, pj: int, job: JobConfig = DEFAULT_CONFIG
+) -> tuple[str, float | None, str | None]:
+    """Fixture-build-time golden for pdf index pj: (text, confidence,
+    error_code).  Runs the SAME parser the pipeline's pdf branch runs
+    (functions/pdf.pdf_text_row, scanned-OCR fallback included)."""
     from ..config import PDF_PARSE_FAILED
     from ..functions.pdf import pdf_text_row
 
     ref, data, _kind = pdf_item(cfg, pj)
-    row = pdf_text_row(ref, data)
+    row = pdf_text_row(ref, data, ocr_cfg=job)
     if row["error"] is not None:
-        return "", PDF_PARSE_FAILED
-    return row["text"], None
+        return "", None, PDF_PARSE_FAILED
+    return row["text"], row["confidence"], None
 
 
 def expected_rows(cfg: CorpusConfig, job: JobConfig, i: int) -> list[dict]:
@@ -323,10 +325,12 @@ def expected_rows(cfg: CorpusConfig, job: JobConfig, i: int) -> list[dict]:
                 row["text"] = ""
                 row["error_code"] = FILE_NOT_FOUND
             else:
-                text, err = golden_pdf(cfg, pj)
+                text, conf, err = golden_pdf(cfg, pj, job)
                 row["text"] = text
                 if err is None:
-                    row["confidence"] = 1.0  # born-digital, no OCR
+                    # 100.0 born-digital; the OCR engine's mean page
+                    # confidence for scanned documents
+                    row["confidence"] = conf
                 else:
                     row["error_code"] = err
         else:
@@ -1172,8 +1176,10 @@ def pdf_item(cfg: CorpusConfig, j: int) -> tuple[str, bytes, str]:
     """(media_ref, bytes, kind).  Kind classes cover the extractor's
     whole row contract: ok (stored + Flate, classic xref), ok15
     (PDF 1.5 ObjStm + XRef-stream layout, the post-2005 default),
-    garbage (not a PDF), encrypted, and lzw (unsupported filter) —
-    the last three are error-row classes."""
+    scan (pages are image XObjects — no content-stream text, rides the
+    pipeline's raster->OCR fallback), garbage (not a PDF), encrypted,
+    and lzw (unsupported filter) — the last three are error-row
+    classes."""
     rng = _rng(cfg.seed, _S_PDF, j)
     n_pages = 1 + j % 3
     pages = [
@@ -1199,6 +1205,17 @@ def pdf_item(cfg: CorpusConfig, j: int) -> tuple[str, bytes, str]:
             data.replace(b"/Filter /FlateDecode", b"/Filter /LZWDecode"),
             "lzw",
         )
+    if j % 9 == 3:
+        # scanned document: rendered page images embedded as XObjects
+        # (Flate / DCT alternating) — the corpus class that exercises
+        # the pipeline's pdf->raster->OCR fallback end to end
+        imgs = []
+        for _p in range(n_pages):
+            words = _words(rng, _FONT_WORDS, int(rng.integers(2, 5)))
+            imgs.append(render_text(words, scale=3))
+        return pdf_ref(j), make_scanned_pdf_bytes(
+            imgs, dct=j % 2 == 1
+        ), "scan"
     if j % 5 == 4:
         return pdf_ref(j), make_pdf15_bytes(pages), "ok15"
     return pdf_ref(j), data, "ok"

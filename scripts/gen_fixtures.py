@@ -133,7 +133,7 @@ def gen_pdf_meta() -> pd.DataFrame:
     rows = []
     for j in range(S.N_PDF_DOCS):
         ref, data, kind = S.pdf_item(FLAGSHIP_CORPUS, j)
-        row = pdf_text_row(ref, data)
+        row = pdf_text_row(ref, data, ocr_cfg=FIXTURE_JOB)
         row["kind"] = kind
         rows.append(row)
     df = pd.DataFrame(

@@ -152,3 +152,43 @@ def test_determinism():
     b = S.scan_pdf_item(CORPUS, 0)
     assert a == b
     assert DEFAULT_CONFIG is not None
+
+
+def test_pdf_text_row_ocr_fallback():
+    """The pipeline's pdf branch routes text-less documents through the
+    raster->OCR chain: pdf_text_row with ocr_cfg recovers the rendered
+    text with the engine's confidence (0-100 scale), while born-digital
+    documents keep the exact-parse 100.0."""
+    from mcp_ocr_server_spark.functions.pdf import pdf_text_row
+
+    img = render_text("SCAN FALLBACK TEST", scale=3)
+    scanned = S.make_scanned_pdf_bytes([img])
+    row = pdf_text_row("r", scanned, ocr_cfg=FIXTURE_JOB)
+    assert row["error"] is None
+    assert row["text"].strip() == "SCAN FALLBACK TEST"
+    assert 0 < row["confidence"] <= 100.0
+    # without ocr_cfg: the text interpreter honestly reports no text
+    bare = pdf_text_row("r", scanned)
+    assert bare["text"].strip() == "" and bare["confidence"] == 100.0
+    # born-digital: exact parse, scale-consistent 100.0
+    born = pdf_text_row(
+        "r", S.make_pdf_bytes([["hello world"]]), ocr_cfg=FIXTURE_JOB
+    )
+    assert born["text"].splitlines() == ["hello world"]
+    assert born["confidence"] == 100.0
+
+
+def test_pdf_corpus_scan_class_recovers_text():
+    from mcp_ocr_server_spark.functions.pdf import pdf_text_row
+
+    seen = 0
+    for j in range(S.N_PDF_DOCS):
+        ref, data, kind = S.pdf_item(S.CorpusConfig(n_docs=120), j)
+        if kind != "scan":
+            continue
+        seen += 1
+        row = pdf_text_row(ref, data, ocr_cfg=FIXTURE_JOB)
+        assert row["error"] is None
+        assert row["text"].strip()  # OCR recovered page text
+        assert row["confidence"] < 100.0 or row["confidence"] == 100.0
+    assert seen >= 2
