@@ -141,6 +141,18 @@ def _sniff_ogg(data: bytes) -> dict:
     body_len = sum(data[27:27 + n_segs])
     body = data[27 + n_segs:27 + n_segs + body_len]
     pre_skip = 0
+    if body[:5] == b"\x7fFLAC":
+        # FLAC-to-Ogg mapping: ident packet embeds the native 'fLaC'
+        # magic + STREAMINFO at byte 9 — reuse the native sniffer,
+        # then overlay container format + granule-derived duration.
+        if len(body) < 13 + 4 + 34:
+            raise ValueError("ogg/flac: truncated ident packet")
+        info = _sniff_flac(body[9:])
+        granule = _ogg_last_granule(data)
+        if granule > 0:
+            info["duration_s"] = granule / info["sample_rate"]
+        info["format"] = "ogg"
+        return info
     if body[:7] == b"\x01vorbis":
         if len(body) < 16:
             raise ValueError("ogg: truncated vorbis id header")
@@ -408,12 +420,25 @@ def audio_tags(data: bytes) -> dict:
             vendor, tags = parse_vorbis_comments(body)
     elif data[:4] == b"OggS":
         fmt = "ogg"
+        flac_mapped = False
         for body in _ogg_packet_pages(data):
             if body[:7] == b"\x03vorbis":
                 vendor, tags = parse_vorbis_comments(body[7:])
                 break
             if body[:8] == b"OpusTags":
                 vendor, tags = parse_vorbis_comments(body[8:])
+                break
+            if body[:5] == b"\x7fFLAC":
+                flac_mapped = True  # comment packet is the NEXT page
+                continue
+            if flac_mapped:
+                # FLAC mapping: header packets are native metadata
+                # blocks — the mandatory comment packet is type 4.
+                # Anything else (audio frame sync, unknown block)
+                # ends the header region tag-less.
+                if body and (body[0] & 0x7F) == 4 and len(body) >= 4:
+                    (blen,) = struct.unpack(">I", b"\x00" + body[1:4])
+                    vendor, tags = parse_vorbis_comments(body[4:4 + blen])
                 break
     elif data[:3] == b"ID3" or (
         len(data) >= 2 and data[0] == 0xFF and (data[1] & 0xE0) == 0xE0

@@ -585,3 +585,195 @@ def encode_flac(pcm: np.ndarray, rate: int, bits: int = 16,
         w.write(_crc16(frame), 16)
         out += bytes(w.out)
     return bytes(out)
+
+
+# --- Ogg encapsulation (RFC 5334 + the xiph FLAC-to-Ogg mapping) -----------
+# The page/packet layer is pure structure — capture pattern, lacing
+# values, CRC-32 — so Ogg-FLAC decodes for REAL end to end: this layer
+# reassembles the logical packets and the native decoder above does the
+# bitstream.  What stays behind multimodal's documented fake seam is
+# only the MDCT codecs (vorbis/opus) INSIDE other Ogg streams.
+
+import struct as _struct
+
+_OGG_CRC_TBL = _crc_table(0x04C11DB7, 32)
+
+
+def _ogg_crc(data: bytes) -> int:
+    """Ogg page CRC-32: forward (non-reflected), init 0, no final
+    xor — NOT zlib.crc32 (which reflects)."""
+    reg = 0
+    for b in data:
+        reg = (int(_OGG_CRC_TBL[((reg >> 24) ^ b) & 0xFF])
+               ^ ((reg << 8) & 0xFFFFFFFF))
+    return reg
+
+
+def ogg_packets(data: bytes) -> list[bytes]:
+    """Reassemble a single-stream Ogg file's logical packets: forward
+    page walk by encoded lengths (never a backwards 'OggS' scan — the
+    capture pattern is not escaped inside bodies), per-page CRC-32
+    verified over the page with a zeroed checksum field, lacing values
+    joined across page boundaries (255 = packet continues, <255 ends
+    it).  Refuses loudly (ValueError) on bad magic/version/CRC, a
+    truncated page, or a packet left open at end of stream."""
+    packets: list[bytes] = []
+    cur = bytearray()
+    pos = 0
+    while pos < len(data):
+        if pos + 27 > len(data) or data[pos:pos + 4] != b"OggS":
+            raise ValueError(f"ogg: bad page capture at byte {pos}")
+        if data[pos + 4] != 0:
+            raise ValueError("ogg: unknown page version")
+        n_segs = data[pos + 26]
+        table_end = pos + 27 + n_segs
+        if table_end > len(data):
+            raise ValueError("ogg: truncated segment table")
+        lacing = data[pos + 27:table_end]
+        body_len = sum(lacing)
+        page_end = table_end + body_len
+        if page_end > len(data):
+            raise ValueError("ogg: truncated page body")
+        page = bytearray(data[pos:page_end])
+        (want,) = _struct.unpack_from("<I", page, 22)
+        page[22:26] = b"\x00\x00\x00\x00"
+        if _ogg_crc(bytes(page)) != want:
+            raise ValueError(f"ogg: page CRC mismatch at byte {pos}")
+        bpos = table_end
+        for lac in lacing:
+            cur += data[bpos:bpos + lac]
+            bpos += lac
+            if lac < 255:
+                packets.append(bytes(cur))
+                cur = bytearray()
+        pos = page_end
+    if cur:
+        raise ValueError("ogg: stream ends mid-packet")
+    return packets
+
+
+_OGG_FLAC_IDENT = b"\x7fFLAC"
+
+
+def decode_ogg_flac_pcm(data: bytes) -> tuple[np.ndarray, int, int]:
+    """Exact Ogg-FLAC decode, decode_flac_pcm-shaped.  The ident
+    packet (mapping magic, version, header count, embedded native
+    'fLaC' + STREAMINFO) and subsequent header packets are split off,
+    a native stream is rebuilt (STREAMINFO's last-metadata flag
+    forced — header packets carry the remaining blocks), and the
+    native decoder runs with all its CRC-8/CRC-16/MD5 verification."""
+    pkts = ogg_packets(bytes(data))
+    if not pkts or pkts[0][:5] != _OGG_FLAC_IDENT:
+        raise ValueError("ogg: not a FLAC-mapped stream")
+    ident = pkts[0]
+    if len(ident) < 13 + 4 + 34:
+        raise ValueError("ogg/flac: truncated ident packet")
+    if ident[5] != 1:
+        raise ValueError(
+            f"ogg/flac: unsupported mapping version {ident[5]}")
+    (n_hdr,) = _struct.unpack_from(">H", ident, 7)
+    if ident[9:13] != b"fLaC":
+        raise ValueError("ogg/flac: ident packet lacks native magic")
+    si = bytearray(ident[13:13 + 4 + 34])
+    if (si[0] & 0x7F) != 0:
+        raise ValueError("ogg/flac: first block is not STREAMINFO")
+    si[0] |= 0x80  # native rebuild skips the other header packets
+    rest = pkts[1:]
+    if n_hdr:
+        if len(rest) < n_hdr:
+            raise ValueError("ogg/flac: missing header packets")
+        rest = rest[n_hdr:]
+    else:  # count 0 = unknown: audio packets start at the frame sync
+        while rest and not (
+            len(rest[0]) >= 2
+            and rest[0][0] == 0xFF and (rest[0][1] & 0xFC) == 0xF8
+        ):
+            rest = rest[1:]
+    return decode_flac_pcm(b"fLaC" + bytes(si) + b"".join(rest))
+
+
+def decode_ogg_flac(data: bytes) -> tuple[np.ndarray, int]:
+    """decode_wav-shaped wrapper: (float32 mono PCM in [-1, 1],
+    sample_rate)."""
+    pcm, rate, bps = decode_ogg_flac_pcm(data)
+    f = pcm.astype(np.float32) / float(1 << (bps - 1))
+    return (f.mean(axis=1) if f.ndim == 2 and f.shape[1] > 1
+            else f.reshape(-1)), rate
+
+
+def _ogg_pages(serial: int, seq0: int, packet: bytes, *, bos: bool,
+               eos: bool, granule: int, max_body: int = 4080) -> bytes:
+    """Pages carrying ONE packet, split at max_body bytes (multiple of
+    255 so non-final pages end on a 255 lacing value = packet
+    continues).  Continuation flag on every page after the first;
+    granule -1 on pages that finish no packet; CRC-32 written for
+    real (the reader verifies it)."""
+    assert max_body % 255 == 0
+    chunks = ([packet[i:i + max_body]
+               for i in range(0, len(packet), max_body)] or [b""])
+    out = bytearray()
+    for ci, chunk in enumerate(chunks):
+        last = ci == len(chunks) - 1
+        htype = (0x01 if ci else 0) | (0x02 if bos and not ci else 0) \
+            | (0x04 if eos and last else 0)
+        if last:
+            lacing = [255] * (len(chunk) // 255) + [len(chunk) % 255]
+            if len(chunk) and len(chunk) % 255 == 0:
+                lacing = [255] * (len(chunk) // 255) + [0]
+        else:
+            lacing = [255] * (len(chunk) // 255)
+        if len(lacing) > 255:
+            raise ValueError("ogg writer: lacing overflow")
+        page = bytearray(b"OggS\x00")
+        page += bytes([htype])
+        page += _struct.pack("<q", granule if last else -1)
+        page += _struct.pack("<I", serial)
+        page += _struct.pack("<I", seq0 + ci)
+        page += b"\x00\x00\x00\x00"
+        page += bytes([len(lacing)]) + bytes(lacing) + chunk
+        page[22:26] = _struct.pack("<I", _ogg_crc(bytes(page)))
+        out += page
+    return bytes(out)
+
+
+def encode_ogg_flac(pcm: np.ndarray, rate: int, bits: int = 16,
+                    tags: dict | None = None, mode: str = "fixed2",
+                    serial: int = 0x5147, max_body: int = 4080) -> bytes:
+    """Deterministic Ogg-FLAC writer (test/corpus half): encode_flac's
+    native stream re-packetized per the mapping — BOS page with the
+    ident packet (magic, version 1.0, header count, embedded fLaC +
+    STREAMINFO), one VORBIS_COMMENT header packet (mandatory in the
+    mapping), then the audio region as one packet split across pages
+    of max_body bytes (exercising cross-page reassembly), EOS page
+    granule = total samples.  The audio region is encoded as a single
+    FLAC frame (block_size >= n) so one-frame-per-packet holds."""
+    pcm = np.asarray(pcm, dtype=np.int64)
+    n = pcm.shape[0]
+    block = max(16, min(65535, n))
+    native = encode_flac(pcm, rate, bits=bits, block_size=block,
+                         mode=mode)
+    si = bytearray(native[4:4 + 4 + 34])
+    frames = native[4 + 4 + 34:]
+    si[0] &= 0x7F  # a comment header packet follows
+    ident = (_OGG_FLAC_IDENT + bytes([1, 0]) + _struct.pack(">H", 1)
+             + b"fLaC" + bytes(si))
+    vendor = b"spark-graft ogg-flac writer"
+    vc = _struct.pack("<I", len(vendor)) + vendor
+    items = [f"{k.upper()}={v}".encode() for k, v in (tags or {}).items()]
+    vc += _struct.pack("<I", len(items))
+    for kv in items:
+        vc += _struct.pack("<I", len(kv)) + kv
+    comment = bytes([0x84]) + len(vc).to_bytes(3, "big") + vc
+    def n_pages(packet: bytes) -> int:
+        return max(1, -(-len(packet) // max_body))
+
+    out = bytearray()
+    out += _ogg_pages(serial, 0, ident, bos=True, eos=False, granule=0,
+                      max_body=max_body)
+    seq = n_pages(ident)
+    out += _ogg_pages(serial, seq, comment, bos=False, eos=False,
+                      granule=0, max_body=max_body)
+    seq += n_pages(comment)
+    out += _ogg_pages(serial, seq, frames, bos=False, eos=True,
+                      granule=n, max_body=max_body)
+    return bytes(out)

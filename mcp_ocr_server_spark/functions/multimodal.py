@@ -123,10 +123,12 @@ def _decode_audio(data: bytes, sample_rate: int) -> np.ndarray:
     """Audio decode seam.  WAV/RIFF payloads decode for REAL
     (decode_wav, pure stdlib+numpy); FLAC payloads decode for REAL
     (functions/flac.py — bit-exact rice/LPC reconstruction,
-    CRC-8/CRC-16/MD5 self-verified, refuse-loudly).  mp3/ogg-vorbis
-    need float MDCT synthesis (soundfile/ffmpeg, absent in this
-    container) — those fall to a deterministic fake (STUB, clearly
-    marked) so the Spark-side plumbing stays exercised."""
+    CRC-8/CRC-16/MD5 self-verified, refuse-loudly), both native and
+    Ogg-encapsulated (RFC 5334 page/packet reassembly, per-page CRC-32
+    verified).  mp3/ogg-vorbis need float MDCT synthesis
+    (soundfile/ffmpeg, absent in this container) — those fall to a
+    deterministic fake (STUB, clearly marked) so the Spark-side
+    plumbing stays exercised."""
     if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
         pcm, _rate = decode_wav(data)
         return pcm
@@ -135,6 +137,19 @@ def _decode_audio(data: bytes, sample_rate: int) -> np.ndarray:
 
         pcm, _rate = decode_flac(data)
         return pcm
+    if data[:4] == b"OggS" and len(data) >= 32:
+        # Ogg-FLAC (RFC 5334 mapping) decodes for REAL: the page/
+        # packet layer is pure structure and the payload is the same
+        # native FLAC bitstream as above.  Detection is the first
+        # page's first packet bytes, bounded by its lacing sum (the
+        # audio_meta discipline); other Ogg codecs fall to the stub.
+        n_segs = data[26]
+        body = data[27 + n_segs:27 + n_segs + sum(data[27:27 + n_segs])]
+        if body[:5] == b"\x7fFLAC":
+            from .flac import decode_ogg_flac
+
+            pcm, _rate = decode_ogg_flac(data)
+            return pcm
     # STUB: the remaining compressed formats (mp3/ogg-vorbis) would
     # need a codec backend (soundfile/ffmpeg) at this seam; the
     # deterministic fake below is used UNCONDITIONALLY for them — not

@@ -512,7 +512,10 @@ def audio_item(cfg: CorpusConfig, j: int) -> tuple[str, bytes, str]:
                        LPC streams, bit-exact, CRC+MD5 self-verified
       flac_corrupt   — one flipped payload byte => the decoder's
                        frame-CRC refuses loudly => error row
-      compressed     — non-FLAC compressed magic (ogg) => documented
+      ogg_flac       — REAL decode through the Ogg layer too (RFC 5334
+                       mapping: page CRC-32 + cross-page packet
+                       reassembly + the same native FLAC bitstream)
+      compressed     — ogg magic, random body => documented
                        deterministic stub (MDCT codec not in container)
       wav_truncated  — RIFF/WAVE magic but chopped chunks => error row
     """
@@ -533,6 +536,13 @@ def audio_item(cfg: CorpusConfig, j: int) -> tuple[str, bytes, str]:
     if j % 10 == 9:
         fake = b"OggS" + rng.integers(0, 256, 512).astype(np.uint8).tobytes()
         return audio_ref(j), fake, "compressed"
+    if j % 8 == 4:  # real Ogg-FLAC: RFC 5334 pages (CRC-32 verified,
+        # audio packet split across pages) + the native FLAC payload
+        from ..functions.flac import encode_ogg_flac
+
+        data = encode_ogg_flac(pcm.astype(np.int64), rate,
+                               tags=_sniff_tags(j), max_body=1020)
+        return audio_ref(j), data, "ogg_flac"
     if j % 6 == 1:  # real FLAC, mono fixed-predictor + rice
         from ..functions.flac import encode_flac
 
@@ -665,7 +675,9 @@ def _sniff_tags(j: int) -> dict:
 def sniff_item(cfg: CorpusConfig, j: int) -> tuple[str, bytes, str]:
     """(media_ref, bytes, kind) across the sniffer's branches: wav
     (RIFF INFO tags on evens), flac (exact duration + embedded PCM md5
-    + Vorbis comments on odds), ogg_vorbis (comment packet, always) /
+    + Vorbis comments on odds), ogg_vorbis (comment packet, evens) /
+    ogg_flac (REAL RFC 5334 stream on odds: exact duration, tags,
+    STREAMINFO md5 through the Ogg layer) /
     ogg_opus (last-page granule duration), mp3 (REAL frame sequence —
     exact walked duration; Xing header on odds, ID3v2 when j%3==0),
     flac_truncated and garbage (error rows)."""
@@ -684,6 +696,15 @@ def sniff_item(cfg: CorpusConfig, j: int) -> tuple[str, bytes, str]:
             44100, 1 + j % 2, 16, 44100 * (1 + j % 5), md5, tags=tags
         ), "flac"
     if cls == 2:
+        if j % 2 == 1:  # real Ogg-FLAC stream: exact duration, tags,
+            # embedded STREAMINFO md5 — all through the Ogg layer
+            from ..functions.flac import encode_ogg_flac
+
+            pcm = (rng.standard_normal(800 * (1 + j % 3))
+                   * 2000).astype(np.int64)
+            return sniff_ref(j), encode_ogg_flac(
+                pcm, 8000, tags=_sniff_tags(j), max_body=510
+            ), "ogg_flac"
         body = (b"\x01vorbis" + struct.pack("<I", 0) + bytes([2])
                 + struct.pack("<I", 44100) + b"\x00" * 9)
         cbody = b"\x03vorbis" + _vorbis_comment_payload(_sniff_tags(j))

@@ -233,3 +233,121 @@ def test_corpus_flac_clips_decode_and_corrupt_refuses():
         if kind == "flac_corrupt":
             assert row["error"] and "CRC" in row["error"], (j, row)
     assert kinds.get("flac", 0) >= 5 and kinds.get("flac_corrupt") == 1
+
+
+# --- Ogg encapsulation (RFC 5334 FLAC-to-Ogg mapping) -----------------------
+
+
+def test_ogg_flac_roundtrip_cross_page():
+    from mcp_ocr_server_spark.functions.flac import (
+        decode_ogg_flac_pcm,
+        encode_ogg_flac,
+        ogg_packets,
+    )
+
+    pcm = _sig(4000)
+    # 510-byte pages force the audio packet across MANY pages: the
+    # reassembly path (lacing 255 continuation) is what's under test
+    data = encode_ogg_flac(pcm, 8000, tags={"title": "X"}, max_body=510)
+    assert data.count(b"OggS") >= 5
+    out, rate, bps = decode_ogg_flac_pcm(data)
+    assert rate == 8000 and bps == 16
+    assert (out.reshape(-1) == pcm).all()
+    # packet layer: ident + comment + one audio packet
+    pkts = ogg_packets(data)
+    assert len(pkts) == 3 and pkts[0][:5] == b"\x7fFLAC"
+
+
+def test_ogg_flac_page_crc_refuses():
+    from mcp_ocr_server_spark.functions.flac import (
+        decode_ogg_flac,
+        encode_ogg_flac,
+    )
+
+    data = bytearray(encode_ogg_flac(_sig(1000), 8000))
+    data[-3] ^= 0x01  # payload bit flip -> page CRC catches it
+    with pytest.raises(ValueError, match="CRC"):
+        decode_ogg_flac(bytes(data))
+
+
+def test_ogg_flac_unknown_header_count_skips_to_frame_sync():
+    from mcp_ocr_server_spark.functions.flac import (
+        decode_ogg_flac_pcm,
+        encode_ogg_flac,
+        ogg_packets,
+    )
+
+    pcm = _sig(800)
+    data = bytearray(encode_ogg_flac(pcm, 8000))
+    # zero the ident packet's header-count field (offset: first page
+    # body starts at 27 + n_segs; count is bytes 7-8 of the packet)
+    n_segs = data[26]
+    at = 27 + n_segs + 7
+    assert data[at:at + 2] == b"\x00\x01"
+    data[at:at + 2] = b"\x00\x00"
+    # CRC of page 0 must be rewritten for the tamper to parse
+    import struct
+
+    from mcp_ocr_server_spark.functions.flac import _ogg_crc
+
+    body_len = sum(data[27:27 + n_segs])
+    page = bytearray(data[: 27 + n_segs + body_len])
+    page[22:26] = b"\x00\x00\x00\x00"
+    data[22:26] = struct.pack("<I", _ogg_crc(bytes(page)))
+    out, rate, _bps = decode_ogg_flac_pcm(bytes(data))
+    assert (out.reshape(-1) == pcm).all()
+    assert len(ogg_packets(bytes(data))) == 3
+
+
+def test_ogg_flac_truncated_stream_refuses():
+    from mcp_ocr_server_spark.functions.flac import (
+        decode_ogg_flac,
+        encode_ogg_flac,
+    )
+
+    data = encode_ogg_flac(_sig(3000), 8000, max_body=510)
+    with pytest.raises(ValueError):
+        decode_ogg_flac(data[: len(data) - 40])
+
+
+def test_ogg_flac_sniff_and_tags():
+    from mcp_ocr_server_spark.functions.audio_meta import (
+        audio_tags,
+        sniff_audio,
+    )
+    from mcp_ocr_server_spark.functions.flac import encode_ogg_flac
+
+    pcm = _sig(2400)
+    data = encode_ogg_flac(
+        pcm, 8000, tags={"title": "T", "artist": "A"}, max_body=510
+    )
+    info = sniff_audio(data)
+    assert info["format"] == "ogg" and info["codec"] == "flac_16bit"
+    assert info["sample_rate"] == 8000 and info["channels"] == 1
+    assert abs(info["duration_s"] - 2400 / 8000) < 1e-9
+    assert info["pcm_md5"]  # STREAMINFO md5 rides through the mapping
+    t = audio_tags(data)
+    assert t["format"] == "ogg" and t["n_tags"] == 2
+    assert t["title"] == "T" and t["artist"] == "A"
+
+
+def test_corpus_ogg_flac_clips_decode_for_real():
+    from mcp_ocr_server_spark.functions.multimodal import (
+        audio_feature_row,
+    )
+    from mcp_ocr_server_spark.queries import FLAGSHIP_CORPUS
+    from mcp_ocr_server_spark.sources.synthetic import (
+        N_AUDIO_CLIPS,
+        audio_item,
+    )
+
+    seen = 0
+    for j in range(N_AUDIO_CLIPS):
+        ref, data, kind = audio_item(FLAGSHIP_CORPUS, j)
+        if kind != "ogg_flac":
+            continue
+        seen += 1
+        row = audio_feature_row(ref, data)
+        assert row["error"] is None and row["n_samples"] > 0, (j, row)
+        assert 0.0 < row["rms"] < row["peak"] <= 1.0, (j, row)
+    assert seen >= 4
