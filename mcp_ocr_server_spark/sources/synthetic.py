@@ -766,6 +766,8 @@ def video_item(cfg: CorpusConfig, j: int) -> tuple[str, bytes, str]:
       mp4            — REAL chain via the OTHER container: ISO-BMFF
                        sample-table demux (functions/mp4.py) + the
                        same PNG frame decode + analyzer metrics
+      mp4_mjpeg      — lossy codec inside the mp4 container: true
+                       MJPEG samples demuxed + JPEG-decoded for real
       avi_mjpeg      — REAL chain through the LOSSY codec: true MJPEG
                        (per-frame baseline JPEGs, imaging/jpeg.py)
       avi_opaque     — real container parse, frames are a compressed
@@ -788,7 +790,14 @@ def video_item(cfg: CorpusConfig, j: int) -> tuple[str, bytes, str]:
     if j % 10 == 9:
         from ..functions.mp4 import encode_mp4
 
-        pngs = []
+        # alternate payload codec: lossless PNG frames vs true MJPEG
+        # (baseline JPEGs) — the downstream pixel decode sniffs magic
+        # bytes, so BOTH lossy-codec-in-mp4 and png-in-mp4 run the
+        # whole real chain (container demux + codec + analyzer)
+        mjpeg = j % 20 == 19
+        if mjpeg:
+            from ..imaging.jpeg import encode_jpeg
+        frames = []
         for k in range(n_frames):
             ramp = (
                 np.linspace(0, 255, w, dtype=np.float64)[None, :]
@@ -797,10 +806,12 @@ def video_item(cfg: CorpusConfig, j: int) -> tuple[str, bytes, str]:
             img = np.clip(
                 ramp + rng.integers(0, 24, (h, w)), 0, 255
             ).astype(np.uint8)
-            pngs.append(encode_png(img))
-        data = encode_mp4(n_frames / 12.0, codec=b"png ", width=w,
-                          height=h, frames=pngs)
-        return video_ref(j), data, "mp4"
+            frames.append(encode_jpeg(img, quality=90) if mjpeg
+                          else encode_png(img))
+        data = encode_mp4(n_frames / 12.0,
+                          codec=b"jpeg" if mjpeg else b"png ", width=w,
+                          height=h, frames=frames)
+        return video_ref(j), data, "mp4_mjpeg" if mjpeg else "mp4"
     if j % 8 == 5:
         frames = [
             rng.integers(0, 256, 192).astype(np.uint8).tobytes()

@@ -63,7 +63,8 @@ def test_audio_video_keyframe_plumbing(spark):
         per_ref.setdefault(r.media_ref, []).append(r)
     assert set(per_ref) == set(kinds)
     for ref, rows in per_ref.items():
-        if kinds[ref] in ("avi", "mp4", "avi_opaque", "avi_mjpeg"):
+        if kinds[ref] in ("avi", "mp4", "mp4_mjpeg", "avi_opaque",
+                          "avi_mjpeg"):
             assert all(r.error is None and r.frame_sha for r in rows)
         else:
             assert len(rows) == 1 and rows[0].error
