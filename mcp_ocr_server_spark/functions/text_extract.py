@@ -87,3 +87,27 @@ def extract_main_content(doc: str) -> str:
 def extract_batch(texts: "list[str]") -> "list[str]":
     """Batch helper for pandas UDFs (one python call per Arrow batch)."""
     return [extract_main_content(t if t is not None else "") for t in texts]
+
+
+def main_content_eval_row(doc_id: str, cls: str, doc: str,
+                          golden: str) -> dict:
+    """Token-multiset precision/recall of extract_main_content against
+    the generator's golden main text — one row per document, shared
+    verbatim by the Spark UDF (queries.q_html_main_eval) and the
+    fixture writer (scripts/gen_fixtures.gen_html_eval) so the
+    committed golden and the live query can never drift.
+
+    Multiset (not set) intersection: a word extracted once but golden
+    twice is half-credit, the standard token-F1 convention."""
+    from collections import Counter
+
+    extracted = extract_main_content(doc)
+    te, tg = extracted.split(), golden.split()
+    ce, cg = Counter(te), Counter(tg)
+    tp = sum(min(c, cg[w]) for w, c in ce.items())
+    return dict(
+        doc_id=doc_id, cls=cls,
+        n_gold=len(tg), n_extracted=len(te), tp=tp,
+        precision=round(tp / len(te), 6) if te else None,
+        recall=round(tp / len(tg), 6) if tg else None,
+    )

@@ -234,6 +234,91 @@ def make_html(rng: np.random.Generator) -> tuple[str, str]:
     return html_doc, "\n".join(paras)
 
 
+# --- adversarial html corpus (functions/text_extract eval) -----------------
+# Separate from the flagship docs corpus on purpose: these pages are
+# BUILT to make the Kohlschütter-family thresholds miss, so they feed
+# the html_main_eval calibration query without perturbing the exact-
+# equality golden the easy corpus pins.
+
+_S_HTMLEVAL = 12
+
+N_HTML_EVAL_DOCS = 64
+
+_HTML_EVAL_CLASSES = ("clean", "short_main", "linky_main", "prose_boiler")
+
+
+def html_eval_item(cfg: CorpusConfig, j: int) -> tuple[str, str, str, str]:
+    """(doc_id, cls, html, golden_main).  golden_main is always the
+    TRUE main text (what a perfect extractor returns), so the eval
+    measures the heuristic's operating point, not the generator:
+
+      clean        — nav/aside/footer boilerplate only: exact strip
+      short_main   — a 5-8-word closing paragraph (< extractor
+                     MIN_WORDS) => dropped => recall < 1 BY DESIGN
+      linky_main   — citation-dense main paragraph (every other word
+                     an anchor, link density > MAX_LINK_DENSITY)
+                     => dropped => recall < 1
+      prose_boiler — a 'related teaser' block: >= MIN_WORDS words,
+                     one short link, under the density bar => KEPT
+                     though it is not main content => precision < 1
+    """
+    rng = _rng(cfg.seed, _S_HTMLEVAL, j)
+    cls = _HTML_EVAL_CLASSES[j % 4]
+    nav = "".join(
+        f'<li><a href="/{w}">{w}</a></li>'
+        for w in rng.choice(_BOILER_LINKS, 3, replace=False)
+    )
+    paras = [
+        _words(rng, _PROSE_WORDS, int(rng.integers(14, 26))) for _ in range(2)
+    ]
+    golden = list(paras)
+    body_extra = ""
+    if cls == "short_main":
+        tail = _words(rng, _PROSE_WORDS, int(rng.integers(5, 9)))
+        golden.append(tail)
+        body_extra = f"<p>{tail}</p>"
+    elif cls == "linky_main":
+        words = _words(rng, _PROSE_WORDS, 18).split()
+        linked = [
+            f'<a href="/ref{k}">{w}</a>' if k % 2 == 0 else w
+            for k, w in enumerate(words)
+        ]
+        golden.append(" ".join(words))
+        body_extra = "<p>" + " ".join(linked) + "</p>"
+    elif cls == "prose_boiler":
+        teaser = _words(rng, _PROSE_WORDS, int(rng.integers(12, 16)))
+        body_extra = (f'<div class="related">{teaser} '
+                      f'<a href="/more">more</a></div>')
+    aside = f'<a href="/ad">{_words(rng, _PROSE_WORDS, 2)}</a> sponsored'
+    footer = (f'copyright <a href="/terms">terms</a> '
+              f'{int(rng.integers(2000, 2030))}')
+    html_doc = (
+        "<html><head><title>t</title></head><body>"
+        f"<nav><ul>{nav}</ul></nav>"
+        f'<div class="content"><h1>{_words(rng, _PROSE_WORDS, 3)}</h1>'
+        + "".join(f"<p>{p}</p>" for p in paras)
+        + body_extra
+        + f"</div><aside>{aside}</aside><footer><p>{footer}</p></footer>"
+        "</body></html>"
+    )
+    return f"heval-{j:06d}", cls, html_doc, "\n".join(golden)
+
+
+HTML_EVAL_SCHEMA = "doc_id string, cls string, html string, golden string"
+
+
+def html_eval_df(spark, cfg: CorpusConfig, n: int = N_HTML_EVAL_DOCS):
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [html_eval_item(cfg, int(j)) for j in pdf["id"]]
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "cls", "html", "golden"])
+
+    return spark.range(0, n, numPartitions=4).mapInPandas(
+        gen, schema=HTML_EVAL_SCHEMA
+    )
+
+
 # ---------------------------------------------------------------------------
 # doc generation (pure function of (cfg, i))
 

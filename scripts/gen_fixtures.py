@@ -360,6 +360,26 @@ def gen_html_raw() -> pd.DataFrame:
     return df
 
 
+def gen_html_eval() -> pd.DataFrame:
+    """Per-document golden for the boilerplate-classifier operating-
+    point eval (q_html_main_eval): token precision/recall rows from
+    the SAME row function the Spark UDF runs
+    (text_extract.main_content_eval_row) over the adversarial html
+    corpus (synthetic.html_eval_item)."""
+    from mcp_ocr_server_spark.functions.text_extract import (
+        main_content_eval_row,
+    )
+
+    rows = []
+    for j in range(S.N_HTML_EVAL_DOCS):
+        doc_id, cls, html_doc, golden = S.html_eval_item(FLAGSHIP_CORPUS, j)
+        rows.append(main_content_eval_row(doc_id, cls, html_doc, golden))
+    return pd.DataFrame(
+        rows, columns=["doc_id", "cls", "n_gold", "n_extracted", "tp",
+                       "precision", "recall"]
+    )
+
+
 def gen_docs_jsonl() -> int:
     """Deterministic JSONL document file (the LLM-corpus interchange
     format) with injected messes a robust ingester must classify:
@@ -480,6 +500,12 @@ def main() -> None:
     hraw = gen_html_raw()
     hraw.to_parquet(os.path.join(FIXTURES_DIR, "html_raw.parquet"), index=False)
     print(f"html_raw: {len(hraw)} rows")
+    heval = gen_html_eval()
+    heval.to_parquet(
+        os.path.join(FIXTURES_DIR, "html_eval.parquet"), index=False
+    )
+    print(f"html_eval: {len(heval)} rows,"
+          f" classes {heval.cls.value_counts().to_dict()}")
     print(f"docs.jsonl: {gen_docs_jsonl()} lines")
     print(f"interleaved_spans: {len(inter)} rows,"
           f" kinds {inter.kind.value_counts().to_dict()},"

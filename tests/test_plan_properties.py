@@ -122,10 +122,18 @@ def test_clear_caches_releases_persisted_storage(spark):
     base = n_persisted()
     for _ in range(3):
         # touches the persisted shingle cache each time
+        before = n_persisted()
         Q.QUERIES["dedup_ngram_jaccard"][0](spark, SF).count()
-        assert n_persisted() > base  # cache live while in use
+        assert n_persisted() > before  # cache live while in use
         Q.clear_caches(spark)
-        assert n_persisted() == base  # fully released, no growth
+        # "<= base", not "== base": earlier suites in the same session
+        # can leave persisted RDDs clear_caches doesn't own (e.g.
+        # dedup_clusters' localCheckpoints), and the ContextCleaner
+        # reaps those ASYNCHRONOUSLY — the count may dip BELOW the
+        # captured baseline mid-loop.  The contract under test is
+        # "no growth / ours fully released", which <= pins exactly.
+        assert n_persisted() <= base  # fully released, no growth
+        base = min(base, n_persisted())
     assert not Q._SHINGLE_CACHE and not Q._SPANS_CACHE
 
 

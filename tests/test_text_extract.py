@@ -70,3 +70,50 @@ def test_plain_text_identity():
 
 def test_batch_none_safe():
     assert extract_batch([None, "plain"]) == ["", "plain"]
+
+
+# --- operating-point eval (adversarial corpus + shared row function) --------
+
+
+def test_eval_row_token_multiset_math():
+    from mcp_ocr_server_spark.functions.text_extract import (
+        main_content_eval_row,
+    )
+
+    body = " ".join(["alpha"] * 6 + ["beta"] * 6)
+    html = f"<html><body><p>{body}</p></body></html>"
+    # golden has alpha x6 beta x4 gamma x2: tp = 6 + min(6,4) = 10
+    golden = " ".join(["alpha"] * 6 + ["beta"] * 4 + ["gamma"] * 2)
+    r = main_content_eval_row("d", "c", html, golden)
+    assert (r["n_extracted"], r["n_gold"], r["tp"]) == (12, 12, 10)
+    assert r["precision"] == round(10 / 12, 6)
+    assert r["recall"] == round(10 / 12, 6)
+
+
+def test_eval_corpus_classes_hit_designed_operating_point():
+    from collections import defaultdict
+
+    from mcp_ocr_server_spark.functions.text_extract import (
+        main_content_eval_row,
+    )
+    from mcp_ocr_server_spark.queries import FLAGSHIP_CORPUS
+    from mcp_ocr_server_spark.sources.synthetic import (
+        N_HTML_EVAL_DOCS,
+        html_eval_item,
+    )
+
+    per = defaultdict(list)
+    for j in range(N_HTML_EVAL_DOCS):
+        d, c, h, g = html_eval_item(FLAGSHIP_CORPUS, j)
+        r = main_content_eval_row(d, c, h, g)
+        per[c].append(r)
+    # clean: exact strip on every page
+    assert all(r["precision"] == 1.0 and r["recall"] == 1.0
+               for r in per["clean"])
+    # short_main / linky_main: full precision, recall lost BY DESIGN
+    for cls in ("short_main", "linky_main"):
+        assert all(r["precision"] == 1.0 for r in per[cls])
+        assert all(r["recall"] < 1.0 for r in per[cls]), cls
+    # prose_boiler: the teaser block slips in => precision < 1
+    assert all(r["recall"] == 1.0 for r in per["prose_boiler"])
+    assert all(r["precision"] < 1.0 for r in per["prose_boiler"])
