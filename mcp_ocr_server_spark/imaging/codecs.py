@@ -1,35 +1,65 @@
-"""Format-sniffing pixel decode over the two in-repo image codecs.
+"""Format-sniffing pixel decode over the in-repo image codecs.
 
 The reference hands incoming bytes to OpenCV's imdecode, which sniffs
 the container from magic bytes (tesseract.go's image load path); this
-is that dispatch for the codecs this repo implements from scratch:
-PNG (imaging/png.py) and baseline JPEG (imaging/jpeg.py).  Both return
-uint8 HxW (gray) or HxWx3 (RGB); callers that need gray fold RGB with
-the same BT.601 integer luma everywhere else in the repo uses.
+is that dispatch for the codecs this repo implements from scratch —
+the OCR-relevant members of imdecode's built-in matrix:
+PNG (imaging/png.py), baseline JPEG (imaging/jpeg.py), BMP
+(imaging/bmp.py), Netpbm P1-P6 (imaging/pnm.py), and TIFF
+(imaging/tiff.py — first page here; multi-page scans go through
+decode_tiff_pages).  All return uint8 HxW (gray) or HxWx3 (RGB);
+callers that need gray fold RGB with the same BT.601 integer luma
+everywhere else in the repo uses.
 """
 
 from __future__ import annotations
 
 import numpy as np
 
+from .bmp import decode_bmp
 from .jpeg import decode_jpeg
 from .png import decode_png
+from .pnm import decode_pnm
+from .tiff import decode_tiff
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_PNM_MAGICS = {b"P%d" % i for i in range(1, 7)}
+
+
+def sniff_image_format(data: bytes) -> str:
+    """Container name from magic bytes, or ValueError — the same
+    dispatch decode_image uses, exposed for inventory queries."""
+    if data[:8] == _PNG_SIG:
+        return "png"
+    if data[:2] == b"\xff\xd8":
+        return "jpeg"
+    if data[:2] == b"BM":
+        return "bmp"
+    if data[:2] in _PNM_MAGICS:
+        return "pnm"
+    if data[:2] in (b"II", b"MM"):
+        return "tiff"  # decode_tiff validates the 42 magic loudly
+    raise ValueError(
+        f"unsupported image payload (magic {data[:4]!r}):"
+        " not PNG/JPEG/BMP/PNM/TIFF"
+    )
+
+
+_DECODERS = {
+    "png": decode_png,
+    "jpeg": decode_jpeg,
+    "bmp": decode_bmp,
+    "pnm": decode_pnm,
+    "tiff": decode_tiff,
+}
 
 
 def decode_image(data: bytes) -> np.ndarray:
-    """uint8 HxW or HxWx3 pixels from PNG or baseline-JPEG bytes.
+    """uint8 HxW or HxWx3 pixels from PNG/JPEG/BMP/PNM/TIFF bytes.
 
     Raises ValueError for any other payload (callers map it to
     PREPROCESSING_FAILED / per-row error strings, fail-soft)."""
-    if data[:8] == _PNG_SIG:
-        return decode_png(data)
-    if data[:2] == b"\xff\xd8":
-        return decode_jpeg(data)
-    raise ValueError(
-        "unsupported image payload: not PNG or baseline JPEG"
-    )
+    return _DECODERS[sniff_image_format(data)](data)
 
 
 def to_gray(img: np.ndarray) -> np.ndarray:

@@ -1,0 +1,510 @@
+"""Baseline TIFF decoder/encoder (TIFF 6.0 re-derivation) — pure
+stdlib + numpy.
+
+Part of the input-format matrix the reference inherits from OpenCV's
+`gocv.IMDecode` (preprocessor.go:64 — imdecode sniffs TIFF among its
+built-ins).  TIFF is THE classic scanned-document container — fax and
+flatbed scanners emit multi-page bilevel/gray TIFFs — so for an OCR
+engine it is the most load-bearing of the secondary formats: one file
+is a whole document, one page per IFD.
+
+Supported on decode (per TIFF 6.0, independently re-derived):
+  - both byte orders (II little / MM big), classic 32-bit offsets
+  - multi-page via the IFD next-offset chain (decode_tiff_pages)
+  - strip organization (any RowsPerStrip), PlanarConfiguration 1
+  - Compression 1 (none), 5 (LZW, MSB-first codes with the spec's
+    "early change" width bump), 8/32946 (Deflate/zlib),
+    32773 (PackBits)
+  - Predictor 2 (horizontal differencing) for LZW/Deflate
+  - PhotometricInterpretation 0/1 at 1 and 8 bits (bilevel rows
+    padded to whole bytes, MSB-first), 2 (8-bit RGB), 3 (palette,
+    16-bit ColorMap entries folded to 8)
+Refused LOUDLY (ValueError, the repo-wide contract): tiled layouts,
+JPEG-in-TIFF (compression 6/7), 16-bit samples, planar config 2,
+BigTIFF — silent misdecodes would corrupt OCR pixel math downstream.
+
+The encoder emits little-endian classic TIFF, gray8 / RGB8 / bilevel,
+one IFD per page, multi-strip (RowsPerStrip=16 to exercise the strip
+path), any supported compression, optional predictor — deterministic
+byte-identical output for identical input (memoization contract).
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+# IFD entry field types we emit/read: 1 BYTE, 3 SHORT, 4 LONG
+_TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8}
+
+_T_WIDTH = 256
+_T_LENGTH = 257
+_T_BITS = 258
+_T_COMPRESSION = 259
+_T_PHOTOMETRIC = 262
+_T_STRIP_OFFSETS = 273
+_T_SAMPLES = 277
+_T_ROWS_PER_STRIP = 278
+_T_STRIP_COUNTS = 279
+_T_PLANAR = 284
+_T_PREDICTOR = 317
+_T_COLORMAP = 320
+_T_TILE_WIDTH = 322
+_T_TILE_LENGTH = 323
+
+
+# --- PackBits (TIFF 6.0 §9) -------------------------------------------------
+
+def packbits_decode(data: bytes, expected: int) -> bytes:
+    out = bytearray()
+    pos = 0
+    while pos < len(data) and len(out) < expected:
+        n = data[pos]
+        pos += 1
+        if n < 128:  # literal run of n+1 bytes
+            out += data[pos : pos + n + 1]
+            pos += n + 1
+        elif n > 128:  # repeat next byte 257-n times
+            if pos >= len(data):
+                raise ValueError("packbits: truncated repeat")
+            out += data[pos : pos + 1] * (257 - n)
+            pos += 1
+        # n == 128: no-op per spec
+    if len(out) < expected:
+        raise ValueError("packbits: short output")
+    return bytes(out[:expected])
+
+
+def packbits_encode(data: bytes) -> bytes:
+    """Greedy spec-shaped encoder: repeat runs >= 3 become repeat
+    packets, everything else literal packets (max 128)."""
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        # find run length at i
+        j = i + 1
+        while j < n and j - i < 128 and data[j] == data[i]:
+            j += 1
+        if j - i >= 3:
+            out.append(257 - (j - i))
+            out.append(data[i])
+            i = j
+            continue
+        # literal: extend until a >=3 run starts or 128 bytes
+        k = i
+        while k < n and k - i < 128:
+            if k + 2 < n and data[k] == data[k + 1] == data[k + 2]:
+                break
+            k += 1
+        out.append(k - i - 1)
+        out += data[i:k]
+        i = k
+    return bytes(out)
+
+
+# --- LZW, TIFF variant (TIFF 6.0 §13): MSB-first code packing, codes
+# 256 = Clear, 257 = EOI, first table entry 258, and the "early
+# change" quirk — the code width bumps one code EARLIER than plain
+# LZW (at table sizes 510/1022/2046 after Clear).
+
+_CLEAR, _EOI = 256, 257
+
+
+def lzw_decode(data: bytes, expected: int) -> bytes:
+    out = bytearray()
+    bitbuf = bitcnt = 0
+    pos = 0
+    width = 9
+    table: list[bytes] = [bytes([i]) for i in range(256)] + [b"", b""]
+    prev: bytes | None = None
+
+    def read_code() -> int:
+        nonlocal bitbuf, bitcnt, pos
+        while bitcnt < width:
+            if pos >= len(data):
+                return _EOI  # tolerate missing EOI at exact end
+            bitbuf = (bitbuf << 8) | data[pos]
+            pos += 1
+            bitcnt += 8
+        bitcnt -= width
+        code = (bitbuf >> bitcnt) & ((1 << width) - 1)
+        return code
+
+    while len(out) < expected:
+        code = read_code()
+        if code == _EOI:
+            break
+        if code == _CLEAR:
+            table = table[:258]
+            width = 9
+            prev = None
+            continue
+        if prev is None:
+            if code >= 256:
+                raise ValueError("lzw: first code after clear not literal")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        elif code == len(table):
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise ValueError(f"lzw: code {code} beyond table {len(table)}")
+        out += entry
+        prev = entry
+        # early change, decoder side: the decoder's table lags the
+        # encoder's by ONE entry (the encoder adds on every emit, the
+        # decoder on every read except the first after Clear), so it
+        # widens at size 2^w - 2 — one code earlier than plain LZW's
+        # 2^w - 1, two earlier than a late-change decoder
+        if len(table) + 2 >= (1 << width) and width < 12:
+            width += 1
+    if len(out) < expected:
+        raise ValueError("lzw: short output")
+    return bytes(out[:expected])
+
+
+def lzw_encode(data: bytes) -> bytes:
+    out = bytearray()
+    bitbuf = bitcnt = 0
+    width = 9
+
+    def emit(code: int) -> None:
+        nonlocal bitbuf, bitcnt
+        bitbuf = (bitbuf << width) | code
+        bitcnt += width
+        while bitcnt >= 8:
+            bitcnt -= 8
+            out.append((bitbuf >> bitcnt) & 0xFF)
+
+    table: dict[bytes, int] = {bytes([i]): i for i in range(256)}
+    next_code = 258
+    emit(_CLEAR)
+    cur = b""
+    for b in data:
+        nxt = cur + bytes([b])
+        if nxt in table:
+            cur = nxt
+            continue
+        emit(table[cur])
+        table[nxt] = next_code
+        next_code += 1
+        # early change: the DECODER widens when its table (ours minus
+        # the in-flight entry) reaches 2^width - 1, so the encoder must
+        # widen in lockstep before emitting the next code
+        if next_code >= (1 << width) - 1 and width < 12:
+            width += 1
+        if next_code > 4093:  # table full: reset (cur's code already out)
+            emit(_CLEAR)
+            table = {bytes([i]): i for i in range(256)}
+            next_code = 258
+            width = 9
+            cur = bytes([b])
+            continue
+        cur = bytes([b])
+    if cur:
+        emit(table[cur])
+    emit(_EOI)
+    if bitcnt:
+        out.append((bitbuf << (8 - bitcnt)) & 0xFF)
+    return bytes(out)
+
+
+# --- decode -----------------------------------------------------------------
+
+
+def _read_ifd(data: bytes, e: str, off: int) -> tuple[dict[int, list[int]], int]:
+    if off + 2 > len(data):
+        raise ValueError("tiff: truncated IFD")
+    (n,) = struct.unpack_from(e + "H", data, off)
+    entries: dict[int, list[int]] = {}
+    for i in range(n):
+        base = off + 2 + 12 * i
+        if base + 12 > len(data):
+            raise ValueError("tiff: truncated IFD entry")
+        tag, typ, cnt = struct.unpack_from(e + "HHI", data, base)
+        size = _TYPE_SIZE.get(typ)
+        if size is None:
+            continue  # unknown field type: skip per spec
+        total = size * cnt
+        if total <= 4:
+            voff = base + 8
+        else:
+            (voff,) = struct.unpack_from(e + "I", data, base + 8)
+            if voff + total > len(data):
+                raise ValueError(f"tiff: tag {tag} value out of range")
+        if typ == 3:
+            vals = list(struct.unpack_from(e + f"{cnt}H", data, voff))
+        elif typ == 4:
+            vals = list(struct.unpack_from(e + f"{cnt}I", data, voff))
+        elif typ == 1:
+            vals = list(data[voff : voff + cnt])
+        else:  # RATIONAL/ASCII: keep numerators only; none are load-bearing here
+            vals = [0] * cnt
+        entries[tag] = vals
+    (nxt,) = struct.unpack_from(e + "I", data, off + 2 + 12 * n)
+    return entries, nxt
+
+
+def _decode_page(data: bytes, e: str, ifd: dict[int, list[int]]) -> np.ndarray:
+    if _T_TILE_WIDTH in ifd or _T_TILE_LENGTH in ifd:
+        raise ValueError("tiff: tiled layout unsupported (strips only)")
+    w = ifd.get(_T_WIDTH, [0])[0]
+    h = ifd.get(_T_LENGTH, [0])[0]
+    if w <= 0 or h <= 0:
+        raise ValueError(f"tiff: bad dimensions {w}x{h}")
+    spp = ifd.get(_T_SAMPLES, [1])[0]
+    bits = ifd.get(_T_BITS, [1] * spp)
+    comp = ifd.get(_T_COMPRESSION, [1])[0]
+    photo = ifd.get(_T_PHOTOMETRIC, [1])[0]
+    planar = ifd.get(_T_PLANAR, [1])[0]
+    predictor = ifd.get(_T_PREDICTOR, [1])[0]
+    if planar != 1:
+        raise ValueError(f"tiff: planar configuration {planar} unsupported")
+    if comp in (6, 7):
+        raise ValueError("tiff: JPEG-in-TIFF unsupported")
+    if comp not in (1, 5, 8, 32946, 32773):
+        raise ValueError(f"tiff: compression {comp} unsupported")
+    if any(b not in (1, 8) for b in bits) or len(set(bits)) != 1:
+        raise ValueError(f"tiff: bits per sample {bits} unsupported")
+    bps = bits[0]
+    if bps == 1 and (spp != 1 or photo not in (0, 1)):
+        raise ValueError("tiff: bilevel must be 1-sample gray")
+    if photo == 2 and spp != 3:
+        raise ValueError(f"tiff: RGB with {spp} samples unsupported")
+    if photo == 3 and (spp != 1 or bps != 8):
+        raise ValueError("tiff: palette must be 8-bit single-sample")
+    if photo > 3:
+        raise ValueError(f"tiff: photometric {photo} unsupported")
+
+    offsets = ifd.get(_T_STRIP_OFFSETS)
+    counts = ifd.get(_T_STRIP_COUNTS)
+    if not offsets or not counts or len(offsets) != len(counts):
+        raise ValueError("tiff: missing strip tables")
+    rps = ifd.get(_T_ROWS_PER_STRIP, [h])[0] or h
+
+    if bps == 1:
+        row_bytes = (w + 7) // 8
+    else:
+        row_bytes = w * spp
+
+    rows = []
+    for si, (so, sc) in enumerate(zip(offsets, counts)):
+        if so + sc > len(data):
+            raise ValueError("tiff: strip out of range")
+        n_rows = min(rps, h - si * rps)
+        if n_rows <= 0:
+            raise ValueError("tiff: surplus strip")
+        raw = data[so : so + sc]
+        expected = row_bytes * n_rows
+        if comp == 1:
+            if len(raw) < expected:
+                raise ValueError("tiff: short uncompressed strip")
+            raw = raw[:expected]
+        elif comp == 5:
+            raw = lzw_decode(raw, expected)
+        elif comp in (8, 32946):
+            raw = zlib.decompress(raw)
+            if len(raw) < expected:
+                raise ValueError("tiff: short deflate strip")
+            raw = raw[:expected]
+        else:
+            raw = packbits_decode(raw, expected)
+        strip = np.frombuffer(raw, np.uint8).reshape(n_rows, row_bytes)
+        rows.append(strip)
+    flat = np.concatenate(rows, axis=0)
+
+    if predictor == 2:
+        if bps != 8:
+            raise ValueError("tiff: predictor on non-8-bit samples")
+        # horizontal differencing per sample: undo with cumsum mod 256
+        px = flat.reshape(h, w, spp).astype(np.uint32)
+        px = np.cumsum(px, axis=1, dtype=np.uint32) & 0xFF
+        flat = px.astype(np.uint8).reshape(h, row_bytes)
+    elif predictor != 1:
+        raise ValueError(f"tiff: predictor {predictor} unsupported")
+
+    if bps == 1:
+        px = np.unpackbits(flat, axis=1)[:, :w]
+        if photo == 0:  # WhiteIsZero: 0 = white, 1 = black
+            return ((1 - px) * 255).astype(np.uint8)
+        return (px * 255).astype(np.uint8)
+    if photo == 3:
+        cmap = ifd.get(_T_COLORMAP)
+        if not cmap or len(cmap) < 3 * 256:
+            raise ValueError("tiff: missing/short ColorMap")
+        pal16 = np.asarray(cmap[: 3 * 256], np.uint32).reshape(3, 256).T
+        pal = (pal16 >> 8).astype(np.uint8)  # 16-bit entries -> 8
+        rgb = pal[flat.reshape(h, w)]
+        if (rgb[:, :, 0] == rgb[:, :, 1]).all() and (
+            rgb[:, :, 1] == rgb[:, :, 2]
+        ).all():
+            return rgb[:, :, 0].copy()
+        return rgb
+    img = flat.reshape(h, w, spp) if spp > 1 else flat.reshape(h, w)
+    if photo == 0:  # WhiteIsZero gray: invert
+        img = (255 - img.astype(np.int16)).astype(np.uint8)
+    return img.copy()
+
+
+def decode_tiff_pages(data: bytes) -> list[np.ndarray]:
+    """TIFF bytes -> one uint8 HxW / HxWx3 array per IFD (page)."""
+    if len(data) < 8:
+        raise ValueError("tiff: truncated header")
+    if data[:2] == b"II":
+        e = "<"
+    elif data[:2] == b"MM":
+        e = ">"
+    else:
+        raise ValueError(f"tiff: bad byte-order mark {data[:2]!r}")
+    (magic,) = struct.unpack_from(e + "H", data, 2)
+    if magic == 43:
+        raise ValueError("tiff: BigTIFF unsupported")
+    if magic != 42:
+        raise ValueError(f"tiff: bad magic {magic}")
+    (off,) = struct.unpack_from(e + "I", data, 4)
+    pages = []
+    seen = set()
+    while off:
+        if off in seen:
+            raise ValueError("tiff: IFD cycle")
+        seen.add(off)
+        ifd, off = _read_ifd(data, e, off)
+        pages.append(_decode_page(data, e, ifd))
+        if len(pages) > 10000:
+            raise ValueError("tiff: too many pages")
+    if not pages:
+        raise ValueError("tiff: no IFDs")
+    return pages
+
+
+def decode_tiff(data: bytes) -> np.ndarray:
+    """First page only — the imdecode-equivalent single-image view."""
+    return decode_tiff_pages(data)[0]
+
+
+# --- encode -----------------------------------------------------------------
+
+_ROWS_PER_STRIP = 16
+
+
+def _compress(raw: bytes, compression: str) -> tuple[bytes, int]:
+    if compression == "none":
+        return raw, 1
+    if compression == "lzw":
+        return lzw_encode(raw), 5
+    if compression == "deflate":
+        return zlib.compress(raw, 6), 8
+    if compression == "packbits":
+        return packbits_encode(raw), 32773
+    raise ValueError(f"tiff: unknown compression {compression!r}")
+
+
+def encode_tiff(
+    pages: "list[np.ndarray]",
+    compression: str = "none",
+    *,
+    predictor: bool = False,
+    bilevel: bool = False,
+) -> bytes:
+    """uint8 HxW / HxWx3 pages -> little-endian classic TIFF, one IFD
+    per page, RowsPerStrip=16 multi-strip.  bilevel=True thresholds
+    gray pages at 128 into 1-bit WhiteIsZero rows (the fax-scan
+    shape).  predictor=True applies horizontal differencing (only
+    meaningful for lzw/deflate)."""
+    if not pages:
+        raise ValueError("tiff: no pages")
+    if predictor and compression not in ("lzw", "deflate"):
+        raise ValueError("tiff: predictor is for lzw/deflate")
+    out = bytearray(b"II*\x00\x00\x00\x00\x00")  # IFD0 offset patched below
+    ifd_patch_at = 4
+
+    for img in pages:
+        if img.dtype != np.uint8:
+            raise ValueError(f"expected uint8 array, got {img.dtype}")
+        if img.ndim == 2:
+            h, w = img.shape
+            spp = 1
+        elif img.ndim == 3 and img.shape[2] == 3:
+            if bilevel:
+                raise ValueError("tiff: bilevel encoding is grayscale-only")
+            h, w = img.shape[:2]
+            spp = 3
+        else:
+            raise ValueError(f"expected HxW or HxWx3, got shape {img.shape}")
+
+        if bilevel:
+            bits = (img < 128).astype(np.uint8)  # WhiteIsZero: 1 = black
+            flat = np.packbits(bits, axis=1)
+            photo, bps = 0, 1
+        else:
+            src = img
+            if predictor:
+                px = img.reshape(h, w, spp).astype(np.int16)
+                diff = px.copy()
+                diff[:, 1:, :] = px[:, 1:, :] - px[:, :-1, :]
+                src = (diff & 0xFF).astype(np.uint8)
+            flat = src.reshape(h, -1)
+            photo, bps = (1, 8) if spp == 1 else (2, 8)
+
+        strips: list[bytes] = []
+        for y0 in range(0, h, _ROWS_PER_STRIP):
+            raw = flat[y0 : y0 + _ROWS_PER_STRIP].tobytes()
+            strips.append(_compress(raw, compression)[0])
+        comp_id = _compress(b"", compression)[1]
+
+        strip_offsets = []
+        for s in strips:
+            strip_offsets.append(len(out))
+            out += s
+            if len(out) % 2:
+                out += b"\x00"  # word-align per spec
+
+        n_strips = len(strips)
+
+        def _aux(values: list[int], fmt: str) -> int:
+            off = len(out)
+            out.extend(struct.pack(f"<{len(values)}{fmt}", *values))
+            if len(out) % 2:
+                out.extend(b"\x00")
+            return off
+
+        entries: list[tuple[int, int, int, int]] = []  # tag, type, count, value
+
+        def add(tag: int, typ: int, values: list[int]) -> None:
+            size = _TYPE_SIZE[typ] * len(values)
+            fmt = {3: "H", 4: "I"}[typ]
+            if size <= 4:
+                packed = struct.pack(f"<{len(values)}{fmt}", *values)
+                packed += b"\x00" * (4 - size)
+                (val,) = struct.unpack("<I", packed)
+            else:
+                val = _aux(values, fmt)
+            entries.append((tag, typ, len(values), val))
+
+        add(_T_WIDTH, 4, [w])
+        add(_T_LENGTH, 4, [h])
+        add(_T_BITS, 3, [bps] * spp)
+        add(_T_COMPRESSION, 3, [comp_id])
+        add(_T_PHOTOMETRIC, 3, [photo])
+        add(_T_STRIP_OFFSETS, 4, strip_offsets)
+        add(_T_SAMPLES, 3, [spp])
+        add(_T_ROWS_PER_STRIP, 3, [_ROWS_PER_STRIP])
+        add(_T_STRIP_COUNTS, 4, [len(s) for s in strips])
+        if predictor:
+            add(_T_PLANAR, 3, [1])
+            add(_T_PREDICTOR, 3, [2])
+
+        entries.sort()  # spec: ascending tag order
+        ifd_off = len(out)
+        out += struct.pack("<H", len(entries))
+        for tag, typ, cnt, val in entries:
+            out += struct.pack("<HHII", tag, typ, cnt, val)
+        next_patch = len(out)
+        out += b"\x00\x00\x00\x00"
+        struct.pack_into("<I", out, ifd_patch_at, ifd_off)
+        ifd_patch_at = next_patch
+    return bytes(out)

@@ -1,0 +1,236 @@
+"""BMP / PNM / TIFF codecs (imaging/bmp.py, pnm.py, tiff.py) — the
+rest of the input-format matrix the reference inherits from OpenCV's
+imdecode (preprocessor.go:64), plus the fleet-wide sniffing dispatch
+in imaging/codecs.decode_image."""
+
+import struct
+
+import numpy as np
+import pytest
+
+from mcp_ocr_server_spark.imaging.bmp import decode_bmp, encode_bmp
+from mcp_ocr_server_spark.imaging.codecs import decode_image
+from mcp_ocr_server_spark.imaging.png import encode_png
+from mcp_ocr_server_spark.imaging.pnm import decode_pnm, encode_pnm
+from mcp_ocr_server_spark.imaging.tiff import (
+    decode_tiff,
+    decode_tiff_pages,
+    encode_tiff,
+    lzw_decode,
+    lzw_encode,
+    packbits_decode,
+    packbits_encode,
+)
+
+RNG = np.random.default_rng(20260819)
+GRAY = RNG.integers(0, 256, (37, 53), dtype=np.int64).astype(np.uint8)
+RGB = RNG.integers(0, 256, (21, 33, 3), dtype=np.int64).astype(np.uint8)
+BW = (GRAY > 127).astype(np.uint8) * 255
+
+
+# --- PNM ---------------------------------------------------------------------
+
+
+def test_pnm_raw_roundtrips():
+    assert (decode_pnm(encode_pnm(GRAY)) == GRAY).all()
+    assert (decode_pnm(encode_pnm(RGB)) == RGB).all()
+    assert (decode_pnm(encode_pnm(BW, bitmap=True)) == BW).all()
+
+
+def test_pnm_ascii_variants_and_comments():
+    p2 = b"P2\n# a comment\n3 2\n255\n0 10 20 30 40 50\n"
+    assert (decode_pnm(p2) == np.array([[0, 10, 20], [30, 40, 50]])).all()
+    # P1: 1 = black per spec
+    assert (decode_pnm(b"P1\n2 2\n0 1\n1 0\n")
+            == np.array([[255, 0], [0, 255]])).all()
+    assert (decode_pnm(b"P3\n1 1\n255\n1 2 3\n")
+            == np.array([[[1, 2, 3]]])).all()
+
+
+def test_pnm_maxval_rescale_and_16bit_refusal():
+    p5 = b"P5\n2 1\n100\n" + bytes([0, 100])
+    assert (decode_pnm(p5) == np.array([[0, 255]])).all()
+    with pytest.raises(ValueError, match="16-bit"):
+        decode_pnm(b"P5\n1 1\n65535\n\x00\x00")
+
+
+def test_pnm_p4_row_padding():
+    # width 10 => 2 bytes/row, 6 pad bits per row must be ignored
+    img = np.zeros((3, 10), dtype=np.uint8)
+    img[1, 3] = 255
+    assert (decode_pnm(encode_pnm(img, bitmap=True)) == img).all()
+
+
+def test_pnm_truncation_refusals():
+    with pytest.raises(ValueError):
+        decode_pnm(b"P5\n4 4\n255\n\x00\x00")  # short raster
+    with pytest.raises(ValueError):
+        decode_pnm(b"P7\n1 1\n255\n\x00")  # PAM not supported
+    with pytest.raises(ValueError):
+        decode_pnm(b"P2\n2 2\n255\n1 2 3\n")  # short ASCII samples
+
+
+# --- BMP ---------------------------------------------------------------------
+
+
+def test_bmp_roundtrips():
+    assert (decode_bmp(encode_bmp(GRAY)) == GRAY).all()
+    assert (decode_bmp(encode_bmp(RGB)) == RGB).all()
+
+
+def test_bmp_top_down_and_32bit():
+    # hand-build a 2x2 top-down 32-bit BMP: rows in natural order
+    px = np.array([[[1, 2, 3], [4, 5, 6]], [[7, 8, 9], [10, 11, 12]]],
+                  dtype=np.uint8)
+    rows = b""
+    for y in range(2):
+        for x in range(2):
+            r, g, b = px[y, x]
+            rows += bytes([b, g, r, 0])  # BGRX
+    hdr = struct.pack("<2sIHHI", b"BM", 14 + 40 + len(rows), 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, 2, -2, 1, 32, 0, len(rows),
+                       2835, 2835, 0, 0)
+    assert (decode_bmp(hdr + info + rows) == px).all()
+
+
+def test_bmp_refusals():
+    data = bytearray(encode_bmp(GRAY))
+    struct.pack_into("<I", data, 30, 1)  # BI_RLE8
+    with pytest.raises(ValueError, match="compression"):
+        decode_bmp(bytes(data))
+    with pytest.raises(ValueError, match="signature"):
+        decode_bmp(b"XX" + bytes(60))
+
+
+# --- TIFF: LZW / PackBits codecs ----------------------------------------------
+
+
+def _pack_codes(codes, widths):
+    """Independent MSB-first bit packer for the spec-pinned vector."""
+    bits = "".join(format(c, f"0{w}b") for c, w in zip(codes, widths))
+    bits += "0" * (-len(bits) % 8)
+    return bytes(int(bits[i : i + 8], 2) for i in range(0, len(bits), 8))
+
+
+def test_lzw_spec_vector():
+    # Hand-run of TIFF 6.0 §13's encoder algorithm on b"ABABAB":
+    #   Clear, code(A)=65 [add AB=258], code(B)=66 [add BA=259],
+    #   code(AB)=258 [add ABA=260], code(AB)=258, EOI — all 9-bit.
+    expected = _pack_codes([256, 65, 66, 258, 258, 257], [9] * 6)
+    assert lzw_encode(b"ABABAB") == expected
+    assert lzw_decode(expected, 6) == b"ABABAB"
+
+
+def test_lzw_roundtrip_stress():
+    rng = np.random.default_rng(3)
+    blobs = [
+        b"",
+        b"a",
+        b"aaaaabbb",
+        b"\x00" * 10000,
+        bytes(range(256)) * 40,
+        # > 4093 phrases: exercises table-full Clear/reset mid-stream
+        bytes(rng.integers(0, 256, 120000, dtype=np.int64).astype(np.uint8)),
+    ]
+    for blob in blobs:
+        assert lzw_decode(lzw_encode(blob), len(blob)) == blob
+        assert packbits_decode(packbits_encode(blob), len(blob)) == blob
+
+
+def test_packbits_spec_vector():
+    # The TIFF 6.0 spec's own PackBits example (§9): the published
+    # unpacked/packed pair, pinned in BOTH directions (encoders may
+    # legally pack differently; ours happens to match the spec's
+    # greedy packing on this input).
+    unpacked = bytes.fromhex("AAAAAA80002AAAAAAAAA80002A22"
+                             "AAAAAAAAAAAAAAAAAAAA")
+    packed = bytes.fromhex("FEAA0280002AFDAA0380002A22F7AA")
+    assert packbits_decode(packed, len(unpacked)) == unpacked
+    assert packbits_encode(unpacked) == packed
+
+
+# --- TIFF container ------------------------------------------------------------
+
+
+@pytest.mark.parametrize("comp", ["none", "packbits", "lzw", "deflate"])
+def test_tiff_roundtrip_all_compressions(comp):
+    assert (decode_tiff(encode_tiff([GRAY], comp)) == GRAY).all()
+    assert (decode_tiff(encode_tiff([RGB], comp)) == RGB).all()
+
+
+@pytest.mark.parametrize("comp", ["lzw", "deflate"])
+def test_tiff_predictor(comp):
+    assert (decode_tiff(encode_tiff([GRAY], comp, predictor=True))
+            == GRAY).all()
+    assert (decode_tiff(encode_tiff([RGB], comp, predictor=True))
+            == RGB).all()
+
+
+def test_tiff_multipage_and_bilevel():
+    pages = decode_tiff_pages(encode_tiff([GRAY, RGB, BW], "lzw"))
+    assert len(pages) == 3
+    for got, want in zip(pages, [GRAY, RGB, BW]):
+        assert (got == want).all()
+    assert (decode_tiff(encode_tiff([BW], "packbits", bilevel=True))
+            == BW).all()
+
+
+def test_tiff_big_endian_uncompressed():
+    # hand-build an MM-order 2x2 gray8 single-strip TIFF
+    px = bytes([10, 20, 30, 40])
+    entries = [
+        (256, 3, 1, 2 << 16),   # width (SHORT left-justified in BE)
+        (257, 3, 1, 2 << 16),
+        (258, 3, 1, 8 << 16),
+        (259, 3, 1, 1 << 16),
+        (262, 3, 1, 1 << 16),
+        (273, 4, 1, 8),         # strip at byte 8
+        (277, 3, 1, 1 << 16),
+        (278, 3, 1, 2 << 16),
+        (279, 4, 1, 4),
+    ]
+    ifd = struct.pack(">H", len(entries)) + b"".join(
+        struct.pack(">HHII", *ent) for ent in entries
+    ) + struct.pack(">I", 0)
+    data = b"MM\x00*" + struct.pack(">I", 12) + px + ifd
+    assert (decode_tiff(data) == np.array([[10, 20], [30, 40]])).all()
+
+
+def test_tiff_refusals():
+    blob = encode_tiff([GRAY], "none")
+    with pytest.raises(ValueError, match="BigTIFF"):
+        decode_tiff(b"II+\x00" + blob[4:])
+    with pytest.raises(ValueError, match="byte-order"):
+        decode_tiff(b"XX" + blob[2:])
+    # tiled: inject a TileWidth tag by encoding then rewriting
+    # compression id to JPEG (6) — cheaper: build via the entry table
+    data = bytearray(blob)
+    # compression tag value lives in the IFD; find tag 259 entry
+    (ifd_off,) = struct.unpack_from("<I", data, 4)
+    (n,) = struct.unpack_from("<H", data, ifd_off)
+    for i in range(n):
+        base = ifd_off + 2 + 12 * i
+        tag = struct.unpack_from("<H", data, base)[0]
+        if tag == 259:
+            struct.pack_into("<H", data, base + 8, 6)
+    with pytest.raises(ValueError, match="JPEG-in-TIFF"):
+        decode_tiff(bytes(data))
+
+
+# --- sniffing dispatch ---------------------------------------------------------
+
+
+def test_decode_image_sniffs_all_formats():
+    for blob, want in [
+        (encode_png(GRAY), GRAY),
+        (encode_bmp(GRAY), GRAY),
+        (encode_pnm(GRAY), GRAY),
+        (encode_pnm(RGB), RGB),
+        (encode_pnm(BW, bitmap=True), BW),
+        (encode_tiff([GRAY], "lzw"), GRAY),
+        (encode_tiff([RGB], "deflate", predictor=True), RGB),
+    ]:
+        got = decode_image(blob)
+        assert (got == want).all()
+    with pytest.raises(ValueError):
+        decode_image(b"\x00\x01\x02\x03 not an image")

@@ -136,7 +136,7 @@ def test_decode_image_sniffs_both_codecs():
     assert out.shape == img.shape
     rgb = np.repeat(img[..., None], 3, axis=2)
     assert np.array_equal(to_gray(rgb), img)
-    with pytest.raises(ValueError, match="not PNG or baseline JPEG"):
+    with pytest.raises(ValueError, match="not PNG/JPEG/BMP/PNM/TIFF"):
         decode_image(b"GIF89a_not_supported")
 
 
