@@ -234,3 +234,83 @@ def scan_pdf_rows(ref: str, data: bytes, cfg: JobConfig) -> list[dict]:
             row["error"] = str(exc)
         out.append(row)
     return out
+
+
+# Scan-format chain: the rest of the imdecode input matrix
+# (preprocessor.go:64 — BMP / Netpbm / TIFF alongside PNG/JPEG).  One
+# row function per query, shared VERBATIM with the golden-fixture
+# generator.  Multi-page TIFF is the fax/flatbed shape: one file, one
+# page per IFD, so OCR rows are (media_ref, page_idx) grained exactly
+# like the scanned-PDF branch above.
+
+SCAN_INVENTORY_SCHEMA = (
+    "media_ref string, format string, n_pages int, width int,"
+    " height int, channels int, error string"
+)
+
+
+def scan_inventory_row(ref: str, data: bytes) -> dict:
+    """Container sniff + full pixel decode for one scan payload —
+    format, page count, first-page geometry; refusals (foreign magic,
+    16-bit samples, tiled/JPEG TIFF) surface as error rows naming what
+    was seen.  This is the route/filter stage a pipeline runs BEFORE
+    the OCR spend — same pattern as audio/video inventory."""
+    from ..imaging.codecs import sniff_image_format
+    from ..imaging.tiff import decode_tiff_pages
+
+    row = dict(media_ref=ref, format=None, n_pages=None, width=None,
+               height=None, channels=None, error=None)
+    try:
+        fmt = sniff_image_format(bytes(data))
+        row["format"] = fmt
+        if fmt == "tiff":
+            pages = decode_tiff_pages(bytes(data))
+        else:
+            pages = [decode_image(bytes(data))]
+        first = pages[0]
+        row["n_pages"] = len(pages)
+        row["height"], row["width"] = int(first.shape[0]), int(first.shape[1])
+        row["channels"] = 1 if first.ndim == 2 else int(first.shape[2])
+    except Exception as exc:
+        row["error"] = str(exc)
+    return row
+
+
+def scan_image_ocr_rows(ref: str, data: bytes, cfg: JobConfig) -> list[dict]:
+    """OCR rows for one scan payload, every page (TIFF: per IFD; other
+    formats: the single image).  RGB pages fold to gray with the
+    repo-wide BT.601 luma before the preprocess + engine chain the
+    image branch runs.  Decode failures yield ONE error row with
+    page_idx null; per-page OCR failures isolate to their page (P1) —
+    identical contract to scan_pdf_rows."""
+    from ..imaging.codecs import sniff_image_format, to_gray
+    from ..imaging.tiff import decode_tiff_pages
+    from ..ocr.engine import get_engine
+
+    try:
+        fmt = sniff_image_format(bytes(data))
+        if fmt == "tiff":
+            pages = decode_tiff_pages(bytes(data))
+        else:
+            pages = [decode_image(bytes(data))]
+    except Exception as exc:
+        return [dict(media_ref=ref, page_idx=None, text=None,
+                     confidence=None, error=str(exc))]
+    engine = get_engine(cfg.ocr)
+    out: list[dict] = []
+    for i, img in enumerate(pages):
+        row = dict(media_ref=ref, page_idx=i, text=None,
+                   confidence=None, error=None)
+        try:
+            img = to_gray(img)
+            try:
+                processed, _q, _steps = preprocess(img, cfg.preprocessing)
+            except Exception:
+                processed = img  # fail-soft, handler.go:271-275
+            res = engine.recognize(processed)
+            row["text"] = res.text
+            row["confidence"] = round(res.confidence, 6)
+        except Exception as exc:
+            row["error"] = str(exc)
+        out.append(row)
+    return out

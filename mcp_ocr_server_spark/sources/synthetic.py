@@ -1019,6 +1019,99 @@ def video_sniff_df(spark, cfg: CorpusConfig, n: int = N_VIDEO_SNIFF_CLIPS):
 
 
 # ---------------------------------------------------------------------------
+# scan-format corpus (imaging/{bmp,pnm,tiff}.py + codecs.decode_image)
+# — the rest of the imdecode input matrix (preprocessor.go:64): every
+# container a user of the reference could hand the OCR path, rendered
+# text inside so the full decode -> preprocess -> OCR chain is
+# ground-truth-checkable per format.  Multi-page TIFF is the fax/
+# flatbed scan shape: one file, one page per IFD.
+
+_S_SCANFMT = 13
+N_SCAN_IMAGES = 36
+
+SCAN_MEDIA_SCHEMA = "media_ref string, bytes binary, kind string"
+
+_SCAN_CLASSES = (
+    "bmp_gray", "bmp_rgb", "pgm", "ppm", "pbm",
+    "tiff_none", "tiff_lzw", "tiff_packbits_bilevel",
+    "tiff_deflate_pred", "tiff_multipage",
+    "err_pnm_16bit", "err_foreign",
+)
+
+
+def scanfmt_ref(j: int) -> str:
+    return f"scan-{j:06d}"
+
+
+def scan_format_item(
+    cfg: CorpusConfig, j: int
+) -> tuple[str, bytes, str, list[str]]:
+    """(media_ref, bytes, kind, true_page_texts) across decode_image's
+    sniffing branches.  OCR-able classes carry render_text output
+    (scale 3 so glyphs survive any binarization) and report the
+    rendered truth per page for ground-truth tests; the two err_*
+    classes pin the refuse-loudly contract (16-bit PNM, foreign
+    magic) and report no truth."""
+    from ..imaging.bmp import encode_bmp
+    from ..imaging.pnm import encode_pnm
+    from ..imaging.tiff import encode_tiff
+
+    rng = _rng(cfg.seed, _S_SCANFMT, j)
+    kind = _SCAN_CLASSES[j % len(_SCAN_CLASSES)]
+    truths: list[str] = []
+
+    def page() -> np.ndarray:
+        n_lines = int(rng.integers(1, 3))
+        text = "\n".join(
+            _words(rng, _FONT_WORDS, int(rng.integers(2, 4)))
+            for _ in range(n_lines)
+        )
+        truths.append(text.upper())
+        return render_text(text, scale=3)
+
+    if kind == "bmp_gray":
+        blob = encode_bmp(page())
+    elif kind == "bmp_rgb":
+        blob = encode_bmp(np.repeat(page()[:, :, None], 3, axis=2))
+    elif kind == "pgm":
+        blob = encode_pnm(page())
+    elif kind == "ppm":
+        blob = encode_pnm(np.repeat(page()[:, :, None], 3, axis=2))
+    elif kind == "pbm":
+        blob = encode_pnm(page(), bitmap=True)
+    elif kind == "tiff_none":
+        blob = encode_tiff([page()], "none")
+    elif kind == "tiff_lzw":
+        blob = encode_tiff([page()], "lzw")
+    elif kind == "tiff_packbits_bilevel":
+        blob = encode_tiff([page()], "packbits", bilevel=True)
+    elif kind == "tiff_deflate_pred":
+        blob = encode_tiff([page()], "deflate", predictor=True)
+    elif kind == "tiff_multipage":
+        # j walks this class in len(_SCAN_CLASSES) strides, so derive
+        # the page count from the stride index to actually vary 2..4
+        n_pages = 2 + (j // len(_SCAN_CLASSES)) % 3
+        blob = encode_tiff([page() for _ in range(n_pages)], "lzw")
+    elif kind == "err_pnm_16bit":
+        blob = b"P5\n2 2\n65535\n" + bytes(8)
+    else:  # err_foreign: GIF magic — a format imdecode itself refuses
+        blob = b"GIF89a" + rng.integers(
+            0, 256, 32).astype(np.uint8).tobytes()
+    return scanfmt_ref(j), blob, kind, truths
+
+
+def scan_format_df(spark, cfg: CorpusConfig, n: int = N_SCAN_IMAGES):
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [scan_format_item(cfg, int(j))[:3] for j in pdf["id"]]
+            yield pd.DataFrame(rows, columns=["media_ref", "bytes", "kind"])
+
+    return spark.range(0, n, numPartitions=4).mapInPandas(
+        gen, schema=SCAN_MEDIA_SCHEMA
+    )
+
+
+# ---------------------------------------------------------------------------
 # WARC corpus (for functions/warc.warc_records + the warc->html
 # main-content composition) — real archives built by the real writer,
 # html payloads from the SAME make_html generator the extraction

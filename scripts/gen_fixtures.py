@@ -333,6 +333,36 @@ def gen_pdf_scan_meta() -> pd.DataFrame:
     return df
 
 
+def gen_scan_formats() -> tuple[pd.DataFrame, pd.DataFrame]:
+    """Goldens for the scan-format corpus (BMP/PNM/TIFF — the rest of
+    the imdecode input matrix): inventory rows and per-page OCR rows,
+    SAME row code the Spark stages run (media_ocr.scan_inventory_row /
+    scan_image_ocr_rows)."""
+    from mcp_ocr_server_spark.operators.media_ocr import (
+        scan_image_ocr_rows,
+        scan_inventory_row,
+    )
+
+    inv_rows: list[dict] = []
+    ocr_rows: list[dict] = []
+    for j in range(S.N_SCAN_IMAGES):
+        ref, data, _kind, _truths = S.scan_format_item(FLAGSHIP_CORPUS, j)
+        inv_rows.append(scan_inventory_row(ref, data))
+        ocr_rows.extend(scan_image_ocr_rows(ref, data, FIXTURE_JOB))
+    inv = pd.DataFrame(
+        inv_rows, columns=["media_ref", "format", "n_pages", "width",
+                           "height", "channels", "error"]
+    )
+    for c in ("n_pages", "width", "height", "channels"):
+        inv[c] = inv[c].astype("Int64")
+    ocr = pd.DataFrame(
+        ocr_rows, columns=["media_ref", "page_idx", "text", "confidence",
+                           "error"]
+    )
+    ocr["page_idx"] = ocr["page_idx"].astype("Int64")
+    return inv, ocr
+
+
 def gen_b64_media() -> pd.DataFrame:
     """S2 base64-ingestion golden: (media_ref, data_b64, corrupted)."""
     rows = []
@@ -445,6 +475,16 @@ def main() -> None:
     )
     print(f"pdf_scan_meta: {len(scan)} rows"
           f" ({int(scan.error.notna().sum())} errors)")
+    sinv, socr = gen_scan_formats()
+    sinv.to_parquet(
+        os.path.join(FIXTURES_DIR, "scan_inventory.parquet"), index=False
+    )
+    socr.to_parquet(
+        os.path.join(FIXTURES_DIR, "scan_ocr.parquet"), index=False
+    )
+    print(f"scan_inventory: {len(sinv)} rows"
+          f" ({int(sinv.error.notna().sum())} errors);"
+          f" scan_ocr: {len(socr)} rows")
     atags = gen_audio_tags()
     atags.to_parquet(
         os.path.join(FIXTURES_DIR, "audio_tags.parquet"), index=False
