@@ -21,6 +21,7 @@ from .jpeg import decode_jpeg
 from .png import decode_png
 from .pnm import decode_pnm
 from .tiff import decode_tiff
+from .webp import decode_webp
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 _PNM_MAGICS = {b"P%d" % i for i in range(1, 7)}
@@ -39,9 +40,11 @@ def sniff_image_format(data: bytes) -> str:
         return "pnm"
     if data[:2] in (b"II", b"MM"):
         return "tiff"  # decode_tiff validates the 42 magic loudly
+    if data[:4] == b"RIFF" and data[8:12] == b"WEBP":
+        return "webp"  # decode_webp refuses lossy/VP8X loudly
     raise ValueError(
         f"unsupported image payload (magic {data[:4]!r}):"
-        " not PNG/JPEG/BMP/PNM/TIFF"
+        " not PNG/JPEG/BMP/PNM/TIFF/WebP"
     )
 
 
@@ -51,11 +54,13 @@ _DECODERS = {
     "bmp": decode_bmp,
     "pnm": decode_pnm,
     "tiff": decode_tiff,
+    "webp": decode_webp,
 }
 
 
 def decode_image(data: bytes) -> np.ndarray:
-    """uint8 HxW or HxWx3 pixels from PNG/JPEG/BMP/PNM/TIFF bytes.
+    """uint8 HxW or HxWx3 pixels from PNG / baseline-JPEG / BMP /
+    Netpbm / TIFF / lossless-WebP bytes.
 
     Raises ValueError for any other payload (callers map it to
     PREPROCESSING_FAILED / per-row error strings, fail-soft)."""

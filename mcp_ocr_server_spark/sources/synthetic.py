@@ -1027,15 +1027,15 @@ def video_sniff_df(spark, cfg: CorpusConfig, n: int = N_VIDEO_SNIFF_CLIPS):
 # flatbed scan shape: one file, one page per IFD.
 
 _S_SCANFMT = 13
-N_SCAN_IMAGES = 36
+N_SCAN_IMAGES = 42
 
 SCAN_MEDIA_SCHEMA = "media_ref string, bytes binary, kind string"
 
 _SCAN_CLASSES = (
     "bmp_gray", "bmp_rgb", "pgm", "ppm", "pbm",
     "tiff_none", "tiff_lzw", "tiff_packbits_bilevel",
-    "tiff_deflate_pred", "tiff_multipage",
-    "err_pnm_16bit", "err_foreign",
+    "tiff_deflate_pred", "tiff_multipage", "webp",
+    "err_webp_lossy", "err_pnm_16bit", "err_foreign",
 )
 
 
@@ -1049,12 +1049,15 @@ def scan_format_item(
     """(media_ref, bytes, kind, true_page_texts) across decode_image's
     sniffing branches.  OCR-able classes carry render_text output
     (scale 3 so glyphs survive any binarization) and report the
-    rendered truth per page for ground-truth tests; the two err_*
-    classes pin the refuse-loudly contract (16-bit PNM, foreign
-    magic) and report no truth."""
+    rendered truth per page for ground-truth tests; the err_* classes
+    pin the refuse-loudly contract (lossy VP8 in a real WEBP
+    container, 16-bit PNM, foreign magic) and report no truth."""
+    import struct
+
     from ..imaging.bmp import encode_bmp
     from ..imaging.pnm import encode_pnm
     from ..imaging.tiff import encode_tiff
+    from ..imaging.webp import encode_webp
 
     rng = _rng(cfg.seed, _S_SCANFMT, j)
     kind = _SCAN_CLASSES[j % len(_SCAN_CLASSES)]
@@ -1092,6 +1095,14 @@ def scan_format_item(
         # the page count from the stride index to actually vary 2..4
         n_pages = 2 + (j // len(_SCAN_CLASSES)) % 3
         blob = encode_tiff([page() for _ in range(n_pages)], "lzw")
+    elif kind == "webp":
+        blob = encode_webp(page())
+    elif kind == "err_webp_lossy":
+        # a real RIFF/WEBP container whose codec chunk is lossy VP8 —
+        # must refuse by NAME, not as unknown magic
+        body = rng.integers(0, 256, 48).astype(np.uint8).tobytes()
+        blob = (b"RIFF" + struct.pack("<I", 4 + 8 + len(body))
+                + b"WEBP" + b"VP8 " + struct.pack("<I", len(body)) + body)
     elif kind == "err_pnm_16bit":
         blob = b"P5\n2 2\n65535\n" + bytes(8)
     else:  # err_foreign: GIF magic — a format imdecode itself refuses

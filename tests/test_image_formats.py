@@ -221,6 +221,8 @@ def test_tiff_refusals():
 
 
 def test_decode_image_sniffs_all_formats():
+    from mcp_ocr_server_spark.imaging.webp import encode_webp
+
     for blob, want in [
         (encode_png(GRAY), GRAY),
         (encode_bmp(GRAY), GRAY),
@@ -229,6 +231,8 @@ def test_decode_image_sniffs_all_formats():
         (encode_pnm(BW, bitmap=True), BW),
         (encode_tiff([GRAY], "lzw"), GRAY),
         (encode_tiff([RGB], "deflate", predictor=True), RGB),
+        (encode_webp(GRAY), GRAY),
+        (encode_webp(RGB), RGB),
     ]:
         got = decode_image(blob)
         assert (got == want).all()
