@@ -1,21 +1,31 @@
-"""Baseline JPEG (ITU-T T.81 / ISO 10918-1) codec — pure stdlib+numpy,
-the DCT analogue of imaging/png.py and functions/flac.py.
+"""JPEG (ITU-T T.81 / ISO 10918-1) codec — pure stdlib+numpy, the DCT
+analogue of imaging/png.py and functions/flac.py.
 
 Independent re-derivation from the published standard (markers §B,
-Huffman entropy coding §C/§F.2, the default tables of Annex K); no
-code is taken from libjpeg or any other implementation.
+Huffman entropy coding §C/§F.2, progressive mode §G, the default
+tables of Annex K); no code is taken from libjpeg or any other
+implementation.
 
 Scope (honest limits, loud refusals):
-  - DECODE: baseline sequential DCT (SOF0), 8-bit samples, grayscale
-    and 3-component YCbCr with any h/v sampling factors up to 2
-    (4:4:4, 4:2:2, 4:2:0), restart intervals (DRI/RSTn), multiple
-    DQT/DHT segments, 0xFF00 byte unstuffing.  Progressive (SOF2),
-    arithmetic coding (SOF9/10), 12-bit precision, and hierarchical
-    modes raise ValueError by name.
-  - ENCODE: baseline grayscale or YCbCr 4:4:4 / 4:2:0 with the Annex K
-    quantization (quality-scaled, the IJG curve — published in the
-    libjpeg *documentation*, re-derived here from the formula) and
-    Annex K Huffman tables.  Deterministic: same input -> same bytes.
+  - DECODE: baseline sequential DCT (SOF0) AND progressive DCT (SOF2
+    — full spectral selection + successive approximation: DC/AC
+    first and refinement scans, EOB runs, interleaved DC scans,
+    per-component non-interleaved AC geometry), 8-bit samples,
+    grayscale and 3-component YCbCr with any h/v sampling factors up
+    to 2 (4:4:4, 4:2:2, 4:2:0), restart intervals (DRI/RSTn),
+    multiple DQT/DHT segments, 0xFF00 byte unstuffing.  Arithmetic
+    coding (SOF9/10), 12-bit precision, and hierarchical modes raise
+    ValueError by name.
+  - ENCODE: baseline grayscale or YCbCr 4:4:4 / 4:2:0, plus a
+    progressive encoder (encode_jpeg_progressive — coarse DC, banded
+    AC, one refinement pass of each; EOB runs never accumulated so
+    the Annex K tables suffice), with the Annex K quantization
+    (quality-scaled, the IJG curve — published in the libjpeg
+    *documentation*, re-derived here from the formula) and Annex K
+    Huffman tables.  Deterministic: same input -> same bytes.
+    Progressive output decodes pixel-identical to baseline at the
+    same quality (same quantized coefficients, losslessly re-coded) —
+    pinned by test.
 
 Decode strategy: the entropy decode is a per-block Python loop (bit
 reader + canonical Huffman), but dequantization and the IDCT run
@@ -257,6 +267,9 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     huff_ac: dict[int, _HuffDecode] = {}
     restart_interval = 0
     frame = None  # (h, w, comps) with comps = [(cid, hs, vs, tq)]
+    progressive = False
+    prog_state: dict[int, dict] = {}  # cid -> coefficient store
+    scans_seen = 0
     pos = 2
     while pos + 4 <= len(data):
         if data[pos] != 0xFF:
@@ -271,15 +284,15 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         if pos + 2 + seglen > len(data):
             raise ValueError("jpeg: truncated marker segment")
         seg = data[pos + 4 : pos + 2 + seglen]
-        if marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+        if marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7,
                       0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             kind = {
-                0xC2: "progressive DCT (SOF2)",
                 0xC9: "arithmetic coding (SOF9)",
                 0xCA: "progressive arithmetic (SOF10)",
             }.get(marker, f"SOF{marker - 0xC0} mode")
-            raise ValueError(f"jpeg: {kind} unsupported (baseline only)")
-        if marker == 0xC0:  # SOF0 baseline
+            raise ValueError(f"jpeg: {kind} unsupported")
+        if marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
+            progressive = marker == 0xC2
             prec, h, w, nc = struct.unpack(">BHHB", seg[:6])
             if prec != 8:
                 raise ValueError("jpeg: only 8-bit precision supported")
@@ -330,18 +343,60 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             continue
         if marker == 0xDA:  # SOS — scan follows
             if frame is None:
-                raise ValueError("jpeg: SOS before SOF0")
+                raise ValueError("jpeg: SOS before SOF")
             ns = seg[0]
             scan = []
             for i in range(ns):
                 cs, td_ta = seg[1 + 2 * i], seg[2 + 2 * i]
                 scan.append((cs, td_ta >> 4, td_ta & 0xF))
-            return _decode_scan(
-                data, pos + 2 + seglen, frame, scan, qt,
-                huff_dc, huff_ac, restart_interval,
+            if not progressive:
+                return _decode_scan(
+                    data, pos + 2 + seglen, frame, scan, qt,
+                    huff_dc, huff_ac, restart_interval,
+                )
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ah_al = seg[3 + 2 * ns]
+            _progressive_scan(
+                data, pos + 2 + seglen, frame, scan, qt, huff_dc,
+                huff_ac, restart_interval, prog_state,
+                ss, se, ah_al >> 4, ah_al & 0xF,
             )
+            scans_seen += 1
+            pos = _next_marker(data, pos + 2 + seglen)
+            continue
         pos += 2 + seglen  # APPn / COM / others: skip
+    if progressive and scans_seen:
+        h, w, comps = frame
+        hmax = max(c[1] for c in comps)
+        vmax = max(c[2] for c in comps)
+        mcux = (w + 8 * hmax - 1) // (8 * hmax)
+        mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+        parts = []
+        for cid, hs, vs, tq in comps:
+            if cid not in prog_state:
+                raise ValueError(f"jpeg: component {cid} has no scan")
+            if tq not in qt:
+                raise ValueError("jpeg: missing quant table")
+            st = prog_state[cid]
+            parts.append(dict(coef=st["coef"], q=qt[tq],
+                              bw=st["bw"], hs=hs, vs=vs))
+        return _assemble(h, w, hmax, vmax, mcux, mcuy, parts)
     raise ValueError("jpeg: no SOS scan found")
+
+
+def _next_marker(data: bytes, pos: int) -> int:
+    """Skip entropy-coded bytes to the next real marker (not a stuffed
+    0xFF00, not an RSTn — those live inside the scan)."""
+    while pos + 1 < len(data):
+        if (
+            data[pos] == 0xFF
+            and data[pos + 1] != 0x00
+            and data[pos + 1] != 0xFF  # fill byte
+            and not (0xD0 <= data[pos + 1] <= 0xD7)
+        ):
+            return pos
+        pos += 1
+    return len(data)
 
 
 def _decode_scan(data, pos, frame, scan, qt, huff_dc, huff_ac, dri):
@@ -405,7 +460,12 @@ def _decode_scan(data, pos, frame, scan, qt, huff_dc, huff_ac, dri):
                             blk[k] = _extend(br.receive(s), s)
                             k += 1
             mcu_count += 1
-    # batch dequant + IDCT per component, then assemble planes
+    return _assemble(h, w, hmax, vmax, mcux, mcuy, parts)
+
+
+def _assemble(h, w, hmax, vmax, mcux, mcuy, parts) -> np.ndarray:
+    """Dequant + IDCT per component, assemble planes, color-convert —
+    shared by the baseline and progressive paths."""
     planes = []
     for p in parts:
         deq = np.zeros_like(p["coef"], dtype=np.float64)
@@ -439,6 +499,179 @@ def _decode_scan(data, pos, frame, scan, qt, huff_dc, huff_ac, dri):
     return np.clip(
         np.round(np.stack([r, g, b], axis=-1)), 0, 255
     ).astype(np.uint8)
+
+
+def _progressive_scan(data, pos, frame, scan, qt, huff_dc, huff_ac,
+                      dri, state, ss, se, ah, al):
+    """One SOF2 scan (T.81 §G.2) into the per-component coefficient
+    stores.  DC scans (Ss=0) may be interleaved; AC scans are always
+    single-component and walk the component's OWN block grid (the
+    non-interleaved geometry — NOT the MCU-padded one).  Successive
+    approximation: first scans (Ah=0) code values at Al-bit reduced
+    precision, refinement scans (Ah=Al+1) add one bit per coefficient
+    via the correction-bit protocol."""
+    h, w, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    by_id = {cid: (hs, vs, tq) for cid, hs, vs, tq in comps}
+    for cs, _td, _ta in scan:
+        if cs not in by_id:
+            raise ValueError("jpeg: scan references unknown component")
+        hs, vs, _ = by_id[cs]
+        if cs not in state:
+            state[cs] = dict(
+                coef=np.zeros((mcux * hs * mcuy * vs, 64), dtype=np.int64),
+                bw=mcux * hs,
+            )
+    br = _BitReader(data, pos)
+
+    def comp_grid(cs):
+        """(blocks_wide, blocks_high) of the component's own geometry."""
+        hs, vs, _ = by_id[cs]
+        return (
+            (-(-(w * hs) // hmax) + 7) // 8,
+            (-(-(h * vs) // vmax) + 7) // 8,
+        )
+
+    if ss == 0:  # DC scan
+        if se != 0:
+            raise ValueError("jpeg: DC scan with Se != 0")
+        dc_tbl = {}
+        if ah == 0:
+            for cs, td, _ta in scan:
+                if td not in huff_dc:
+                    raise ValueError("jpeg: missing DC Huffman table")
+                dc_tbl[cs] = huff_dc[td]
+        preds = {cs: 0 for cs, _, _ in scan}
+
+        def dc_one(cs, blk):
+            if ah == 0:
+                t = br.decode_huff(dc_tbl[cs])
+                preds[cs] += _extend(br.receive(t), t)
+                blk[0] = preds[cs] << al
+            elif br.read_bit():
+                blk[0] |= 1 << al
+
+        n = 0
+        if len(scan) > 1:  # interleaved MCU walk
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    if dri and n and n % dri == 0:
+                        br.reset_at_rst()
+                        preds = {cs: 0 for cs, _, _ in scan}
+                    for cs, _td, _ta in scan:
+                        hs, vs, _ = by_id[cs]
+                        st = state[cs]
+                        for v in range(vs):
+                            for hh in range(hs):
+                                dc_one(cs, st["coef"][
+                                    (my * vs + v) * st["bw"] + mx * hs + hh
+                                ])
+                    n += 1
+        else:
+            cs = scan[0][0]
+            st = state[cs]
+            cbw, cbh = comp_grid(cs)
+            for by in range(cbh):
+                for bx in range(cbw):
+                    if dri and n and n % dri == 0:
+                        br.reset_at_rst()
+                        preds = {cs: 0}
+                    dc_one(cs, st["coef"][by * st["bw"] + bx])
+                    n += 1
+        return
+
+    # AC scan: single component, non-interleaved walk
+    if len(scan) != 1:
+        raise ValueError("jpeg: interleaved AC scan is illegal")
+    cs, _td, ta = scan[0]
+    if ta not in huff_ac:
+        raise ValueError("jpeg: missing AC Huffman table")
+    ac = huff_ac[ta]
+    st = state[cs]
+    cbw, cbh = comp_grid(cs)
+    eobrun = 0
+    p1, m1 = 1 << al, -(1 << al)
+
+    def ac_first(blk):
+        nonlocal eobrun
+        if eobrun > 0:
+            eobrun -= 1
+            return
+        k = ss
+        while k <= se:
+            rs = br.decode_huff(ac)
+            r, s = rs >> 4, rs & 0xF
+            if s == 0:
+                if r != 15:  # EOBn: run of 2^r (+bits) all-zero bands
+                    eobrun = (1 << r) - 1
+                    if r:
+                        eobrun += br.receive(r)
+                    return
+                k += 16  # ZRL
+                continue
+            k += r
+            if k > se:
+                raise ValueError("jpeg: AC index past band end")
+            blk[k] = _extend(br.receive(s), s) << al
+            k += 1
+
+    def ac_refine(blk):
+        # §G.1.2.3 correction-bit protocol (the libjpeg structure)
+        nonlocal eobrun
+        k = ss
+        if eobrun == 0:
+            while k <= se:
+                rs = br.decode_huff(ac)
+                r, s = rs >> 4, rs & 0xF
+                newval = 0
+                if s:
+                    if s != 1:
+                        raise ValueError(
+                            "jpeg: refinement magnitude must be 1"
+                        )
+                    newval = p1 if br.read_bit() else m1
+                elif r != 15:
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += br.receive(r)
+                    break
+                # advance past r zero-history coefficients, appending
+                # a correction bit to every nonzero-history one passed
+                while k <= se:
+                    v = int(blk[k])
+                    if v != 0:
+                        if br.read_bit() and (v & p1) == 0:
+                            blk[k] = v + (p1 if v >= 0 else m1)
+                    else:
+                        if r == 0:
+                            break
+                        r -= 1
+                    k += 1
+                if newval:
+                    if k > se:
+                        raise ValueError("jpeg: refinement overruns band")
+                    blk[k] = newval
+                k += 1
+        if eobrun > 0:
+            while k <= se:  # correction bits through the band's tail
+                v = int(blk[k])
+                if v != 0 and br.read_bit() and (v & p1) == 0:
+                    blk[k] = v + (p1 if v >= 0 else m1)
+                k += 1
+            eobrun -= 1
+
+    step = ac_first if ah == 0 else ac_refine
+    n = 0
+    for by in range(cbh):
+        for bx in range(cbw):
+            if dri and n and n % dri == 0:
+                br.reset_at_rst()
+                eobrun = 0
+            step(st["coef"][by * st["bw"] + bx])
+            n += 1
 
 
 def decode_jpeg_gray(data: bytes) -> np.ndarray:
@@ -710,4 +943,233 @@ def encode_jpeg(
     bw.flush()
     out += bw.out
     out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# progressive encoder (SOF2, spectral selection + successive
+# approximation — the web's dominant JPEG shape; §G.1)
+
+
+def _quantize_zigzag(plane: np.ndarray, q: np.ndarray) -> np.ndarray:
+    """(h, w) level-shifted plane -> (n, 64) quantized zigzag blocks."""
+    blocks = _blockify(plane)
+    coefs = np.einsum("ij,njk,kl->nil", _C, blocks, _C.T)
+    quant = np.round(coefs / q.reshape(8, 8)).astype(np.int64)
+    return quant.reshape(-1, 64)[:, _ZIGZAG]
+
+
+def _sa_shift(v: int, al: int) -> int:
+    """Successive-approximation point transform: magnitude shift,
+    truncating toward zero (C's signed >> is floor; the spec wants
+    |v| >> Al re-signed)."""
+    return -((-v) >> al) if v < 0 else v >> al
+
+
+def _emit_dc_first(bw, zz_list, dc_codes_list, al):
+    """Interleaved DC first scan: one block per component per MCU
+    (4:4:4 / grayscale geometry — all components share the grid)."""
+    preds = [0] * len(zz_list)
+    for i in range(len(zz_list[0])):
+        for c, zz in enumerate(zz_list):
+            dc = int(zz[i][0]) >> al  # floor shift, mirrored by decode
+            diff = dc - preds[c]
+            preds[c] = dc
+            n, code = _magnitude(diff)
+            hc, ln = dc_codes_list[c][n]
+            bw.write(hc, ln)
+            if n:
+                bw.write(code, n)
+
+
+def _emit_dc_refine(bw, zz_list, al):
+    for i in range(len(zz_list[0])):
+        for zz in zz_list:
+            bw.write((int(zz[i][0]) >> al) & 1, 1)
+
+
+def _emit_ac_first(bw, zz, ac_codes, ss, se, al):
+    """AC first scan for one component/band.  EOB runs are not
+    accumulated (every all-zero tail emits its own EOB0), which the
+    Annex K tables can express."""
+    for blk in zz:
+        run = 0
+        for k in range(ss, se + 1):
+            v = _sa_shift(int(blk[k]), al)
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                c, ln = ac_codes[0xF0]
+                bw.write(c, ln)
+                run -= 16
+            n, code = _magnitude(v)
+            c, ln = ac_codes[(run << 4) | n]
+            bw.write(c, ln)
+            bw.write(code, n)
+            run = 0
+        if run:
+            c, ln = ac_codes[0x00]  # EOB0
+            bw.write(c, ln)
+
+
+def _emit_ac_refine(bw, zz, ac_codes, ss, se, ah, al):
+    """AC refinement scan (§G.1.2.3): newly-nonzero coefficients
+    (|v|>>Al == 1, history zero) emit run/1 symbols + a sign bit;
+    previously-nonzero ones append correction bits after the next
+    emitted symbol.  Due ZRLs must be emitted (with their buffered
+    correction bits) at EVERY nonzero position — history included —
+    but only while a newly-nonzero coefficient is still ahead
+    (k <= EOB); past it the run folds into the EOB symbol.  The
+    emission order per symbol is symbol, sign, THEN buffered bits —
+    exactly what the decoder's advance loop consumes."""
+    for blk in zz:
+        cur = [abs(int(blk[k])) >> al for k in range(ss, se + 1)]
+        eob_rel = max(
+            (i for i, a in enumerate(cur) if a == 1), default=-1
+        )
+        pending: list[int] = []
+        run = 0
+        for i, k in enumerate(range(ss, se + 1)):
+            v = int(blk[k])
+            a = -v if v < 0 else v
+            if (a >> al) == 0:
+                run += 1
+                continue
+            while run > 15 and i <= eob_rel:
+                c, ln = ac_codes[0xF0]
+                bw.write(c, ln)
+                for bit in pending:
+                    bw.write(bit, 1)
+                pending = []
+                run -= 16
+            if (a >> ah) != 0:  # history nonzero: correction bit
+                pending.append((a >> al) & 1)
+                continue
+            # newly nonzero (necessarily magnitude 1 at this precision)
+            c, ln = ac_codes[(run << 4) | 1]
+            bw.write(c, ln)
+            bw.write(1 if v > 0 else 0, 1)
+            for bit in pending:
+                bw.write(bit, 1)
+            pending = []
+            run = 0
+        if run or pending:
+            c, ln = ac_codes[0x00]  # EOB0
+            bw.write(c, ln)
+            for bit in pending:
+                bw.write(bit, 1)
+
+
+def encode_jpeg_progressive(img: np.ndarray, quality: int = 90) -> bytes:
+    """Deterministic progressive JPEG (SOF2), 4:4:4 / grayscale.
+
+    Scan script (the classic shape: coarse DC, banded AC, then one
+    refinement pass of each): DC first at Al=1; per component AC bands
+    1-5 and 6-63 at Al=1; per component AC refinements of both bands
+    at Ah=1/Al=0; DC refinement last.  Annex K tables throughout
+    (possible because EOB runs are never accumulated past one)."""
+    img = np.asarray(img)
+    if img.dtype != np.uint8 or img.ndim not in (2, 3):
+        raise ValueError("encode_jpeg expects uint8 (h,w) or (h,w,3)")
+    h, w = img.shape[:2]
+    if h == 0 or w == 0:
+        raise ValueError("encode_jpeg: empty image")
+    color = img.ndim == 3
+    qlum = _quality_scale(_QT_LUM, quality)
+    qchrom = _quality_scale(_QT_CHROM, quality)
+    nc = 3 if color else 1
+    out = bytearray(b"\xff\xd8")
+    out += (
+        b"\xff\xe0\x00\x10JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    )
+    for tq, q in ([(0, qlum), (1, qchrom)] if color else [(0, qlum)]):
+        out += b"\xff\xdb" + struct.pack(">HB", 67, tq)
+        out += bytes(int(q[z]) for z in _ZIGZAG)
+    out += b"\xff\xc2" + struct.pack(">HBHHB", 8 + 3 * nc, 8, h, w, nc)
+    if color:
+        out += bytes([1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1])
+    else:
+        out += bytes([1, 0x11, 0])
+
+    def dht(tc_th: int, bits: list[int], vals: list[int]) -> bytes:
+        return (
+            b"\xff\xc4"
+            + struct.pack(">HB", 19 + len(vals), tc_th)
+            + bytes(bits) + bytes(vals)
+        )
+
+    out += dht(0x00, _DC_LUM_BITS, _DC_LUM_VALS)
+    out += dht(0x10, _AC_LUM_BITS, _AC_LUM_VALS)
+    if color:
+        out += dht(0x01, _DC_CHROM_BITS, _DC_CHROM_VALS)
+        out += dht(0x11, _AC_CHROM_BITS, _AC_CHROM_VALS)
+
+    # quantized zigzag coefficients per component (4:4:4: one grid)
+    if color:
+        rgb = img.astype(np.float64)
+        y = (0.299 * rgb[..., 0] + 0.587 * rgb[..., 1]
+             + 0.114 * rgb[..., 2])
+        cb = 128.0 - 0.168736 * rgb[..., 0] - 0.331264 * rgb[..., 1] \
+            + 0.5 * rgb[..., 2]
+        cr = 128.0 + 0.5 * rgb[..., 0] - 0.418688 * rgb[..., 1] \
+            - 0.081312 * rgb[..., 2]
+        zz_list = [
+            _quantize_zigzag(_pad_to(p, 8, 8) - 128.0, q)
+            for p, q in ((y, qlum), (cb, qchrom), (cr, qchrom))
+        ]
+        dc_codes = [_codes_dict(_DC_LUM_BITS, _DC_LUM_VALS),
+                    _codes_dict(_DC_CHROM_BITS, _DC_CHROM_VALS),
+                    _codes_dict(_DC_CHROM_BITS, _DC_CHROM_VALS)]
+        ac_codes = [_codes_dict(_AC_LUM_BITS, _AC_LUM_VALS),
+                    _codes_dict(_AC_CHROM_BITS, _AC_CHROM_VALS),
+                    _codes_dict(_AC_CHROM_BITS, _AC_CHROM_VALS)]
+        comp_ids = [1, 2, 3]
+        tds = [0, 1, 1]
+        tas = [0, 1, 1]
+    else:
+        plane = _pad_to(img.astype(np.float64), 8, 8) - 128.0
+        zz_list = [_quantize_zigzag(plane, qlum)]
+        dc_codes = [_codes_dict(_DC_LUM_BITS, _DC_LUM_VALS)]
+        ac_codes = [_codes_dict(_AC_LUM_BITS, _AC_LUM_VALS)]
+        comp_ids = [1]
+        tds = [0]
+        tas = [0]
+
+    def sos(comps_in_scan, ss, se, ah, al) -> bytes:
+        ns = len(comps_in_scan)
+        hdr = b"\xff\xda" + struct.pack(">HB", 6 + 2 * ns, ns)
+        for c in comps_in_scan:
+            hdr += bytes([comp_ids[c], (tds[c] << 4) | tas[c]])
+        hdr += bytes([ss, se, (ah << 4) | al])
+        return hdr
+
+    def run_scan(header: bytes, emit) -> None:
+        nonlocal out
+        out += header
+        bw = _BitWriter()
+        emit(bw)
+        bw.flush()
+        out += bw.out
+
+    all_comps = list(range(nc))
+    # 1) DC first, Al=1, interleaved
+    run_scan(sos(all_comps, 0, 0, 0, 1),
+             lambda bw: _emit_dc_first(bw, zz_list, dc_codes, 1))
+    # 2) AC first scans, banded, Al=1
+    for c in all_comps:
+        for ss, se in ((1, 5), (6, 63)):
+            run_scan(sos([c], ss, se, 0, 1),
+                     lambda bw, c=c, ss=ss, se=se: _emit_ac_first(
+                         bw, zz_list[c], ac_codes[c], ss, se, 1))
+    # 3) AC refinements, Ah=1 -> Al=0
+    for c in all_comps:
+        for ss, se in ((1, 5), (6, 63)):
+            run_scan(sos([c], ss, se, 1, 0),
+                     lambda bw, c=c, ss=ss, se=se: _emit_ac_refine(
+                         bw, zz_list[c], ac_codes[c], ss, se, 1, 0))
+    # 4) DC refinement, Ah=1 -> Al=0
+    run_scan(sos(all_comps, 0, 0, 1, 0),
+             lambda bw: _emit_dc_refine(bw, zz_list, 0))
+    out += b"\xff\xd9"
     return bytes(out)

@@ -1027,14 +1027,14 @@ def video_sniff_df(spark, cfg: CorpusConfig, n: int = N_VIDEO_SNIFF_CLIPS):
 # flatbed scan shape: one file, one page per IFD.
 
 _S_SCANFMT = 13
-N_SCAN_IMAGES = 42
+N_SCAN_IMAGES = 45
 
 SCAN_MEDIA_SCHEMA = "media_ref string, bytes binary, kind string"
 
 _SCAN_CLASSES = (
     "bmp_gray", "bmp_rgb", "pgm", "ppm", "pbm",
     "tiff_none", "tiff_lzw", "tiff_packbits_bilevel",
-    "tiff_deflate_pred", "tiff_multipage", "webp",
+    "tiff_deflate_pred", "tiff_multipage", "webp", "jpeg_progressive",
     "err_webp_lossy", "err_pnm_16bit", "err_foreign",
 )
 
@@ -1097,6 +1097,10 @@ def scan_format_item(
         blob = encode_tiff([page() for _ in range(n_pages)], "lzw")
     elif kind == "webp":
         blob = encode_webp(page())
+    elif kind == "jpeg_progressive":
+        from ..imaging.jpeg import encode_jpeg_progressive
+
+        blob = encode_jpeg_progressive(page(), quality=92)
     elif kind == "err_webp_lossy":
         # a real RIFF/WEBP container whose codec chunk is lossy VP8 —
         # must refuse by NAME, not as unknown magic

@@ -106,11 +106,14 @@ def test_determinism():
     "mutate,msg",
     [
         (lambda d: b"\x89PNG" + d[4:], "missing SOI"),
-        (lambda d: d.replace(b"\xff\xc0", b"\xff\xc2", 1), "progressive"),
+        # a baseline stream relabeled SOF2 is NOT a valid progressive
+        # stream: its single scan has Ss=0/Se=63, illegal for a DC scan
+        (lambda d: d.replace(b"\xff\xc0", b"\xff\xc2", 1),
+         "DC scan with Se"),
         (lambda d: d.replace(b"\xff\xc0", b"\xff\xc9", 1), "arithmetic"),
         (lambda d: d[: len(d) // 2], "truncated"),
     ],
-    ids=["not-jpeg", "sof2", "sof9", "truncated"],
+    ids=["not-jpeg", "sof2-relabel", "sof9", "truncated"],
 )
 def test_refusals(mutate, msg):
     data = encode_jpeg(_grad(24, 24), 90)
@@ -158,3 +161,85 @@ def test_mjpeg_avi_chain_is_real():
         assert rows and all(r["error"] is None for r in rows)
         assert all(r["sharpness"] is not None for r in rows)
     assert seen >= 1
+
+
+# --- progressive (SOF2) ------------------------------------------------------
+
+
+def _rand(h, w, ch=None, seed=9):
+    rng = np.random.default_rng(seed)
+    shape = (h, w) if ch is None else (h, w, ch)
+    return rng.integers(0, 256, shape, dtype=np.int64).astype(np.uint8)
+
+
+@pytest.mark.parametrize("quality", [90, 60])
+@pytest.mark.parametrize(
+    "img",
+    [_grad(24, 40), _grad(17, 23), _rand(32, 48), _rand(16, 16, 3)],
+    ids=["grad", "odd-dims", "noise", "color"],
+)
+def test_progressive_decodes_identical_to_baseline(img, quality):
+    """Successive approximation is a lossless re-coding of the SAME
+    quantized coefficients, so after all refinement scans the
+    progressive decode must be pixel-identical to the baseline decode
+    at the same quality."""
+    from mcp_ocr_server_spark.imaging.jpeg import encode_jpeg_progressive
+
+    base = decode_jpeg(encode_jpeg(img, quality))
+    prog = decode_jpeg(encode_jpeg_progressive(img, quality))
+    assert prog.shape == base.shape
+    assert (prog == base).all()
+
+
+def test_progressive_determinism():
+    from mcp_ocr_server_spark.imaging.jpeg import encode_jpeg_progressive
+
+    img = _grad(30, 30)
+    assert encode_jpeg_progressive(img, 85) == encode_jpeg_progressive(
+        img, 85
+    )
+
+
+def test_progressive_eobrun_across_blocks():
+    """Hand-built SOF2 stream exercising the EOBn path (run > 0) the
+    in-repo encoder never emits: a 16x8 gray frame (two blocks), DC
+    scan, then an AC scan that covers BOTH blocks with one EOBRUN-2
+    symbol from a custom one-symbol Huffman table."""
+    import struct as _s
+
+    from mcp_ocr_server_spark.imaging.jpeg import _ZIGZAG, _C
+
+    out = bytearray(b"\xff\xd8")
+    # DQT 0: all-16 table (zigzag order on the wire)
+    out += b"\xff\xdb" + _s.pack(">HB", 67, 0) + bytes([16] * 64)
+    # SOF2: 8 rows, 16 cols, 1 component
+    out += b"\xff\xc2" + _s.pack(">HBHHB", 11, 8, 8, 16, 1)
+    out += bytes([1, 0x11, 0])
+    # DHT DC 0: two symbols {2, 3} at length 1 (codes 0, 1)
+    bits = [2] + [0] * 15
+    out += b"\xff\xc4" + _s.pack(">HB", 19 + 2, 0x00) + bytes(bits) \
+        + bytes([2, 3])
+    # DHT AC 0: single symbol 0x10 (EOBRUN with r=1) at length 1
+    bits = [1] + [0] * 15
+    out += b"\xff\xc4" + _s.pack(">HB", 19 + 1, 0x10) + bytes(bits) \
+        + bytes([0x10])
+    # DC first scan (Ss=Se=0, Ah=Al=0): block DCs = +2 then diff -3
+    out += b"\xff\xda" + _s.pack(">HB", 8, 1) + bytes([1, 0x00, 0, 0, 0])
+    # bits: sym2(code 0,len 1) + "10" (value 2) ; sym3? diff -3 ->
+    # magnitude 2, code 0b00 (v + 2^2 - 1 = 0) -> wait: -3 size 2
+    # receive bits for -3: -3 + (1<<2) - 1 = 0 -> two 0 bits
+    # stream: [0][10] [0][00]  -> 010000xx pad 1s -> 0b01000011 = 0x43
+    out += bytes([0b01000011])
+    # AC first scan 1..63: one symbol 0x10 (code 0, 1 bit) + 1 extra
+    # bit (0) -> EOBRUN = (1<<1)-1 + 0 = 1: ends block 0, skips block 1
+    out += b"\xff\xda" + _s.pack(">HB", 8, 1) + bytes([1, 0x00, 1, 63, 0])
+    out += bytes([0b00111111])  # bits: [0][0] + 1-pad
+    out += b"\xff\xd9"
+    img = decode_jpeg(bytes(out))
+    assert img.shape == (8, 16)
+    # expected: DC-only blocks: dc=2 -> 16*2/8 + 128 = 132; dc=-1 -> 126
+    want = np.concatenate(
+        [np.full((8, 8), 132, np.uint8), np.full((8, 8), 126, np.uint8)],
+        axis=1,
+    )
+    assert (img == want).all(), img[0]
