@@ -966,33 +966,42 @@ def _sa_shift(v: int, al: int) -> int:
     return -((-v) >> al) if v < 0 else v >> al
 
 
-def _emit_dc_first(bw, zz_list, dc_codes_list, al):
-    """Interleaved DC first scan: one block per component per MCU
-    (4:4:4 / grayscale geometry — all components share the grid)."""
+def _emit_dc_first(bw, zz_list, dc_codes_list, al, mcu_order):
+    """Interleaved DC first scan: blocks visited in MCU order
+    (mcu_order = [(component, block_index), ...] — for 4:4:4 one
+    block per component per MCU, for 4:2:0 the 2x2-Y walk)."""
     preds = [0] * len(zz_list)
-    for i in range(len(zz_list[0])):
-        for c, zz in enumerate(zz_list):
-            dc = int(zz[i][0]) >> al  # floor shift, mirrored by decode
-            diff = dc - preds[c]
-            preds[c] = dc
-            n, code = _magnitude(diff)
-            hc, ln = dc_codes_list[c][n]
-            bw.write(hc, ln)
-            if n:
-                bw.write(code, n)
+    for c, i in mcu_order:
+        zz = zz_list[c]
+        dc = int(zz[i][0]) >> al  # floor shift, mirrored by decode
+        diff = dc - preds[c]
+        preds[c] = dc
+        n, code = _magnitude(diff)
+        hc, ln = dc_codes_list[c][n]
+        bw.write(hc, ln)
+        if n:
+            bw.write(code, n)
 
 
-def _emit_dc_refine(bw, zz_list, al):
-    for i in range(len(zz_list[0])):
-        for zz in zz_list:
-            bw.write((int(zz[i][0]) >> al) & 1, 1)
+def _emit_dc_refine(bw, zz_list, al, mcu_order):
+    for c, i in mcu_order:
+        bw.write((int(zz_list[c][i][0]) >> al) & 1, 1)
 
 
-def _emit_ac_first(bw, zz, ac_codes, ss, se, al):
+def _comp_block_iter(zz, cbw, cbh, padded_bw):
+    """Blocks of one component in its OWN (non-interleaved) grid order
+    — an AC scan never visits the MCU-padding blocks beyond the
+    component's image-covering grid."""
+    for by in range(cbh):
+        for bx in range(cbw):
+            yield zz[by * padded_bw + bx]
+
+
+def _emit_ac_first(bw, blocks, ac_codes, ss, se, al):
     """AC first scan for one component/band.  EOB runs are not
     accumulated (every all-zero tail emits its own EOB0), which the
     Annex K tables can express."""
-    for blk in zz:
+    for blk in blocks:
         run = 0
         for k in range(ss, se + 1):
             v = _sa_shift(int(blk[k]), al)
@@ -1013,7 +1022,7 @@ def _emit_ac_first(bw, zz, ac_codes, ss, se, al):
             bw.write(c, ln)
 
 
-def _emit_ac_refine(bw, zz, ac_codes, ss, se, ah, al):
+def _emit_ac_refine(bw, blocks, ac_codes, ss, se, ah, al):
     """AC refinement scan (§G.1.2.3): newly-nonzero coefficients
     (|v|>>Al == 1, history zero) emit run/1 symbols + a sign bit;
     previously-nonzero ones append correction bits after the next
@@ -1023,7 +1032,7 @@ def _emit_ac_refine(bw, zz, ac_codes, ss, se, ah, al):
     (k <= EOB); past it the run folds into the EOB symbol.  The
     emission order per symbol is symbol, sign, THEN buffered bits —
     exactly what the decoder's advance loop consumes."""
-    for blk in zz:
+    for blk in blocks:
         cur = [abs(int(blk[k])) >> al for k in range(ss, se + 1)]
         eob_rel = max(
             (i for i, a in enumerate(cur) if a == 1), default=-1
@@ -1061,14 +1070,21 @@ def _emit_ac_refine(bw, zz, ac_codes, ss, se, ah, al):
                 bw.write(bit, 1)
 
 
-def encode_jpeg_progressive(img: np.ndarray, quality: int = 90) -> bytes:
-    """Deterministic progressive JPEG (SOF2), 4:4:4 / grayscale.
+def encode_jpeg_progressive(
+    img: np.ndarray, quality: int = 90, subsample: bool = False,
+) -> bytes:
+    """Deterministic progressive JPEG (SOF2), grayscale / YCbCr 4:4:4,
+    or 4:2:0 with subsample=True (2x2 box-averaged chroma, the shape
+    of most real-world progressive files).
 
     Scan script (the classic shape: coarse DC, banded AC, then one
     refinement pass of each): DC first at Al=1; per component AC bands
     1-5 and 6-63 at Al=1; per component AC refinements of both bands
     at Ah=1/Al=0; DC refinement last.  Annex K tables throughout
-    (possible because EOB runs are never accumulated past one)."""
+    (possible because EOB runs are never accumulated past one).
+    DC scans are interleaved in MCU order (2x2 Y blocks per MCU at
+    4:2:0); AC scans are non-interleaved and walk each component's
+    OWN image-covering block grid — never the MCU padding blocks."""
     img = np.asarray(img)
     if img.dtype != np.uint8 or img.ndim not in (2, 3):
         raise ValueError("encode_jpeg expects uint8 (h,w) or (h,w,3)")
@@ -1076,6 +1092,8 @@ def encode_jpeg_progressive(img: np.ndarray, quality: int = 90) -> bytes:
     if h == 0 or w == 0:
         raise ValueError("encode_jpeg: empty image")
     color = img.ndim == 3
+    if subsample and not color:
+        raise ValueError("encode_jpeg: subsample needs a color image")
     qlum = _quality_scale(_QT_LUM, quality)
     qchrom = _quality_scale(_QT_CHROM, quality)
     nc = 3 if color else 1
@@ -1088,7 +1106,8 @@ def encode_jpeg_progressive(img: np.ndarray, quality: int = 90) -> bytes:
         out += bytes(int(q[z]) for z in _ZIGZAG)
     out += b"\xff\xc2" + struct.pack(">HBHHB", 8 + 3 * nc, 8, h, w, nc)
     if color:
-        out += bytes([1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1])
+        ysub = 0x22 if subsample else 0x11
+        out += bytes([1, ysub, 0, 2, 0x11, 1, 3, 0x11, 1])
     else:
         out += bytes([1, 0x11, 0])
 
@@ -1105,7 +1124,8 @@ def encode_jpeg_progressive(img: np.ndarray, quality: int = 90) -> bytes:
         out += dht(0x01, _DC_CHROM_BITS, _DC_CHROM_VALS)
         out += dht(0x11, _AC_CHROM_BITS, _AC_CHROM_VALS)
 
-    # quantized zigzag coefficients per component (4:4:4: one grid)
+    # quantized zigzag coefficients per component, plus each
+    # component's padded grid width and image-covering grid
     if color:
         rgb = img.astype(np.float64)
         y = (0.299 * rgb[..., 0] + 0.587 * rgb[..., 1]
@@ -1114,8 +1134,27 @@ def encode_jpeg_progressive(img: np.ndarray, quality: int = 90) -> bytes:
             + 0.5 * rgb[..., 2]
         cr = 128.0 + 0.5 * rgb[..., 0] - 0.418688 * rgb[..., 1] \
             - 0.081312 * rgb[..., 2]
+        if subsample:
+            y = _pad_to(y, 16, 16)
+            cb = _pad_to(cb, 16, 16)
+            cr = _pad_to(cr, 16, 16)
+            cb = cb.reshape(cb.shape[0] // 2, 2, -1, 2).mean(axis=(1, 3))
+            cr = cr.reshape(cr.shape[0] // 2, 2, -1, 2).mean(axis=(1, 3))
+            grids = [  # (padded_bw, comp-grid bw, comp-grid bh)
+                (y.shape[1] // 8, (w + 7) // 8, (h + 7) // 8),
+                (cb.shape[1] // 8, (-(-w // 2) + 7) // 8,
+                 (-(-h // 2) + 7) // 8),
+                (cr.shape[1] // 8, (-(-w // 2) + 7) // 8,
+                 (-(-h // 2) + 7) // 8),
+            ]
+        else:
+            y = _pad_to(y, 8, 8)
+            cb = _pad_to(cb, 8, 8)
+            cr = _pad_to(cr, 8, 8)
+            g = (y.shape[1] // 8, (w + 7) // 8, (h + 7) // 8)
+            grids = [g, g, g]
         zz_list = [
-            _quantize_zigzag(_pad_to(p, 8, 8) - 128.0, q)
+            _quantize_zigzag(p - 128.0, q)
             for p, q in ((y, qlum), (cb, qchrom), (cr, qchrom))
         ]
         dc_codes = [_codes_dict(_DC_LUM_BITS, _DC_LUM_VALS),
@@ -1130,11 +1169,30 @@ def encode_jpeg_progressive(img: np.ndarray, quality: int = 90) -> bytes:
     else:
         plane = _pad_to(img.astype(np.float64), 8, 8) - 128.0
         zz_list = [_quantize_zigzag(plane, qlum)]
+        grids = [(plane.shape[1] // 8, (w + 7) // 8, (h + 7) // 8)]
         dc_codes = [_codes_dict(_DC_LUM_BITS, _DC_LUM_VALS)]
         ac_codes = [_codes_dict(_AC_LUM_BITS, _AC_LUM_VALS)]
         comp_ids = [1]
         tds = [0]
         tas = [0]
+
+    # MCU-order visit list for the interleaved DC scans
+    mcu_order: list[tuple[int, int]] = []
+    if color and subsample:
+        ybw = grids[0][0]
+        cbw2 = grids[1][0]
+        for my in range(y.shape[0] // 16):
+            for mx in range(ybw // 2):
+                for v in range(2):
+                    for hh in range(2):
+                        mcu_order.append(
+                            (0, (my * 2 + v) * ybw + mx * 2 + hh))
+                mcu_order.append((1, my * cbw2 + mx))
+                mcu_order.append((2, my * cbw2 + mx))
+    else:
+        for i in range(len(zz_list[0])):
+            for c in range(nc):
+                mcu_order.append((c, i))
 
     def sos(comps_in_scan, ss, se, ah, al) -> bytes:
         ns = len(comps_in_scan)
@@ -1152,24 +1210,29 @@ def encode_jpeg_progressive(img: np.ndarray, quality: int = 90) -> bytes:
         bw.flush()
         out += bw.out
 
+    def blocks_of(c):
+        padded_bw, cbw, cbh = grids[c]
+        return list(_comp_block_iter(zz_list[c], cbw, cbh, padded_bw))
+
     all_comps = list(range(nc))
     # 1) DC first, Al=1, interleaved
     run_scan(sos(all_comps, 0, 0, 0, 1),
-             lambda bw: _emit_dc_first(bw, zz_list, dc_codes, 1))
+             lambda bw: _emit_dc_first(bw, zz_list, dc_codes, 1,
+                                       mcu_order))
     # 2) AC first scans, banded, Al=1
     for c in all_comps:
         for ss, se in ((1, 5), (6, 63)):
             run_scan(sos([c], ss, se, 0, 1),
                      lambda bw, c=c, ss=ss, se=se: _emit_ac_first(
-                         bw, zz_list[c], ac_codes[c], ss, se, 1))
+                         bw, blocks_of(c), ac_codes[c], ss, se, 1))
     # 3) AC refinements, Ah=1 -> Al=0
     for c in all_comps:
         for ss, se in ((1, 5), (6, 63)):
             run_scan(sos([c], ss, se, 1, 0),
                      lambda bw, c=c, ss=ss, se=se: _emit_ac_refine(
-                         bw, zz_list[c], ac_codes[c], ss, se, 1, 0))
+                         bw, blocks_of(c), ac_codes[c], ss, se, 1, 0))
     # 4) DC refinement, Ah=1 -> Al=0
     run_scan(sos(all_comps, 0, 0, 1, 0),
-             lambda bw: _emit_dc_refine(bw, zz_list, 0))
+             lambda bw: _emit_dc_refine(bw, zz_list, 0, mcu_order))
     out += b"\xff\xd9"
     return bytes(out)

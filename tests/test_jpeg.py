@@ -243,3 +243,21 @@ def test_progressive_eobrun_across_blocks():
         axis=1,
     )
     assert (img == want).all(), img[0]
+
+
+@pytest.mark.parametrize(
+    "shape", [(45, 61, 3), (31, 34, 3), (17, 23, 3)],
+    ids=["even-ish", "odd", "sub-mcu"],
+)
+def test_progressive_420_identical_to_baseline(shape):
+    """4:2:0 progressive (the real-world shape): interleaved DC walks
+    the 2x2-Y MCU order while AC scans walk each component's own
+    image-covering grid, skipping the MCU padding blocks — odd
+    dimensions pin that geometry."""
+    from mcp_ocr_server_spark.imaging.jpeg import encode_jpeg_progressive
+
+    img = _rand(*shape[:2], 3, seed=shape[0])
+    for q in (90, 60):
+        base = decode_jpeg(encode_jpeg(img, q, subsample=True))
+        prog = decode_jpeg(encode_jpeg_progressive(img, q, subsample=True))
+        assert (prog == base).all()
