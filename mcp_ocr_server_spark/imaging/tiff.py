@@ -245,7 +245,10 @@ def _read_ifd(data: bytes, e: str, off: int) -> tuple[dict[int, list[int]], int]
         else:  # RATIONAL/ASCII: keep numerators only; none are load-bearing here
             vals = [0] * cnt
         entries[tag] = vals
-    (nxt,) = struct.unpack_from(e + "I", data, off + 2 + 12 * n)
+    next_at = off + 2 + 12 * n
+    if next_at + 4 > len(data):
+        raise ValueError("tiff: truncated next-IFD offset")
+    (nxt,) = struct.unpack_from(e + "I", data, next_at)
     return entries, nxt
 
 

@@ -238,3 +238,55 @@ def test_decode_image_sniffs_all_formats():
         assert (got == want).all()
     with pytest.raises(ValueError):
         decode_image(b"\x00\x01\x02\x03 not an image")
+
+
+# --- exception-contract fuzz -----------------------------------------------
+# Property: for arbitrary (and truncated-valid) bytes, decode_image
+# either returns a well-formed uint8 array or raises ValueError —
+# never struct.error / IndexError / OverflowError / zlib.error /
+# infinite loop (the exception-contract class the audio sniffers pin
+# the same way).
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from mcp_ocr_server_spark.imaging.webp import encode_webp
+
+
+def _contract(payload: bytes) -> None:
+    try:
+        out = decode_image(payload)
+    except ValueError:
+        return
+    assert out.dtype == np.uint8 and out.ndim in (2, 3)
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.binary(min_size=0, max_size=400))
+def test_decode_image_exception_contract_fuzz(data):
+    _contract(data)
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.binary(min_size=0, max_size=200))
+def test_decode_image_fuzz_magic_prefixed(data):
+    # force each sniffer branch so the fuzz reaches the parsers
+    for magic in (b"BM", b"P5\n", b"P6\n", b"P4\n", b"II*\x00",
+                  b"MM\x00*", b"RIFF\x20\x00\x00\x00WEBPVP8L",
+                  b"\xff\xd8\xff"):
+        _contract(magic + data)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.integers(min_value=0, max_value=10_000), st.integers(0, 3))
+def test_decode_image_truncation_fuzz(cut, which):
+    # truncations of VALID streams — the parsers must refuse loudly,
+    # not wander: exercises mid-structure EOF in every container
+    img = GRAY[:16, :24]
+    blob = [
+        encode_tiff([img], "lzw"),
+        encode_bmp(img),
+        encode_pnm(img),
+        encode_webp(img),
+    ][which]
+    _contract(blob[: min(cut, max(0, len(blob) - 1))])
