@@ -5,8 +5,11 @@ seam (preprocessor.go:64-72, 114-121 — SURVEY.md §2.1 S3/S4): media
 bytes travel through Spark as an encoded-image BinaryType column and
 are decoded to uint8 arrays only inside pandas UDF batches.
 
-Supports 8-bit grayscale (color type 0) and 8-bit RGB (color type 2),
-all five standard scanline filters on decode, filter 0 on encode.
+Decodes the 8-bit-chain half of the spec's matrix: gray at depths
+1/2/4/8, palette (PLTE), RGB, gray+alpha / RGBA (opaque only), all
+five scanline filters, and both interlace methods (none / Adam7);
+16-bit samples and real transparency refuse loudly.  Encodes 8-bit
+grayscale (color type 0) and RGB (color type 2) with filter 0.
 Pure function of the pixel array → byte-identical output for identical
 input, which the content-hash memoization tests rely on
 (cache.go:188-198 key determinism, cache_test.go:64-77).
@@ -64,49 +67,17 @@ def _paeth(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
     return out.astype(np.uint8)
 
 
-def decode_png(data: bytes) -> np.ndarray:
-    """PNG bytes → uint8 HxW or HxWx3 array.
-
-    Raises ValueError on anything that is not an 8-bit gray/RGB
-    non-interlaced PNG — callers map that to PREPROCESSING_FAILED /
-    UNSUPPORTED_FORMAT error rows (fail-soft, handler.go:271-275).
-    """
-    if len(data) < 8 or data[:8] != _SIGNATURE:
-        raise ValueError("not a PNG: bad signature")
-    pos = 8
-    width = height = None
-    color_type = bit_depth = interlace = None
-    idat = bytearray()
-    while pos + 8 <= len(data):
-        (length,) = struct.unpack(">I", data[pos : pos + 4])
-        tag = data[pos + 4 : pos + 8]
-        payload = data[pos + 8 : pos + 8 + length]
-        pos += 12 + length
-        if tag == b"IHDR":
-            width, height, bit_depth, color_type, _, _, interlace = struct.unpack(
-                ">IIBBBBB", payload
-            )
-        elif tag == b"IDAT":
-            idat.extend(payload)
-        elif tag == b"IEND":
-            break
-    if width is None:
-        raise ValueError("not a PNG: missing IHDR")
-    if bit_depth != 8 or color_type not in (0, 2) or interlace != 0:
-        raise ValueError(
-            f"unsupported PNG: depth={bit_depth} color={color_type} interlace={interlace}"
-        )
-    channels = 1 if color_type == 0 else 3
-    stride = width * channels
-    raw = zlib.decompress(bytes(idat))
+def _unfilter(raw: bytes, height: int, stride: int, bpp: int) -> np.ndarray:
+    """Undo the five scanline filters over one filtered sub-image
+    (filter byte + stride bytes per row); bpp = filter distance in
+    bytes (>= 1 even for sub-byte depths, per spec)."""
     if len(raw) != height * (stride + 1):
         raise ValueError("corrupt PNG: bad decompressed length")
-    raw = np.frombuffer(raw, dtype=np.uint8).reshape(height, stride + 1)
-    filters = raw[:, 0]
+    rows = np.frombuffer(raw, dtype=np.uint8).reshape(height, stride + 1)
+    filters = rows[:, 0]
     out = np.zeros((height, stride), dtype=np.uint8)
-    bpp = channels  # bytes per pixel at 8-bit depth
     for y in range(height):
-        line = raw[y, 1:].astype(np.uint8).copy()
+        line = rows[y, 1:].astype(np.uint8).copy()
         f = filters[y]
         prev = out[y - 1] if y > 0 else np.zeros(stride, dtype=np.uint8)
         if f == 0:
@@ -135,6 +106,136 @@ def decode_png(data: bytes) -> np.ndarray:
                 ) & 0xFF
         else:
             raise ValueError(f"corrupt PNG: filter {f}")
+    return out
+
+
+def _expand_rows(rows: np.ndarray, width: int, channels: int,
+                 depth: int) -> np.ndarray:
+    """(h, stride) unfiltered bytes -> (h, width, channels) samples at
+    8 bits.  Sub-byte gray/palette samples unpack MSB-first; gray
+    scales to full 8-bit range (palette indices do NOT scale — the
+    caller indexes the PLTE)."""
+    h = rows.shape[0]
+    if depth == 8:
+        return rows[:, : width * channels].reshape(h, width, channels)
+    # depth in (1, 2, 4): single-channel only (spec: gray or palette)
+    bits = np.unpackbits(rows, axis=1)
+    samples = np.zeros((h, width), dtype=np.uint8)
+    for b in range(depth):
+        samples = (samples << 1) | bits[:, b::depth][:, :width]
+    return samples.reshape(h, width, 1)
+
+
+# Adam7 pass origins and strides: (x0, y0, dx, dy)
+_ADAM7 = ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+          (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    """PNG bytes → uint8 HxW (gray) or HxWx3 (RGB) array.
+
+    Covers the 8-bit-chain half of the spec's matrix: gray at depths
+    1/2/4/8 (scaled to 8-bit), palette (PLTE) at 1/2/4/8, RGB,
+    gray+alpha and RGBA at 8 (alpha must be uniformly opaque — the
+    OCR chain has no compositing semantics), both interlace methods
+    (none / Adam7).  16-bit samples and non-opaque alpha raise
+    ValueError — callers map that to PREPROCESSING_FAILED /
+    UNSUPPORTED_FORMAT error rows (fail-soft, handler.go:271-275).
+    """
+    if len(data) < 8 or data[:8] != _SIGNATURE:
+        raise ValueError("not a PNG: bad signature")
+    pos = 8
+    width = height = None
+    color_type = bit_depth = interlace = None
+    palette = None
+    trns = None
+    idat = bytearray()
+    while pos + 8 <= len(data):
+        (length,) = struct.unpack(">I", data[pos : pos + 4])
+        tag = data[pos + 4 : pos + 8]
+        payload = data[pos + 8 : pos + 8 + length]
+        pos += 12 + length
+        if tag == b"IHDR":
+            width, height, bit_depth, color_type, _, _, interlace = struct.unpack(
+                ">IIBBBBB", payload
+            )
+        elif tag == b"PLTE":
+            if len(payload) % 3:
+                raise ValueError("corrupt PNG: PLTE length")
+            palette = np.frombuffer(payload, np.uint8).reshape(-1, 3)
+        elif tag == b"tRNS":
+            trns = payload
+        elif tag == b"IDAT":
+            idat.extend(payload)
+        elif tag == b"IEND":
+            break
+    if width is None:
+        raise ValueError("not a PNG: missing IHDR")
+    if width <= 0 or height <= 0:
+        raise ValueError("corrupt PNG: bad dimensions")
+    if bit_depth == 16:
+        raise ValueError("unsupported PNG: 16-bit samples (8-bit chain)")
+    if color_type not in (0, 2, 3, 4, 6):
+        raise ValueError(f"unsupported PNG: color type {color_type}")
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color_type]
+    if bit_depth != 8 and (channels != 1 or bit_depth not in (1, 2, 4)):
+        raise ValueError(
+            f"unsupported PNG: depth={bit_depth} color={color_type}"
+        )
+    if interlace not in (0, 1):
+        raise ValueError(f"unsupported PNG: interlace {interlace}")
+    if color_type == 3:
+        if palette is None:
+            raise ValueError("corrupt PNG: palette image without PLTE")
+        if trns is not None and any(a != 255 for a in trns):
+            raise ValueError("unsupported PNG: transparent palette entry")
+    bpp = max(1, channels * bit_depth // 8)
+
+    raw = zlib.decompress(bytes(idat))
+    px = np.zeros((height, width, channels), dtype=np.uint8)
+    if interlace == 0:
+        stride = (width * channels * bit_depth + 7) // 8
+        rows = _unfilter(raw, height, stride, bpp)
+        px = _expand_rows(rows, width, channels, bit_depth)
+    else:  # Adam7: seven independently-filtered sub-images
+        off = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (width - x0 + dx - 1) // dx
+            ph = (height - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            stride = (pw * channels * bit_depth + 7) // 8
+            need = ph * (stride + 1)
+            rows = _unfilter(raw[off : off + need], ph, stride, bpp)
+            off += need
+            sub = _expand_rows(rows, pw, channels, bit_depth)
+            px[y0::dy, x0::dx] = sub
+        if off != len(raw):
+            raise ValueError("corrupt PNG: interlaced data length")
+
+    if bit_depth != 8 and color_type == 0:
+        # scale sub-byte gray to the full 8-bit range (spec 12.5)
+        px = (px.astype(np.uint32) * 255 // ((1 << bit_depth) - 1)).astype(
+            np.uint8
+        )
+    if color_type == 3:
+        idx = px[:, :, 0]
+        if int(idx.max(initial=0)) >= len(palette):
+            raise ValueError("corrupt PNG: palette index out of range")
+        rgb = palette[idx]
+        if (rgb[:, :, 0] == rgb[:, :, 1]).all() and (
+            rgb[:, :, 1] == rgb[:, :, 2]
+        ).all():
+            return rgb[:, :, 0].copy()
+        return rgb
+    if color_type in (4, 6):
+        if not (px[:, :, -1] == 255).all():
+            raise ValueError(
+                "unsupported PNG: non-opaque alpha (no compositing"
+                " semantics in the OCR chain)"
+            )
+        px = px[:, :, :-1]
+        channels -= 1
     if channels == 1:
-        return out.reshape(height, width)
-    return out.reshape(height, width, channels)
+        return px.reshape(height, width)
+    return px.copy()

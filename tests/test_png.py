@@ -53,3 +53,106 @@ def test_decode_rejects_unsupported_depth():
     data = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr) + chunk(b"IEND", b"")
     with pytest.raises(ValueError):
         png.decode_png(data)
+
+
+# --- extended decode matrix (palette / low depths / alpha / Adam7) -----------
+
+
+def _chunk(tag, payload):
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(payload))
+        + tag
+        + payload
+        + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF)
+    )
+
+
+def _build(w, h, depth, ctype, idat_raw, plte=None, interlace=0,
+           trns=None):
+    import struct
+    import zlib
+
+    out = b"\x89PNG\r\n\x1a\n" + _chunk(
+        b"IHDR", struct.pack(">IIBBBBB", w, h, depth, ctype, 0, 0,
+                             interlace)
+    )
+    if plte is not None:
+        out += _chunk(b"PLTE", plte)
+    if trns is not None:
+        out += _chunk(b"tRNS", trns)
+    out += _chunk(b"IDAT", zlib.compress(idat_raw))
+    return out + _chunk(b"IEND", b"")
+
+
+def test_palette_png():
+    plte = bytes([255, 0, 0, 0, 255, 0, 10, 10, 10])  # red green gray
+    # 3x2, depth 8 indices, filter 0 rows
+    raw = b"\x00" + bytes([0, 1, 2]) + b"\x00" + bytes([2, 2, 0])
+    out = png.decode_png(_build(3, 2, 8, 3, raw, plte=plte))
+    want = np.array(
+        [[[255, 0, 0], [0, 255, 0], [10, 10, 10]],
+         [[10, 10, 10], [10, 10, 10], [255, 0, 0]]], np.uint8)
+    assert (out == want).all()
+
+
+def test_palette_png_2bit_packed():
+    plte = bytes([0, 0, 0, 85, 85, 85, 170, 170, 170, 255, 255, 255])
+    # 5 px of 2-bit indices [3,0,1,2,3] -> bytes 0b11000110, 0b11000000
+    raw = b"\x00" + bytes([0b11000110, 0b11000000])
+    out = png.decode_png(_build(5, 1, 2, 3, raw, plte=plte))
+    # all-gray palette folds to HxW
+    assert out.shape == (1, 5)
+    assert list(out[0]) == [255, 0, 85, 170, 255]
+
+
+def test_gray_1bit_scaled():
+    # 10 px row of 1-bit gray: 1->255, 0->0; MSB-first with pad bits
+    raw = b"\x00" + bytes([0b10110000, 0b01000000])
+    out = png.decode_png(_build(10, 1, 1, 0, raw))
+    assert list(out[0]) == [255, 0, 255, 255, 0, 0, 0, 0, 0, 255]
+
+
+def test_rgba_opaque_and_refusal():
+    # 2x1 RGBA, opaque -> RGB; alpha 128 -> loud refusal
+    raw = b"\x00" + bytes([1, 2, 3, 255, 4, 5, 6, 255])
+    out = png.decode_png(_build(2, 1, 8, 6, raw))
+    assert (out == np.array([[[1, 2, 3], [4, 5, 6]]], np.uint8)).all()
+    raw2 = b"\x00" + bytes([1, 2, 3, 128, 4, 5, 6, 255])
+    with pytest.raises(ValueError, match="alpha"):
+        png.decode_png(_build(2, 1, 8, 6, raw2))
+
+
+def test_gray_alpha():
+    raw = b"\x00" + bytes([7, 255, 200, 255])
+    out = png.decode_png(_build(2, 1, 8, 4, raw))
+    assert out.shape == (1, 2) and list(out[0]) == [7, 200]
+
+
+def test_adam7_interlaced_roundtrip_semantics():
+    # Build an interlaced stream for a known 5x5 gray image by packing
+    # the seven passes ourselves (filter 0 everywhere), then check the
+    # decoder reassembles the original raster.
+    img = (np.arange(25, dtype=np.uint8) * 9).reshape(5, 5)
+    passes = ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+              (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+    raw = bytearray()
+    for x0, y0, dx, dy in passes:
+        sub = img[y0::dy, x0::dx]
+        if sub.size == 0:
+            continue
+        for row in sub:
+            raw += b"\x00" + row.tobytes()
+    out = png.decode_png(_build(5, 5, 8, 0, bytes(raw), interlace=1))
+    assert (out == img).all()
+
+
+def test_transparent_palette_refused():
+    plte = bytes([1, 2, 3, 4, 5, 6])
+    raw = b"\x00" + bytes([0, 1])
+    with pytest.raises(ValueError, match="transparent"):
+        png.decode_png(
+            _build(2, 1, 8, 3, raw, plte=plte, trns=bytes([255, 7]))
+        )
