@@ -11,7 +11,9 @@ is a whole document, one page per IFD.
 Supported on decode (per TIFF 6.0, independently re-derived):
   - both byte orders (II little / MM big), classic 32-bit offsets
   - multi-page via the IFD next-offset chain (decode_tiff_pages)
-  - strip organization (any RowsPerStrip), PlanarConfiguration 1
+  - strip organization (any RowsPerStrip) AND tiled organization
+    (TileWidth/TileLength multiples of 16, edge tiles padded to full
+    size, predictor per tile row), PlanarConfiguration 1
   - Compression 1 (none), 5 (LZW, MSB-first codes with the spec's
     "early change" width bump), 8/32946 (Deflate/zlib),
     32773 (PackBits)
@@ -19,14 +21,15 @@ Supported on decode (per TIFF 6.0, independently re-derived):
   - PhotometricInterpretation 0/1 at 1 and 8 bits (bilevel rows
     padded to whole bytes, MSB-first), 2 (8-bit RGB), 3 (palette,
     16-bit ColorMap entries folded to 8)
-Refused LOUDLY (ValueError, the repo-wide contract): tiled layouts,
-JPEG-in-TIFF (compression 6/7), 16-bit samples, planar config 2,
-BigTIFF — silent misdecodes would corrupt OCR pixel math downstream.
+Refused LOUDLY (ValueError, the repo-wide contract): JPEG-in-TIFF
+(compression 6/7), 16-bit samples, planar config 2, BigTIFF —
+silent misdecodes would corrupt OCR pixel math downstream.
 
 The encoder emits little-endian classic TIFF, gray8 / RGB8 / bilevel,
 one IFD per page, multi-strip (RowsPerStrip=16 to exercise the strip
-path), any supported compression, optional predictor — deterministic
-byte-identical output for identical input (memoization contract).
+path) or 32x32-tiled (tiled=True), any supported compression,
+optional predictor — deterministic byte-identical output for
+identical input (memoization contract).
 """
 
 from __future__ import annotations
@@ -53,6 +56,8 @@ _T_PREDICTOR = 317
 _T_COLORMAP = 320
 _T_TILE_WIDTH = 322
 _T_TILE_LENGTH = 323
+_T_TILE_OFFSETS = 324
+_T_TILE_COUNTS = 325
 
 
 # --- PackBits (TIFF 6.0 §9) -------------------------------------------------
@@ -252,9 +257,30 @@ def _read_ifd(data: bytes, e: str, off: int) -> tuple[dict[int, list[int]], int]
     return entries, nxt
 
 
+def _decompress_segment(raw: bytes, comp: int, expected: int) -> bytes:
+    if comp == 1:
+        if len(raw) < expected:
+            raise ValueError("tiff: short uncompressed segment")
+        return raw[:expected]
+    if comp == 5:
+        return lzw_decode(raw, expected)
+    if comp in (8, 32946):
+        out = zlib.decompress(raw)
+        if len(out) < expected:
+            raise ValueError("tiff: short deflate segment")
+        return out[:expected]
+    return packbits_decode(raw, expected)
+
+
+def _undo_predictor(seg: np.ndarray, cols: int, spp: int) -> np.ndarray:
+    """Horizontal differencing, per row per sample (resets every row —
+    so per-segment application is exact)."""
+    px = seg.reshape(seg.shape[0], cols, spp).astype(np.uint32)
+    px = np.cumsum(px, axis=1, dtype=np.uint32) & 0xFF
+    return px.astype(np.uint8).reshape(seg.shape[0], cols * spp)
+
+
 def _decode_page(data: bytes, e: str, ifd: dict[int, list[int]]) -> np.ndarray:
-    if _T_TILE_WIDTH in ifd or _T_TILE_LENGTH in ifd:
-        raise ValueError("tiff: tiled layout unsupported (strips only)")
     w = ifd.get(_T_WIDTH, [0])[0]
     h = ifd.get(_T_LENGTH, [0])[0]
     if w <= 0 or h <= 0:
@@ -283,52 +309,81 @@ def _decode_page(data: bytes, e: str, ifd: dict[int, list[int]]) -> np.ndarray:
     if photo > 3:
         raise ValueError(f"tiff: photometric {photo} unsupported")
 
-    offsets = ifd.get(_T_STRIP_OFFSETS)
-    counts = ifd.get(_T_STRIP_COUNTS)
-    if not offsets or not counts or len(offsets) != len(counts):
-        raise ValueError("tiff: missing strip tables")
-    rps = ifd.get(_T_ROWS_PER_STRIP, [h])[0] or h
-
-    if bps == 1:
-        row_bytes = (w + 7) // 8
-    else:
-        row_bytes = w * spp
-
-    rows = []
-    for si, (so, sc) in enumerate(zip(offsets, counts)):
-        if so + sc > len(data):
-            raise ValueError("tiff: strip out of range")
-        n_rows = min(rps, h - si * rps)
-        if n_rows <= 0:
-            raise ValueError("tiff: surplus strip")
-        raw = data[so : so + sc]
-        expected = row_bytes * n_rows
-        if comp == 1:
-            if len(raw) < expected:
-                raise ValueError("tiff: short uncompressed strip")
-            raw = raw[:expected]
-        elif comp == 5:
-            raw = lzw_decode(raw, expected)
-        elif comp in (8, 32946):
-            raw = zlib.decompress(raw)
-            if len(raw) < expected:
-                raise ValueError("tiff: short deflate strip")
-            raw = raw[:expected]
-        else:
-            raw = packbits_decode(raw, expected)
-        strip = np.frombuffer(raw, np.uint8).reshape(n_rows, row_bytes)
-        rows.append(strip)
-    flat = np.concatenate(rows, axis=0)
-
-    if predictor == 2:
-        if bps != 8:
-            raise ValueError("tiff: predictor on non-8-bit samples")
-        # horizontal differencing per sample: undo with cumsum mod 256
-        px = flat.reshape(h, w, spp).astype(np.uint32)
-        px = np.cumsum(px, axis=1, dtype=np.uint32) & 0xFF
-        flat = px.astype(np.uint8).reshape(h, row_bytes)
-    elif predictor != 1:
+    if predictor == 2 and bps != 8:
+        raise ValueError("tiff: predictor on non-8-bit samples")
+    if predictor not in (1, 2):
         raise ValueError(f"tiff: predictor {predictor} unsupported")
+
+    tiled = _T_TILE_WIDTH in ifd or _T_TILE_LENGTH in ifd
+    if tiled:
+        tw = ifd.get(_T_TILE_WIDTH, [0])[0]
+        th = ifd.get(_T_TILE_LENGTH, [0])[0]
+        if tw <= 0 or th <= 0 or tw % 16 or th % 16:
+            raise ValueError(f"tiff: bad tile geometry {tw}x{th}")
+        offsets = ifd.get(_T_TILE_OFFSETS)
+        counts = ifd.get(_T_TILE_COUNTS)
+        across = (w + tw - 1) // tw
+        down = (h + th - 1) // th
+        if (not offsets or not counts or len(offsets) != len(counts)
+                or len(offsets) != across * down):
+            raise ValueError("tiff: missing/short tile tables")
+        # tiles are FULL tw x th (edge tiles padded); paste clipped
+        t_row_bytes = (tw + 7) // 8 if bps == 1 else tw * spp
+        row_bytes = (w + 7) // 8 if bps == 1 else w * spp
+        flat = np.zeros((h, row_bytes), dtype=np.uint8)
+        for ti, (so, sc) in enumerate(zip(offsets, counts)):
+            if so + sc > len(data):
+                raise ValueError("tiff: tile out of range")
+            raw = _decompress_segment(
+                data[so : so + sc], comp, t_row_bytes * th
+            )
+            seg = np.frombuffer(raw, np.uint8).reshape(th, t_row_bytes)
+            if predictor == 2:
+                seg = _undo_predictor(seg, tw, spp)
+            ty, tx = divmod(ti, across)
+            y0 = ty * th
+            ny = min(th, h - y0)
+            if bps == 1:
+                # paste at the bit level (tile widths are multiples of
+                # 16, so x-origins land inside a byte only via w%8 at
+                # the RIGHT edge — unpack, paste, repack at the end)
+                bits_full = np.unpackbits(seg, axis=1)[:ny, :tw]
+                x0 = tx * tw
+                nx = min(tw, w - x0)
+                fb = np.unpackbits(flat[y0 : y0 + ny], axis=1)
+                fb[:, x0 : x0 + nx] = bits_full[:, :nx]
+                flat[y0 : y0 + ny] = np.packbits(fb, axis=1)[:, :row_bytes]
+            else:
+                x0 = tx * tw * spp
+                nx = min(tw, w - tx * tw) * spp
+                flat[y0 : y0 + ny, x0 : x0 + nx] = seg[:ny, :nx]
+    else:
+        offsets = ifd.get(_T_STRIP_OFFSETS)
+        counts = ifd.get(_T_STRIP_COUNTS)
+        if not offsets or not counts or len(offsets) != len(counts):
+            raise ValueError("tiff: missing strip tables")
+        rps = ifd.get(_T_ROWS_PER_STRIP, [h])[0] or h
+
+        if bps == 1:
+            row_bytes = (w + 7) // 8
+        else:
+            row_bytes = w * spp
+
+        rows = []
+        for si, (so, sc) in enumerate(zip(offsets, counts)):
+            if so + sc > len(data):
+                raise ValueError("tiff: strip out of range")
+            n_rows = min(rps, h - si * rps)
+            if n_rows <= 0:
+                raise ValueError("tiff: surplus strip")
+            raw = _decompress_segment(
+                data[so : so + sc], comp, row_bytes * n_rows
+            )
+            strip = np.frombuffer(raw, np.uint8).reshape(n_rows, row_bytes)
+            if predictor == 2:
+                strip = _undo_predictor(strip, w, spp)
+            rows.append(strip)
+        flat = np.concatenate(rows, axis=0)
 
     if bps == 1:
         px = np.unpackbits(flat, axis=1)[:, :w]
@@ -412,12 +467,15 @@ def encode_tiff(
     *,
     predictor: bool = False,
     bilevel: bool = False,
+    tiled: bool = False,
 ) -> bytes:
     """uint8 HxW / HxWx3 pages -> little-endian classic TIFF, one IFD
-    per page, RowsPerStrip=16 multi-strip.  bilevel=True thresholds
-    gray pages at 128 into 1-bit WhiteIsZero rows (the fax-scan
-    shape).  predictor=True applies horizontal differencing (only
-    meaningful for lzw/deflate)."""
+    per page; RowsPerStrip=16 multi-strip, or 32x32 tiles with
+    tiled=True (edge tiles zero-padded to full size per spec).
+    bilevel=True thresholds gray pages at 128 into 1-bit WhiteIsZero
+    rows (the fax-scan shape).  predictor=True applies horizontal
+    differencing (only meaningful for lzw/deflate; per tile row when
+    tiled)."""
     if not pages:
         raise ValueError("tiff: no pages")
     if predictor and compression not in ("lzw", "deflate"):
@@ -439,24 +497,49 @@ def encode_tiff(
         else:
             raise ValueError(f"expected HxW or HxWx3, got shape {img.shape}")
 
-        if bilevel:
-            bits = (img < 128).astype(np.uint8)  # WhiteIsZero: 1 = black
-            flat = np.packbits(bits, axis=1)
-            photo, bps = 0, 1
-        else:
-            src = img
-            if predictor:
-                px = img.reshape(h, w, spp).astype(np.int16)
-                diff = px.copy()
-                diff[:, 1:, :] = px[:, 1:, :] - px[:, :-1, :]
-                src = (diff & 0xFF).astype(np.uint8)
-            flat = src.reshape(h, -1)
-            photo, bps = (1, 8) if spp == 1 else (2, 8)
+        photo, bps = ((0, 1) if bilevel
+                      else (1, 8) if spp == 1 else (2, 8))
+
+        def _diff(samples: np.ndarray) -> np.ndarray:
+            px = samples.astype(np.int16)
+            d = px.copy()
+            d[:, 1:, :] = px[:, 1:, :] - px[:, :-1, :]
+            return (d & 0xFF).astype(np.uint8)
 
         strips: list[bytes] = []
-        for y0 in range(0, h, _ROWS_PER_STRIP):
-            raw = flat[y0 : y0 + _ROWS_PER_STRIP].tobytes()
-            strips.append(_compress(raw, compression)[0])
+        if tiled:
+            _TS = 32  # tile side (spec: multiples of 16)
+            if bilevel:
+                samp = (img < 128).astype(np.uint8).reshape(h, w, 1)
+            else:
+                samp = img.reshape(h, w, spp)
+            ph = (-h) % _TS
+            pw = (-w) % _TS
+            samp = np.pad(samp, ((0, ph), (0, pw), (0, 0)))
+            for y0 in range(0, h, _TS):
+                for x0 in range(0, w, _TS):
+                    tile = samp[y0 : y0 + _TS, x0 : x0 + _TS]
+                    if predictor:
+                        tile = _diff(tile)
+                    if bilevel:
+                        raw = np.packbits(
+                            tile.reshape(_TS, _TS), axis=1
+                        ).tobytes()
+                    else:
+                        raw = tile.tobytes()
+                    strips.append(_compress(raw, compression)[0])
+        else:
+            if bilevel:
+                bits = (img < 128).astype(np.uint8)  # WhiteIsZero
+                flat = np.packbits(bits, axis=1)
+            else:
+                src = img
+                if predictor:
+                    src = _diff(img.reshape(h, w, spp))
+                flat = src.reshape(h, -1)
+            for y0 in range(0, h, _ROWS_PER_STRIP):
+                raw = flat[y0 : y0 + _ROWS_PER_STRIP].tobytes()
+                strips.append(_compress(raw, compression)[0])
         comp_id = _compress(b"", compression)[1]
 
         strip_offsets = []
@@ -493,10 +576,16 @@ def encode_tiff(
         add(_T_BITS, 3, [bps] * spp)
         add(_T_COMPRESSION, 3, [comp_id])
         add(_T_PHOTOMETRIC, 3, [photo])
-        add(_T_STRIP_OFFSETS, 4, strip_offsets)
         add(_T_SAMPLES, 3, [spp])
-        add(_T_ROWS_PER_STRIP, 3, [_ROWS_PER_STRIP])
-        add(_T_STRIP_COUNTS, 4, [len(s) for s in strips])
+        if tiled:
+            add(_T_TILE_WIDTH, 3, [32])
+            add(_T_TILE_LENGTH, 3, [32])
+            add(_T_TILE_OFFSETS, 4, strip_offsets)
+            add(_T_TILE_COUNTS, 4, [len(s) for s in strips])
+        else:
+            add(_T_STRIP_OFFSETS, 4, strip_offsets)
+            add(_T_ROWS_PER_STRIP, 3, [_ROWS_PER_STRIP])
+            add(_T_STRIP_COUNTS, 4, [len(s) for s in strips])
         if predictor:
             add(_T_PLANAR, 3, [1])
             add(_T_PREDICTOR, 3, [2])

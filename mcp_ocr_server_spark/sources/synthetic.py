@@ -1027,14 +1027,15 @@ def video_sniff_df(spark, cfg: CorpusConfig, n: int = N_VIDEO_SNIFF_CLIPS):
 # flatbed scan shape: one file, one page per IFD.
 
 _S_SCANFMT = 13
-N_SCAN_IMAGES = 45
+N_SCAN_IMAGES = 48
 
 SCAN_MEDIA_SCHEMA = "media_ref string, bytes binary, kind string"
 
 _SCAN_CLASSES = (
     "bmp_gray", "bmp_rgb", "pgm", "ppm", "pbm",
     "tiff_none", "tiff_lzw", "tiff_packbits_bilevel",
-    "tiff_deflate_pred", "tiff_multipage", "webp", "jpeg_progressive",
+    "tiff_deflate_pred", "tiff_multipage", "tiff_tiled", "webp",
+    "jpeg_progressive",
     "err_webp_lossy", "err_pnm_16bit", "err_foreign",
 )
 
@@ -1095,6 +1096,8 @@ def scan_format_item(
         # the page count from the stride index to actually vary 2..4
         n_pages = 2 + (j // len(_SCAN_CLASSES)) % 3
         blob = encode_tiff([page() for _ in range(n_pages)], "lzw")
+    elif kind == "tiff_tiled":
+        blob = encode_tiff([page()], "lzw", tiled=True)
     elif kind == "webp":
         blob = encode_webp(page())
     elif kind == "jpeg_progressive":

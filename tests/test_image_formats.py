@@ -290,3 +290,28 @@ def test_decode_image_truncation_fuzz(cut, which):
         encode_webp(img),
     ][which]
     _contract(blob[: min(cut, max(0, len(blob) - 1))])
+
+
+# --- tiled TIFF ----------------------------------------------------------------
+
+
+@pytest.mark.parametrize("comp", ["none", "packbits", "lzw", "deflate"])
+def test_tiff_tiled_roundtrip(comp):
+    big = RNG.integers(0, 256, (70, 100), dtype=np.int64).astype(np.uint8)
+    for img in (GRAY, RGB, big):
+        assert (decode_tiff(encode_tiff([img], comp, tiled=True))
+                == img).all(), (comp, img.shape)
+
+
+def test_tiff_tiled_predictor_bilevel_and_exact_multiple():
+    assert (decode_tiff(
+        encode_tiff([GRAY], "lzw", tiled=True, predictor=True)) == GRAY
+    ).all()
+    assert (decode_tiff(
+        encode_tiff([RGB], "deflate", tiled=True, predictor=True)) == RGB
+    ).all()
+    assert (decode_tiff(
+        encode_tiff([BW], "packbits", tiled=True, bilevel=True)) == BW
+    ).all()
+    m32 = RNG.integers(0, 256, (64, 96), dtype=np.int64).astype(np.uint8)
+    assert (decode_tiff(encode_tiff([m32], "lzw", tiled=True)) == m32).all()
