@@ -20,10 +20,13 @@ Supported on decode (per TIFF 6.0, independently re-derived):
   - Predictor 2 (horizontal differencing) for LZW/Deflate
   - PhotometricInterpretation 0/1 at 1 and 8 bits (bilevel rows
     padded to whole bytes, MSB-first), 2 (8-bit RGB), 3 (palette,
-    16-bit ColorMap entries folded to 8)
-Refused LOUDLY (ValueError, the repo-wide contract): JPEG-in-TIFF
-(compression 6/7), 16-bit samples, planar config 2, BigTIFF —
-silent misdecodes would corrupt OCR pixel math downstream.
+    16-bit ColorMap entries folded to 8), 6 (YCbCr, JPEG segments)
+  - new-style JPEG-in-TIFF (compression 7): each strip/tile is a
+    complete JPEG stream through the in-repo T.81 codec, with shared
+    tables via the JPEGTables tag spliced after each segment's SOI
+Refused LOUDLY (ValueError, the repo-wide contract): old-style JPEG
+(compression 6), 16-bit samples, planar config 2, BigTIFF — silent
+misdecodes would corrupt OCR pixel math downstream.
 
 The encoder emits little-endian classic TIFF, gray8 / RGB8 / bilevel,
 one IFD per page, multi-strip (RowsPerStrip=16 to exercise the strip
@@ -39,8 +42,9 @@ import zlib
 
 import numpy as np
 
-# IFD entry field types we emit/read: 1 BYTE, 3 SHORT, 4 LONG
-_TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8}
+# IFD entry field types we emit/read: 1 BYTE, 3 SHORT, 4 LONG,
+# 7 UNDEFINED (raw bytes — JPEGTables)
+_TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 7: 1}
 
 _T_WIDTH = 256
 _T_LENGTH = 257
@@ -58,6 +62,7 @@ _T_TILE_WIDTH = 322
 _T_TILE_LENGTH = 323
 _T_TILE_OFFSETS = 324
 _T_TILE_COUNTS = 325
+_T_JPEG_TABLES = 347
 
 
 # --- PackBits (TIFF 6.0 §9) -------------------------------------------------
@@ -245,7 +250,7 @@ def _read_ifd(data: bytes, e: str, off: int) -> tuple[dict[int, list[int]], int]
             vals = list(struct.unpack_from(e + f"{cnt}H", data, voff))
         elif typ == 4:
             vals = list(struct.unpack_from(e + f"{cnt}I", data, voff))
-        elif typ == 1:
+        elif typ in (1, 7):
             vals = list(data[voff : voff + cnt])
         else:  # RATIONAL/ASCII: keep numerators only; none are load-bearing here
             vals = [0] * cnt
@@ -280,6 +285,81 @@ def _undo_predictor(seg: np.ndarray, cols: int, spp: int) -> np.ndarray:
     return px.astype(np.uint8).reshape(seg.shape[0], cols * spp)
 
 
+
+
+def _decode_jpeg_page(data: bytes, ifd: dict, w: int, h: int,
+                      spp: int, photo: int) -> np.ndarray:
+    """New-style JPEG-in-TIFF (compression 7): each strip/tile is a
+    complete JPEG bitstream; shared quant/Huffman tables may live in
+    the JPEGTables tag (an abbreviated SOI..EOI stream spliced after
+    each segment's SOI, per TIFF/EP).  Decoded through the in-repo
+    T.81 codec — baseline AND progressive segments both work."""
+    from .jpeg import decode_jpeg
+
+    if photo not in (0, 1, 2, 6):  # 6 = YCbCr, the usual color case
+        raise ValueError(f"tiff: photometric {photo} with JPEG")
+    if ifd.get(_T_PREDICTOR, [1])[0] != 1:
+        raise ValueError("tiff: predictor with JPEG compression")
+    prefix = b""
+    tables = ifd.get(_T_JPEG_TABLES)
+    if tables:
+        tb = bytes(tables)
+        if len(tb) < 4 or tb[:2] != b"\xff\xd8" or tb[-2:] != b"\xff\xd9":
+            raise ValueError("tiff: malformed JPEGTables")
+        prefix = tb[2:-2]
+
+    def seg(raw: bytes) -> np.ndarray:
+        if raw[:2] != b"\xff\xd8":
+            raise ValueError("tiff: JPEG segment missing SOI")
+        px = decode_jpeg(b"\xff\xd8" + prefix + raw[2:])
+        if (px.ndim == 3) != (spp == 3):
+            raise ValueError("tiff: JPEG channel count != SamplesPerPixel")
+        return px
+
+    out = np.zeros((h, w, 3) if spp == 3 else (h, w), dtype=np.uint8)
+    if _T_TILE_WIDTH in ifd or _T_TILE_LENGTH in ifd:
+        tw = ifd.get(_T_TILE_WIDTH, [0])[0]
+        th = ifd.get(_T_TILE_LENGTH, [0])[0]
+        if tw <= 0 or th <= 0 or tw % 16 or th % 16:
+            raise ValueError(f"tiff: bad tile geometry {tw}x{th}")
+        offsets = ifd.get(_T_TILE_OFFSETS)
+        counts = ifd.get(_T_TILE_COUNTS)
+        across = (w + tw - 1) // tw
+        down = (h + th - 1) // th
+        if (not offsets or not counts or len(offsets) != len(counts)
+                or len(offsets) != across * down):
+            raise ValueError("tiff: missing/short tile tables")
+        for ti, (so, sc) in enumerate(zip(offsets, counts)):
+            if so + sc > len(data):
+                raise ValueError("tiff: tile out of range")
+            px = seg(data[so : so + sc])
+            if px.shape[0] < th or px.shape[1] < tw:
+                raise ValueError("tiff: JPEG tile smaller than tile grid")
+            ty, tx = divmod(ti, across)
+            y0, x0 = ty * th, tx * tw
+            ny, nx = min(th, h - y0), min(tw, w - x0)
+            out[y0 : y0 + ny, x0 : x0 + nx] = px[:ny, :nx]
+    else:
+        offsets = ifd.get(_T_STRIP_OFFSETS)
+        counts = ifd.get(_T_STRIP_COUNTS)
+        if not offsets or not counts or len(offsets) != len(counts):
+            raise ValueError("tiff: missing strip tables")
+        rps = ifd.get(_T_ROWS_PER_STRIP, [h])[0] or h
+        for si, (so, sc) in enumerate(zip(offsets, counts)):
+            if so + sc > len(data):
+                raise ValueError("tiff: strip out of range")
+            n_rows = min(rps, h - si * rps)
+            if n_rows <= 0:
+                raise ValueError("tiff: surplus strip")
+            px = seg(data[so : so + sc])
+            if px.shape[0] < n_rows or px.shape[1] < w:
+                raise ValueError("tiff: JPEG strip smaller than strip grid")
+            out[si * rps : si * rps + n_rows] = px[:n_rows, :w]
+    if photo == 0:
+        out = (255 - out.astype(np.int16)).astype(np.uint8)
+    return out
+
+
 def _decode_page(data: bytes, e: str, ifd: dict[int, list[int]]) -> np.ndarray:
     w = ifd.get(_T_WIDTH, [0])[0]
     h = ifd.get(_T_LENGTH, [0])[0]
@@ -293,8 +373,10 @@ def _decode_page(data: bytes, e: str, ifd: dict[int, list[int]]) -> np.ndarray:
     predictor = ifd.get(_T_PREDICTOR, [1])[0]
     if planar != 1:
         raise ValueError(f"tiff: planar configuration {planar} unsupported")
-    if comp in (6, 7):
-        raise ValueError("tiff: JPEG-in-TIFF unsupported")
+    if comp == 6:
+        raise ValueError("tiff: old-style JPEG (compression 6) unsupported")
+    if comp == 7:
+        return _decode_jpeg_page(data, ifd, w, h, spp, photo)
     if comp not in (1, 5, 8, 32946, 32773):
         raise ValueError(f"tiff: compression {comp} unsupported")
     if any(b not in (1, 8) for b in bits) or len(set(bits)) != 1:
@@ -480,6 +562,8 @@ def encode_tiff(
         raise ValueError("tiff: no pages")
     if predictor and compression not in ("lzw", "deflate"):
         raise ValueError("tiff: predictor is for lzw/deflate")
+    if compression == "jpeg" and bilevel:
+        raise ValueError("tiff: jpeg compression is 8-bit only")
     out = bytearray(b"II*\x00\x00\x00\x00\x00")  # IFD0 offset patched below
     ifd_patch_at = 4
 
@@ -507,7 +591,31 @@ def encode_tiff(
             return (d & 0xFF).astype(np.uint8)
 
         strips: list[bytes] = []
-        if tiled:
+        if compression == "jpeg":
+            # new-style JPEG-in-TIFF: every segment is a complete JPEG
+            # stream from the in-repo T.81 encoder (lossy; standalone
+            # segments, no shared JPEGTables)
+            from .jpeg import encode_jpeg
+
+            comp_id = 7
+            if tiled:
+                _TS = 32
+                samp = img.reshape(h, w, spp)
+                samp = np.pad(
+                    samp, ((0, (-h) % _TS), (0, (-w) % _TS), (0, 0)),
+                    mode="edge",
+                )
+                for y0 in range(0, h, _TS):
+                    for x0 in range(0, w, _TS):
+                        tile = samp[y0 : y0 + _TS, x0 : x0 + _TS]
+                        if spp == 1:
+                            tile = tile.reshape(_TS, _TS)
+                        strips.append(encode_jpeg(tile, quality=95))
+            else:
+                for y0 in range(0, h, _ROWS_PER_STRIP):
+                    seg = img[y0 : y0 + _ROWS_PER_STRIP]
+                    strips.append(encode_jpeg(seg, quality=95))
+        elif tiled:
             _TS = 32  # tile side (spec: multiples of 16)
             if bilevel:
                 samp = (img < 128).astype(np.uint8).reshape(h, w, 1)
@@ -540,7 +648,10 @@ def encode_tiff(
             for y0 in range(0, h, _ROWS_PER_STRIP):
                 raw = flat[y0 : y0 + _ROWS_PER_STRIP].tobytes()
                 strips.append(_compress(raw, compression)[0])
-        comp_id = _compress(b"", compression)[1]
+        if compression != "jpeg":
+            comp_id = _compress(b"", compression)[1]
+        if compression == "jpeg":
+            photo = 6 if spp == 3 else 1  # YCbCr for color JPEG
 
         strip_offsets = []
         for s in strips:

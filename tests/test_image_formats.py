@@ -213,7 +213,7 @@ def test_tiff_refusals():
         tag = struct.unpack_from("<H", data, base)[0]
         if tag == 259:
             struct.pack_into("<H", data, base + 8, 6)
-    with pytest.raises(ValueError, match="JPEG-in-TIFF"):
+    with pytest.raises(ValueError, match="old-style JPEG"):
         decode_tiff(bytes(data))
 
 
@@ -315,3 +315,90 @@ def test_tiff_tiled_predictor_bilevel_and_exact_multiple():
     ).all()
     m32 = RNG.integers(0, 256, (64, 96), dtype=np.int64).astype(np.uint8)
     assert (decode_tiff(encode_tiff([m32], "lzw", tiled=True)) == m32).all()
+
+
+# --- JPEG-in-TIFF (compression 7) ---------------------------------------------
+
+
+def _grad_gray(h, w):
+    y, x = np.mgrid[0:h, 0:w]
+    return np.clip(x * 2 + y * 2, 0, 255).astype(np.uint8)
+
+
+@pytest.mark.parametrize("tiled", [False, True], ids=["strips", "tiles"])
+def test_tiff_jpeg_compression_roundtrip(tiled):
+    gray = _grad_gray(45, 61)
+    rgb = np.stack([gray, gray[::-1], gray[:, ::-1]], axis=-1)
+    for img in (gray, rgb):
+        out = decode_tiff(encode_tiff([img], "jpeg", tiled=tiled))
+        assert out.shape == img.shape
+        assert np.abs(out.astype(int) - img.astype(int)).max() <= 12
+
+
+def test_tiff_jpeg_tables_splice():
+    """The TIFF/EP shared-tables layout: DQT/DHT live once in the
+    JPEGTables tag (an abbreviated SOI..EOI stream) and each strip is
+    a table-less JPEG — the decoder must splice tables after the
+    strip's SOI."""
+    from mcp_ocr_server_spark.imaging.jpeg import encode_jpeg
+
+    img = _grad_gray(16, 40)
+    blob = encode_jpeg(img, 95)
+    # split the JPEG into table segments (DQT/DHT) and the rest
+    tables, rest = bytearray(b"\xff\xd8"), bytearray(b"\xff\xd8")
+    pos = 2
+    while pos + 4 <= len(blob):
+        marker = blob[pos + 1]
+        if marker == 0xD9:
+            break
+        seglen = struct.unpack(">H", blob[pos + 2 : pos + 4])[0]
+        seg = blob[pos : pos + 2 + seglen]
+        (tables if marker in (0xDB, 0xC4) else rest).extend(seg)
+        pos += 2 + seglen
+        if marker == 0xDA:  # entropy data runs to EOI
+            rest.extend(blob[pos:])
+            break
+    tables.extend(b"\xff\xd9")
+    assert b"\xff\xdb" in tables and b"\xff\xc4" in tables
+    assert b"\xff\xdb" not in rest[2:] and b"\xff\xc4" not in bytes(rest[2:])
+
+    # hand-build a single-strip little-endian TIFF with tag 347
+    strip = bytes(rest)
+    tbl = bytes(tables)
+    out = bytearray(b"II*\x00\x00\x00\x00\x00")
+    strip_off = len(out)
+    out += strip
+    if len(out) % 2:
+        out += b"\x00"
+    tbl_off = len(out)
+    out += tbl
+    if len(out) % 2:
+        out += b"\x00"
+    entries = [
+        (256, 4, 1, 40), (257, 4, 1, 16), (258, 3, 1, 8),
+        (259, 3, 1, 7), (262, 3, 1, 1),
+        (273, 4, 1, strip_off), (277, 3, 1, 1), (278, 3, 1, 16),
+        (279, 4, 1, len(strip)), (347, 7, len(tbl), tbl_off),
+    ]
+    ifd_off = len(out)
+    out += struct.pack("<H", len(entries))
+    for tag, typ, cnt, val in sorted(entries):
+        out += struct.pack("<HHII", tag, typ, cnt, val)
+    out += b"\x00\x00\x00\x00"
+    struct.pack_into("<I", out, 4, ifd_off)
+
+    got = decode_tiff(bytes(out))
+    want = decode_image(blob)
+    assert (got == want).all()
+
+
+def test_tiff_old_style_jpeg_refused():
+    blob = bytearray(encode_tiff([GRAY], "none"))
+    (ifd_off,) = struct.unpack_from("<I", blob, 4)
+    (n,) = struct.unpack_from("<H", blob, ifd_off)
+    for i in range(n):
+        base = ifd_off + 2 + 12 * i
+        if struct.unpack_from("<H", blob, base)[0] == 259:
+            struct.pack_into("<H", blob, base + 8, 6)
+    with pytest.raises(ValueError, match="old-style"):
+        decode_tiff(bytes(blob))
