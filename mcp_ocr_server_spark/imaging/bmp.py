@@ -6,11 +6,13 @@ its built-ins): a user of the reference can hand BMP scans to the OCR
 path, so this engine must too.
 
 Supported on decode: BITMAPINFOHEADER (40) / V4 (108) / V5 (124)
-headers, uncompressed (BI_RGB) at 1/8/24/32 bits per pixel, bottom-up
-AND top-down row order, palettes for the indexed depths.  32-bit rows
-drop the (almost always unused) alpha/reserved byte.  Refused LOUDLY:
-RLE/bitfields compression, 4/16-bit depths, the ancient BITMAPCORE
-header — the refuse-loudly contract every parser in this repo carries.
+headers, uncompressed (BI_RGB) at 1/8/24/32 bits per pixel, BI_RLE8
+run-length decoding (encoded + absolute runs, EOL/EOB/delta escapes),
+bottom-up AND top-down row order, palettes for the indexed depths.
+32-bit rows drop the (almost always unused) alpha/reserved byte.
+Refused LOUDLY: RLE4/bitfields compression, 4/16-bit depths, the
+ancient BITMAPCORE header — the refuse-loudly contract every parser
+in this repo carries.
 
 Encode emits an 8-bit grayscale-palette BMP (HxW input) or a 24-bit
 BGR BMP (HxWx3 RGB input), bottom-up, rows padded to 4 bytes —
@@ -43,8 +45,12 @@ def decode_bmp(data: bytes) -> np.ndarray:
     n_colors = struct.unpack_from("<I", data, 46)[0]
     if planes != 1:
         raise ValueError(f"bmp: planes {planes}")
-    if compression != 0:
-        raise ValueError(f"bmp: compression {compression} unsupported (BI_RGB only)")
+    if compression not in (0, 1):
+        raise ValueError(
+            f"bmp: compression {compression} unsupported (BI_RGB/BI_RLE8)"
+        )
+    if compression == 1 and bpp != 8:
+        raise ValueError(f"bmp: BI_RLE8 requires 8-bit, got {bpp}")
     if bpp not in (1, 8, 24, 32):
         raise ValueError(f"bmp: {bpp}-bit unsupported")
     top_down = h_raw < 0
@@ -60,6 +66,59 @@ def decode_bmp(data: bytes) -> np.ndarray:
             raise ValueError("bmp: truncated palette")
         pal = np.frombuffer(data, np.uint8, count=4 * n, offset=pal_off)
         palette = pal.reshape(n, 4)[:, :3][:, ::-1].copy()  # BGRA -> RGB
+
+    if compression == 1:
+        # BI_RLE8 (always bottom-up): (count, value) runs, escapes
+        # 00 00 = end of line, 00 01 = end of bitmap, 00 02 dx dy =
+        # delta (skipped pixels are index 0), 00 n>=3 = absolute run
+        # padded to word
+        if top_down:
+            raise ValueError("bmp: top-down RLE8 is illegal")
+        grid = np.zeros((h, w), dtype=np.uint8)
+        pos, x, y = pix_off, 0, 0
+        while pos + 1 < len(data):
+            n, v = data[pos], data[pos + 1]
+            pos += 2
+            if n:  # encoded run
+                end = min(x + n, w)
+                grid[y, x:end] = v
+                x = end
+                continue
+            if v == 0:  # end of line
+                x, y = 0, y + 1
+                if y >= h:
+                    break
+            elif v == 1:  # end of bitmap
+                break
+            elif v == 2:  # delta
+                if pos + 1 >= len(data):
+                    raise ValueError("bmp: truncated RLE8 delta")
+                x = min(x + data[pos], w)
+                y += data[pos + 1]
+                pos += 2
+                if y >= h:
+                    break
+            else:  # absolute run of v pixels, word-aligned
+                if pos + v > len(data):
+                    raise ValueError("bmp: truncated RLE8 absolute run")
+                end = min(x + v, w)
+                grid[y, x:end] = np.frombuffer(
+                    data, np.uint8, count=v, offset=pos
+                )[: end - x]
+                x = end
+                pos += v + (v & 1)
+        else:
+            raise ValueError("bmp: unterminated RLE8 stream")
+        if int(grid.max(initial=0)) >= len(palette):
+            raise ValueError("bmp: palette index out of range")
+        # RLE8 coordinates are bottom-up: stream row y = image row
+        # h-1-y
+        rgb = palette[grid][::-1]
+        if (rgb[:, :, 0] == rgb[:, :, 1]).all() and (
+            rgb[:, :, 1] == rgb[:, :, 2]
+        ).all():
+            return rgb[:, :, 0].copy()
+        return rgb.copy()
 
     stride = ((w * bpp + 31) // 32) * 4
     need = stride * h

@@ -95,11 +95,65 @@ def test_bmp_top_down_and_32bit():
 
 def test_bmp_refusals():
     data = bytearray(encode_bmp(GRAY))
-    struct.pack_into("<I", data, 30, 1)  # BI_RLE8
+    struct.pack_into("<I", data, 30, 2)  # BI_RLE4
     with pytest.raises(ValueError, match="compression"):
         decode_bmp(bytes(data))
     with pytest.raises(ValueError, match="signature"):
         decode_bmp(b"XX" + bytes(60))
+
+
+def _rle8_bmp(grid):
+    """Hand-encode an RLE8 BMP (gray-ramp palette): encoded runs +
+    literal singles, EOL after each bottom-up row, EOB at the end."""
+    h, w = grid.shape
+    stream = bytearray()
+    for y in range(h - 1, -1, -1):
+        row = grid[y]
+        x = 0
+        while x < w:
+            run = 1
+            while x + run < w and row[x + run] == row[x] and run < 255:
+                run += 1
+            stream += bytes([run, row[x]])
+            x += run
+        stream += b"\x00\x00"
+    stream += b"\x00\x01"
+    ramp = np.arange(256, dtype=np.uint8)
+    pal = np.stack([ramp, ramp, ramp, np.zeros(256, np.uint8)], 1).tobytes()
+    pix_off = 14 + 40 + len(pal)
+    fh = struct.pack("<2sIHHI", b"BM", pix_off + len(stream), 0, 0, pix_off)
+    ih = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 8, 1, len(stream),
+                     2835, 2835, 256, 0)
+    return fh + ih + pal + bytes(stream)
+
+
+def test_bmp_rle8():
+    grid = (RNG.integers(0, 9, (13, 17), dtype=np.int64) * 28).astype(
+        np.uint8
+    )
+    assert (decode_bmp(_rle8_bmp(grid)) == grid).all()
+
+
+def test_bmp_rle8_delta_and_absolute():
+    # delta escape skips pixels (left as palette index 0); absolute
+    # run carries literal indices with word padding
+    ramp = np.arange(256, dtype=np.uint8)
+    pal = np.stack([ramp, ramp, ramp, np.zeros(256, np.uint8)], 1).tobytes()
+    h, w = 4, 8
+    stream = (b"\x03\x07"              # 3 px of index 7
+              b"\x00\x02\x02\x01"      # delta dx=2 dy=1
+              b"\x00\x03\x05\x06\x05\x00"  # absolute run of 3 + pad
+              b"\x00\x00"              # EOL
+              b"\x00\x01")             # EOB
+    pix_off = 14 + 40 + len(pal)
+    fh = struct.pack("<2sIHHI", b"BM", pix_off + len(stream), 0, 0, pix_off)
+    ih = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 8, 1, len(stream),
+                     2835, 2835, 256, 0)
+    out = decode_bmp(fh + ih + pal + stream)
+    want = np.zeros((h, w), np.uint8)
+    want[h - 1, 0:3] = 7             # stream row 0 = bottom image row
+    want[h - 2, 5:8] = [5, 6, 5]     # after delta: x=3+2, y=1
+    assert (out == want).all(), out
 
 
 # --- TIFF: LZW / PackBits codecs ----------------------------------------------
