@@ -24,7 +24,7 @@ from .tiff import decode_tiff
 from .webp import decode_webp
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
-_PNM_MAGICS = {b"P%d" % i for i in range(1, 7)}
+_PNM_MAGICS = {b"P%d" % i for i in range(1, 8)}  # P7 = PAM
 
 
 def sniff_image_format(data: bytes) -> str:

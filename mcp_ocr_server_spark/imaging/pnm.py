@@ -5,12 +5,13 @@ Part of the input-format matrix the reference inherits from OpenCV's
 among its built-ins): a user of the reference can hand any Netpbm
 payload to the OCR path, so this engine must too.
 
-Spec: the classic Netpbm formats — a two-byte magic (P1..P6), ASCII
+Spec: the classic Netpbm formats — a two-byte magic (P1..P7), ASCII
 header tokens separated by whitespace with '#' comments running to
 end-of-line, then either ASCII sample text (P1-P3) or big-endian raw
 samples (P4-P6).  Supported here: bitmap (P1/P4, 1 = black per spec,
-mapped to 0/255 gray with black=0), graymap (P2/P5) and pixmap (P3/P6)
-at maxval <= 255.  16-bit maxval (>255) is refused LOUDLY — the OCR
+mapped to 0/255 gray with black=0), graymap (P2/P5), pixmap (P3/P6),
+and PAM (P7 — depth 1-4 with opaque alpha) at maxval <= 255.  16-bit
+maxval (>255) is refused LOUDLY — the OCR
 chain is 8-bit end-to-end and silent truncation would corrupt pixel
 math downstream (same refuse-loudly contract as every parser in this
 repo).
@@ -56,13 +57,68 @@ def _tokens(data: bytes, pos: int, n: int) -> tuple[list[int], int]:
     return vals, pos
 
 
+def _decode_pam(data: bytes) -> np.ndarray:
+    """PAM (P7): token-per-line header (WIDTH/HEIGHT/DEPTH/MAXVAL/
+    TUPLTYPE/ENDHDR) then raw samples.  Depth 1 (gray) and 3 (RGB)
+    decode directly; the _ALPHA variants are accepted only when the
+    alpha plane is uniformly opaque (the repo-wide no-compositing
+    rule); 16-bit maxval refuses loudly."""
+    end = data.find(b"ENDHDR\n")
+    if end < 0:
+        raise ValueError("pam: missing ENDHDR")
+    fields: dict[bytes, int] = {}
+    for line in data[3:end].splitlines():
+        line = line.split(b"#", 1)[0].strip()
+        if not line or line.startswith(b"TUPLTYPE"):
+            continue
+        parts = line.split()
+        if len(parts) != 2 or not parts[1].isdigit():
+            raise ValueError(f"pam: bad header line {line!r}")
+        fields[parts[0]] = int(parts[1])
+    try:
+        w, h, depth, maxval = (fields[k] for k in
+                               (b"WIDTH", b"HEIGHT", b"DEPTH", b"MAXVAL"))
+    except KeyError as exc:
+        raise ValueError(f"pam: missing header field {exc}") from exc
+    if w <= 0 or h <= 0:
+        raise ValueError(f"pam: bad dimensions {w}x{h}")
+    if maxval > 255:
+        raise ValueError(f"pam: 16-bit maxval {maxval} unsupported")
+    if maxval <= 0:
+        raise ValueError(f"pam: bad maxval {maxval}")
+    if depth not in (1, 2, 3, 4):
+        raise ValueError(f"pam: depth {depth} unsupported")
+    pos = end + 7
+    need = w * h * depth
+    if len(data) - pos < need:
+        raise ValueError("pam: truncated raster")
+    px = (
+        np.frombuffer(data, np.uint8, count=need, offset=pos)
+        .reshape(h, w, depth)
+        .copy()
+    )
+    if depth in (2, 4):  # *_ALPHA tuple types
+        if not (px[:, :, -1] == maxval).all():
+            raise ValueError("pam: non-opaque alpha unsupported")
+        px = px[:, :, :-1]
+        depth -= 1
+    if maxval != 255:
+        px = np.round(px.astype(np.float64) * (255.0 / maxval)).astype(
+            np.uint8
+        )
+    return px.reshape(h, w) if depth == 1 else px
+
+
 def decode_pnm(data: bytes) -> np.ndarray:
-    """Netpbm bytes -> uint8 HxW (PBM/PGM) or HxWx3 (PPM).
+    """Netpbm bytes -> uint8 HxW (PBM/PGM) or HxWx3 (PPM); PAM (P7)
+    at depths 1-4 (alpha must be opaque).
 
     Raises ValueError on truncation, non-Netpbm payloads, and
     maxval > 255 (16-bit) — callers map it to PREPROCESSING_FAILED /
     per-row error strings, fail-soft."""
     magic = data[:2]
+    if magic == b"P7":
+        return _decode_pam(data)
     if magic in _RAW_MAGICS:
         kind, raw = _RAW_MAGICS[magic], True
     elif magic in _ASCII_MAGICS:

@@ -65,7 +65,7 @@ def test_pnm_truncation_refusals():
     with pytest.raises(ValueError):
         decode_pnm(b"P5\n4 4\n255\n\x00\x00")  # short raster
     with pytest.raises(ValueError):
-        decode_pnm(b"P7\n1 1\n255\n\x00")  # PAM not supported
+        decode_pnm(b"P7\n1 1\n255\n\x00")  # PAM missing ENDHDR
     with pytest.raises(ValueError):
         decode_pnm(b"P2\n2 2\n255\n1 2 3\n")  # short ASCII samples
 
@@ -456,3 +456,36 @@ def test_tiff_old_style_jpeg_refused():
             struct.pack_into("<H", blob, base + 8, 6)
     with pytest.raises(ValueError, match="old-style"):
         decode_tiff(bytes(blob))
+
+
+# --- PAM (P7) -------------------------------------------------------------------
+
+
+def test_pam_gray_and_rgb():
+    hdr = b"P7\nWIDTH 3\nHEIGHT 2\nDEPTH 1\nMAXVAL 255\nTUPLTYPE GRAYSCALE\nENDHDR\n"
+    px = bytes([1, 2, 3, 4, 5, 6])
+    out = decode_image(hdr + px)
+    assert (out == np.array([[1, 2, 3], [4, 5, 6]])).all()
+    hdr3 = b"P7\nWIDTH 2\nHEIGHT 1\nDEPTH 3\nMAXVAL 255\nTUPLTYPE RGB\nENDHDR\n"
+    out3 = decode_image(hdr3 + bytes([1, 2, 3, 4, 5, 6]))
+    assert (out3 == np.array([[[1, 2, 3], [4, 5, 6]]])).all()
+
+
+def test_pam_alpha_and_refusals():
+    hdr = (b"P7\nWIDTH 1\nHEIGHT 1\nDEPTH 4\nMAXVAL 255\n"
+           b"TUPLTYPE RGB_ALPHA\nENDHDR\n")
+    assert (decode_image(hdr + bytes([9, 8, 7, 255]))
+            == np.array([[[9, 8, 7]]])).all()
+    with pytest.raises(ValueError, match="alpha"):
+        decode_image(hdr + bytes([9, 8, 7, 128]))
+    with pytest.raises(ValueError, match="16-bit"):
+        decode_image(
+            b"P7\nWIDTH 1\nHEIGHT 1\nDEPTH 1\nMAXVAL 65535\nENDHDR\n\x00\x00"
+        )
+    with pytest.raises(ValueError, match="ENDHDR"):
+        decode_image(b"P7\nWIDTH 1\n")
+
+
+def test_pam_maxval_rescale():
+    hdr = b"P7\nWIDTH 2\nHEIGHT 1\nDEPTH 1\nMAXVAL 100\nENDHDR\n"
+    assert list(decode_image(hdr + bytes([0, 100]))[0]) == [0, 255]
