@@ -804,16 +804,18 @@ def _pad_to(img: np.ndarray, mh: int, mw: int) -> np.ndarray:
 
 
 def encode_jpeg(
-    img: np.ndarray, quality: int = 90, subsample: bool = False,
+    img: np.ndarray, quality: int = 90, subsample=False,
     restart_interval: int = 0,
 ) -> bytes:
     """Deterministic baseline JPEG encoder.
 
     (h, w) uint8 -> grayscale JFIF; (h, w, 3) uint8 RGB -> YCbCr,
-    4:4:4 by default or 4:2:0 with subsample=True (2x2 box-averaged
-    chroma).  Annex K tables, quality-scaled quantization.
-    restart_interval > 0 emits DRI + RSTn markers every n MCUs
-    (grayscale only — enough to pin the decoder's restart path)."""
+    4:4:4 by default, 4:2:0 with subsample=True or "420" (2x2
+    box-averaged chroma), or 4:2:2 with subsample="422" (2x1
+    horizontal averaging — the broadcast-video shape).  Annex K
+    tables, quality-scaled quantization.  restart_interval > 0 emits
+    DRI + RSTn markers every n MCUs (grayscale only — enough to pin
+    the decoder's restart path)."""
     img = np.asarray(img)
     if img.dtype != np.uint8 or img.ndim not in (2, 3):
         raise ValueError("encode_jpeg expects uint8 (h,w) or (h,w,3)")
@@ -821,6 +823,9 @@ def encode_jpeg(
     if h == 0 or w == 0:
         raise ValueError("encode_jpeg: empty image")
     color = img.ndim == 3
+    mode = {False: "444", True: "420"}.get(subsample, subsample)
+    if mode not in ("444", "420", "422"):
+        raise ValueError(f"encode_jpeg: unknown subsample mode {subsample!r}")
     qlum = _quality_scale(_QT_LUM, quality)
     qchrom = _quality_scale(_QT_CHROM, quality)
     out = bytearray(b"\xff\xd8")  # SOI
@@ -835,7 +840,7 @@ def encode_jpeg(
     nc = 3 if color else 1
     out += b"\xff\xc0" + struct.pack(">HBHHB", 8 + 3 * nc, 8, h, w, nc)
     if color:
-        sub = 0x22 if subsample else 0x11
+        sub = {"444": 0x11, "420": 0x22, "422": 0x21}[mode]
         out += bytes([1, sub, 0, 2, 0x11, 1, 3, 0x11, 1])
     else:
         out += bytes([1, 0x11, 0])
@@ -895,13 +900,20 @@ def encode_jpeg(
             + 0.5 * rgb[..., 2]
         cr = 128.0 + 0.5 * rgb[..., 0] - 0.418688 * rgb[..., 1] \
             - 0.081312 * rgb[..., 2]
-        if subsample:
+        if mode == "420":
             y = _pad_to(y, 16, 16)
             cb = _pad_to(cb, 16, 16)
             cr = _pad_to(cr, 16, 16)
             # 2x2 box average
             cb = cb.reshape(cb.shape[0] // 2, 2, -1, 2).mean(axis=(1, 3))
             cr = cr.reshape(cr.shape[0] // 2, 2, -1, 2).mean(axis=(1, 3))
+        elif mode == "422":
+            y = _pad_to(y, 8, 16)
+            cb = _pad_to(cb, 8, 16)
+            cr = _pad_to(cr, 8, 16)
+            # 2x1 horizontal average
+            cb = cb.reshape(cb.shape[0], -1, 2).mean(axis=2)
+            cr = cr.reshape(cr.shape[0], -1, 2).mean(axis=2)
         else:
             y = _pad_to(y, 8, 8)
             cb = _pad_to(cb, 8, 8)
@@ -909,7 +921,7 @@ def encode_jpeg(
         yb = _blockify(y - 128.0)
         cbb = _blockify(cb - 128.0)
         crb = _blockify(cr - 128.0)
-        if not subsample:
+        if mode == "444":
             # interleave per MCU: one block each of Y, Cb, Cr
             preds = [0, 0, 0]
             for i in range(len(yb)):
@@ -919,6 +931,25 @@ def encode_jpeg(
                     bw, cbb[i : i + 1], qchrom, dc_ch, ac_ch, preds[1])
                 preds[2] = _encode_blocks(
                     bw, crb[i : i + 1], qchrom, dc_ch, ac_ch, preds[2])
+        elif mode == "422":
+            # MCU = 2 Y blocks (1x2) + 1 Cb + 1 Cr
+            ybw = y.shape[1] // 8
+            cbw = cb.shape[1] // 8
+            preds = [0, 0, 0]
+            for my in range(y.shape[0] // 8):
+                for mx in range(ybw // 2):
+                    for hh in range(2):
+                        idx = my * ybw + mx * 2 + hh
+                        preds[0] = _encode_blocks(
+                            bw, yb[idx : idx + 1], qlum,
+                            dc_lum, ac_lum, preds[0])
+                    ci = my * cbw + mx
+                    preds[1] = _encode_blocks(
+                        bw, cbb[ci : ci + 1], qchrom, dc_ch, ac_ch,
+                        preds[1])
+                    preds[2] = _encode_blocks(
+                        bw, crb[ci : ci + 1], qchrom, dc_ch, ac_ch,
+                        preds[2])
         else:
             # MCU = 4 Y blocks (2x2) + 1 Cb + 1 Cr
             ybw = y.shape[1] // 8

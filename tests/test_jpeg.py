@@ -261,3 +261,50 @@ def test_progressive_420_identical_to_baseline(shape):
         base = decode_jpeg(encode_jpeg(img, q, subsample=True))
         prog = decode_jpeg(encode_jpeg_progressive(img, q, subsample=True))
         assert (prog == base).all()
+
+
+def test_422_subsampling_roundtrip():
+    # 4:2:2 (2x1 chroma) — the broadcast-video shape; decoder upsamples
+    # horizontally only
+    y, x = np.mgrid[0:45, 0:61]
+    rgb = np.stack(
+        [(x * 4) % 256, (y * 4) % 256, ((x + y) * 2) % 256], axis=-1
+    ).astype(np.uint8)
+    out = decode_jpeg(encode_jpeg(rgb, 90, subsample="422"))
+    assert out.shape == rgb.shape
+    assert np.abs(out.astype(int) - rgb.astype(int)).max() <= 6
+    with pytest.raises(ValueError, match="subsample"):
+        encode_jpeg(rgb, 90, subsample="411")
+
+
+def test_progressive_restart_intervals():
+    """Hand-built SOF2 stream with DRI=1: the decoder must consume the
+    RSTn markers and reset the DC predictor (DC scan) and the EOB run
+    (AC scan) at every interval — pred carrying over would make block
+    1 decode as DC 4, eobrun carrying over would starve block 1's
+    symbol read."""
+    import struct as _s
+
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xdb" + _s.pack(">HB", 67, 0) + bytes([16] * 64)
+    out += b"\xff\xc2" + _s.pack(">HBHHB", 11, 8, 8, 16, 1)
+    out += bytes([1, 0x11, 0])
+    out += b"\xff\xdd" + _s.pack(">HH", 4, 1)  # DRI = 1
+    # DHT DC 0: single symbol {2} at length 1 (code 0)
+    out += b"\xff\xc4" + _s.pack(">HB", 20, 0x00) \
+        + bytes([1] + [0] * 15) + bytes([2])
+    # DHT AC 0: single symbol {0x10} (EOBn, r=1) at length 1
+    out += b"\xff\xc4" + _s.pack(">HB", 20, 0x10) \
+        + bytes([1] + [0] * 15) + bytes([0x10])
+    # DC first scan: block0 diff=+2, RST0, block1 diff=+2 (pred reset)
+    out += b"\xff\xda" + _s.pack(">HB", 8, 1) + bytes([1, 0x00, 0, 0, 0])
+    out += bytes([0b01011111]) + b"\xff\xd0" + bytes([0b01011111])
+    # AC scan 1..63: block0 EOBn r=1 extra=1 (run would cover 2 more
+    # blocks), RST0 resets it, block1 EOBn r=1 extra=0
+    out += b"\xff\xda" + _s.pack(">HB", 8, 1) + bytes([1, 0x00, 1, 63, 0])
+    out += bytes([0b01111111]) + b"\xff\xd0" + bytes([0b00111111])
+    out += b"\xff\xd9"
+    img = decode_jpeg(bytes(out))
+    # both blocks: DC=2 -> 16*2/8 + 128 = 132 everywhere
+    assert img.shape == (8, 16)
+    assert (img == 132).all(), np.unique(img)
