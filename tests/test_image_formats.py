@@ -331,17 +331,25 @@ def test_decode_image_fuzz_magic_prefixed(data):
         _contract(magic + data)
 
 
-@settings(max_examples=60, deadline=None)
-@given(st.integers(min_value=0, max_value=10_000), st.integers(0, 3))
+@settings(max_examples=90, deadline=None)
+@given(st.integers(min_value=0, max_value=10_000), st.integers(0, 6))
 def test_decode_image_truncation_fuzz(cut, which):
     # truncations of VALID streams — the parsers must refuse loudly,
     # not wander: exercises mid-structure EOF in every container
+    from mcp_ocr_server_spark.imaging.jpeg import (
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+
     img = GRAY[:16, :24]
     blob = [
         encode_tiff([img], "lzw"),
         encode_bmp(img),
         encode_pnm(img),
         encode_webp(img),
+        encode_png(img),
+        encode_jpeg(img, 90),
+        encode_jpeg_progressive(img, 90),
     ][which]
     _contract(blob[: min(cut, max(0, len(blob) - 1))])
 
