@@ -177,3 +177,58 @@ def test_extraction_invariants_hold_at_second_corpus_size(spark):
         assert bad == 0
     finally:
         spans.unpersist()
+
+
+def test_pipeline_accepts_transcoded_image_formats(spark):
+    """The fleet-wide claim behind codecs.decode_image: the SAME
+    extraction plan accepts media payloads in any sniffable container.
+    Losslessly transcode every PNG in the corpus to BMP / TIFF-LZW /
+    WebP-lossless and re-run extract — every span must come out
+    byte-identical except IMAGE_TOO_LARGE, which is legitimately
+    byte-length-dependent (containers compress differently)."""
+    from typing import Iterator
+
+    import pandas as pd
+
+    from mcp_ocr_server_spark.config import IMAGE_TOO_LARGE
+    from mcp_ocr_server_spark.imaging.bmp import encode_bmp
+    from mcp_ocr_server_spark.imaging.png import decode_png
+    from mcp_ocr_server_spark.imaging.tiff import encode_tiff
+    from mcp_ocr_server_spark.imaging.webp import encode_webp
+    from mcp_ocr_server_spark.sources.synthetic import MEDIA_SCHEMA
+
+    cfg = S.CorpusConfig(n_docs=32)
+    docs = S.docs_df(spark, cfg)
+    media = S.media_df(spark, cfg)
+    base = {
+        (r.doc_id, r.order): r
+        for r in extract(docs, media, FIXTURE_JOB).spans.collect()
+    }
+
+    encoders = {
+        "bmp": encode_bmp,
+        "tiff": lambda img: encode_tiff([img], "lzw"),
+        "webp": encode_webp,
+    }
+    for fmt, enc in encoders.items():
+        def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                pdf = pdf.assign(
+                    bytes=[enc(decode_png(bytes(b))) for b in pdf["bytes"]]
+                )
+                yield pdf
+
+        transcoded = media.mapInPandas(gen, schema=MEDIA_SCHEMA)
+        got = {
+            (r.doc_id, r.order): r
+            for r in extract(docs, transcoded, FIXTURE_JOB).spans.collect()
+        }
+        assert got.keys() == base.keys(), fmt
+        for key, want in base.items():
+            have = got[key]
+            codes = {want.error_code, have.error_code}
+            if IMAGE_TOO_LARGE in codes:
+                continue  # size guard is container-dependent, by design
+            assert (have.text, have.confidence, have.error_code) == (
+                want.text, want.confidence, want.error_code
+            ), (fmt, key)
