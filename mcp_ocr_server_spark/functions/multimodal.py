@@ -37,8 +37,9 @@ Stages (each a mapInPandas over an Arrow batch iterator):
     video_frame_features — REAL frame-sample -> PNG pixel decode ->
                            analyzer metrics per sampled frame
     video_inventory      — REAL container-metadata sniff for AVI
-                           (RIFF walk) and mp4 (ISO-BMFF box walk);
-                           webm/foreign payloads are error rows
+                           (RIFF walk), mp4 (ISO-BMFF box walk), and
+                           webm/matroska (EBML walk, functions/
+                           mkv.py); foreign payloads are error rows
 """
 
 from __future__ import annotations
@@ -450,8 +451,9 @@ def video_inventory_row(ref: str, data: bytes) -> dict:
     """One payload's video container-metadata row — shared verbatim by
     the Spark UDF and the golden generator (the video twin of
     audio_inventory_row).  AVI routes through functions/avi.py, mp4
-    through functions/mp4.py; webm/mkv and foreign payloads refuse
-    loudly with a container-specific error string."""
+    through functions/mp4.py, webm/matroska through the EBML walk in
+    functions/mkv.py; foreign payloads refuse loudly with a
+    container-specific error string."""
     row = dict(media_ref=ref, container=None, codec=None, width=None,
                height=None, duration_s=None, n_frames=None, error=None)
     try:
@@ -467,6 +469,15 @@ def video_inventory_row(ref: str, data: bytes) -> dict:
                 width=m.get("width"), height=m.get("height"),
                 n_frames=n,
                 duration_s=(n / fps) if fps and n is not None else None,
+            )
+        elif data[:4] == b"\x1aE\xdf\xa3":
+            from .mkv import mkv_metadata
+
+            m = mkv_metadata(data)
+            row.update(
+                container=m["container"], codec=m["codec"],
+                width=m["width"], height=m["height"],
+                duration_s=m["duration_s"], n_frames=None,
             )
         else:
             from .mp4 import mp4_metadata
@@ -487,8 +498,8 @@ def video_inventory(media: DataFrame) -> DataFrame:
     """REAL video container-metadata sniff over opaque payloads — the
     routing/filter stage a pipeline runs BEFORE paying for any codec
     decode: container/codec/dims/duration/frame-count per clip for
-    AVI (RIFF walk) and mp4 (ISO-BMFF box walk); webm and foreign
-    payloads are error rows naming what was seen."""
+    AVI (RIFF walk), mp4 (ISO-BMFF box walk) and webm/matroska (EBML
+    walk); foreign payloads are error rows naming what was seen."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cols = ["media_ref", "container", "codec", "width", "height",

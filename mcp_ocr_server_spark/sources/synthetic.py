@@ -999,9 +999,20 @@ def video_sniff_item(cfg: CorpusConfig, j: int) -> tuple[str, bytes, str]:
         data = encode_mp4(5.0)
         return vsniff_ref(j), data[: 40 + j % 20], "mp4_truncated"
     if cls == 5:
-        data = (b"\x1a\x45\xdf\xa3"
-                + rng.integers(0, 256, 96).astype(np.uint8).tobytes())
-        return vsniff_ref(j), data, "webm"
+        # REAL webm/matroska (functions/mkv.py writer): EBML header +
+        # Segment{Info, Tracks, opaque Cluster} — metadata parses,
+        # frame demux still refuses by codec name
+        from ..functions.mkv import encode_mkv
+
+        webm = j % 2 == 0
+        data = encode_mkv(
+            doctype="webm" if webm else "matroska",
+            codec="V_VP9" if webm else "V_MPEG4/ISO/AVC",
+            width=320 + 64 * (j % 4), height=180 + 36 * (j % 4),
+            duration_s=1.5 + (j % 5) * 2.25,
+            cluster=rng.integers(0, 256, 128).astype(np.uint8).tobytes(),
+        )
+        return vsniff_ref(j), data, "webm" if webm else "matroska"
     return vsniff_ref(j), b"\x00" + rng.integers(1, 255, 63).astype(
         np.uint8
     ).tobytes(), "garbage"

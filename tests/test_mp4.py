@@ -95,9 +95,15 @@ def test_video_inventory_rows_over_corpus():
             assert row["error"] is None and row["container"] == "mp4"
             assert row["codec"] == kind[4:]
             assert row["width"] > 0 and row["n_frames"] > 0
-        elif kind == "webm":
-            assert row["error"] and "EBML" in row["error"]
+        elif kind in ("webm", "matroska"):
+            # real EBML walk (functions/mkv.py): metadata, not an
+            # error row
+            assert row["error"] is None, row
+            assert row["container"] == kind
+            assert row["codec"] and row["width"] > 0
+            assert row["duration_s"] > 0
         else:
             assert row["error"], (kind, row)
     assert set(kinds) == {"avi", "mp4_avc1", "mp4_hev1",
-                          "mp4_truncated", "webm", "garbage"}
+                          "mp4_truncated", "webm", "matroska",
+                          "garbage"}
