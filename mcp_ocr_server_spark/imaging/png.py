@@ -5,11 +5,12 @@ seam (preprocessor.go:64-72, 114-121 — SURVEY.md §2.1 S3/S4): media
 bytes travel through Spark as an encoded-image BinaryType column and
 are decoded to uint8 arrays only inside pandas UDF batches.
 
-Decodes the 8-bit-chain half of the spec's matrix: gray at depths
-1/2/4/8, palette (PLTE), RGB, gray+alpha / RGBA (opaque only), all
-five scanline filters, and both interlace methods (none / Adam7);
-16-bit samples and real transparency refuse loudly.  Encodes 8-bit
-grayscale (color type 0) and RGB (color type 2) with filter 0.
+Decodes the spec's full practical matrix: gray at depths 1/2/4/8,
+palette (PLTE), RGB, gray+alpha / RGBA (opaque only), 16-bit samples
+(high-byte fold — OpenCV imdecode's convert-down, the reference's
+seam), all five scanline filters, and both interlace methods (none /
+Adam7); real transparency refuses loudly.  Encodes 8-bit grayscale
+(color type 0) and RGB (color type 2) with filter 0.
 Pure function of the pixel array → byte-identical output for identical
 input, which the content-hash memoization tests rely on
 (cache.go:188-198 key determinism, cache_test.go:64-77).
@@ -114,8 +115,14 @@ def _expand_rows(rows: np.ndarray, width: int, channels: int,
     """(h, stride) unfiltered bytes -> (h, width, channels) samples at
     8 bits.  Sub-byte gray/palette samples unpack MSB-first; gray
     scales to full 8-bit range (palette indices do NOT scale — the
-    caller indexes the PLTE)."""
+    caller indexes the PLTE).  16-bit samples (network byte order)
+    fold to their high byte — the same 16->8 convert-down OpenCV's
+    imdecode applies, so the reference seam sees identical pixels."""
     h = rows.shape[0]
+    if depth == 16:
+        return rows[:, : width * channels * 2].reshape(
+            h, width, channels, 2
+        )[:, :, :, 0].copy()
     if depth == 8:
         return rows[:, : width * channels].reshape(h, width, channels)
     # depth in (1, 2, 4): single-channel only (spec: gray or palette)
@@ -134,13 +141,14 @@ _ADAM7 = ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
 def decode_png(data: bytes) -> np.ndarray:
     """PNG bytes → uint8 HxW (gray) or HxWx3 (RGB) array.
 
-    Covers the 8-bit-chain half of the spec's matrix: gray at depths
-    1/2/4/8 (scaled to 8-bit), palette (PLTE) at 1/2/4/8, RGB,
-    gray+alpha and RGBA at 8 (alpha must be uniformly opaque — the
-    OCR chain has no compositing semantics), both interlace methods
-    (none / Adam7).  16-bit samples and non-opaque alpha raise
-    ValueError — callers map that to PREPROCESSING_FAILED /
-    UNSUPPORTED_FORMAT error rows (fail-soft, handler.go:271-275).
+    Covers the spec's practical matrix: gray at depths 1/2/4/8
+    (scaled to 8-bit) and 16 (high-byte fold, the OpenCV imdecode
+    convert-down), palette (PLTE) at 1/2/4/8, RGB at 8/16, gray+alpha
+    and RGBA at 8/16 (alpha must be uniformly opaque — the OCR chain
+    has no compositing semantics), both interlace methods (none /
+    Adam7).  Non-opaque alpha raises ValueError — callers map that to
+    PREPROCESSING_FAILED / UNSUPPORTED_FORMAT error rows (fail-soft,
+    handler.go:271-275).
     """
     if len(data) < 8 or data[:8] != _SIGNATURE:
         raise ValueError("not a PNG: bad signature")
@@ -173,12 +181,14 @@ def decode_png(data: bytes) -> np.ndarray:
         raise ValueError("not a PNG: missing IHDR")
     if width <= 0 or height <= 0:
         raise ValueError("corrupt PNG: bad dimensions")
-    if bit_depth == 16:
-        raise ValueError("unsupported PNG: 16-bit samples (8-bit chain)")
     if color_type not in (0, 2, 3, 4, 6):
         raise ValueError(f"unsupported PNG: color type {color_type}")
     channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color_type]
-    if bit_depth != 8 and (channels != 1 or bit_depth not in (1, 2, 4)):
+    if bit_depth == 16 and color_type == 3:
+        raise ValueError("corrupt PNG: 16-bit palette is illegal")
+    if bit_depth not in (8, 16) and (
+        channels != 1 or bit_depth not in (1, 2, 4)
+    ):
         raise ValueError(
             f"unsupported PNG: depth={bit_depth} color={color_type}"
         )
@@ -189,9 +199,12 @@ def decode_png(data: bytes) -> np.ndarray:
             raise ValueError("corrupt PNG: palette image without PLTE")
         if trns is not None and any(a != 255 for a in trns):
             raise ValueError("unsupported PNG: transparent palette entry")
-    bpp = max(1, channels * bit_depth // 8)
+    bpp = max(1, channels * bit_depth // 8)  # filter distance, bytes
 
-    raw = zlib.decompress(bytes(idat))
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as exc:
+        raise ValueError(f"corrupt PNG: {exc}") from exc
     px = np.zeros((height, width, channels), dtype=np.uint8)
     if interlace == 0:
         stride = (width * channels * bit_depth + 7) // 8
@@ -213,7 +226,7 @@ def decode_png(data: bytes) -> np.ndarray:
         if off != len(raw):
             raise ValueError("corrupt PNG: interlaced data length")
 
-    if bit_depth != 8 and color_type == 0:
+    if bit_depth < 8 and color_type == 0:
         # scale sub-byte gray to the full 8-bit range (spec 12.5)
         px = (px.astype(np.uint32) * 255 // ((1 << bit_depth) - 1)).astype(
             np.uint8

@@ -10,11 +10,11 @@ header tokens separated by whitespace with '#' comments running to
 end-of-line, then either ASCII sample text (P1-P3) or big-endian raw
 samples (P4-P6).  Supported here: bitmap (P1/P4, 1 = black per spec,
 mapped to 0/255 gray with black=0), graymap (P2/P5), pixmap (P3/P6),
-and PAM (P7 — depth 1-4 with opaque alpha) at maxval <= 255.  16-bit
-maxval (>255) is refused LOUDLY — the OCR
-chain is 8-bit end-to-end and silent truncation would corrupt pixel
-math downstream (same refuse-loudly contract as every parser in this
-repo).
+and PAM (P7 — depth 1-4 with opaque alpha).  16-bit maxval (>255)
+samples are big-endian pairs, folded to the 8-bit chain by
+round(v * 255 / maxval) — the same convert-down OpenCV's imdecode
+applies under IMREAD_* (the reference's seam), so a 16-bit scanner
+PNM behaves identically in both engines.
 
 Decode returns uint8 HxW (PBM/PGM) or HxWx3 (PPM); encoders emit the
 raw variants (P4/P5/P6) deterministically — byte-identical output for
@@ -82,30 +82,29 @@ def _decode_pam(data: bytes) -> np.ndarray:
         raise ValueError(f"pam: missing header field {exc}") from exc
     if w <= 0 or h <= 0:
         raise ValueError(f"pam: bad dimensions {w}x{h}")
-    if maxval > 255:
-        raise ValueError(f"pam: 16-bit maxval {maxval} unsupported")
-    if maxval <= 0:
+    if maxval <= 0 or maxval > 65535:
         raise ValueError(f"pam: bad maxval {maxval}")
     if depth not in (1, 2, 3, 4):
         raise ValueError(f"pam: depth {depth} unsupported")
     pos = end + 7
-    need = w * h * depth
+    wide = maxval > 255  # 16-bit samples: big-endian pairs
+    need = w * h * depth * (2 if wide else 1)
     if len(data) - pos < need:
         raise ValueError("pam: truncated raster")
-    px = (
-        np.frombuffer(data, np.uint8, count=need, offset=pos)
-        .reshape(h, w, depth)
-        .copy()
-    )
+    raw = np.frombuffer(data, np.uint8, count=need, offset=pos)
+    if wide:
+        px = raw.reshape(h, w, depth, 2).astype(np.uint32)
+        px = (px[:, :, :, 0] << 8) | px[:, :, :, 1]
+    else:
+        px = raw.reshape(h, w, depth).copy()
     if depth in (2, 4):  # *_ALPHA tuple types
         if not (px[:, :, -1] == maxval).all():
             raise ValueError("pam: non-opaque alpha unsupported")
         px = px[:, :, :-1]
         depth -= 1
     if maxval != 255:
-        px = np.round(px.astype(np.float64) * (255.0 / maxval)).astype(
-            np.uint8
-        )
+        px = np.round(px.astype(np.float64) * (255.0 / maxval))
+    px = px.astype(np.uint8)
     return px.reshape(h, w) if depth == 1 else px
 
 
@@ -132,13 +131,10 @@ def decode_pnm(data: bytes) -> np.ndarray:
         raise ValueError(f"pnm: bad dimensions {w}x{h}")
     if kind != "pbm":
         maxval = hdr[2]
-        if maxval <= 0:
+        if maxval <= 0 or maxval > 65535:
             raise ValueError(f"pnm: bad maxval {maxval}")
-        if maxval > 255:
-            raise ValueError(
-                f"pnm: 16-bit maxval {maxval} unsupported (8-bit chain)"
-            )
     channels = 3 if kind == "ppm" else 1
+    wide = kind != "pbm" and maxval > 255  # 16-bit: big-endian pairs
 
     if not raw:
         n = w * h * channels
@@ -150,6 +146,8 @@ def decode_pnm(data: bytes) -> np.ndarray:
             arr = (1 - arr) * 255  # 1 = black per spec
         elif arr.max(initial=0) > maxval:
             raise ValueError("pnm: sample exceeds maxval")
+        if kind != "pbm" and maxval != 255:
+            arr = np.round(arr.astype(np.float64) * (255.0 / maxval))
         out = arr.astype(np.uint8).reshape(h, w * channels)
     elif kind == "pbm":
         # P4: rows padded to whole bytes, MSB-first, 1 = black
@@ -165,18 +163,19 @@ def decode_pnm(data: bytes) -> np.ndarray:
         out = ((1 - bits) * 255).astype(np.uint8)
         return out
     else:
-        need = h * w * channels
+        need = h * w * channels * (2 if wide else 1)
         if len(data) - pos < need:
             raise ValueError("pnm: truncated raster")
-        out = (
-            np.frombuffer(data, dtype=np.uint8, count=need, offset=pos)
-            .reshape(h, w * channels)
-            .copy()
-        )
+        raw = np.frombuffer(data, dtype=np.uint8, count=need, offset=pos)
+        if wide:
+            out = raw.reshape(h, w * channels, 2).astype(np.uint32)
+            out = (out[:, :, 0] << 8) | out[:, :, 1]  # big-endian
+        else:
+            out = raw.reshape(h, w * channels).copy()
         if maxval != 255:
             # spec: samples are proportional; rescale to full 8-bit
             out = np.round(out.astype(np.float64) * (255.0 / maxval))
-            out = out.astype(np.uint8)
+        out = out.astype(np.uint8)
     if channels == 1:
         return out.reshape(h, w)
     return out.reshape(h, w, channels)

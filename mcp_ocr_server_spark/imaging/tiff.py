@@ -24,9 +24,11 @@ Supported on decode (per TIFF 6.0, independently re-derived):
   - new-style JPEG-in-TIFF (compression 7): each strip/tile is a
     complete JPEG stream through the in-repo T.81 codec, with shared
     tables via the JPEGTables tag spliced after each segment's SOI
-Refused LOUDLY (ValueError, the repo-wide contract): old-style JPEG
-(compression 6), 16-bit samples, planar config 2, BigTIFF — silent
-misdecodes would corrupt OCR pixel math downstream.
+16-bit samples fold to their high byte (OpenCV imdecode's
+convert-down — the reference's seam behavior).  Refused LOUDLY
+(ValueError, the repo-wide contract): old-style JPEG (compression 6),
+planar config 2, BigTIFF, predictor on 16-bit — silent misdecodes
+would corrupt OCR pixel math downstream.
 
 The encoder emits little-endian classic TIFF, gray8 / RGB8 / bilevel,
 one IFD per page, multi-strip (RowsPerStrip=16 to exercise the strip
@@ -270,7 +272,10 @@ def _decompress_segment(raw: bytes, comp: int, expected: int) -> bytes:
     if comp == 5:
         return lzw_decode(raw, expected)
     if comp in (8, 32946):
-        out = zlib.decompress(raw)
+        try:
+            out = zlib.decompress(raw)
+        except zlib.error as exc:
+            raise ValueError(f"tiff: bad deflate segment ({exc})") from exc
         if len(out) < expected:
             raise ValueError("tiff: short deflate segment")
         return out[:expected]
@@ -379,7 +384,7 @@ def _decode_page(data: bytes, e: str, ifd: dict[int, list[int]]) -> np.ndarray:
         return _decode_jpeg_page(data, ifd, w, h, spp, photo)
     if comp not in (1, 5, 8, 32946, 32773):
         raise ValueError(f"tiff: compression {comp} unsupported")
-    if any(b not in (1, 8) for b in bits) or len(set(bits)) != 1:
+    if any(b not in (1, 8, 16) for b in bits) or len(set(bits)) != 1:
         raise ValueError(f"tiff: bits per sample {bits} unsupported")
     bps = bits[0]
     if bps == 1 and (spp != 1 or photo not in (0, 1)):
@@ -396,6 +401,12 @@ def _decode_page(data: bytes, e: str, ifd: dict[int, list[int]]) -> np.ndarray:
     if predictor not in (1, 2):
         raise ValueError(f"tiff: predictor {predictor} unsupported")
 
+    def fold16(seg: np.ndarray) -> np.ndarray:
+        """16-bit samples -> high byte (OpenCV's convert-down); sample
+        byte order follows the FILE byte order per TIFF 6.0."""
+        pairs = seg.reshape(seg.shape[0], -1, 2)
+        return pairs[:, :, 0 if e == ">" else 1].copy()
+
     tiled = _T_TILE_WIDTH in ifd or _T_TILE_LENGTH in ifd
     if tiled:
         tw = ifd.get(_T_TILE_WIDTH, [0])[0]
@@ -410,7 +421,8 @@ def _decode_page(data: bytes, e: str, ifd: dict[int, list[int]]) -> np.ndarray:
                 or len(offsets) != across * down):
             raise ValueError("tiff: missing/short tile tables")
         # tiles are FULL tw x th (edge tiles padded); paste clipped
-        t_row_bytes = (tw + 7) // 8 if bps == 1 else tw * spp
+        unit = 2 if bps == 16 else 1
+        t_row_bytes = (tw + 7) // 8 if bps == 1 else tw * spp * unit
         row_bytes = (w + 7) // 8 if bps == 1 else w * spp
         flat = np.zeros((h, row_bytes), dtype=np.uint8)
         for ti, (so, sc) in enumerate(zip(offsets, counts)):
@@ -420,6 +432,8 @@ def _decode_page(data: bytes, e: str, ifd: dict[int, list[int]]) -> np.ndarray:
                 data[so : so + sc], comp, t_row_bytes * th
             )
             seg = np.frombuffer(raw, np.uint8).reshape(th, t_row_bytes)
+            if bps == 16:
+                seg = fold16(seg)
             if predictor == 2:
                 seg = _undo_predictor(seg, tw, spp)
             ty, tx = divmod(ti, across)
@@ -446,10 +460,11 @@ def _decode_page(data: bytes, e: str, ifd: dict[int, list[int]]) -> np.ndarray:
             raise ValueError("tiff: missing strip tables")
         rps = ifd.get(_T_ROWS_PER_STRIP, [h])[0] or h
 
+        unit = 2 if bps == 16 else 1
         if bps == 1:
-            row_bytes = (w + 7) // 8
+            wire_row_bytes = (w + 7) // 8
         else:
-            row_bytes = w * spp
+            wire_row_bytes = w * spp * unit
 
         rows = []
         for si, (so, sc) in enumerate(zip(offsets, counts)):
@@ -459,9 +474,13 @@ def _decode_page(data: bytes, e: str, ifd: dict[int, list[int]]) -> np.ndarray:
             if n_rows <= 0:
                 raise ValueError("tiff: surplus strip")
             raw = _decompress_segment(
-                data[so : so + sc], comp, row_bytes * n_rows
+                data[so : so + sc], comp, wire_row_bytes * n_rows
             )
-            strip = np.frombuffer(raw, np.uint8).reshape(n_rows, row_bytes)
+            strip = np.frombuffer(raw, np.uint8).reshape(
+                n_rows, wire_row_bytes
+            )
+            if bps == 16:
+                strip = fold16(strip)
             if predictor == 2:
                 strip = _undo_predictor(strip, w, spp)
             rows.append(strip)

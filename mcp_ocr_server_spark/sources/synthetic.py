@@ -1046,8 +1046,8 @@ _SCAN_CLASSES = (
     "bmp_gray", "bmp_rgb", "pgm", "ppm", "pbm",
     "tiff_none", "tiff_lzw", "tiff_packbits_bilevel",
     "tiff_deflate_pred", "tiff_multipage", "tiff_tiled", "webp",
-    "jpeg_progressive",
-    "err_webp_lossy", "err_pnm_16bit", "err_foreign",
+    "jpeg_progressive", "pnm_16bit",
+    "err_webp_lossy", "err_foreign",
 )
 
 
@@ -1061,9 +1061,11 @@ def scan_format_item(
     """(media_ref, bytes, kind, true_page_texts) across decode_image's
     sniffing branches.  OCR-able classes carry render_text output
     (scale 3 so glyphs survive any binarization) and report the
-    rendered truth per page for ground-truth tests; the err_* classes
-    pin the refuse-loudly contract (lossy VP8 in a real WEBP
-    container, 16-bit PNM, foreign magic) and report no truth."""
+    rendered truth per page for ground-truth tests; pnm_16bit emits
+    maxval-65535 samples (v*257 big-endian) that must FOLD exactly
+    back to the rendered page (the OpenCV imdecode convert-down); the
+    err_* classes pin the refuse-loudly contract (lossy VP8 in a real
+    WEBP container, foreign magic) and report no truth."""
     import struct
 
     from ..imaging.bmp import encode_bmp
@@ -1115,14 +1117,17 @@ def scan_format_item(
         from ..imaging.jpeg import encode_jpeg_progressive
 
         blob = encode_jpeg_progressive(page(), quality=92)
+    elif kind == "pnm_16bit":
+        img = page()
+        wide = (img.astype(np.uint16) * 257).astype(">u2")
+        blob = (b"P5\n%d %d\n65535\n" % (img.shape[1], img.shape[0])
+                + wide.tobytes())
     elif kind == "err_webp_lossy":
         # a real RIFF/WEBP container whose codec chunk is lossy VP8 —
         # must refuse by NAME, not as unknown magic
         body = rng.integers(0, 256, 48).astype(np.uint8).tobytes()
         blob = (b"RIFF" + struct.pack("<I", 4 + 8 + len(body))
                 + b"WEBP" + b"VP8 " + struct.pack("<I", len(body)) + body)
-    elif kind == "err_pnm_16bit":
-        blob = b"P5\n2 2\n65535\n" + bytes(8)
     else:  # err_foreign: GIF magic — a format imdecode itself refuses
         blob = b"GIF89a" + rng.integers(
             0, 256, 32).astype(np.uint8).tobytes()

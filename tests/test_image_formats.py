@@ -47,11 +47,16 @@ def test_pnm_ascii_variants_and_comments():
             == np.array([[[1, 2, 3]]])).all()
 
 
-def test_pnm_maxval_rescale_and_16bit_refusal():
+def test_pnm_maxval_rescale_and_16bit_fold():
     p5 = b"P5\n2 1\n100\n" + bytes([0, 100])
     assert (decode_pnm(p5) == np.array([[0, 255]])).all()
-    with pytest.raises(ValueError, match="16-bit"):
-        decode_pnm(b"P5\n1 1\n65535\n\x00\x00")
+    # 16-bit (maxval > 255): big-endian pairs, round(v * 255 / maxval)
+    # — the OpenCV imdecode convert-down
+    wide = np.array([[0, 7 * 257, 65535]], ">u2")
+    out = decode_pnm(b"P5\n3 1\n65535\n" + wide.tobytes())
+    assert list(out[0]) == [0, 7, 255], out
+    # P2 ASCII with a wide maxval scales the same way
+    assert list(decode_pnm(b"P2\n2 1\n1000\n0 1000\n")[0]) == [0, 255]
 
 
 def test_pnm_p4_row_padding():
@@ -486,10 +491,12 @@ def test_pam_alpha_and_refusals():
             == np.array([[[9, 8, 7]]])).all()
     with pytest.raises(ValueError, match="alpha"):
         decode_image(hdr + bytes([9, 8, 7, 128]))
-    with pytest.raises(ValueError, match="16-bit"):
-        decode_image(
-            b"P7\nWIDTH 1\nHEIGHT 1\nDEPTH 1\nMAXVAL 65535\nENDHDR\n\x00\x00"
-        )
+    # 16-bit PAM folds (big-endian pairs)
+    wide = decode_image(
+        b"P7\nWIDTH 2\nHEIGHT 1\nDEPTH 1\nMAXVAL 65535\nENDHDR\n"
+        + np.array([0, 65535], ">u2").tobytes()
+    )
+    assert list(wide[0]) == [0, 255]
     with pytest.raises(ValueError, match="ENDHDR"):
         decode_image(b"P7\nWIDTH 1\n")
 
@@ -497,3 +504,28 @@ def test_pam_alpha_and_refusals():
 def test_pam_maxval_rescale():
     hdr = b"P7\nWIDTH 2\nHEIGHT 1\nDEPTH 1\nMAXVAL 100\nENDHDR\n"
     assert list(decode_image(hdr + bytes([0, 100]))[0]) == [0, 255]
+
+
+def test_tiff_16bit_high_byte_fold_both_endians():
+    """16-bit TIFF samples fold to their high byte per the FILE byte
+    order (OpenCV imdecode's convert-down)."""
+    px16 = np.array([[0x1234, 0xFF00], [0x0080, 0xABCD]], np.uint16)
+    want = (px16 >> 8).astype(np.uint8)
+    entries = [
+        (256, 4, 1, 2), (257, 4, 1, 2), (258, 3, 1, 16), (259, 3, 1, 1),
+        (262, 3, 1, 1), (273, 4, 1, 8), (277, 3, 1, 1), (278, 3, 1, 2),
+        (279, 4, 1, 8),
+    ]
+    raw_le = px16.astype("<u2").tobytes()
+    ifd = struct.pack("<H", len(entries)) + b"".join(
+        struct.pack("<HHII", *ent) for ent in sorted(entries)
+    ) + b"\x00\x00\x00\x00"
+    data = b"II*\x00" + struct.pack("<I", 8 + len(raw_le)) + raw_le + ifd
+    assert (decode_tiff(data) == want).all()
+    raw_be = px16.astype(">u2").tobytes()
+    ifd_be = struct.pack(">H", len(entries)) + b"".join(
+        struct.pack(">HHII", t, ty, c, (v << 16) if ty == 3 else v)
+        for t, ty, c, v in sorted(entries)
+    ) + b"\x00\x00\x00\x00"
+    data_be = b"MM\x00*" + struct.pack(">I", 8 + len(raw_be)) + raw_be + ifd_be
+    assert (decode_tiff(data_be) == want).all()

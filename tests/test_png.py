@@ -36,11 +36,11 @@ def test_decode_rejects_garbage():
 
 
 def test_decode_rejects_unsupported_depth():
-    # valid signature+IHDR but 16-bit depth
+    # valid signature+IHDR but an illegal depth (3)
     import struct
     import zlib
 
-    ihdr = struct.pack(">IIBBBBB", 4, 4, 16, 0, 0, 0, 0)
+    ihdr = struct.pack(">IIBBBBB", 4, 4, 3, 0, 0, 0, 0)
 
     def chunk(tag, payload):
         return (
@@ -156,3 +156,52 @@ def test_transparent_palette_refused():
         png.decode_png(
             _build(2, 1, 8, 3, raw, plte=plte, trns=bytes([255, 7]))
         )
+
+
+def test_16bit_high_byte_fold():
+    """16-bit samples fold to their high byte — the convert-down
+    OpenCV's imdecode applies, so the reference seam sees identical
+    pixels.  Gray, RGB, and opaque RGBA; non-opaque still refuses."""
+    import struct
+    import zlib
+
+    def chunk(tag, payload):
+        return (struct.pack(">I", len(payload)) + tag + payload
+                + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF))
+
+    def build(w, h, depth, ctype, raw):
+        return (b"\x89PNG\r\n\x1a\n"
+                + chunk(b"IHDR",
+                        struct.pack(">IIBBBBB", w, h, depth, ctype, 0, 0, 0))
+                + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
+
+    out = png.decode_png(
+        build(2, 1, 16, 0, b"\x00" + bytes([0x12, 0x34, 0xFF, 0x00]))
+    )
+    assert list(out[0]) == [0x12, 0xFF]
+    vals = (np.array([[10, 20, 30], [40, 50, 60]], np.uint16) << 8)
+    out = png.decode_png(build(2, 1, 16, 2, b"\x00" + vals.astype(">u2").tobytes()))
+    assert (out == np.array([[[10, 20, 30], [40, 50, 60]]])).all()
+    rgba = np.array([[7, 8, 9, 0xFF]], np.uint16) << 8
+    rgba[0, 3] = 0xFFFF
+    out = png.decode_png(build(1, 1, 16, 6, b"\x00" + rgba.astype(">u2").tobytes()))
+    assert (out == np.array([[[7, 8, 9]]])).all()
+    rgba[0, 3] = 0x80FF
+    with pytest.raises(ValueError, match="alpha"):
+        png.decode_png(build(1, 1, 16, 6, b"\x00" + rgba.astype(">u2").tobytes()))
+
+
+def test_empty_idat_refuses_loudly():
+    # zlib errors must surface as ValueError, never zlib.error
+    import struct
+    import zlib
+
+    def chunk(tag, payload):
+        return (struct.pack(">I", len(payload)) + tag + payload
+                + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF))
+
+    data = (b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", 4, 4, 8, 0, 0, 0, 0))
+            + chunk(b"IEND", b""))
+    with pytest.raises(ValueError, match="corrupt PNG"):
+        png.decode_png(data)

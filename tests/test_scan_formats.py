@@ -67,8 +67,9 @@ def test_inventory_formats_and_refusals():
     assert by_kind["tiff_lzw"]["format"] == "tiff"
     assert by_kind["tiff_packbits_bilevel"]["channels"] == 1
     assert by_kind["webp"]["format"] == "webp"
+    assert by_kind["pnm_16bit"]["format"] == "pnm"
+    assert by_kind["pnm_16bit"]["error"] is None  # folds, not refuses
     assert "lossy VP8" in by_kind["err_webp_lossy"]["error"]
-    assert "16-bit" in by_kind["err_pnm_16bit"]["error"]
     assert "not PNG/JPEG/BMP/PNM/TIFF" in by_kind["err_foreign"]["error"]
     for kind, row in by_kind.items():
         if not kind.startswith("err_"):
