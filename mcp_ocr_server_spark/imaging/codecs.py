@@ -3,11 +3,15 @@
 The reference hands incoming bytes to OpenCV's imdecode, which sniffs
 the container from magic bytes (tesseract.go's image load path); this
 is that dispatch for the codecs this repo implements from scratch —
-the OCR-relevant members of imdecode's built-in matrix:
-PNG (imaging/png.py), baseline JPEG (imaging/jpeg.py), BMP
-(imaging/bmp.py), Netpbm P1-P6 (imaging/pnm.py), and TIFF
+the OCR-relevant members of imdecode's built-in matrix plus the two
+web-crawl staples:
+PNG (imaging/png.py), baseline+progressive JPEG (imaging/jpeg.py),
+BMP (imaging/bmp.py), Netpbm P1-P7 (imaging/pnm.py), TIFF
 (imaging/tiff.py — first page here; multi-page scans go through
-decode_tiff_pages).  All return uint8 HxW (gray) or HxWx3 (RGB);
+decode_image_pages), lossless WebP (imaging/webp.py), GIF
+(imaging/gif.py — first composited frame here, animations through
+decode_image_pages), and ICO favicons (imaging/ico.py — best
+directory entry).  All return uint8 HxW (gray) or HxWx3 (RGB);
 callers that need gray fold RGB with the same BT.601 integer luma
 everywhere else in the repo uses.
 """
@@ -17,10 +21,12 @@ from __future__ import annotations
 import numpy as np
 
 from .bmp import decode_bmp
+from .gif import decode_gif, decode_gif_frames
+from .ico import decode_ico
 from .jpeg import decode_jpeg
 from .png import decode_png
 from .pnm import decode_pnm
-from .tiff import decode_tiff
+from .tiff import decode_tiff, decode_tiff_pages
 from .webp import decode_webp
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
@@ -42,9 +48,13 @@ def sniff_image_format(data: bytes) -> str:
         return "tiff"  # decode_tiff validates the 42 magic loudly
     if data[:4] == b"RIFF" and data[8:12] == b"WEBP":
         return "webp"  # decode_webp refuses lossy/VP8X loudly
+    if data[:6] in (b"GIF87a", b"GIF89a"):
+        return "gif"
+    if data[:4] == b"\x00\x00\x01\x00":
+        return "ico"
     raise ValueError(
         f"unsupported image payload (magic {data[:4]!r}):"
-        " not PNG/JPEG/BMP/PNM/TIFF/WebP"
+        " not PNG/JPEG/BMP/PNM/TIFF/WebP/GIF/ICO"
     )
 
 
@@ -55,16 +65,31 @@ _DECODERS = {
     "pnm": decode_pnm,
     "tiff": decode_tiff,
     "webp": decode_webp,
+    "gif": decode_gif,
+    "ico": decode_ico,
 }
 
 
 def decode_image(data: bytes) -> np.ndarray:
-    """uint8 HxW or HxWx3 pixels from PNG / baseline-JPEG / BMP /
-    Netpbm / TIFF / lossless-WebP bytes.
+    """uint8 HxW or HxWx3 pixels from PNG / JPEG / BMP / Netpbm /
+    TIFF / lossless-WebP / GIF / ICO bytes.
 
     Raises ValueError for any other payload (callers map it to
     PREPROCESSING_FAILED / per-row error strings, fail-soft)."""
     return _DECODERS[sniff_image_format(data)](data)
+
+
+def decode_image_pages(data: bytes) -> list[np.ndarray]:
+    """Every page/frame of a payload: TIFF yields one page per IFD
+    (the fax/flatbed multi-page shape), GIF one composited frame per
+    image block (animations), everything else a single page — the one
+    dispatch the scan inventory/OCR row functions share."""
+    fmt = sniff_image_format(data)
+    if fmt == "tiff":
+        return decode_tiff_pages(data)
+    if fmt == "gif":
+        return decode_gif_frames(data)
+    return [_DECODERS[fmt](data)]
 
 
 def to_gray(img: np.ndarray) -> np.ndarray:

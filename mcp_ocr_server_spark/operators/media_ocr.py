@@ -251,22 +251,18 @@ SCAN_INVENTORY_SCHEMA = (
 
 def scan_inventory_row(ref: str, data: bytes) -> dict:
     """Container sniff + full pixel decode for one scan payload —
-    format, page count, first-page geometry; refusals (foreign magic,
-    16-bit samples, tiled/JPEG TIFF) surface as error rows naming what
-    was seen.  This is the route/filter stage a pipeline runs BEFORE
-    the OCR spend — same pattern as audio/video inventory."""
-    from ..imaging.codecs import sniff_image_format
-    from ..imaging.tiff import decode_tiff_pages
+    format, page count (TIFF IFDs / GIF frames), first-page geometry;
+    refusals (foreign magic, lossy WebP) surface as error rows naming
+    what was seen.  This is the route/filter stage a pipeline runs
+    BEFORE the OCR spend — same pattern as audio/video inventory."""
+    from ..imaging.codecs import decode_image_pages, sniff_image_format
 
     row = dict(media_ref=ref, format=None, n_pages=None, width=None,
                height=None, channels=None, error=None)
     try:
         fmt = sniff_image_format(bytes(data))
         row["format"] = fmt
-        if fmt == "tiff":
-            pages = decode_tiff_pages(bytes(data))
-        else:
-            pages = [decode_image(bytes(data))]
+        pages = decode_image_pages(bytes(data))
         first = pages[0]
         row["n_pages"] = len(pages)
         row["height"], row["width"] = int(first.shape[0]), int(first.shape[1])
@@ -277,22 +273,17 @@ def scan_inventory_row(ref: str, data: bytes) -> dict:
 
 
 def scan_image_ocr_rows(ref: str, data: bytes, cfg: JobConfig) -> list[dict]:
-    """OCR rows for one scan payload, every page (TIFF: per IFD; other
-    formats: the single image).  RGB pages fold to gray with the
-    repo-wide BT.601 luma before the preprocess + engine chain the
-    image branch runs.  Decode failures yield ONE error row with
-    page_idx null; per-page OCR failures isolate to their page (P1) —
-    identical contract to scan_pdf_rows."""
-    from ..imaging.codecs import sniff_image_format, to_gray
-    from ..imaging.tiff import decode_tiff_pages
+    """OCR rows for one scan payload, every page (TIFF: per IFD; GIF:
+    per composited frame; other formats: the single image).  RGB pages
+    fold to gray with the repo-wide BT.601 luma before the preprocess
+    + engine chain the image branch runs.  Decode failures yield ONE
+    error row with page_idx null; per-page OCR failures isolate to
+    their page (P1) — identical contract to scan_pdf_rows."""
+    from ..imaging.codecs import decode_image_pages, to_gray
     from ..ocr.engine import get_engine
 
     try:
-        fmt = sniff_image_format(bytes(data))
-        if fmt == "tiff":
-            pages = decode_tiff_pages(bytes(data))
-        else:
-            pages = [decode_image(bytes(data))]
+        pages = decode_image_pages(bytes(data))
     except Exception as exc:
         return [dict(media_ref=ref, page_idx=None, text=None,
                      confidence=None, error=str(exc))]

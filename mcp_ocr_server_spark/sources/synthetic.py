@@ -244,26 +244,47 @@ _S_HTMLEVAL = 12
 
 N_HTML_EVAL_DOCS = 64
 
-_HTML_EVAL_CLASSES = ("clean", "short_main", "linky_main", "prose_boiler")
+_HTML_EVAL_CLASSES = (
+    "clean", "short_main", "linky_main", "prose_boiler",
+    "comments", "nested_boiler", "table_layout", "malformed",
+)
 
 
 def html_eval_item(cfg: CorpusConfig, j: int) -> tuple[str, str, str, str]:
     """(doc_id, cls, html, golden_main).  golden_main is always the
     TRUE main text (what a perfect extractor returns), so the eval
-    measures the heuristic's operating point, not the generator:
+    measures each heuristic's operating point, not the generator.
+    Classes 1-4 price the FLAT Kohlschütter thresholds; classes 5-8
+    (added with the DOM extractor) price tree-level failure modes the
+    flat path cannot see at all:
 
-      clean        — nav/aside/footer boilerplate only: exact strip
-      short_main   — a 5-8-word closing paragraph (< extractor
-                     MIN_WORDS) => dropped => recall < 1 BY DESIGN
-      linky_main   — citation-dense main paragraph (every other word
-                     an anchor, link density > MAX_LINK_DENSITY)
-                     => dropped => recall < 1
-      prose_boiler — a 'related teaser' block: >= MIN_WORDS words,
-                     one short link, under the density bar => KEPT
-                     though it is not main content => precision < 1
+      clean         — nav/aside/footer boilerplate only: exact strip
+                      on both paths
+      short_main    — a 5-8-word closing sentence (< MIN_WORDS, ends
+                      with a full stop): flat drops it (recall < 1 BY
+                      DESIGN); the DOM path's readability.js
+                      short-sentence rescue keeps it
+      linky_main    — citation-dense main paragraph (every other word
+                      an anchor, link density > MAX_LINK_DENSITY):
+                      flat drops it; the DOM path rescues it because
+                      its HOME candidate is link-light
+      prose_boiler  — a 'related teaser' block: >= MIN_WORDS words,
+                      one short link, under the density bar => flat
+                      KEEPS it (precision < 1); the DOM path prunes
+                      the class="related" signal
+      comments      — a #comments section of long link-free prose:
+                      flat keeps every comment (precision << 1); the
+                      DOM path prunes by id signal
+      nested_boiler — a link-light promo box NESTED INSIDE the content
+                      div: flat keeps it (precision < 1); DOM prunes
+                      the class="promo-box" signal
+      table_layout  — 1990s table layout (menu <td> of links beside a
+                      content <td>): both paths must stay exact
+      malformed     — unclosed <p>s, a stray end tag, mis-nested
+                      inline tags: both paths must recover exactly
     """
     rng = _rng(cfg.seed, _S_HTMLEVAL, j)
-    cls = _HTML_EVAL_CLASSES[j % 4]
+    cls = _HTML_EVAL_CLASSES[j % len(_HTML_EVAL_CLASSES)]
     nav = "".join(
         f'<li><a href="/{w}">{w}</a></li>'
         for w in rng.choice(_BOILER_LINKS, 3, replace=False)
@@ -273,8 +294,12 @@ def html_eval_item(cfg: CorpusConfig, j: int) -> tuple[str, str, str, str]:
     ]
     golden = list(paras)
     body_extra = ""
+    after_content = ""
     if cls == "short_main":
-        tail = _words(rng, _PROSE_WORDS, int(rng.integers(5, 9)))
+        # ends with a full stop — the realistic closing-sentence shape
+        # the DOM path's short-sentence rescue is built for (a bare
+        # word-soup fragment stays dropped on BOTH paths)
+        tail = _words(rng, _PROSE_WORDS, int(rng.integers(5, 9))) + "."
         golden.append(tail)
         body_extra = f"<p>{tail}</p>"
     elif cls == "linky_main":
@@ -289,18 +314,55 @@ def html_eval_item(cfg: CorpusConfig, j: int) -> tuple[str, str, str, str]:
         teaser = _words(rng, _PROSE_WORDS, int(rng.integers(12, 16)))
         body_extra = (f'<div class="related">{teaser} '
                       f'<a href="/more">more</a></div>')
+    elif cls == "comments":
+        cmts = [
+            _words(rng, _PROSE_WORDS, int(rng.integers(12, 20)))
+            for _ in range(2)
+        ]
+        after_content = ('<div id="comments">'
+                         + "".join(f"<p>{c}</p>" for c in cmts)
+                         + "</div>")
+    elif cls == "nested_boiler":
+        promo = _words(rng, _PROSE_WORDS, int(rng.integers(12, 16)))
+        body_extra = f'<div class="promo-box"><p>{promo}</p></div>'
     aside = f'<a href="/ad">{_words(rng, _PROSE_WORDS, 2)}</a> sponsored'
     footer = (f'copyright <a href="/terms">terms</a> '
               f'{int(rng.integers(2000, 2030))}')
-    html_doc = (
-        "<html><head><title>t</title></head><body>"
-        f"<nav><ul>{nav}</ul></nav>"
-        f'<div class="content"><h1>{_words(rng, _PROSE_WORDS, 3)}</h1>'
-        + "".join(f"<p>{p}</p>" for p in paras)
-        + body_extra
-        + f"</div><aside>{aside}</aside><footer><p>{footer}</p></footer>"
-        "</body></html>"
-    )
+    title = _words(rng, _PROSE_WORDS, 3)
+    if cls == "table_layout":
+        html_doc = (
+            "<html><head><title>t</title></head><body><table><tr>"
+            f'<td class="menu"><ul>{nav}</ul></td>'
+            f'<td class="text"><h1>{title}</h1>'
+            + "".join(f"<p>{p}</p>" for p in paras)
+            + "</td></tr></table>"
+            f"<footer><p>{footer}</p></footer></body></html>"
+        )
+    elif cls == "malformed":
+        # unclosed <p>s, mis-nested <b><i>..</b></i>, a stray </span>
+        tail = _words(rng, _PROSE_WORDS, 4)
+        golden[1] = f"{paras[1]} {tail}"
+        html_doc = (
+            "<html><head><title>t</title></head><body>"
+            f"<nav><ul>{nav}</ul></nav>"
+            f'<div class="content"><h1>{title}</h1>'
+            f"<p>{paras[0]}"
+            f"<p>{paras[1]} <b><i>{tail}</b></i>"
+            "</div></span>"
+            f"<aside>{aside}</aside><footer><p>{footer}</p></footer>"
+            "</body></html>"
+        )
+    else:
+        html_doc = (
+            "<html><head><title>t</title></head><body>"
+            f"<nav><ul>{nav}</ul></nav>"
+            f'<div class="content"><h1>{title}</h1>'
+            + "".join(f"<p>{p}</p>" for p in paras)
+            + body_extra
+            + f"</div>{after_content}<aside>{aside}</aside>"
+            f"<footer><p>{footer}</p></footer>"
+            "</body></html>"
+        )
     return f"heval-{j:06d}", cls, html_doc, "\n".join(golden)
 
 
@@ -1038,7 +1100,7 @@ def video_sniff_df(spark, cfg: CorpusConfig, n: int = N_VIDEO_SNIFF_CLIPS):
 # flatbed scan shape: one file, one page per IFD.
 
 _S_SCANFMT = 13
-N_SCAN_IMAGES = 48
+N_SCAN_IMAGES = 63
 
 SCAN_MEDIA_SCHEMA = "media_ref string, bytes binary, kind string"
 
@@ -1047,6 +1109,7 @@ _SCAN_CLASSES = (
     "tiff_none", "tiff_lzw", "tiff_packbits_bilevel",
     "tiff_deflate_pred", "tiff_multipage", "tiff_tiled", "webp",
     "jpeg_progressive", "pnm_16bit",
+    "gif", "gif_interlaced", "gif_animated", "ico_png", "ico_bmp",
     "err_webp_lossy", "err_foreign",
 )
 
@@ -1122,15 +1185,54 @@ def scan_format_item(
         wide = (img.astype(np.uint16) * 257).astype(">u2")
         blob = (b"P5\n%d %d\n65535\n" % (img.shape[1], img.shape[0])
                 + wide.tobytes())
+    elif kind == "gif":
+        from ..imaging.gif import encode_gif
+
+        blob = encode_gif(page())
+    elif kind == "gif_interlaced":
+        from ..imaging.gif import encode_gif
+
+        blob = encode_gif(page(), interlace=True)
+    elif kind == "gif_animated":
+        from ..imaging.gif import encode_gif
+
+        # frame-per-page, same stride-derived count trick as
+        # tiff_multipage; frames must share dimensions, so pad each
+        # rendered page onto a common white canvas
+        n_frames = 2 + (j // len(_SCAN_CLASSES)) % 3
+        pages = [page() for _ in range(n_frames)]
+        hh = max(p.shape[0] for p in pages)
+        ww = max(p.shape[1] for p in pages)
+        canv = []
+        for p in pages:
+            c = np.full((hh, ww), 255, np.uint8)
+            c[: p.shape[0], : p.shape[1]] = p
+            canv.append(c)
+        blob = encode_gif(canv, delay_cs=8)
+    elif kind in ("ico_png", "ico_bmp"):
+        # favicon entries store sizes in one byte (max 256), so render
+        # a short one-liner at scale 2 — two _FONT_WORDS max out at
+        # 196 px wide, comfortably inside the format's ceiling
+        text = _words(rng, _FONT_WORDS, 2)
+        truths.append(text.upper())
+        img = render_text(text, scale=2)
+        if kind == "ico_png":
+            from ..imaging.ico import encode_ico
+
+            blob = encode_ico(img)
+        else:
+            from ..imaging.ico import encode_ico_bmp
+
+            blob = encode_ico_bmp(img)
     elif kind == "err_webp_lossy":
         # a real RIFF/WEBP container whose codec chunk is lossy VP8 —
         # must refuse by NAME, not as unknown magic
         body = rng.integers(0, 256, 48).astype(np.uint8).tobytes()
         blob = (b"RIFF" + struct.pack("<I", 4 + 8 + len(body))
                 + b"WEBP" + b"VP8 " + struct.pack("<I", len(body)) + body)
-    else:  # err_foreign: GIF magic — a format imdecode itself refuses
-        blob = b"GIF89a" + rng.integers(
-            0, 256, 32).astype(np.uint8).tobytes()
+    else:  # err_foreign: JPEG-2000 signature box — outside the matrix
+        blob = (b"\x00\x00\x00\x0cjP  \r\n\x87\n" + rng.integers(
+            0, 256, 32).astype(np.uint8).tobytes())
     return scanfmt_ref(j), blob, kind, truths
 
 

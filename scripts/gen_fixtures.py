@@ -400,14 +400,13 @@ def gen_html_eval() -> pd.DataFrame:
         main_content_eval_row,
     )
 
+    from mcp_ocr_server_spark.queries import HTML_EVAL_COLS
+
     rows = []
     for j in range(S.N_HTML_EVAL_DOCS):
         doc_id, cls, html_doc, golden = S.html_eval_item(FLAGSHIP_CORPUS, j)
         rows.append(main_content_eval_row(doc_id, cls, html_doc, golden))
-    return pd.DataFrame(
-        rows, columns=["doc_id", "cls", "n_gold", "n_extracted", "tp",
-                       "precision", "recall"]
-    )
+    return pd.DataFrame(rows, columns=HTML_EVAL_COLS)
 
 
 def gen_docs_jsonl() -> int:

@@ -1,0 +1,163 @@
+"""DOM-tree extractor unit tests (functions/dom.py) — parser recovery,
+signal pruning, Readability candidate selection + sibling inclusion,
+and the two operating-point rescues (short sentence, linky block in a
+link-light home).  Like the flat-path tests, these golden cases ARE
+the spec: no reference code exists for the text path."""
+
+from mcp_ocr_server_spark.functions.dom import (
+    MAX_DEPTH,
+    MIN_WORDS,
+    Node,
+    extract_main_dom,
+    parse_html,
+)
+
+MAIN = ("the quick analytic engine reads every span and writes "
+        "extracted content back")
+
+
+def _children_tags(node):
+    return [c.tag for c in node.children if isinstance(c, Node)]
+
+
+# --- parser -----------------------------------------------------------------
+
+
+def test_tree_shape_and_attrs():
+    root = parse_html('<div id="a" class="x y"><p>hi</p><p>bye</p></div>')
+    div = root.children[0]
+    assert div.tag == "div" and div.attrs["id"] == "a"
+    assert div.signal() == "a x y"
+    assert _children_tags(div) == ["p", "p"]
+
+
+def test_unclosed_p_implied_close():
+    root = parse_html("<div><p>one<p>two</div>")
+    div = root.children[0]
+    ps = [c for c in div.children if isinstance(c, Node)]
+    assert [p.tag for p in ps] == ["p", "p"]
+    assert ps[0].children == ["one"] and ps[1].children == ["two"]
+
+
+def test_li_td_implied_close():
+    root = parse_html("<ul><li>a<li>b</ul><table><tr><td>x<td>y</table>")
+    ul = root.children[0]
+    assert _children_tags(ul) == ["li", "li"]
+    table = root.children[1]
+    tr = next(c for c in table.children if isinstance(c, Node))
+    assert _children_tags(tr) == ["td", "td"]
+
+
+def test_stray_end_tag_ignored_and_misnesting_recovered():
+    root = parse_html("<div><b><i>x</b></i>y</span></div>")
+    div = root.children[0]
+    # </b> pops through i and b; </i> and </span> are stray: ignored
+    assert div.children[-1] == "y"
+
+
+def test_void_elements_do_not_nest():
+    root = parse_html("<p>a<br>b<img src='x'>c</p>")
+    p = root.children[0]
+    assert [c for c in p.children if isinstance(c, str)] == ["a", "b", "c"]
+
+
+def test_script_content_not_parsed_as_markup():
+    root = parse_html("<script>var a = '<p>sneaky</p>';</script><p>ok</p>")
+    assert _children_tags(root) == ["script", "p"]
+
+
+def test_depth_cap_flattens_instead_of_failing():
+    html = "<div>" * (MAX_DEPTH + 50) + "deep" + "</div>" * (MAX_DEPTH + 50)
+    root = parse_html(html)  # must not raise / blow the stack
+    node, depth = root, 0
+    while True:
+        kids = [c for c in node.children if isinstance(c, Node)]
+        if not kids:
+            break
+        node, depth = kids[0], depth + 1
+    assert depth <= MAX_DEPTH + 1
+
+
+# --- extractor --------------------------------------------------------------
+
+
+def _wrap(body):
+    return f"<html><head><title>t</title></head><body>{body}</body></html>"
+
+
+def test_signal_pruning_comments_sidebar():
+    junk = " ".join(["junk"] * (MIN_WORDS + 5))
+    html = _wrap(
+        f'<div class="content"><p>{MAIN}</p></div>'
+        f'<div id="comments"><p>{junk}</p></div>'
+        f'<div class="sidebar-promo"><p>{junk}</p></div>'
+    )
+    assert extract_main_dom(html) == MAIN
+
+
+def test_positive_signal_overrides_negative():
+    # "article" positive beats "comment" negative (Readability's
+    # okMaybeItsACandidate rule)
+    html = _wrap(f'<div class="comment article"><p>{MAIN}</p></div>')
+    assert extract_main_dom(html) == MAIN
+
+
+def test_sibling_inclusion_reassembles_split_main():
+    a = " ".join(["alpha"] * 20)
+    b = " ".join(["beta"] * 25)
+    c = " ".join(["gamma"] * 22)
+    # three paragraphs split across sibling wrapper divs — candidate
+    # scoring alone picks the biggest wrapper; sibling inclusion (>=20%
+    # of the winner) reassembles all three in document order
+    html = _wrap(
+        '<div class="content">'
+        f"<div><p>{a}</p></div><div><p>{b}</p><p>{c}</p></div>"
+        "</div>"
+    )
+    assert extract_main_dom(html) == "\n".join([a, b, c])
+
+
+def test_short_sentence_rescued_but_word_soup_dropped():
+    tail = "and that was the end."
+    soup = "w " * (MIN_WORDS - 2)
+    html = _wrap(
+        f'<div class="content"><p>{MAIN}</p><p>{tail}</p><p>{soup}</p></div>'
+    )
+    assert extract_main_dom(html) == MAIN + "\n" + tail
+
+
+def test_linky_block_rescued_in_link_light_home():
+    words = ["ref%d" % k for k in range(12)]
+    linked = " ".join(
+        f'<a href="/{w}">{w}</a>' if k % 2 == 0 else w
+        for k, w in enumerate(words)
+    )
+    html = _wrap(f'<div class="content"><p>{MAIN}</p><p>{linked}</p></div>')
+    out = extract_main_dom(html)
+    assert out == MAIN + "\n" + " ".join(words)
+
+
+def test_linky_block_dropped_in_link_heavy_home():
+    words = " ".join(["word"] * 20)
+    html = _wrap(f'<p><a href="/x">{words}</a></p><p>{MAIN}</p>')
+    assert extract_main_dom(html) == MAIN
+
+
+def test_headings_are_not_body_text():
+    html = _wrap(f'<div class="content"><h1>short title</h1><p>{MAIN}</p></div>')
+    assert extract_main_dom(html) == MAIN
+
+
+def test_no_candidate_returns_none():
+    assert extract_main_dom("<html><p>x</p></html>") is None
+    assert extract_main_dom("plain words only") is None
+
+
+def test_flagship_corpus_exactness():
+    import numpy as np
+
+    from mcp_ocr_server_spark.sources.synthetic import make_html
+
+    for i in range(50):
+        html, golden = make_html(np.random.default_rng(i))
+        assert extract_main_dom(html) == golden, i

@@ -295,6 +295,18 @@ def test_decode_image_sniffs_all_formats():
     ]:
         got = decode_image(blob)
         assert (got == want).all()
+    from mcp_ocr_server_spark.imaging.gif import encode_gif
+    from mcp_ocr_server_spark.imaging.ico import encode_ico, encode_ico_bmp
+
+    small = GRAY[:32, :48]
+    rgb4 = (RGB // 64) * 64  # exact-palette encoder: <= 256 colors
+    for blob, want in [
+        (encode_gif(GRAY), GRAY),
+        (encode_gif(rgb4), rgb4),
+        (encode_ico(small), small),
+        (encode_ico_bmp(small), small),
+    ]:
+        assert (decode_image(blob) == want).all()
     with pytest.raises(ValueError):
         decode_image(b"\x00\x01\x02\x03 not an image")
 
@@ -332,15 +344,17 @@ def test_decode_image_fuzz_magic_prefixed(data):
     # force each sniffer branch so the fuzz reaches the parsers
     for magic in (b"BM", b"P5\n", b"P6\n", b"P4\n", b"II*\x00",
                   b"MM\x00*", b"RIFF\x20\x00\x00\x00WEBPVP8L",
-                  b"\xff\xd8\xff"):
+                  b"\xff\xd8\xff", b"GIF89a", b"\x00\x00\x01\x00"):
         _contract(magic + data)
 
 
 @settings(max_examples=90, deadline=None)
-@given(st.integers(min_value=0, max_value=10_000), st.integers(0, 6))
+@given(st.integers(min_value=0, max_value=10_000), st.integers(0, 8))
 def test_decode_image_truncation_fuzz(cut, which):
     # truncations of VALID streams — the parsers must refuse loudly,
     # not wander: exercises mid-structure EOF in every container
+    from mcp_ocr_server_spark.imaging.gif import encode_gif
+    from mcp_ocr_server_spark.imaging.ico import encode_ico
     from mcp_ocr_server_spark.imaging.jpeg import (
         encode_jpeg,
         encode_jpeg_progressive,
@@ -355,6 +369,8 @@ def test_decode_image_truncation_fuzz(cut, which):
         encode_png(img),
         encode_jpeg(img, 90),
         encode_jpeg_progressive(img, 90),
+        encode_gif(img),
+        encode_ico(img),
     ][which]
     _contract(blob[: min(cut, max(0, len(blob) - 1))])
 

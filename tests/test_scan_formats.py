@@ -56,6 +56,19 @@ def test_multipage_tiff_page_grain():
     assert len(pages_seen) >= 2, "page counts should vary across files"
 
 
+def test_animated_gif_frame_grain():
+    """Animated GIF frames are pages, exactly like TIFF IFDs — every
+    frame OCRs back to its own rendered truth."""
+    frames_seen = set()
+    for ref, data, kind, truths in _corpus():
+        if kind != "gif_animated":
+            continue
+        inv = scan_inventory_row(ref, data)
+        assert inv["n_pages"] == len(truths) >= 2
+        frames_seen.add(inv["n_pages"])
+    assert len(frames_seen) >= 2, "frame counts should vary across files"
+
+
 def test_inventory_formats_and_refusals():
     by_kind = {}
     for ref, data, kind, _ in _corpus():
@@ -69,6 +82,11 @@ def test_inventory_formats_and_refusals():
     assert by_kind["webp"]["format"] == "webp"
     assert by_kind["pnm_16bit"]["format"] == "pnm"
     assert by_kind["pnm_16bit"]["error"] is None  # folds, not refuses
+    assert by_kind["gif"]["format"] == "gif"
+    assert by_kind["gif"]["channels"] == 1  # gray ramp folds to HxW
+    assert by_kind["gif_interlaced"]["n_pages"] == 1
+    assert by_kind["ico_png"]["format"] == "ico"
+    assert by_kind["ico_bmp"]["format"] == "ico"
     assert "lossy VP8" in by_kind["err_webp_lossy"]["error"]
     assert "not PNG/JPEG/BMP/PNM/TIFF" in by_kind["err_foreign"]["error"]
     for kind, row in by_kind.items():
