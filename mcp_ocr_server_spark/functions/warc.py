@@ -114,9 +114,12 @@ def iter_warc_records(data: bytes) -> Iterator[tuple[dict, bytes]]:
         pos = body_end + 4
 
 
-def split_http_response(block: bytes) -> tuple[int, str, bytes]:
-    """(status_code, content-type, payload) from an HTTP response
-    block.  Loud ValueError on a malformed status line."""
+def split_http_response(block: bytes) -> tuple[int, str, str, bytes]:
+    """(status_code, mime, full content-type, payload) from an HTTP
+    response block.  The FULL Content-Type is kept alongside the bare
+    mime because its charset parameter feeds the text-decode resolver
+    (functions/charset.py).  Loud ValueError on a malformed status
+    line."""
     sep = block.find(b"\r\n\r\n")
     if sep < 0:
         raise ValueError("warc: http block has no header terminator")
@@ -130,12 +133,12 @@ def split_http_response(block: bytes) -> tuple[int, str, bytes]:
         status = int(parts[1])
     except ValueError:
         raise ValueError("warc: non-integer http status")
-    mime = ""
+    ctype = ""
     for line in head[nl + 2:].split(_CRLF) if nl >= 0 else []:
         if line.lower().startswith(b"content-type:"):
-            mime = (line.split(b":", 1)[1].strip()
-                    .split(b";")[0].decode("ascii", "replace"))
-    return status, mime, block[sep + 4:]
+            ctype = line.split(b":", 1)[1].strip().decode("ascii", "replace")
+    mime = ctype.split(";")[0].strip()
+    return status, mime, ctype, block[sep + 4:]
 
 
 WARC_RECORDS_SCHEMA = (
@@ -161,7 +164,7 @@ def warc_record_rows(ref: str, data: bytes) -> list[dict]:
                        url=hdrs.get("warc-target-uri"),
                        date=hdrs.get("warc-date"))
             if hdrs.get("warc-type") == "response":
-                status, mime, payload = split_http_response(block)
+                status, mime, _ctype, payload = split_http_response(block)
                 row.update(http_status=status, mime=mime,
                            payload_len=len(payload),
                            payload_md5=hashlib.md5(payload).hexdigest())
@@ -195,34 +198,40 @@ def warc_records(archives: DataFrame) -> DataFrame:
 
 WARC_MAIN_SCHEMA = (
     "warc_ref string, rec_idx int, url string, main_text string,"
-    " n_chars long, error string"
+    " n_chars long, charset string, charset_source string, error string"
 )
 
 
 def warc_main_rows(ref: str, data: bytes) -> list[dict]:
     """Archive -> main-content rows for every 200 text/html response:
-    the crawl->curation composition (WARC parse + the SAME
-    Kohlschütter-family boilerplate strip the extraction pipeline
-    uses), fused into one row-local pass so the html payload never
-    exists outside this function — not even as a column.  Shared
-    verbatim by the Spark UDF and the golden generator."""
+    the crawl->curation composition (WARC parse + charset-resolved
+    payload decode + the SAME DOM/flat boilerplate strip the
+    extraction pipeline uses), fused into one row-local pass so the
+    html payload never exists outside this function — not even as a
+    column.  Each row carries its decode provenance (charset +
+    which source resolved it: bom/http/meta/utf8-valid/fallback) so a
+    curation gate can filter or re-weight by it.  Shared verbatim by
+    the Spark UDF and the golden generator."""
+    from .charset import decode_html
     from .text_extract import extract_main_content
 
     rows: list[dict] = []
     base = dict(warc_ref=ref, rec_idx=None, url=None, main_text=None,
-                n_chars=None, error=None)
+                n_chars=None, charset=None, charset_source=None,
+                error=None)
     try:
         for i, (hdrs, block) in enumerate(iter_warc_records(data)):
             if hdrs.get("warc-type") != "response":
                 continue
-            status, mime, payload = split_http_response(block)
+            status, mime, ctype, payload = split_http_response(block)
             if status != 200 or mime != "text/html":
                 continue
-            text = extract_main_content(
-                payload.decode("utf-8", "replace"))
+            doc, charset, source = decode_html(ctype, payload)
+            text = extract_main_content(doc)
             rows.append(dict(base, rec_idx=i,
                              url=hdrs.get("warc-target-uri"),
-                             main_text=text, n_chars=len(text)))
+                             main_text=text, n_chars=len(text),
+                             charset=charset, charset_source=source))
     except Exception as exc:
         rows.append(dict(base, error=str(exc)))
     return rows
@@ -234,7 +243,7 @@ def warc_main_content(archives: DataFrame) -> DataFrame:
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cols = ["warc_ref", "rec_idx", "url", "main_text", "n_chars",
-                "error"]
+                "charset", "charset_source", "error"]
         for pdf in batches:
             rows: list[dict] = []
             for ref, data in zip(pdf["warc_ref"], pdf["bytes"]):

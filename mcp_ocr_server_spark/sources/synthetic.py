@@ -1261,12 +1261,71 @@ def warc_ref(j: int) -> str:
     return f"warc-{j:06d}"
 
 
+# legacy-web word pool for the charset pages: latin-1/cp1252-encodable
+# diacritics plus, where the variant calls for it, the euro sign (the
+# byte that separates cp1252 from ISO-8859-1)
+_LEGACY_WORDS = (
+    "café naïve déjà señor jalapeño crème brûlée über fjörd résumé "
+    "piñata touché entrée façade garçon"
+).split()
+
+
+def _charset_page(rng: np.random.Generator, variant: str,
+                  ) -> tuple[str, bytes]:
+    """(content-type, payload bytes) for one legacy-web page class —
+    the non-UTF-8 shapes a real crawl delivers, each resolved by a
+    DIFFERENT source in functions/charset.py:
+
+      http_latin1      — HTTP header says ISO-8859-1 (meaning cp1252,
+                         the WHATWG alias), latin-1 bytes
+      meta_cp1252      — no header param; <meta charset> declares
+                         windows-1252; body carries a euro (0x80)
+      bom_utf16        — UTF-16LE with BOM, no declarations at all
+      undeclared_utf8  — non-ASCII UTF-8, nothing declared: only
+                         strict-validation identifies it
+      undeclared_latin1 — latin-1 bytes, nothing declared anywhere:
+                         the cp1252 FALLBACK of last resort
+      mojibake         — header LIES (says utf-8) over latin-1 bytes:
+                         total decode, U+FFFD in the text, row flows
+    """
+    para = " ".join(
+        _LEGACY_WORDS[int(rng.integers(0, len(_LEGACY_WORDS)))]
+        for _ in range(12)
+    )
+    nav = '<nav><ul><li><a href="/x">home</a></li></ul></nav>'
+    if variant == "meta_cp1252":
+        head = '<head><meta charset="windows-1252"></head>'
+        para = para + " price €9"
+    else:
+        head = "<head><title>t</title></head>"
+    doc = (f"<html>{head}<body>{nav}"
+           f'<div class="content"><p>{para}</p></div>'
+           "<footer><p>fine print</p></footer></body></html>")
+    if variant == "http_latin1":
+        return "text/html; charset=ISO-8859-1", doc.encode("latin-1")
+    if variant == "meta_cp1252":
+        return "text/html", doc.encode("cp1252")
+    if variant == "bom_utf16":
+        return "text/html", b"\xff\xfe" + doc.encode("utf-16-le")
+    if variant == "undeclared_utf8":
+        return "text/html", doc.encode("utf-8")
+    if variant == "undeclared_latin1":
+        return "text/html", doc.encode("latin-1")
+    # mojibake: declared utf-8, actual latin-1 bytes
+    return "text/html; charset=utf-8", doc.encode("latin-1")
+
+
+_CHARSET_VARIANTS = ("http_latin1", "meta_cp1252", "bom_utf16",
+                     "undeclared_utf8", "undeclared_latin1", "mojibake")
+
+
 def warc_item(cfg: CorpusConfig, j: int) -> tuple[str, bytes, str]:
     """(warc_ref, bytes, kind).  Kind classes:
 
       warc           — plain WARC/1.0: warcinfo + request/response
-                       pairs (html 200s from make_html, one image/png,
-                       one 404, one 301 redirect)
+                       pairs (html 200s from make_html, the five
+                       legacy-charset pages from _charset_page, one
+                       image/png, one 404, one 301 redirect)
       warc_gz        — the SAME record mix, per-record gzip members
                        (the .warc.gz crawl layout)
       warc_truncated — chopped mid-block => one loud error row
@@ -1297,6 +1356,12 @@ def warc_item(cfg: CorpusConfig, j: int) -> tuple[str, bytes, str]:
         recs.append(dict(type="response", url=url, http_status=200,
                          mime="text/html",
                          payload=html_doc.encode()))
+    for v, variant in enumerate(_CHARSET_VARIANTS):
+        mime, payload = _charset_page(rng, variant)
+        recs.append(dict(
+            type="response",
+            url=f"http://site{j % 5}.example/legacy/{variant}",
+            http_status=200, mime=mime, payload=payload))
     recs.append(dict(
         type="response", url=f"http://site{j % 5}.example/logo.png",
         http_status=200, mime="image/png",

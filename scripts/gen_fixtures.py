@@ -190,7 +190,8 @@ def gen_warc_goldens() -> tuple[pd.DataFrame, pd.DataFrame]:
     rdf["payload_len"] = rdf["payload_len"].astype("Int64")
     mdf = pd.DataFrame(
         mains, columns=["warc_ref", "rec_idx", "url", "main_text",
-                        "n_chars", "error"])
+                        "n_chars", "charset", "charset_source",
+                        "error"])
     mdf["rec_idx"] = mdf["rec_idx"].astype("Int64")
     mdf["n_chars"] = mdf["n_chars"].astype("Int64")
     return rdf, mdf

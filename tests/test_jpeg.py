@@ -139,8 +139,10 @@ def test_decode_image_sniffs_both_codecs():
     assert out.shape == img.shape
     rgb = np.repeat(img[..., None], 3, axis=2)
     assert np.array_equal(to_gray(rgb), img)
+    # JPEG-2000 signature: a real format OUTSIDE this repo's matrix
+    # (GIF moved in-matrix, so it no longer serves as the foreign case)
     with pytest.raises(ValueError, match="not PNG/JPEG/BMP/PNM/TIFF"):
-        decode_image(b"GIF89a_not_supported")
+        decode_image(b"\x00\x00\x00\x0cjP  \r\n\x87\n_not_supported")
 
 
 def test_mjpeg_avi_chain_is_real():

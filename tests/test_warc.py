@@ -58,8 +58,9 @@ def test_split_http_response():
     block = (b"HTTP/1.1 301 Moved Permanently\r\n"
              b"Content-Type: text/html; charset=utf-8\r\n"
              b"Location: /new\r\n\r\nbody")
-    status, mime, payload = split_http_response(block)
+    status, mime, ctype, payload = split_http_response(block)
     assert (status, mime, payload) == (301, "text/html", b"body")
+    assert ctype == "text/html; charset=utf-8"  # param feeds the sniffer
     with pytest.raises(ValueError, match="status line"):
         split_http_response(b"NOTHTTP\r\n\r\n")
     with pytest.raises(ValueError, match="terminator"):
