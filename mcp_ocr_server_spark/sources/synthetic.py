@@ -381,6 +381,138 @@ def html_eval_df(spark, cfg: CorpusConfig, n: int = N_HTML_EVAL_DOCS):
     )
 
 
+# --- structured-markdown corpus (functions/markdown.py eval) ---------------
+# Pages whose STRUCTURE the markdown extractor must preserve exactly.
+# The golden markdown is constructed by the generator from the same
+# random pieces as the html — a TRUE independent golden, not an
+# extractor echo: if the renderer mangles a table or loses list
+# nesting, the exactness flag goes false.
+
+_S_HTMLMD = 14
+N_HTML_MD_DOCS = 40
+
+_HTML_MD_CLASSES = ("article", "lists", "table_doc", "code_doc",
+                    "quote_doc")
+
+
+def html_md_item(cfg: CorpusConfig, j: int) -> tuple[str, str, str, str]:
+    """(doc_id, cls, html, golden_markdown).  Every page wraps its
+    structured main content in the standard boilerplate (nav, aside,
+    footer, a class="related" teaser INSIDE the content div) that the
+    candidate selection must strip before rendering."""
+    rng = _rng(cfg.seed, _S_HTMLMD, j)
+    cls = _HTML_MD_CLASSES[j % len(_HTML_MD_CLASSES)]
+    title = _words(rng, _PROSE_WORDS, 3)
+    intro = _words(rng, _PROSE_WORDS, int(rng.integers(12, 20)))
+    body_html: list[str] = [f"<h1>{title}</h1>", f"<p>{intro}</p>"]
+    golden: list[str] = [f"# {title}", intro]
+
+    if cls == "article":
+        sec = _words(rng, _PROSE_WORDS, 3)
+        bold = _words(rng, _PROSE_WORDS, 2)
+        ital = _words(rng, _PROSE_WORDS, 1)
+        lead = _words(rng, _PROSE_WORDS, 6)
+        tail = _words(rng, _PROSE_WORDS, 6)
+        body_html += [
+            f"<h2>{sec}</h2>",
+            f"<p>{lead} <b>{bold}</b> and <i>{ital}</i> {tail}</p>",
+        ]
+        golden += [f"## {sec}",
+                   f"{lead} **{bold}** and *{ital}* {tail}"]
+    elif cls == "lists":
+        items = [_words(rng, _PROSE_WORDS, 2) for _ in range(3)]
+        nested = [_words(rng, _PROSE_WORDS, 2) for _ in range(2)]
+        ordered = [_words(rng, _PROSE_WORDS, 2) for _ in range(3)]
+        body_html.append(
+            "<ul>"
+            f"<li>{items[0]}</li>"
+            f"<li>{items[1]}<ul>"
+            + "".join(f"<li>{n}</li>" for n in nested)
+            + "</ul></li>"
+            f"<li>{items[2]}</li></ul>"
+        )
+        body_html.append(
+            "<ol>" + "".join(f"<li>{o}</li>" for o in ordered) + "</ol>"
+        )
+        golden.append(
+            f"- {items[0]}\n- {items[1]}\n"
+            + "\n".join(f"  - {n}" for n in nested)
+            + f"\n- {items[2]}"
+        )
+        golden.append("\n".join(
+            f"{i + 1}. {o}" for i, o in enumerate(ordered)))
+    elif cls == "table_doc":
+        heads = [_words(rng, _PROSE_WORDS, 1) for _ in range(2)]
+        cells = [[_words(rng, _PROSE_WORDS, 1), str(int(rng.integers(1, 99)))]
+                 for _ in range(3)]
+        body_html.append(
+            "<table><tr>"
+            + "".join(f"<th>{h}</th>" for h in heads)
+            + "</tr>"
+            + "".join(
+                "<tr>" + "".join(f"<td>{c}</td>" for c in row) + "</tr>"
+                for row in cells
+            )
+            + "</table>"
+        )
+        golden.append(
+            "| " + " | ".join(heads) + " |\n|---|---|\n"
+            + "\n".join("| " + " | ".join(row) + " |" for row in cells)
+        )
+    elif cls == "code_doc":
+        fn = _words(rng, _PROSE_WORDS, 1)
+        arg = _words(rng, _PROSE_WORDS, 1)
+        code = f"def {fn}({arg}):\n    return {arg} * 2"
+        after = _words(rng, _PROSE_WORDS, 8)
+        body_html += [
+            f"<pre>{code}</pre>",
+            f"<p>call <code>{fn}()</code> {after}</p>",
+        ]
+        golden += [f"```\n{code}\n```", f"call `{fn}()` {after}"]
+    else:  # quote_doc
+        quote = _words(rng, _PROSE_WORDS, int(rng.integers(10, 15)))
+        tail = _words(rng, _PROSE_WORDS, int(rng.integers(10, 14)))
+        body_html += [
+            f"<blockquote><p>{quote}</p></blockquote>",
+            f"<p>{tail}</p>",
+        ]
+        golden += [f"> {quote}", tail]
+
+    nav = "".join(
+        f'<li><a href="/{w}">{w}</a></li>'
+        for w in rng.choice(_BOILER_LINKS, 3, replace=False)
+    )
+    teaser = _words(rng, _PROSE_WORDS, int(rng.integers(12, 16)))
+    html_doc = (
+        "<html><head><title>t</title></head><body>"
+        f"<nav><ul>{nav}</ul></nav>"
+        '<div class="content">'
+        + "".join(body_html)
+        + f'<div class="related">{teaser} <a href="/more">more</a></div>'
+        "</div>"
+        f'<aside><a href="/ad">{_words(rng, _PROSE_WORDS, 2)}</a>'
+        " sponsored</aside>"
+        "<footer><p>copyright</p></footer>"
+        "</body></html>"
+    )
+    return f"hmd-{j:06d}", cls, html_doc, "\n\n".join(golden)
+
+
+HTML_MD_SCHEMA = "doc_id string, cls string, html string, golden string"
+
+
+def html_md_df(spark, cfg: CorpusConfig, n: int = N_HTML_MD_DOCS):
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [html_md_item(cfg, int(j)) for j in pdf["id"]]
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "cls", "html", "golden"])
+
+    return spark.range(0, n, numPartitions=4).mapInPandas(
+        gen, schema=HTML_MD_SCHEMA
+    )
+
+
 # ---------------------------------------------------------------------------
 # doc generation (pure function of (cfg, i))
 

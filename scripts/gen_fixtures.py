@@ -410,6 +410,23 @@ def gen_html_eval() -> pd.DataFrame:
     return pd.DataFrame(rows, columns=HTML_EVAL_COLS)
 
 
+def gen_html_md() -> pd.DataFrame:
+    """Golden for the DOM->Markdown renderer (q_html_main_markdown):
+    exactness rows from the SAME row function the Spark UDF runs
+    (markdown.markdown_eval_row) over the structured corpus
+    (synthetic.html_md_item), whose golden markdown the generator
+    constructs independently of the renderer."""
+    from mcp_ocr_server_spark.functions.markdown import markdown_eval_row
+
+    rows = []
+    for j in range(S.N_HTML_MD_DOCS):
+        doc_id, cls, html_doc, golden = S.html_md_item(FLAGSHIP_CORPUS, j)
+        rows.append(markdown_eval_row(doc_id, cls, html_doc, golden))
+    return pd.DataFrame(
+        rows, columns=["doc_id", "cls", "exact", "md_md5", "n_blocks",
+                       "n_chars"])
+
+
 def gen_docs_jsonl() -> int:
     """Deterministic JSONL document file (the LLM-corpus interchange
     format) with injected messes a robust ingester must classify:
@@ -546,6 +563,12 @@ def main() -> None:
     )
     print(f"html_eval: {len(heval)} rows,"
           f" classes {heval.cls.value_counts().to_dict()}")
+    hmd = gen_html_md()
+    hmd.to_parquet(
+        os.path.join(FIXTURES_DIR, "html_md.parquet"), index=False
+    )
+    print(f"html_md: {len(hmd)} rows, exact {int(hmd.exact.sum())}"
+          f"/{len(hmd)}, classes {hmd.cls.value_counts().to_dict()}")
     print(f"docs.jsonl: {gen_docs_jsonl()} lines")
     print(f"interleaved_spans: {len(inter)} rows,"
           f" kinds {inter.kind.value_counts().to_dict()},"

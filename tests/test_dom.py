@@ -161,3 +161,47 @@ def test_flagship_corpus_exactness():
     for i in range(50):
         html, golden = make_html(np.random.default_rng(i))
         assert extract_main_dom(html) == golden, i
+
+
+# --- exception-contract fuzz -------------------------------------------------
+# Crawl bytes are hostile: for ARBITRARY input the extractor returns a
+# str or None — never raises, never recurses to death (the same
+# contract class the image/audio parsers pin).
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_TAGS = ["<div>", "</div>", "<p>", "</p>", "<a href='/x'>", "</a>",
+         "<li>", "<table>", "<tr>", "<td>", "</b>", "<b>", "<br>",
+         "<script>", "</script>", "<!--", "-->", "<h1>", "</h3>",
+         "<div class='sidebar'>", "<meta charset=utf-8>", "words here"]
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.lists(st.sampled_from(_TAGS), max_size=60).map("".join),
+       st.text(max_size=80))
+def test_extract_main_dom_exception_contract(soup, noise):
+    out = extract_main_dom(soup + noise)
+    assert out is None or isinstance(out, str)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.text(max_size=200))
+def test_extract_main_content_total_on_text(noise):
+    from mcp_ocr_server_spark.functions.text_extract import (
+        extract_main_content,
+    )
+
+    assert isinstance(extract_main_content(noise), str)
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.binary(max_size=300),
+       st.sampled_from([None, "text/html", "text/html; charset=utf-8",
+                        "text/html; charset=iso-8859-1",
+                        "text/html; charset=bogus"]))
+def test_decode_html_total_on_bytes(payload, ctype):
+    from mcp_ocr_server_spark.functions.charset import decode_html
+
+    text, charset, source = decode_html(ctype, payload)
+    assert isinstance(text, str) and charset and source
