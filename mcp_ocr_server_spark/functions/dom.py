@@ -293,16 +293,17 @@ def _is_within(node: Node | None, ancestor: Node) -> bool:
     return False
 
 
-def extract_main_dom(doc: str) -> str | None:
-    """HTML -> main-content text (blocks joined by newline), or None
-    when the page yields no scored candidate (caller falls back to the
-    flat path, which returns "" on the same pages — None vs "" lets the
-    caller distinguish "no tree signal" from "extracted empty")."""
-    root = parse_html(doc)
-    blocks = _collect_blocks(root)
-    if not blocks:
-        return None
+def select_main_subtrees(
+    blocks: "list[_Block]",
+) -> "tuple[list[Node], float] | None":
+    """The candidate-selection core shared by the plain extractor and
+    the markdown renderer: score quality blocks up the candidate
+    chain, normalize by aggregate link density, pick the winner, then
+    append qualifying sibling subtrees.
 
+    -> (included candidate nodes, document order, nested duplicates
+    removed; the winner's aggregate link density) or None when no
+    block scores."""
     score: dict[int, float] = {}
     nodes: dict[int, Node] = {}
     agg_text: dict[int, int] = {}
@@ -345,14 +346,37 @@ def extract_main_dom(doc: str) -> str | None:
     # sibling inclusion: candidates sharing top's candidate parent,
     # scoring >= SIBLING_FRACTION of the winner
     top_parent = next(_candidate_chain(top.parent), None)
-    included = [top]
+    included = [(order[top_id], top)]
     if top_parent is not None:
         for cid, cand in nodes.items():
             if cand is top or cid not in score:
                 continue
             if next(_candidate_chain(cand.parent), None) is top_parent \
                     and score[cid] >= SIBLING_FRACTION * score[top_id]:
-                included.append(cand)
+                included.append((order[cid], cand))
+    included.sort()
+    # drop nested duplicates (a pick inside another pick renders twice
+    # in the markdown path; harmless but redundant for block filtering)
+    picked: list[Node] = []
+    for _, cand in included:
+        if not any(_is_within(cand, p) for p in picked):
+            picked.append(cand)
+    return picked, top_density
+
+
+def extract_main_dom(doc: str) -> str | None:
+    """HTML -> main-content text (blocks joined by newline), or None
+    when the page yields no scored candidate (caller falls back to the
+    flat path, which returns "" on the same pages — None vs "" lets the
+    caller distinguish "no tree signal" from "extracted empty")."""
+    root = parse_html(doc)
+    blocks = _collect_blocks(root)
+    if not blocks:
+        return None
+    selected = select_main_subtrees(blocks)
+    if selected is None:
+        return None
+    included, top_density = selected
 
     kept: list[str] = []
     for blk in blocks:

@@ -48,13 +48,11 @@ import re
 
 from .dom import (
     HEADING_TAGS,
-    MAX_LINK_DENSITY,
-    MIN_WORDS,
     Node,
     _collect_blocks,
-    _is_within,
     _pruned,
     parse_html,
+    select_main_subtrees,
 )
 
 _WS_RE = re.compile(r"\s+")
@@ -255,15 +253,14 @@ def extract_main_markdown(doc: str) -> str | None:
     if not blocks:
         return None
 
-    # reuse the plain extractor's selection by re-running its scoring
-    # on the same tree (cheap: one dict pass over a handful of blocks)
-    from . import dom as _dom
-
-    selected = _select_subtrees(_dom, root, blocks)
+    # the SAME candidate selection the plain extractor runs — one
+    # implementation, two renderings
+    selected = select_main_subtrees(blocks)
     if selected is None:
         return None
+    picked, _top_density = selected
     parts = []
-    for sub in selected:
+    for sub in picked:
         md = render_markdown(sub)
         if md:
             parts.append(md)
@@ -289,59 +286,3 @@ def markdown_eval_row(doc_id: str, cls: str, html: str,
         n_blocks=got.count("\n\n") + 1 if got else 0,
         n_chars=len(got),
     )
-
-
-def _select_subtrees(dom_mod, root, blocks):
-    """The candidate-selection core of extract_main_dom, returning the
-    included container NODES (top + qualifying siblings, document
-    order) instead of flattened text."""
-    score: dict[int, float] = {}
-    nodes: dict[int, Node] = {}
-    agg_text: dict[int, int] = {}
-    agg_link: dict[int, int] = {}
-    order: dict[int, int] = {}
-
-    for blk in blocks:
-        text = blk.text()
-        n_words = len(text.split())
-        density = blk.link_chars / max(len(text), 1)
-        for cand in dom_mod._candidate_chain(blk.container):
-            cid = id(cand)
-            nodes[cid] = cand
-            order.setdefault(cid, len(order))
-            agg_text[cid] = agg_text.get(cid, 0) + len(text)
-            agg_link[cid] = agg_link.get(cid, 0) + blk.link_chars
-        if blk.heading or n_words < MIN_WORDS or density >= MAX_LINK_DENSITY:
-            continue
-        credit = float(n_words)
-        chain = list(dom_mod._candidate_chain(blk.container))
-        for boost, cand in zip((1.0, 0.5), chain):
-            cid = id(cand)
-            score[cid] = score.get(cid, 0.0) + credit * boost
-
-    if not score:
-        return None
-
-    def norm(cid: int) -> float:
-        dens = agg_link.get(cid, 0) / max(agg_text.get(cid, 1), 1)
-        return score[cid] * (1.0 - dens)
-
-    top_id = max(score, key=lambda c: (norm(c), -order[c]))
-    top = nodes[top_id]
-    top_parent = next(dom_mod._candidate_chain(top.parent), None)
-    included = [(order[top_id], top)]
-    if top_parent is not None:
-        for cid, cand in nodes.items():
-            if cand is top or cid not in score:
-                continue
-            if next(dom_mod._candidate_chain(cand.parent), None) \
-                    is top_parent and score[cid] >= \
-                    dom_mod.SIBLING_FRACTION * score[top_id]:
-                included.append((order[cid], cand))
-    included.sort()
-    # drop nested duplicates (a sibling that is inside another pick)
-    picked: list[Node] = []
-    for _, cand in included:
-        if not any(_is_within(cand, p) for p in picked):
-            picked.append(cand)
-    return picked
