@@ -747,3 +747,54 @@ def test_streaming_robots_admission_matches_batch(spark, tmp_path):
     for r in got:
         assert verdict[r.doc_id], r  # never admits a disallowed doc
         assert canon[r.doc_id] == r.canonical_url
+
+
+def test_streaming_warc_main_matches_batch(spark, tmp_path):
+    """Streaming crawl ingestion (stream_warc): WARC fan-out + charset
+    decode + DOM strip + cross-batch canonical-URL admission.  The
+    admitted canonical-URL set equals the batch distinct set, exactly
+    one admission per URL across micro-batches (the corpus carries
+    REAL cross-archive /legacy/* duplicates), and every admitted row's
+    main_text matches a batch row for that canonical URL."""
+    from mcp_ocr_server_spark import queries as Q
+    from mcp_ocr_server_spark.functions.warc import warc_main_content
+    from mcp_ocr_server_spark.sources.synthetic import warc_df
+    from mcp_ocr_server_spark.streaming.stream_warc import (
+        run_streaming_warc_main,
+    )
+
+    archives = warc_df(spark, Q.FLAGSHIP_CORPUS).select(
+        "warc_ref", "bytes"
+    )
+    landing = str(tmp_path / "warc_landing")
+    # two drops => at least two micro-batches (maxFilesPerTrigger=1)
+    archives.filter(
+        F.xxhash64("warc_ref") % 2 == 0
+    ).coalesce(1).write.parquet(landing, mode="append")
+    archives.filter(
+        F.xxhash64("warc_ref") % 2 != 0
+    ).coalesce(1).write.parquet(landing, mode="append")
+
+    q = run_streaming_warc_main(
+        spark, landing, str(tmp_path / "w_out"), str(tmp_path / "w_ckpt"),
+    )
+    q.awaitTermination(300)
+
+    got = spark.read.parquet(str(tmp_path / "w_out")).collect()
+    batch = (
+        warc_main_content(archives)
+        .filter(F.col("error").isNull() & (F.col("main_text") != ""))
+        .withColumn("canonical_url", Q.url_canonical("url"))
+        .collect()
+    )
+    want_urls = {r.canonical_url for r in batch}
+    got_urls = [r.canonical_url for r in got]
+    assert set(got_urls) == want_urls
+    assert len(got_urls) == len(set(got_urls))  # one admission each
+    # the gate did real work: fewer admissions than batch rows
+    assert len(got_urls) < len(batch)
+    # admitted content belongs to that canonical URL in batch
+    ok_pairs = {(r.canonical_url, r.main_text) for r in batch}
+    assert all((r.canonical_url, r.main_text) in ok_pairs for r in got)
+    # charset provenance flows through the streaming path too
+    assert {r.charset_source for r in got} >= {"http", "meta", "bom"}
