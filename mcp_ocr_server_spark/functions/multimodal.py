@@ -158,6 +158,18 @@ def _decode_audio(data: bytes, sample_rate: int) -> np.ndarray:
     # change meaning if a codec library appears in the environment (a
     # real backend is a deliberate code change here, re-goldened in
     # the same commit — exactly what the FLAC branch above did).
+    #
+    # Why these two stay stubbed when FLAC/AVI/mp4/GIF were written
+    # from scratch: a conformant MPEG-audio or Vorbis decoder is not
+    # blocked on effort but on SPEC TABLE DATA this sandbox cannot
+    # obtain — the 34 Layer-III Huffman tables, the 512-tap synthesis
+    # window (a numeric table in ISO 11172-3 Annex B with no closed
+    # form), and Vorbis's floor/residue codebooks.  Re-deriving them
+    # from memory risks silently-wrong PCM (the worst failure class);
+    # substituting self-designed tables would decode only our own
+    # streams while claiming the format's name.  Every part of these
+    # formats that IS pure structure (frame walk, Xing, tags, Ogg
+    # paging, duration) is already real in audio_meta.py.
     raw = np.frombuffer(
         hashlib.sha256(data).digest() * max(1, len(data) // 32), dtype=np.uint8
     )

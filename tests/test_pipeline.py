@@ -205,10 +205,13 @@ def test_pipeline_accepts_transcoded_image_formats(spark):
         for r in extract(docs, media, FIXTURE_JOB).spans.collect()
     }
 
+    from mcp_ocr_server_spark.imaging.gif import encode_gif
+
     encoders = {
         "bmp": encode_bmp,
         "tiff": lambda img: encode_tiff([img], "lzw"),
         "webp": encode_webp,
+        "gif": encode_gif,
     }
     for fmt, enc in encoders.items():
         def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
