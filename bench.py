@@ -154,8 +154,8 @@ def main() -> None:
         "html_links", "anchor_text", "link_rank", "keyword_rank",
         "extract_interleaved", "jsonl_ingest",
         "media_words", "media_image_features", "media_audio_features",
-        "media_orphans", "pdf_text", "pdf_scan_ocr", "pdf_layout",
-        "scan_inventory", "scan_ocr",
+        "media_orphans", "pdf_text", "pdf_scan_ocr", "pdf_render_ocr",
+        "pdf_layout", "scan_inventory", "scan_ocr",
         "media_video_frames",
         "media_audio_inventory", "audio_tags", "media_video_inventory",
         "warc_records", "warc_main_content",

@@ -30,8 +30,11 @@ Documented scope (honest limits, stated where a user hits them):
     the first endstream marker.
   - page rasters for SCANNED PDFs are real too (extract_pdf_page_rasters
     below — the page raster is the embedded image XObject, no renderer
-    involved); only true compositing (vector art, text-over-image,
-    multi-image pages) still needs a renderer and refuses by name.
+    involved); COMPOSITING pages (text-over-image, multi-image, rect
+    fills, invisible OCR layers) rasterize through the content-stream
+    renderer in functions/pdfrender.py, which _ocr_pdf_rasters falls
+    back to; only constructs outside the renderer scope (rotation,
+    curves, strokes, real font programs) still refuse by name.
 
 A deterministic test writer (make_pdf) lives in tests/test_pdf.py so
 round-trips never depend on external fixtures.
@@ -385,13 +388,11 @@ def _content_text(content: bytes) -> str:
     return "\n".join(text_lines)
 
 
-def _page_content_streams(data: bytes) -> list[bytes]:
-    """Validated parse shared by every extractor: header/encryption
-    checks, object scan, ObjStm expansion, page-tree walk, and the
-    concatenated decoded /Contents stream per page (page-tree order).
+def _validated_objects(data: bytes) -> dict[int, _Obj]:
+    """Header/encryption-validated object table with ObjStm expansion —
+    the parse every extractor (text, layout, rasters, renderer) shares.
 
-    Raises ValueError for non-PDF bytes or encrypted documents; pages
-    whose content stream cannot be located contribute empty bytes."""
+    Raises ValueError for non-PDF bytes or encrypted documents."""
     if not data.startswith(b"%PDF-"):
         raise ValueError("not a PDF: missing %PDF- header")
     # /Encrypt only means encryption inside the TRAILER dict — grepping
@@ -427,22 +428,37 @@ def _page_content_streams(data: bytes) -> list[bytes]:
     # surface objects hidden inside /ObjStm payloads (PDF 1.5+
     # compressed object storage) — the r4 refusal path, now parsed
     _expand_objstms(objs)
-    out: list[bytes] = []
-    for pnum in _page_order(data, objs):
-        body = objs[pnum].body
-        content = b""
-        cm = re.search(rb"/Contents\s+(\d+)\s+\d+\s+R", body)
-        refs = [int(cm.group(1))] if cm else []
-        if not refs:
-            cm = re.search(rb"/Contents\s*\[(.*?)\]", body, re.S)
-            if cm:
-                refs = [int(m.group(1)) for m in _REF_RE.finditer(cm.group(1))]
-        for r in refs:
-            s = _stream_of(objs.get(r))
-            if s:
-                content += s + b"\n"
-        out.append(content)
-    return out
+    return objs
+
+
+def _page_content(objs: dict[int, _Obj], body: bytes) -> bytes:
+    """Concatenated decoded /Contents stream of one page body."""
+    content = b""
+    cm = re.search(rb"/Contents\s+(\d+)\s+\d+\s+R", body)
+    refs = [int(cm.group(1))] if cm else []
+    if not refs:
+        cm = re.search(rb"/Contents\s*\[(.*?)\]", body, re.S)
+        if cm:
+            refs = [int(m.group(1)) for m in _REF_RE.finditer(cm.group(1))]
+    for r in refs:
+        s = _stream_of(objs.get(r))
+        if s:
+            content += s + b"\n"
+    return content
+
+
+def _page_content_streams(data: bytes) -> list[bytes]:
+    """Validated parse shared by every extractor: header/encryption
+    checks, object scan, ObjStm expansion, page-tree walk, and the
+    concatenated decoded /Contents stream per page (page-tree order).
+
+    Raises ValueError for non-PDF bytes or encrypted documents; pages
+    whose content stream cannot be located contribute empty bytes."""
+    objs = _validated_objects(data)
+    return [
+        _page_content(objs, objs[pnum].body)
+        for pnum in _page_order(data, objs)
+    ]
 
 
 def extract_pdf_text(data: bytes) -> list[str]:
@@ -455,11 +471,26 @@ def extract_pdf_text(data: bytes) -> list[str]:
 
 
 def _ocr_pdf_rasters(data: bytes, ocr_cfg) -> tuple[list[str], float] | None:
-    """OCR the embedded page rasters of a scanned PDF: (page texts,
-    mean confidence), or None when the document has no extractable
-    image pages (born-digital empty doc — nothing to OCR)."""
+    """OCR the page rasters of a text-less PDF: (page texts, mean
+    confidence), or None when the document has no extractable image
+    pages (born-digital empty doc — nothing to OCR).
+
+    Two raster sources, tried in order: the embedded image XObject
+    (extract_pdf_page_rasters — exact, the plain scanned shape), and
+    when that refuses because the page actually COMPOSITES ("multiple
+    image XObjects"), the content-stream renderer
+    (functions/pdfrender.render_pdf_pages)."""
     try:
         rasters = extract_pdf_page_rasters(data)
+    except ValueError as exc:
+        if "compositing" not in str(exc):
+            return None
+        from .pdfrender import render_pdf_pages
+
+        try:
+            rasters = render_pdf_pages(data)
+        except Exception:
+            return None
     except Exception:
         return None
     from ..imaging.analyzer import preprocess
@@ -752,13 +783,7 @@ def extract_pdf_page_rasters(data: bytes) -> list["np.ndarray"]:
     ValueError for non-PDF bytes, encrypted documents, pages without an
     image, and unsupported image features — same refusal contract as
     extract_pdf_text."""
-    if not data.startswith(b"%PDF-"):
-        raise ValueError("not a PDF: missing %PDF- header")
-    for tm in re.finditer(rb"trailer(.*?)startxref", data, re.S):
-        if re.search(rb"/Encrypt\b", tm.group(1)):
-            raise ValueError("encrypted PDF: decryption unsupported")
-    objs = _objects(data)
-    _expand_objstms(objs)
+    objs = _validated_objects(data)
     out = []
     for pnum in _page_order(data, objs):
         imgs = [

@@ -236,6 +236,46 @@ def scan_pdf_rows(ref: str, data: bytes, cfg: JobConfig) -> list[dict]:
     return out
 
 
+RENDER_PDF_SCHEMA = SCAN_PDF_SCHEMA  # same (ref, page, text, conf, err)
+
+
+def render_pdf_rows(ref: str, data: bytes, cfg: JobConfig) -> list[dict]:
+    """OCR rows for one COMPOSITING PDF — shared VERBATIM by the Spark
+    stage (queries.q_pdf_render_ocr) and the golden-fixture generator.
+    Pages go through the content-stream renderer
+    (functions/pdfrender.render_pdf_pages: multi-image, text-over-
+    image, rect fills, invisible OCR layers) instead of the single-
+    XObject raster path; document-level failures (non-PDF, encrypted,
+    constructs outside the renderer scope such as rotation or curves)
+    yield ONE error row with page_idx null; per-page OCR failures
+    isolate to their page (P1) — identical contract to scan_pdf_rows."""
+    from ..functions.pdfrender import render_pdf_pages
+    from ..ocr.engine import get_engine
+
+    try:
+        rasters = render_pdf_pages(bytes(data))
+    except Exception as exc:
+        return [dict(media_ref=ref, page_idx=None, text=None,
+                     confidence=None, error=str(exc))]
+    engine = get_engine(cfg.ocr)
+    out: list[dict] = []
+    for i, img in enumerate(rasters):
+        row = dict(media_ref=ref, page_idx=i, text=None,
+                   confidence=None, error=None)
+        try:
+            try:
+                processed, _q, _steps = preprocess(img, cfg.preprocessing)
+            except Exception:
+                processed = img  # fail-soft, handler.go:271-275
+            res = engine.recognize(processed)
+            row["text"] = res.text
+            row["confidence"] = round(res.confidence, 6)
+        except Exception as exc:
+            row["error"] = str(exc)
+        out.append(row)
+    return out
+
+
 # Scan-format chain: the rest of the imdecode input matrix
 # (preprocessor.go:64 — BMP / Netpbm / TIFF alongside PNG/JPEG).  One
 # row function per query, shared VERBATIM with the golden-fixture

@@ -2085,3 +2085,195 @@ def layout_pdf_df(spark, cfg: CorpusConfig, n: int = N_LAYOUT_PDFS):
     return spark.range(0, n, numPartitions=4).mapInPandas(
         gen, schema=LAYOUT_PDF_SCHEMA
     )
+
+
+# ---------------------------------------------------------------------------
+# composite-PDF corpus: pages that COMPOSITE — vector text painted over
+# or under embedded images, several images per page, rect-filled
+# backgrounds, invisible OCR-layer text — the class only a renderer
+# (functions/pdfrender.render_pdf_pages) can rasterize; the single-
+# image scanned path (extract_pdf_page_rasters) refuses all of them
+
+_S_COMPPDF = 15
+N_COMP_PDFS = 24  # fixed: goldens for this corpus are committed
+
+
+def comp_pdf_ref(j: int) -> str:
+    return f"/corpus/composite/{j:05d}.pdf"
+
+
+def make_composite_pdf_bytes(
+    pages: list[list[tuple]],
+) -> bytes:
+    """Compositing-PDF writer: each page is a list of draw elements
+    rendered in order —
+      ("image", gray_uint8, x, y)          native-size Do at (x, y)
+      ("text", s, x, y, size)              visible Tj
+      ("hidden", s, x, y, size)            Tr 3 invisible OCR layer
+      ("rect", x, y, w, h, gray01)         re + f fill
+      ("raw", content_bytes)               verbatim content (refusal
+                                           classes build from this)
+    Same one-shot object skeleton as make_scanned_pdf_bytes."""
+    import zlib as _z
+
+    objs: list[bytes] = [b"", b""]  # placeholders: catalog, pages
+    kids: list[int] = []
+    for elements in pages:
+        content = bytearray()
+        img_entries: list[tuple[bytes, int]] = []
+        for el in elements:
+            tag = el[0]
+            if tag == "image":
+                _t, img, x, y = el
+                h, w = img.shape
+                payload = _z.compress(img.tobytes())
+                objs.append(
+                    b"<< /Subtype /Image /Width " + str(w).encode()
+                    + b" /Height " + str(h).encode()
+                    + b" /ColorSpace /DeviceGray /BitsPerComponent 8"
+                    + b" /Filter /FlateDecode /Length "
+                    + str(len(payload)).encode()
+                    + b" >>\nstream\n" + payload + b"\nendstream"
+                )
+                name = f"/Im{len(img_entries)}".encode()
+                img_entries.append((name, len(objs)))
+                content += (
+                    b"q %d 0 0 %d %s %s cm %s Do Q\n"
+                    % (w, h, _fnum(x), _fnum(y), name)
+                )
+            elif tag in ("text", "hidden"):
+                _t, s, x, y, size = el
+                mode = b"3 Tr " if tag == "hidden" else b"0 Tr "
+                content += (
+                    b"BT /F1 %s Tf " % _fnum(size) + mode
+                    + b"%s %s Td " % (_fnum(x), _fnum(y))
+                    + b"(" + _pdf_escape(s) + b") Tj ET\n"
+                )
+            elif tag == "rect":
+                _t, x, y, w, h, gray = el
+                content += (
+                    b"%s g %s %s %s %s re f 0 g\n"
+                    % (_fnum(gray), _fnum(x), _fnum(y),
+                       _fnum(w), _fnum(h))
+                )
+            elif tag == "raw":
+                content += el[1] + b"\n"
+            else:  # pragma: no cover - writer misuse
+                raise ValueError(f"unknown element {tag}")
+        objs.append(
+            b"<< /Length " + str(len(content)).encode()
+            + b" >>\nstream\n" + bytes(content) + b"\nendstream"
+        )
+        cnum = len(objs)
+        xdict = b" ".join(
+            b"%s %d 0 R" % (nm, num) for nm, num in img_entries
+        )
+        objs.append(
+            b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792]"
+            b" /Resources << /XObject << " + xdict + b" >> >>"
+            b" /Contents " + str(cnum).encode() + b" 0 R >>"
+        )
+        kids.append(len(objs))
+    objs[0] = b"<< /Type /Catalog /Pages 2 0 R >>"
+    objs[1] = (
+        b"<< /Type /Pages /Kids ["
+        + b" ".join(b"%d 0 R" % k for k in kids)
+        + b"] /Count " + str(len(kids)).encode() + b" >>"
+    )
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = []
+    for i, body in enumerate(objs):
+        offsets.append(len(out))
+        out += f"{i + 1} 0 obj\n".encode() + body + b"\nendobj\n"
+    xref_at = len(out)
+    out += f"xref\n0 {len(objs) + 1}\n".encode()
+    out += b"0000000000 65535 f \n"
+    for off in offsets:
+        out += f"{off:010d} 00000 n \n".encode()
+    out += (
+        b"trailer\n<< /Size " + str(len(objs) + 1).encode()
+        + b" /Root 1 0 R >>\nstartxref\n" + str(xref_at).encode()
+        + b"\n%%EOF\n"
+    )
+    return bytes(out)
+
+
+def _fnum(v: float) -> bytes:
+    """Shortest exact decimal for writer coordinates (ints stay ints)."""
+    if float(v) == int(v):
+        return str(int(v)).encode()
+    return repr(float(v)).encode()
+
+
+def comp_pdf_item(cfg: CorpusConfig, j: int) -> tuple[str, bytes, str, str]:
+    """(media_ref, bytes, kind, true_text) — true_text is what a
+    rasterize-then-OCR pipeline should READ off the page (so hidden
+    OCR-layer text is excluded and refusal classes carry "").
+
+    Classes: text_over_image (vector caption under an embedded scan),
+    two_images (two scan strips stacked on one page), ocr_layer (scan
+    plus invisible Tr 3 text — the searchable-scanned-PDF shape),
+    rect_bg (text on a filled gray panel), rotated (refusal: rotated
+    Tm), garbage (refusal: not a PDF)."""
+    rng = _rng(cfg.seed, _S_COMPPDF, j)
+    line_a = _words(rng, _FONT_WORDS, int(rng.integers(2, 4)))
+    line_b = _words(rng, _FONT_WORDS, int(rng.integers(2, 4)))
+    if j % 11 == 10:
+        return comp_pdf_ref(j), b"\x89not-a-pdf\x00" * 4, "garbage", ""
+    if j % 9 == 8:
+        raw = (b"BT /F1 20 Tf 0.7 0.7 -0.7 0.7 100 400 Tm ("
+               + _pdf_escape(line_a) + b") Tj ET")
+        data = make_composite_pdf_bytes([[("raw", raw)]])
+        return comp_pdf_ref(j), data, "rotated", ""
+    img = render_text(line_a, scale=2)
+    if j % 5 == 4:
+        # searchable scanned PDF: the page paints ONLY the scan; a
+        # generator-supplied text layer rides invisibly underneath
+        data = make_composite_pdf_bytes([[
+            ("image", img, 72, 600),
+            ("hidden", line_a, 72, 604, 20),
+        ]])
+        return comp_pdf_ref(j), data, "ocr_layer", line_a
+    if j % 3 == 2:
+        img_b = render_text(line_b, scale=2)
+        data = make_composite_pdf_bytes([[
+            ("image", img, 72, 640),
+            ("image", img_b, 72, 520),
+        ]])
+        return comp_pdf_ref(j), data, "two_images", f"{line_a}\n{line_b}"
+    if j % 2 == 1:
+        # panel gray is deliberately LIGHT (0.95): whole-page Otsu
+        # puts its split between ink and everything else only while
+        # the panel's between-class variance stays far below the
+        # ink's — at 0.85 the panel mass ties with the ink split and
+        # the whole box binarizes black (measured), the same failure a
+        # real scanner page with a mid-gray sidebar hits
+        data = make_composite_pdf_bytes([[
+            ("rect", 60, 488, 480, 44, 0.95),
+            ("text", line_a, 72, 500, 20),
+        ]])
+        return comp_pdf_ref(j), data, "rect_bg", line_a
+    data = make_composite_pdf_bytes([[
+        ("image", img, 72, 600),
+        ("text", line_b, 72, 520, 20),
+    ]])
+    return comp_pdf_ref(j), data, "text_over_image", f"{line_a}\n{line_b}"
+
+
+COMP_PDF_SCHEMA = (
+    "media_ref string, bytes binary, kind string, true_text string"
+)
+
+
+def comp_pdf_df(spark, cfg: CorpusConfig, n: int = N_COMP_PDFS):
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [comp_pdf_item(cfg, int(j)) for j in pdf["id"]]
+            yield pd.DataFrame(
+                rows,
+                columns=["media_ref", "bytes", "kind", "true_text"],
+            )
+
+    return spark.range(0, n, numPartitions=4).mapInPandas(
+        gen, schema=COMP_PDF_SCHEMA
+    )

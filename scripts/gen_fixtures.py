@@ -334,6 +334,24 @@ def gen_pdf_scan_meta() -> pd.DataFrame:
     return df
 
 
+def gen_pdf_render_meta() -> pd.DataFrame:
+    """Golden for the compositing-PDF OCR query: SAME row code the
+    Spark stage runs (media_ocr.render_pdf_rows — the content-stream
+    renderer path) over the composite-pdf corpus."""
+    from mcp_ocr_server_spark.operators.media_ocr import render_pdf_rows
+
+    rows: list[dict] = []
+    for j in range(S.N_COMP_PDFS):
+        ref, data, _kind, _true = S.comp_pdf_item(FLAGSHIP_CORPUS, j)
+        rows.extend(render_pdf_rows(ref, data, FIXTURE_JOB))
+    df = pd.DataFrame(
+        rows, columns=["media_ref", "page_idx", "text", "confidence",
+                       "error"]
+    )
+    df["page_idx"] = df["page_idx"].astype("Int64")
+    return df
+
+
 def gen_scan_formats() -> tuple[pd.DataFrame, pd.DataFrame]:
     """Goldens for the scan-format corpus (BMP/PNM/TIFF — the rest of
     the imdecode input matrix): inventory rows and per-page OCR rows,
@@ -490,8 +508,14 @@ def main() -> None:
     scan.to_parquet(
         os.path.join(FIXTURES_DIR, "pdf_scan_meta.parquet"), index=False
     )
+    rend = gen_pdf_render_meta()
+    rend.to_parquet(
+        os.path.join(FIXTURES_DIR, "pdf_render_meta.parquet"), index=False
+    )
     print(f"pdf_scan_meta: {len(scan)} rows"
           f" ({int(scan.error.notna().sum())} errors)")
+    print(f"pdf_render_meta: {len(rend)} rows"
+          f" ({int(rend.error.notna().sum())} errors)")
     sinv, socr = gen_scan_formats()
     sinv.to_parquet(
         os.path.join(FIXTURES_DIR, "scan_inventory.parquet"), index=False

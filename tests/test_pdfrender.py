@@ -1,0 +1,272 @@
+"""Content-stream PDF renderer (functions/pdfrender.render_pdf_pages)
+— the compositing path the single-XObject raster extractor refuses.
+
+Pins: scanned-writer identity (a one-image full-page Do reproduces the
+embedded raster bit-exactly), exact pixel placement for rect fills and
+text, graphics-state save/restore, text positioning semantics (Td/TD/
+TL/T*/Tm/TJ kerning/Tc/Tw), invisible Tr 3 layers, the refusal
+contract for out-of-scope constructs, fuzz (arbitrary bytes never leak
+a non-ValueError), corpus truth recovery for every renderable class,
+and the e2e pdf_text_row fallback for compositing documents.
+"""
+
+import numpy as np
+import pytest
+
+from mcp_ocr_server_spark.config import FIXTURE_JOB
+from mcp_ocr_server_spark.functions.pdf import pdf_text_row
+from mcp_ocr_server_spark.functions.pdfrender import render_pdf_pages
+from mcp_ocr_server_spark.imaging.font import GLYPHS, render_text
+from mcp_ocr_server_spark.ocr.engine import get_engine
+from mcp_ocr_server_spark.operators.media_ocr import render_pdf_rows
+from mcp_ocr_server_spark.sources import synthetic as S
+
+CORPUS = S.CorpusConfig(n_docs=120)
+
+
+def page(elements, n_copies=1):
+    return S.make_composite_pdf_bytes([list(elements)] * n_copies)
+
+
+def ocr(img):
+    return get_engine(FIXTURE_JOB.ocr).recognize(img).text
+
+
+# --- identity with the scanned-PDF writer ---------------------------------
+
+def test_scanned_writer_identity():
+    img = render_text("HELLO WORLD\nSECOND LINE", scale=3)
+    data = S.make_scanned_pdf_bytes([img])
+    (out,) = render_pdf_pages(data)
+    assert np.array_equal(out, img)
+
+
+def test_multi_page_order():
+    a = render_text("PAGE ONE", scale=2)
+    b = render_text("PAGE TWO", scale=2)
+    data = S.make_scanned_pdf_bytes([a, b])
+    pa, pb = render_pdf_pages(data)
+    assert np.array_equal(pa, a) and np.array_equal(pb, b)
+
+
+# --- exact pixel placement -------------------------------------------------
+
+def test_rect_fill_exact_pixels():
+    data = page([("rect", 10, 20, 30, 40, 0.0)])
+    (out,) = render_pdf_pages(data)
+    assert out.shape == (792, 612)
+    # device rows: y in [20, 60) pt -> rows [792-60, 792-20)
+    assert (out[732:772, 10:40] == 0).all()
+    assert (out[731, 10:40] == 255).all() and (out[772, 10:40] == 255).all()
+    assert (out[732:772, 9] == 255).all() and (out[732:772, 40] == 255).all()
+
+
+def test_rect_fill_gray_level_is_bt601_luma():
+    data = page([("raw", b"0.5 0.25 1 rg 0 0 10 10 re f")])
+    (out,) = render_pdf_pages(data)
+    # luma of (128, 64, 255) = (77*128 + 150*64 + 29*255 + 128) >> 8
+    assert out[791, 0] == (77 * 128 + 150 * 64 + 29 * 255 + 128) >> 8
+
+
+def test_image_native_size_placement():
+    img = render_text("X", scale=2)
+    h, w = img.shape
+    data = page([("image", img, 100, 300)])
+    (out,) = render_pdf_pages(data)
+    r0 = 792 - 300 - h
+    assert np.array_equal(out[r0:r0 + h, 100:100 + w], img)
+
+
+def test_image_scaled_through_cm():
+    # a 2x2 checkerboard painted into a 10x10 box: nearest-neighbor
+    # quadrant blocks
+    img = np.array([[0, 255], [255, 0]], dtype=np.uint8)
+    raw = b"q 10 0 0 10 0 0 cm /Im0 Do Q"
+    data = S.make_composite_pdf_bytes([[("image", img, 0, 0),
+                                        ("raw", raw)]])
+    (out,) = render_pdf_pages(data)
+    # the raw op re-paints the same XObject scaled into [0,10)^2 at
+    # the page's bottom-left corner (rows 782-791)
+    assert (out[782:787, 0:5] == 0).all()
+    assert (out[782:787, 5:10] == 255).all()
+    assert (out[787:792, 0:5] == 255).all()
+    assert (out[787:792, 5:10] == 0).all()
+
+
+def test_text_glyph_exact_pixels():
+    # 'A' at 20pt: glyph scale k = 0.7*20/7 = 2, cell bottom on the
+    # baseline -> rows [792-100-14, 792-100), cols [72, 82)
+    data = page([("text", "A", 72, 100, 20)])
+    (out,) = render_pdf_pages(data)
+    big = np.kron(GLYPHS["A"], np.ones((2, 2), dtype=np.uint8))
+    expect = np.full_like(big, 255, dtype=np.uint8)
+    expect[big == 1] = 0
+    assert np.array_equal(out[678:692, 72:82], expect)
+
+
+def test_q_restores_fill_color():
+    data = page([("raw", b"q 0.5 g Q 0 0 5 5 re f")])
+    (out,) = render_pdf_pages(data)
+    assert out[791, 0] == 0  # black, not the discarded 0.5 gray
+
+
+# --- text positioning semantics --------------------------------------------
+
+def test_multiline_tstar_and_tj_kerning():
+    raw = (b"BT /F1 20 Tf 24 TL 72 400 Td"
+           b" [(AB) -500 (CD)] TJ T* (NEXT LINE) Tj ET")
+    (out,) = render_pdf_pages(page([("raw", raw)]))
+    assert ocr(out) == "AB CD\nNEXT LINE"
+
+
+def test_char_and_word_spacing_advance():
+    # Tc 12 at 20pt: per-glyph advance 12 + 12 = 24pt, so B's cell
+    # starts at col 96 instead of the unspaced 84; Tw shifts only the
+    # glyph AFTER a space (word gap 12 + 12 + 8 = 32pt)
+    raw = b"BT /F1 20 Tf 12 Tc 72 400 Td (AB) Tj ET"
+    (out,) = render_pdf_pages(page([("raw", raw)]))
+    base = render_pdf_pages(
+        page([("raw", b"BT /F1 20 Tf 72 400 Td (AB) Tj ET")]))[0]
+    rows = slice(792 - 400 - 14, 792 - 400)
+    assert np.array_equal(out[rows, 72:82], base[rows, 72:82])  # A same
+    assert np.array_equal(out[rows, 96:106], base[rows, 84:94])  # B moved
+    raww = b"BT /F1 20 Tf 8 Tw 72 400 Td (A B) Tj ET"
+    (outw,) = render_pdf_pages(page([("raw", raww)]))
+    # A at 72; space advance 12 + 8 = 20 -> B's cell starts at 72+12+20
+    assert np.array_equal(outw[rows, 104:114], base[rows, 84:94])
+
+
+def test_quote_operator_moves_to_next_line():
+    raw = (b"BT /F1 20 Tf 24 TL 72 400 Td (TOP) Tj"
+           b" (DOWN) ' ET")
+    (out,) = render_pdf_pages(page([("raw", raw)]))
+    assert ocr(out) == "TOP\nDOWN"
+
+
+def test_invisible_tr3_not_painted_but_advances():
+    data = page([("hidden", "SECRET", 72, 400, 20)])
+    (out,) = render_pdf_pages(data)
+    assert (out == 255).all()
+
+
+def test_lowercase_input_renders_uppercase_atlas():
+    data = page([("text", "hello", 72, 400, 20)])
+    (out,) = render_pdf_pages(data)
+    assert ocr(out) == "HELLO"
+
+
+# --- refusal contract -------------------------------------------------------
+
+@pytest.mark.parametrize(
+    "raw, msg",
+    [
+        (b"BT /F1 20 Tf 0.7 0.7 -0.7 0.7 100 400 Tm (T) Tj ET",
+         "non-axis-aligned"),
+        (b"q 10 0 5 10 0 0 cm Q", "non-axis-aligned"),
+        (b"100 100 m 200 200 l S", "path segments"),
+        (b"0 0 10 10 re W n", "clipping"),
+        (b"BI /W 1 /H 1 ID x EI", "inline images"),
+        (b"/GS0 gs", "ExtGState"),
+        (b"BT /F1 20 Tf 1 Tr (T) Tj ET", "render mode 1"),
+        (b"BT /F1 20 Tf 50 Tz (T) Tj ET", "horizontal text scaling"),
+        (b"0 0 0 1 k", "CMYK"),
+    ],
+    ids=["rot-tm", "shear-cm", "path", "clip", "inline-img",
+         "extgstate", "tr-stroke", "tz", "cmyk"],
+)
+def test_refusals(raw, msg):
+    with pytest.raises(ValueError, match=msg):
+        render_pdf_pages(page([("raw", raw)]))
+
+
+def test_rotated_page_refuses():
+    data = page([("text", "T", 72, 400, 20)])
+    data = data.replace(b"/MediaBox [0 0 612 792]",
+                        b"/Rotate 90 /MediaBox [0 0 612 792]")
+    with pytest.raises(ValueError, match="/Rotate"):
+        render_pdf_pages(data)
+
+
+def test_non_pdf_and_encrypted_refuse():
+    with pytest.raises(ValueError, match="missing %PDF- header"):
+        render_pdf_pages(b"\x00\x01\x02")
+    data = page([("text", "T", 72, 400, 20)])
+    data = data.replace(b"/Root 1 0 R", b"/Root 1 0 R /Encrypt 9 0 R")
+    with pytest.raises(ValueError, match="encrypted"):
+        render_pdf_pages(data)
+
+
+def test_fuzz_exception_contract():
+    """Arbitrary / truncated / magic-prefixed bytes either render or
+    raise ValueError — never a leaked struct/zlib/index error (the
+    same contract every codec in imaging/ carries)."""
+    rng = np.random.default_rng(20260820)
+    good = page([("text", "FUZZ", 72, 400, 20),
+                 ("rect", 10, 10, 50, 5, 0.2)])
+    cases = [bytes(rng.integers(0, 256, 64, dtype=np.uint8).tolist())
+             for _ in range(25)]
+    cases += [b"%PDF-" + bytes(rng.integers(0, 256, 64, dtype=np.uint8).tolist())
+              for _ in range(25)]
+    cases += [good[:k] for k in range(0, len(good), 97)]
+    for data in cases:
+        try:
+            render_pdf_pages(data)
+        except ValueError:
+            pass
+
+
+# --- corpus truth recovery + shared row code --------------------------------
+
+def test_corpus_truth_recovery_all_classes():
+    seen = set()
+    for j in range(S.N_COMP_PDFS):
+        ref, data, kind, truth = S.comp_pdf_item(CORPUS, j)
+        rows = render_pdf_rows(ref, data, FIXTURE_JOB)
+        seen.add(kind)
+        if kind in ("garbage", "rotated"):
+            assert len(rows) == 1 and rows[0]["error"] is not None
+            assert rows[0]["page_idx"] is None
+        else:
+            assert all(r["error"] is None for r in rows)
+            got = "\n".join(r["text"] for r in rows)
+            assert got == truth, (j, kind)
+            assert all(r["confidence"] > 50 for r in rows)
+    assert seen == {"text_over_image", "two_images", "ocr_layer",
+                    "rect_bg", "rotated", "garbage"}
+
+
+def test_determinism():
+    _ref, a, _k, _t = S.comp_pdf_item(CORPUS, 0)
+    _ref, b, _k, _t = S.comp_pdf_item(CORPUS, 0)
+    assert a == b
+    assert np.array_equal(render_pdf_pages(a)[0], render_pdf_pages(b)[0])
+
+
+# --- e2e: the pdf branch's compositing fallback ------------------------------
+
+def test_pdf_text_row_compositing_fallback():
+    """A text-less document whose page paints TWO image XObjects used
+    to dead-end (extract_pdf_page_rasters refuses, no text) — the
+    renderer fallback now recovers both scan strips in reading
+    order."""
+    top = render_text("UPPER STRIP", scale=2)
+    bot = render_text("LOWER STRIP", scale=2)
+    data = S.make_composite_pdf_bytes([[
+        ("image", top, 72, 640),
+        ("image", bot, 72, 520),
+    ]])
+    row = pdf_text_row("/x/comp.pdf", data, ocr_cfg=FIXTURE_JOB)
+    assert row["error"] is None
+    assert row["text"] == "UPPER STRIP\nLOWER STRIP"
+    assert row["confidence"] < 100.0  # OCR scale, not born-digital
+
+
+def test_pdf_text_row_born_digital_unaffected():
+    """Born-digital text documents still take the exact parse (the
+    renderer fallback is reached only when content streams yield no
+    text AND the raster path refuses with a compositing error)."""
+    data = S.make_pdf_bytes([["hello from page one"]], compress=True)
+    row = pdf_text_row("/x/text.pdf", data, ocr_cfg=FIXTURE_JOB)
+    assert row["error"] is None
+    assert "hello from page one" in row["text"]
+    assert row["confidence"] == 100.0

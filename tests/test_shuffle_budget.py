@@ -41,7 +41,7 @@ ZERO_SHUFFLE = [
     "media_audio_features", "pdf_text", "media_video_frames",
     "media_audio_inventory", "media_video_inventory",
     "warc_records", "warc_main_content", "pdf_scan_ocr", "audio_tags",
-    "pdf_layout", "scan_inventory", "scan_ocr",
+    "pdf_render_ocr", "pdf_layout", "scan_inventory", "scan_ocr",
     "dedup_simhash", "lang_id",
     "text_quality", "token_stats", "doc_fingerprint",
 ]
