@@ -12,11 +12,19 @@ are concatenated per-record gzip MEMBERS — handled by a multi-member
 inflate loop (stdlib zlib, wbits=31), not by gzip.decompress (which
 a naive reader would use and silently stop after member one).
 
+HTTP wire layer: WARC stores the response bytes VERBATIM, so real
+crawl payloads arrive chunked (Transfer-Encoding) and/or compressed
+(Content-Encoding) — split_http_response undoes both in wire order
+(dechunk, then inflate gzip/deflate in either dialect); brotli/zstd
+refuse loudly by name (no codec in-repo).
+
 Refuse-loudly contract (the pdf/avi/audio_meta/flac discipline): bad
 magic, truncated blocks, missing Content-Length, or malformed header
-lines raise ValueError naming the defect; per-ARCHIVE errors surface
-as one error row in the Spark stage, never as silently-dropped
-records.
+lines raise ValueError naming the defect.  Error isolation is
+two-level: structural archive failures surface as one rec_idx-null
+error row, while payload-level failures (broken chunk framing, a
+refused content coding) isolate to THAT record's row — one hostile
+response never sinks the archive's other records.
 
 The writer half (`encode_warc`) is the deterministic corpus/test
 writer (the encode_avi / encode_mp4 / encode_flac pattern), emitting
@@ -114,12 +122,67 @@ def iter_warc_records(data: bytes) -> Iterator[tuple[dict, bytes]]:
         pos = body_end + 4
 
 
+def _dechunk(body: bytes) -> bytes:
+    """Reassemble a Transfer-Encoding: chunked body (RFC 9112 §7.1):
+    hex size line (chunk extensions after ';' ignored), CRLF, data,
+    CRLF, …, 0-size terminator (trailer fields ignored).  Loud
+    ValueError on truncation or malformed size lines — a half-dechunked
+    page must never flow onward as if it were the document."""
+    out = bytearray()
+    pos = 0
+    while True:
+        nl = body.find(_CRLF, pos)
+        if nl < 0:
+            raise ValueError("warc: chunked body missing size line")
+        size_tok = body[pos:nl].split(b";", 1)[0].strip()
+        try:
+            size = int(size_tok, 16)
+        except ValueError:
+            raise ValueError(
+                f"warc: bad chunk size line {size_tok[:16]!r}"
+            )
+        pos = nl + 2
+        if size == 0:
+            return bytes(out)
+        if pos + size + 2 > len(body):
+            raise ValueError("warc: chunked body truncated")
+        out += body[pos:pos + size]
+        pos += size
+        if body[pos:pos + 2] != _CRLF:
+            raise ValueError("warc: chunk data missing CRLF terminator")
+        pos += 2
+
+
+def _decode_content(payload: bytes, encoding: str) -> bytes:
+    """Undo Content-Encoding.  gzip/x-gzip and deflate (both the
+    correct zlib-wrapped form and the bare-DEFLATE form real servers
+    ship under the same name) decode; identity passes through;
+    anything else (br, zstd, compress) refuses loudly by name — the
+    codec is absent and silently-raw bytes would poison the charset
+    and main-content stages downstream."""
+    enc = encoding.strip().lower()
+    if enc in ("", "identity"):
+        return payload
+    if enc in ("gzip", "x-gzip"):
+        return zlib.decompressobj(16 + zlib.MAX_WBITS).decompress(payload)
+    if enc == "deflate":
+        try:
+            return zlib.decompress(payload)
+        except zlib.error:
+            return zlib.decompress(payload, -zlib.MAX_WBITS)
+    raise ValueError(f"warc: content-encoding {enc!r} unsupported")
+
+
 def split_http_response(block: bytes) -> tuple[int, str, str, bytes]:
     """(status_code, mime, full content-type, payload) from an HTTP
     response block.  The FULL Content-Type is kept alongside the bare
     mime because its charset parameter feeds the text-decode resolver
-    (functions/charset.py).  Loud ValueError on a malformed status
-    line."""
+    (functions/charset.py).  The payload is the DECODED entity body:
+    Transfer-Encoding: chunked is reassembled and Content-Encoding
+    gzip/deflate inflated (both the layouts a real crawl records —
+    WARC stores the wire bytes verbatim).  Loud ValueError on a
+    malformed status line, broken chunking, or a codec this engine
+    does not carry (br/zstd)."""
     sep = block.find(b"\r\n\r\n")
     if sep < 0:
         raise ValueError("warc: http block has no header terminator")
@@ -133,12 +196,21 @@ def split_http_response(block: bytes) -> tuple[int, str, str, bytes]:
         status = int(parts[1])
     except ValueError:
         raise ValueError("warc: non-integer http status")
-    ctype = ""
+    ctype = transfer = cenc = ""
     for line in head[nl + 2:].split(_CRLF) if nl >= 0 else []:
-        if line.lower().startswith(b"content-type:"):
+        low = line.lower()
+        if low.startswith(b"content-type:"):
             ctype = line.split(b":", 1)[1].strip().decode("ascii", "replace")
+        elif low.startswith(b"transfer-encoding:"):
+            transfer = low.split(b":", 1)[1].strip().decode("ascii", "replace")
+        elif low.startswith(b"content-encoding:"):
+            cenc = low.split(b":", 1)[1].strip().decode("ascii", "replace")
     mime = ctype.split(";")[0].strip()
-    return status, mime, ctype, block[sep + 4:]
+    payload = block[sep + 4:]
+    if "chunked" in transfer:
+        payload = _dechunk(payload)
+    payload = _decode_content(payload, cenc)
+    return status, mime, ctype, payload
 
 
 WARC_RECORDS_SCHEMA = (
@@ -151,8 +223,13 @@ WARC_RECORDS_SCHEMA = (
 def warc_record_rows(ref: str, data: bytes) -> list[dict]:
     """One archive's typed record rows — shared verbatim by the Spark
     UDF and the golden generator.  The payload crosses as (length,
-    md5), never raw bytes (the hash contract every media query uses);
-    a structurally-broken archive yields ONE error row."""
+    md5), never raw bytes (the hash contract every media query uses).
+    Error isolation is two-level: a structurally-broken archive
+    (bad magic, truncated block) yields ONE rec_idx-null error row,
+    while a PAYLOAD-level failure inside one record (broken chunked
+    framing, a content-encoding this engine refuses) isolates to that
+    record's row — one hostile response must not sink the archive's
+    other records (P1 applied at record grain)."""
     rows: list[dict] = []
     base = dict(warc_ref=ref, rec_idx=None, warc_type=None, url=None,
                 date=None, http_status=None, mime=None,
@@ -164,10 +241,15 @@ def warc_record_rows(ref: str, data: bytes) -> list[dict]:
                        url=hdrs.get("warc-target-uri"),
                        date=hdrs.get("warc-date"))
             if hdrs.get("warc-type") == "response":
-                status, mime, _ctype, payload = split_http_response(block)
-                row.update(http_status=status, mime=mime,
-                           payload_len=len(payload),
-                           payload_md5=hashlib.md5(payload).hexdigest())
+                try:
+                    status, mime, _ctype, payload = \
+                        split_http_response(block)
+                    row.update(http_status=status, mime=mime,
+                               payload_len=len(payload),
+                               payload_md5=hashlib.md5(payload)
+                               .hexdigest())
+                except Exception as exc:
+                    row["error"] = str(exc)
             else:
                 row.update(payload_len=len(block),
                            payload_md5=hashlib.md5(block).hexdigest())
@@ -223,11 +305,19 @@ def warc_main_rows(ref: str, data: bytes) -> list[dict]:
         for i, (hdrs, block) in enumerate(iter_warc_records(data)):
             if hdrs.get("warc-type") != "response":
                 continue
-            status, mime, ctype, payload = split_http_response(block)
-            if status != 200 or mime != "text/html":
+            try:
+                status, mime, ctype, payload = split_http_response(block)
+                if status != 200 or mime != "text/html":
+                    continue
+                doc, charset, source = decode_html(ctype, payload)
+                text = extract_main_content(doc)
+            except Exception as exc:
+                # payload-level failure isolates to the record (same
+                # two-level contract as warc_record_rows)
+                rows.append(dict(base, rec_idx=i,
+                                 url=hdrs.get("warc-target-uri"),
+                                 error=str(exc)))
                 continue
-            doc, charset, source = decode_html(ctype, payload)
-            text = extract_main_content(doc)
             rows.append(dict(base, rec_idx=i,
                              url=hdrs.get("warc-target-uri"),
                              main_text=text, n_chars=len(text),
@@ -274,6 +364,16 @@ def _record(rtype: str, headers: dict[str, str], block: bytes) -> bytes:
     return bytes(out)
 
 
+def _chunk_body(payload: bytes, chunk: int = 512) -> bytes:
+    """Deterministic chunked-transfer framing of a body."""
+    out = bytearray()
+    for i in range(0, len(payload), chunk):
+        piece = payload[i:i + chunk]
+        out += f"{len(piece):x}\r\n".encode() + piece + _CRLF
+    out += b"0\r\n\r\n"
+    return bytes(out)
+
+
 def encode_warc(records: list[dict], gzip_members: bool = False) -> bytes:
     """Deterministic WARC writer.  Each record dict:
       type: warcinfo | request | response | metadata
@@ -281,6 +381,12 @@ def encode_warc(records: list[dict], gzip_members: bool = False) -> bytes:
       payload: block bytes for non-response records
       http_status, mime, payload: assembled into a real HTTP block
         for response records
+      content_encoding: 'gzip' | 'deflate' | 'deflate-raw' (emitted
+        under the name 'deflate', the bare-DEFLATE server bug) | 'br'
+        (opaque bytes — the refusal class; no brotli codec in-repo)
+      transfer_chunked: True frames the (encoded) body with chunked
+        transfer coding — WARC stores wire bytes verbatim, so real
+        crawl archives carry exactly this layout
     gzip_members=True emits the .warc.gz layout (one gzip member per
     record)."""
     out = bytearray()
@@ -298,10 +404,29 @@ def encode_warc(records: list[dict], gzip_members: bool = False) -> bytes:
             status = r.get("http_status", 200)
             reason = {200: "OK", 404: "Not Found",
                       301: "Moved Permanently"}.get(status, "X")
+            extra = ""
+            cenc = r.get("content_encoding", "")
+            if cenc in ("gzip", "x-gzip"):
+                co = zlib.compressobj(6, zlib.DEFLATED, 31)
+                payload = co.compress(payload) + co.flush()
+                extra += f"Content-Encoding: {cenc}\r\n"
+            elif cenc == "deflate":
+                payload = zlib.compress(payload)
+                extra += "Content-Encoding: deflate\r\n"
+            elif cenc == "deflate-raw":
+                co = zlib.compressobj(6, zlib.DEFLATED, -zlib.MAX_WBITS)
+                payload = co.compress(payload) + co.flush()
+                extra += "Content-Encoding: deflate\r\n"
+            elif cenc:  # br/zstd/...: opaque bytes under the name
+                extra += f"Content-Encoding: {cenc}\r\n"
+            if r.get("transfer_chunked"):
+                payload = _chunk_body(payload)
+                extra += "Transfer-Encoding: chunked\r\n"
             block = (
                 f"HTTP/1.1 {status} {reason}\r\n"
                 f"Content-Type: {r.get('mime', 'text/html')}\r\n"
-                f"Content-Length: {len(payload)}\r\n\r\n"
+                + extra
+                + f"Content-Length: {len(payload)}\r\n\r\n"
             ).encode() + payload
             hdrs["Content-Type"] = "application/http;msgtype=response"
         else:

@@ -1494,6 +1494,28 @@ def warc_item(cfg: CorpusConfig, j: int) -> tuple[str, bytes, str]:
             type="response",
             url=f"http://site{j % 5}.example/legacy/{variant}",
             http_status=200, mime=mime, payload=payload))
+    # wire-layout pages: WARC stores the HTTP bytes verbatim, so real
+    # crawl responses arrive chunked and/or content-encoded — one page
+    # per layout (rotating the deflate dialect by archive), plus the
+    # refusal class (brotli, no codec in-repo -> per-record error row)
+    wire_html, _main = make_html(rng)
+    for layout, kw in (
+        ("chunked", dict(transfer_chunked=True)),
+        ("gzip", dict(content_encoding="gzip")),
+        ("gzip_chunked", dict(content_encoding="gzip",
+                              transfer_chunked=True)),
+        ("deflate", dict(content_encoding=(
+            "deflate" if j % 2 == 0 else "deflate-raw"))),
+    ):
+        recs.append(dict(
+            type="response",
+            url=f"http://site{j % 5}.example/wire/{layout}",
+            http_status=200, mime="text/html",
+            payload=wire_html.encode(), **kw))
+    recs.append(dict(
+        type="response", url=f"http://site{j % 5}.example/wire/br",
+        http_status=200, mime="text/html", content_encoding="br",
+        payload=rng.integers(0, 256, 64).astype(np.uint8).tobytes()))
     recs.append(dict(
         type="response", url=f"http://site{j % 5}.example/logo.png",
         http_status=200, mime="image/png",

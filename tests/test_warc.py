@@ -109,13 +109,18 @@ def test_main_content_composition_strips_boilerplate():
         rows = warc_main_rows(ref, data)
         if kind in ("warc", "warc_gz"):
             # only the 200 text/html responses survive the route —
-            # never the png / 404 / 301 / request / warcinfo records
-            assert len(rows) == len(
+            # never the png / 404 / 301 / request / warcinfo records;
+            # the brotli wire page is the ONE per-record error row
+            # (its codec is refused, isolation keeps the archive)
+            err = [r for r in rows if r["error"]]
+            assert len(err) == 1 and "'br' unsupported" in err[0]["error"]
+            ok = [r for r in rows if not r["error"]]
+            assert len(ok) == len(
                 [r for r in warc_record_rows(ref, data)
                  if r["http_status"] == 200 and r["mime"] == "text/html"]
             )
-            for r in rows:
-                assert r["error"] is None and r["n_chars"] > 50
+            for r in ok:
+                assert r["n_chars"] > 50
                 # boilerplate stripped: nav/footer markers never leak
                 assert "copyright" not in r["main_text"]
                 assert "sponsored" not in r["main_text"]
@@ -123,3 +128,74 @@ def test_main_content_composition_strips_boilerplate():
             assert len(rows) == 1 and rows[0]["error"]
     assert set(kinds) == {"warc", "warc_gz", "warc_truncated",
                           "garbage"}
+
+
+def test_chunked_transfer_reassembly():
+    body = b"A" * 700 + b"B" * 300  # spans multiple 512-byte chunks
+    data = encode_warc([dict(type="response", url="http://x/c",
+                             http_status=200, mime="text/html",
+                             payload=body, transfer_chunked=True)])
+    (hdrs, block), = iter_warc_records(data)
+    assert b"Transfer-Encoding: chunked" in block
+    status, mime, _ct, payload = split_http_response(block)
+    assert payload == body
+
+
+def test_chunk_extensions_ignored():
+    block = (b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+             b"Transfer-Encoding: chunked\r\n\r\n"
+             b"5;name=val\r\nhello\r\n0\r\n\r\n")
+    assert split_http_response(block)[3] == b"hello"
+
+
+@pytest.mark.parametrize(
+    "tail, msg",
+    [
+        (b"zz\r\nhello\r\n0\r\n\r\n", "bad chunk size"),
+        (b"10\r\nhello", "truncated"),
+        (b"5\r\nhelloXX0\r\n\r\n", "CRLF terminator"),
+        (b"5\r\nhello\r\n", "missing size line"),
+    ],
+    ids=["bad-size", "short-data", "no-crlf", "no-terminator"],
+)
+def test_chunked_malformed_refuses(tail, msg):
+    block = (b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+             b"Transfer-Encoding: chunked\r\n\r\n" + tail)
+    with pytest.raises(ValueError, match=msg):
+        split_http_response(block)
+
+
+@pytest.mark.parametrize("enc", ["gzip", "deflate", "deflate-raw"])
+def test_content_encoding_decodes(enc):
+    body = b"<html><p>compressed page body</p></html>" * 20
+    data = encode_warc([dict(type="response", url="http://x/e",
+                             http_status=200, mime="text/html",
+                             payload=body, content_encoding=enc)])
+    (_h, block), = iter_warc_records(data)
+    assert split_http_response(block)[3] == body
+
+
+def test_gzip_inside_chunked_decodes_in_order():
+    # transfer coding wraps the CONTENT coding on the wire: dechunk
+    # first, then gunzip
+    body = b"<html><p>layered</p></html>" * 40
+    data = encode_warc([dict(type="response", url="http://x/gc",
+                             http_status=200, mime="text/html",
+                             payload=body, content_encoding="gzip",
+                             transfer_chunked=True)])
+    (_h, block), = iter_warc_records(data)
+    assert split_http_response(block)[3] == body
+
+
+def test_brotli_refuses_and_isolates():
+    recs = [
+        dict(type="response", url="http://x/br", http_status=200,
+             mime="text/html", payload=b"\x1b\x2c\x03",
+             content_encoding="br"),
+        dict(type="response", url="http://x/ok", http_status=200,
+             mime="text/html", payload=b"<html><p>fine</p></html>"),
+    ]
+    rows = warc_record_rows("w", encode_warc(recs))
+    assert len(rows) == 2
+    assert "'br' unsupported" in rows[0]["error"]
+    assert rows[1]["error"] is None and rows[1]["payload_len"] > 0
