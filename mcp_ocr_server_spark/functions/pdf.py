@@ -9,11 +9,14 @@ octal, and hex strings).
 
 Documented scope (honest limits, stated where a user hits them):
   - text-based PDFs whose strings use single-byte encodings (the
-    standard fonts / WinAnsi / latin-1 family).  CID/Type0 fonts with
-    CMaps map glyph ids, not bytes — their strings come out garbled and
-    there is no way to fix that without the font tables; callers get
-    whatever bytes the string held (same behavior as `strings`-style
-    extractors).
+    standard fonts / WinAnsi / latin-1 family), AND Type0/CID fonts
+    that carry a /ToUnicode CMap (§9.10.3 — how essentially every
+    modern generator writes PDFs): glyph-id strings decode through the
+    per-font bfchar/bfrange table, with unmapped codes surfacing as
+    U+FFFD.  Only bare Type0 WITHOUT /ToUnicode stays garbled — there
+    is genuinely no way to recover it without the font program's
+    tables; callers get the raw bytes (same behavior as
+    `strings`-style extractors).
   - unencrypted documents (an /Encrypt entry — in the classic trailer
     or in a 1.5+ /XRef stream dict — raises ValueError).
   - classic-xref (PDF <= 1.4) AND 1.5+ compressed-object layouts: the
@@ -318,7 +321,126 @@ def _page_order(data: bytes, objs: dict[int, _Obj]) -> list[int]:
     return pages
 
 
-def _content_text(content: bytes) -> str:
+# --- /ToUnicode CMaps (ISO 32000-1 §9.10.3) ---------------------------------
+#
+# Type0/CID fonts show GLYPH-ID strings, not character bytes — without
+# the font's /ToUnicode CMap their text is unrecoverable garbage, and
+# Type0+ToUnicode is how essentially every modern generator (browsers,
+# office suites, LaTeX with unicode engines) writes PDFs.  The CMap is
+# a small PostScript-syntax table of bfchar/bfrange entries mapping
+# character codes to UTF-16BE strings; simple (1-byte) fonts may carry
+# one too, overriding their encoding for extraction purposes.
+
+_HEX_RE = re.compile(rb"<([0-9A-Fa-f]+)>")
+_BFRANGE_ENTRY_RE = re.compile(
+    rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>\s*"
+    rb"(?:<([0-9A-Fa-f]+)>|\[(.*?)\])",
+    re.S,
+)
+
+
+def _u16(hexs: bytes) -> str:
+    h = hexs.decode("ascii")
+    if len(h) % 2:
+        h += "0"
+    return bytes.fromhex(h).decode("utf-16-be", "replace")
+
+
+class _FontDecoder:
+    """code->unicode decoder built from a /ToUnicode CMap.  Codes are
+    fixed-width (1 or 2 bytes, from the codespace range — the shapes
+    simple and Identity-H Type0 fonts use); unmapped codes and a
+    trailing partial code decode to U+FFFD, never dropped silently."""
+
+    __slots__ = ("code_len", "mapping")
+
+    def __init__(self, code_len: int, mapping: dict[int, str]) -> None:
+        self.code_len = code_len
+        self.mapping = mapping
+
+    def decode(self, s: bytes) -> str:
+        n, w = len(s), self.code_len
+        out: list[str] = []
+        for i in range(0, n - n % w, w):
+            out.append(
+                self.mapping.get(
+                    int.from_bytes(s[i:i + w], "big"), "�"
+                )
+            )
+        if n % w:
+            out.append("�")
+        return "".join(out)
+
+
+def _parse_tounicode(data: bytes) -> _FontDecoder:
+    """Parse a /ToUnicode CMap stream: codespace width, bfchar pairs,
+    bfrange runs (both the incrementing-destination and the explicit
+    destination-array forms).  Range increments step the last UTF-16
+    code unit — the form every real generator emits (ranges never
+    cross a surrogate boundary in practice)."""
+    code_len = 2
+    m = re.search(rb"begincodespacerange(.*?)endcodespacerange", data, re.S)
+    if m is not None:
+        h = _HEX_RE.search(m.group(1))
+        if h is not None:
+            code_len = max(1, min(2, len(h.group(1)) // 2))
+    mapping: dict[int, str] = {}
+    for m in re.finditer(rb"beginbfchar(.*?)endbfchar", data, re.S):
+        toks = _HEX_RE.findall(m.group(1))
+        for src, dst in zip(toks[0::2], toks[1::2]):
+            mapping[int(src, 16)] = _u16(dst)
+    for m in re.finditer(rb"beginbfrange(.*?)endbfrange", data, re.S):
+        for em in _BFRANGE_ENTRY_RE.finditer(m.group(1)):
+            lo, hi = int(em.group(1), 16), int(em.group(2), 16)
+            if hi < lo or hi - lo > 0xFFFF:
+                raise ValueError("ToUnicode: bfrange bounds out of order"
+                                 " or oversized")
+            if em.group(3) is not None:
+                h = em.group(3).decode("ascii")
+                if len(h) % 2:
+                    h += "0"
+                dst = bytes.fromhex(h)
+                prefix, unit = dst[:-2], dst[-2:]
+                if len(unit) < 2:
+                    prefix, unit = b"", b"\x00" + (unit or b"\x00")
+                base = int.from_bytes(unit, "big")
+                for c in range(lo, hi + 1):
+                    mapping[c] = _u16(
+                        (prefix + (base + c - lo).to_bytes(2, "big"))
+                        .hex().encode()
+                    )
+            else:
+                dsts = _HEX_RE.findall(em.group(4))
+                for i, d in enumerate(dsts):
+                    if lo + i <= hi:
+                        mapping[lo + i] = _u16(d)
+    return _FontDecoder(code_len, mapping)
+
+
+def _page_fonts(
+    page_body: bytes, objs: dict[int, _Obj]
+) -> dict[bytes, _FontDecoder]:
+    """name -> decoder for every page font that carries a /ToUnicode
+    CMap.  Fonts without one are absent: their strings keep the
+    latin-1 byte interpretation (right for the standard-font family,
+    the documented garbled-but-total behavior for bare Type0)."""
+    fonts: dict[bytes, _FontDecoder] = {}
+    for name, num in _resources_entries(page_body, objs, b"Font"):
+        fo = objs.get(num)
+        if fo is None:
+            continue
+        tm = re.search(rb"/ToUnicode\s+(\d+)\s+\d+\s+R", fo.body)
+        if tm is None:
+            continue
+        cmap = _stream_of(objs.get(int(tm.group(1))))
+        if cmap:
+            fonts[name] = _parse_tounicode(cmap)
+    return fonts
+
+
+def _content_text(
+    content: bytes, fonts: dict[bytes, _FontDecoder] | None = None
+) -> str:
     """Interpret the text operators of one content stream.
 
     Line model: ', ", T*, Tm, and Td/TD with a non-zero vertical move
@@ -326,8 +448,14 @@ def _content_text(content: bytes) -> str:
     many generators; BT already opens a line, so a leading Tm is a
     no-op); Tj/TJ append to the current line.  TJ's numeric kerning
     adjustments are ignored except large negative gaps, which render
-    as a space (the convention word-spacing hacks rely on)."""
-    lines: list[list[bytes]] = [[]]
+    as a space (the convention word-spacing hacks rely on).
+
+    Shown strings decode through the Tf-selected font's /ToUnicode
+    decoder when the page carries one (the Type0/CID path); otherwise
+    latin-1, byte-preserving."""
+    fonts = fonts or {}
+    cur: _FontDecoder | None = None
+    lines: list[list[str]] = [[]]
     stack: list[object] = []
     in_text = False
     arr: list[object] | None = None
@@ -335,6 +463,9 @@ def _content_text(content: bytes) -> str:
     def newline() -> None:
         if lines[-1]:
             lines.append([])
+
+    def dec(s: bytes) -> str:
+        return cur.decode(s) if cur is not None else s.decode("latin-1")
 
     for tok in _tokens(content):
         first = tok[:1]
@@ -362,29 +493,32 @@ def _content_text(content: bytes) -> str:
             newline()
         elif op == b"ET":
             in_text = False
+        elif op == b"Tf":
+            names = [v for v in stack if isinstance(v, bytes)
+                     and v[:1] == b"/"]
+            if names:
+                cur = fonts.get(names[-1])
         elif in_text and op == b"Tj":
             if stack and isinstance(stack[-1], bytes):
-                lines[-1].append(stack[-1])
+                lines[-1].append(dec(stack[-1]))
         elif in_text and op in (b"'", b'"'):
             newline()
             if stack and isinstance(stack[-1], bytes):
-                lines[-1].append(stack[-1])
+                lines[-1].append(dec(stack[-1]))
         elif in_text and op == b"TJ":
             if stack and isinstance(stack[-1], list):
                 for el in stack[-1]:
                     if isinstance(el, bytes):
-                        lines[-1].append(el)
+                        lines[-1].append(dec(el))
                     elif isinstance(el, float) and el < -200:
-                        lines[-1].append(b" ")
+                        lines[-1].append(" ")
         elif in_text and op in (b"T*", b"Tm"):
             newline()
         elif in_text and op in (b"Td", b"TD"):
             if len(stack) >= 1 and isinstance(stack[-1], float) and stack[-1] != 0:
                 newline()
         stack.clear()
-    text_lines = [
-        b"".join(parts).decode("latin-1") for parts in lines if parts
-    ]
+    text_lines = ["".join(parts) for parts in lines if parts]
     return "\n".join(text_lines)
 
 
@@ -461,13 +595,28 @@ def _page_content_streams(data: bytes) -> list[bytes]:
     ]
 
 
+def _pages_with_fonts(
+    data: bytes,
+) -> list[tuple[bytes, dict[bytes, _FontDecoder]]]:
+    """(content, tounicode-fonts) per page, page-tree order — the
+    validated parse both text extractors share."""
+    objs = _validated_objects(data)
+    out = []
+    for pnum in _page_order(data, objs):
+        body = objs[pnum].body
+        out.append((_page_content(objs, body), _page_fonts(body, objs)))
+    return out
+
+
 def extract_pdf_text(data: bytes) -> list[str]:
-    """Per-page text of a PDF, in page-tree order.
+    """Per-page text of a PDF, in page-tree order.  Type0/CID and
+    simple fonts carrying a /ToUnicode CMap decode through it; other
+    fonts keep the latin-1 byte interpretation.
 
     Raises ValueError for non-PDF bytes or encrypted documents; pages
     whose content stream cannot be located contribute an empty string.
     """
-    return [_content_text(c) for c in _page_content_streams(data)]
+    return [_content_text(c, f) for c, f in _pages_with_fonts(data)]
 
 
 def _ocr_pdf_rasters(data: bytes, ocr_cfg) -> tuple[list[str], float] | None:
@@ -647,23 +796,22 @@ def _balanced_dict(body: bytes, start: int) -> bytes | None:
     return body[m.end() : pos - 2] if depth == 0 else None
 
 
-def _resources_xobjects(
-    page_body: bytes, objs: dict[int, _Obj]
+def _resources_entries(
+    page_body: bytes, objs: dict[int, _Obj], kind: bytes
 ) -> list[tuple[bytes, int]]:
-    """(name, objnum) pairs of the page's /XObject resources, in the
-    order the resource dict declares them.  /Resources may be inline or
-    an indirect reference; the /XObject sub-dict likewise."""
+    """(name, objnum) pairs of one page-resource category (/XObject,
+    /Font), in declaration order.  /Resources may be inline or an
+    indirect reference; the category sub-dict likewise."""
     rm = re.search(rb"/Resources\s*(?=(<<)|(\d+)\s+\d+\s+R)", page_body)
     if rm is None:
         return []
     if rm.group(2) is not None:
         ro = objs.get(int(rm.group(2)))
-        res = ro.body if ro is not None else b""
-        xs = re.search(rb"/XObject\s*(?=(<<)|(\d+)\s+\d+\s+R)", res)
-        base = res
+        base = ro.body if ro is not None else b""
+        xs = re.search(rb"/" + kind + rb"\s*(?=(<<)|(\d+)\s+\d+\s+R)", base)
     else:
         base = _balanced_dict(page_body, rm.start()) or b""
-        xs = re.search(rb"/XObject\s*(?=(<<)|(\d+)\s+\d+\s+R)", base)
+        xs = re.search(rb"/" + kind + rb"\s*(?=(<<)|(\d+)\s+\d+\s+R)", base)
     if xs is None:
         return []
     if xs.group(2) is not None:
@@ -677,6 +825,13 @@ def _resources_xobjects(
             rb"(/[^\s/<>\[\]()]+)\s+(\d+)\s+\d+\s+R", xdict
         )
     ]
+
+
+def _resources_xobjects(
+    page_body: bytes, objs: dict[int, _Obj]
+) -> list[tuple[bytes, int]]:
+    """(name, objnum) pairs of the page's /XObject resources."""
+    return _resources_entries(page_body, objs, b"XObject")
 
 
 def _image_filter(body: bytes) -> bytes:
@@ -819,12 +974,18 @@ def extract_pdf_page_rasters(data: bytes) -> list["np.ndarray"]:
 # reassembles lines by descending y (PDF y grows upward) with runs
 # sorted by x — the geometry pass a layout-aware extractor runs.
 
-def _content_runs(content: bytes) -> list[tuple[float, float, str]]:
+def _content_runs(
+    content: bytes, fonts: dict[bytes, _FontDecoder] | None = None
+) -> list[tuple[float, float, str]]:
     """(x, y, text) of every shown string, anchored at the text-space
     origin the text matrix held when the show operator ran.  q/Q/cm
     (the CTM) are not tracked: text PDFs position with the text matrix;
     pages that paint through a transformed CTM refuse via the multi-
-    image/compositing rules elsewhere."""
+    image/compositing rules elsewhere.  Strings decode through the
+    Tf-selected /ToUnicode decoder when present (same contract as
+    _content_text)."""
+    fonts = fonts or {}
+    cur: _FontDecoder | None = None
     runs: list[tuple[float, float, str]] = []
     stack: list[object] = []
     arr: list[object] | None = None
@@ -835,7 +996,8 @@ def _content_runs(content: bytes) -> list[tuple[float, float, str]]:
     leading = 0.0
 
     def show(s: bytes) -> None:
-        runs.append((tm[4], tm[5], s.decode("latin-1")))
+        text = cur.decode(s) if cur is not None else s.decode("latin-1")
+        runs.append((tm[4], tm[5], text))
 
     def translate_line(tx: float, ty: float) -> None:
         # tlm = [[1 0 0],[0 1 0],[tx ty 1]] x tlm  (row-vector form)
@@ -871,6 +1033,11 @@ def _content_runs(content: bytes) -> list[tuple[float, float, str]]:
             tm = list(tlm)
         elif op == b"ET":
             in_text = False
+        elif op == b"Tf":
+            names = [v for v in stack if isinstance(v, bytes)
+                     and v[:1] == b"/"]
+            if names:
+                cur = fonts.get(names[-1])
         elif in_text and op == b"Tm" and len(stack) >= 6:
             nums = [v for v in stack[-6:] if isinstance(v, float)]
             if len(nums) == 6:
@@ -896,13 +1063,9 @@ def _content_runs(content: bytes) -> list[tuple[float, float, str]]:
                 show(stack[-1])
         elif in_text and op == b"TJ":
             if stack and isinstance(stack[-1], list):
-                parts = [
-                    el.decode("latin-1")
-                    for el in stack[-1]
-                    if isinstance(el, bytes)
-                ]
+                parts = [el for el in stack[-1] if isinstance(el, bytes)]
                 if parts:
-                    show("".join(parts).encode("latin-1"))
+                    show(b"".join(parts))
         stack.clear()
     return runs
 
@@ -914,8 +1077,8 @@ def extract_pdf_layout(data: bytes) -> list[dict]:
     points (y grows upward; lines are ordered by descending y).  Same
     refusal contract as extract_pdf_text."""
     out: list[dict] = []
-    for page_idx, content in enumerate(_page_content_streams(data)):
-        runs = _content_runs(content)
+    for page_idx, (content, fonts) in enumerate(_pages_with_fonts(data)):
+        runs = _content_runs(content, fonts)
         by_y: dict[float, list[tuple[float, str]]] = {}
         for x, y, text in runs:
             by_y.setdefault(round(y, 3), []).append((x, text))

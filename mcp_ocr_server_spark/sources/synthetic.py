@@ -1631,6 +1631,94 @@ def make_pdf_bytes(pages: list[list[str]], compress: bool = False) -> bytes:
     return bytes(out)
 
 
+def make_type0_pdf_bytes(
+    pages: list[list[str]], compress: bool = False
+) -> bytes:
+    """Type0/CID-font PDF writer (ISO 32000-1 §9.7/§9.10) — the shape
+    essentially every modern generator emits: strings are 2-BYTE GLYPH
+    IDS (here gid = ord(ch) + 0x100, so a latin-1 byte reading is
+    provably garbage), and the page font carries a /ToUnicode CMap
+    mapping gids back to text.  The CMap deliberately uses BOTH entry
+    forms — one incrementing bfrange for a-z plus bfchar pairs for
+    every other character used — so the extractor's range and char
+    paths are each load-bearing.  Same object skeleton as
+    make_pdf_bytes."""
+    import zlib
+
+    used = sorted({ch for pg in pages for ln in pg for ch in ln})
+    bfchars = [ch for ch in used if not ("a" <= ch <= "z")]
+    cmap = bytearray(
+        b"/CIDInit /ProcSet findresource begin\n"
+        b"begincmap\n"
+        b"1 begincodespacerange\n<0000> <FFFF>\nendcodespacerange\n"
+        b"1 beginbfrange\n"
+        b"<0161> <017a> <0061>\n"
+        b"endbfrange\n"
+    )
+    if bfchars:
+        cmap += f"{len(bfchars)} beginbfchar\n".encode()
+        for ch in bfchars:
+            cmap += (f"<{ord(ch) + 0x100:04x}> <{ord(ch):04x}>\n"
+                     .encode())
+        cmap += b"endbfchar\n"
+    cmap += b"endcmap\nend\n"
+    objs: list[bytes] = []
+    page_nums = [5 + 2 * i for i in range(len(pages))]
+    kids = " ".join(f"{n} 0 R" for n in page_nums).encode()
+    objs.append(b"<< /Type /Catalog /Pages 2 0 R >>")
+    objs.append(
+        b"<< /Type /Pages /Kids [" + kids + b"] /Count "
+        + str(len(pages)).encode() + b" >>"
+    )
+    objs.append(
+        b"<< /Type /Font /Subtype /Type0 /BaseFont /Synth-Identity-H"
+        b" /Encoding /Identity-H /ToUnicode 4 0 R >>"
+    )
+    objs.append(
+        b"<< /Length " + str(len(cmap)).encode() + b" >>\nstream\n"
+        + bytes(cmap) + b"\nendstream"
+    )
+    for i, lines in enumerate(pages):
+        cnum = page_nums[i] + 1
+        objs.append(
+            b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            b"/Resources << /Font << /F1 3 0 R >> >> /Contents "
+            + str(cnum).encode() + b" 0 R >>"
+        )
+        parts = [b"BT /F1 12 Tf 72 720 Td"]
+        for k, line in enumerate(lines):
+            if k:
+                parts.append(b"0 -14 Td")
+            hexs = "".join(f"{ord(ch) + 0x100:04x}" for ch in line)
+            parts.append(b"<" + hexs.encode() + b"> Tj")
+        parts.append(b"ET")
+        content = b" ".join(parts)
+        if compress:
+            payload = zlib.compress(content)
+            head = b"<< /Length " + str(len(payload)).encode() + \
+                b" /Filter /FlateDecode >>"
+        else:
+            payload = content
+            head = b"<< /Length " + str(len(payload)).encode() + b" >>"
+        objs.append(head + b"\nstream\n" + payload + b"\nendstream")
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = []
+    for i, body in enumerate(objs):
+        offsets.append(len(out))
+        out += f"{i + 1} 0 obj\n".encode() + body + b"\nendobj\n"
+    xref_at = len(out)
+    out += f"xref\n0 {len(objs) + 1}\n".encode()
+    out += b"0000000000 65535 f \n"
+    for off in offsets:
+        out += f"{off:010d} 00000 n \n".encode()
+    out += (
+        b"trailer\n<< /Size " + str(len(objs) + 1).encode()
+        + b" /Root 1 0 R >>\nstartxref\n" + str(xref_at).encode()
+        + b"\n%%EOF\n"
+    )
+    return bytes(out)
+
+
 def make_pdf15_bytes(pages: list[list[str]]) -> bytes:
     """PDF 1.5 compressed-object layout (ISO 32000-1 §7.5.7-7.5.8),
     the structure most post-2005 generators emit: catalog / page tree /
@@ -1741,6 +1829,7 @@ def pdf_item(cfg: CorpusConfig, j: int) -> tuple[str, bytes, str]:
     """(media_ref, bytes, kind).  Kind classes cover the extractor's
     whole row contract: ok (stored + Flate, classic xref), ok15
     (PDF 1.5 ObjStm + XRef-stream layout, the post-2005 default),
+    cid (Type0 font, 2-byte glyph-id strings decoded via /ToUnicode),
     scan (pages are image XObjects — no content-stream text, rides the
     pipeline's raster->OCR fallback), garbage (not a PDF), encrypted,
     and lzw (unsupported filter) — the last three are error-row
@@ -1781,6 +1870,11 @@ def pdf_item(cfg: CorpusConfig, j: int) -> tuple[str, bytes, str]:
         return pdf_ref(j), make_scanned_pdf_bytes(
             imgs, dct=j % 2 == 1
         ), "scan"
+    if j % 9 == 5:
+        # Type0/CID font with /ToUnicode: 2-byte glyph-id strings that
+        # only the CMap can turn back into text (the modern-generator
+        # default) — rotating stored/Flate content streams
+        return pdf_ref(j), make_type0_pdf_bytes(pages, compress), "cid"
     if j % 5 == 4:
         return pdf_ref(j), make_pdf15_bytes(pages), "ok15"
     return pdf_ref(j), data, "ok"

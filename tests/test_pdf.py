@@ -326,3 +326,82 @@ def test_xref_mention_in_page_text_still_extracts():
         _patch_content(b"BT (about /Type /XRef and /Type /ObjStm) Tj ET")
     )
     assert out == ["about /Type /XRef and /Type /ObjStm"]
+
+
+# --- Type0/CID fonts via /ToUnicode (ISO 32000-1 §9.10.3) -------------------
+
+def _type0_pdf(pages, compress=False):
+    from mcp_ocr_server_spark.sources.synthetic import make_type0_pdf_bytes
+    return make_type0_pdf_bytes(pages, compress)
+
+
+@pytest.mark.parametrize("compress", [False, True])
+def test_type0_tounicode_decodes(compress):
+    pages = [["hello cid world", "second line"], ["page two"]]
+    assert extract_pdf_text(_type0_pdf(pages, compress)) == [
+        "hello cid world\nsecond line", "page two"]
+
+
+def test_type0_layout_path_decodes():
+    from mcp_ocr_server_spark.functions.pdf import extract_pdf_layout
+    rows = extract_pdf_layout(_type0_pdf([["alpha beta", "gamma"]]))
+    assert [r["text"] for r in rows] == ["alpha beta", "gamma"]
+
+
+def test_type0_without_tounicode_stays_garbled_not_dropped():
+    # bare Type0: no CMap to recover with — bytes pass through latin-1
+    # (total, never silently empty), the documented `strings` behavior
+    data = _type0_pdf([["ab"]])
+    data = data.replace(b" /ToUnicode 4 0 R", b"")
+    (page,) = extract_pdf_text(data)
+    assert page == "\x01a\x01b"  # gid 0x0161 0x0162 as latin-1 bytes
+
+
+def test_tounicode_unmapped_code_is_loud():
+    # a gid outside every bfchar/bfrange surfaces as U+FFFD, and a
+    # trailing odd byte (broken 2-byte framing) does too
+    data = _type0_pdf([["ab"]])
+    data = data.replace(b"<01610162> Tj", b"<016100FF> Tj")
+    assert extract_pdf_text(data) == ["a�"]
+    data2 = _type0_pdf([["ab"]]).replace(b"<01610162> Tj", b"<016161> Tj")
+    assert extract_pdf_text(data2) == ["a�"]
+
+
+def test_tounicode_bfrange_array_form_and_multichar_dst():
+    from mcp_ocr_server_spark.functions.pdf import _parse_tounicode
+    cmap = (b"1 begincodespacerange\n<0000> <FFFF>\nendcodespacerange\n"
+            b"1 beginbfrange\n"
+            b"<0010> <0012> [<0066> <00660066> <00660069>]\n"
+            b"endbfrange\n"
+            b"1 beginbfchar\n<0001> <20AC>\nendbfchar\n")
+    dec = _parse_tounicode(cmap)
+    assert dec.decode(bytes.fromhex("0010001100120001")) == "ffffi€"
+
+
+def test_tounicode_single_byte_codespace():
+    # simple (1-byte) fonts may carry a ToUnicode too — code width
+    # comes from the codespace range
+    from mcp_ocr_server_spark.functions.pdf import _parse_tounicode
+    cmap = (b"1 begincodespacerange\n<00> <FF>\nendcodespacerange\n"
+            b"1 beginbfrange\n<41> <43> <0061>\nendbfrange\n")
+    dec = _parse_tounicode(cmap)
+    assert dec.code_len == 1
+    assert dec.decode(b"ABC") == "abc"
+
+
+def test_cid_corpus_class_extracts_clean_text():
+    from mcp_ocr_server_spark.sources.synthetic import (
+        N_PDF_DOCS, pdf_item)
+    from mcp_ocr_server_spark.queries import FLAGSHIP_CORPUS
+    seen = 0
+    for j in range(N_PDF_DOCS):
+        ref, data, kind = pdf_item(FLAGSHIP_CORPUS, j)
+        if kind != "cid":
+            continue
+        seen += 1
+        pages = extract_pdf_text(data)
+        joined = "\n".join(pages)
+        assert joined and "�" not in joined
+        # generator words are plain ascii prose — the CMap recovered it
+        assert all(c.isascii() for c in joined)
+    assert seen >= 3
