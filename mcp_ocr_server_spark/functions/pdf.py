@@ -526,15 +526,40 @@ def _validated_objects(data: bytes) -> dict[int, _Obj]:
     """Header/encryption-validated object table with ObjStm expansion —
     the parse every extractor (text, layout, rasters, renderer) shares.
 
-    Raises ValueError for non-PDF bytes or encrypted documents."""
+    Encrypted documents whose USER password is empty (the owner-locked
+    print/copy-restricted shape — the common "encrypted" PDF in a
+    crawl) are DECRYPTED here via the RC4 standard security handler
+    (functions/pdfcrypt.py): every stream payload is replaced by its
+    plaintext, so downstream extractors run unchanged.  Real passwords
+    and AES crypt filters refuse loudly.
+
+    Raises ValueError for non-PDF bytes or undecryptable documents."""
     if not data.startswith(b"%PDF-"):
         raise ValueError("not a PDF: missing %PDF- header")
     # /Encrypt only means encryption inside the TRAILER dict — grepping
     # the whole file would reject documents whose page TEXT mentions it
+    enc_ref: int | None = None
     for tm in re.finditer(rb"trailer(.*?)startxref", data, re.S):
-        if re.search(rb"/Encrypt\b", tm.group(1)):
+        em = re.search(rb"/Encrypt\s+(\d+)\s+\d+\s+R", tm.group(1))
+        if em is not None:
+            enc_ref = int(em.group(1))
+        elif re.search(rb"/Encrypt\b", tm.group(1)):
             raise ValueError("encrypted PDF: decryption unsupported")
     objs = _objects(data)
+    if enc_ref is not None:
+        from .pdfcrypt import build_decryptor, trailer_id0
+
+        enc_obj = objs.get(enc_ref)
+        if enc_obj is None:
+            raise ValueError("encrypted PDF: decryption unsupported")
+        dec = build_decryptor(enc_obj.body, trailer_id0(data))
+        objs = {
+            num: (
+                o if o.stream is None or num == enc_ref
+                else _Obj(o.body, dec.decrypt_stream(num, o.stream))
+            )
+            for num, o in objs.items()
+        }
     # PDF 1.5+ layout: with no 'trailer' keyword the trailer dict IS
     # the /XRef stream's dict (its head sits UNCOMPRESSED in the file,
     # so the flat scan sees it) — that is where /Encrypt lives for

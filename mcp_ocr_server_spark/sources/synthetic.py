@@ -1830,10 +1830,12 @@ def pdf_item(cfg: CorpusConfig, j: int) -> tuple[str, bytes, str]:
     whole row contract: ok (stored + Flate, classic xref), ok15
     (PDF 1.5 ObjStm + XRef-stream layout, the post-2005 default),
     cid (Type0 font, 2-byte glyph-id strings decoded via /ToUnicode),
-    scan (pages are image XObjects — no content-stream text, rides the
-    pipeline's raster->OCR fallback), garbage (not a PDF), encrypted,
-    and lzw (unsupported filter) — the last three are error-row
-    classes."""
+    rc4 (owner-locked RC4 encryption with an empty user password —
+    decrypts, text identical to its plaintext twin), scan (pages are
+    image XObjects — no content-stream text, rides the pipeline's
+    raster->OCR fallback), garbage (not a PDF), encrypted (dangling
+    /Encrypt ref), locked (real user password), and lzw (unsupported
+    filter) — the last four are error-row classes."""
     rng = _rng(cfg.seed, _S_PDF, j)
     n_pages = 1 + j % 3
     pages = [
@@ -1875,6 +1877,25 @@ def pdf_item(cfg: CorpusConfig, j: int) -> tuple[str, bytes, str]:
         # only the CMap can turn back into text (the modern-generator
         # default) — rotating stored/Flate content streams
         return pdf_ref(j), make_type0_pdf_bytes(pages, compress), "cid"
+    if j % 9 == 1:
+        # owner-locked RC4 encryption, EMPTY user password (the common
+        # print/copy-restricted shape): fully decryptable, text must
+        # come out identical to the unencrypted twin — rotating R2/40
+        # and R3/128 key schedules
+        from ..functions.pdfcrypt import encrypt_pdf_bytes
+
+        r, ln = (2, 40) if j % 2 == 0 else (3, 128)
+        return pdf_ref(j), encrypt_pdf_bytes(
+            data, owner_pw=b"owner", r=r, length=ln
+        ), "rc4"
+    if j % 13 == 2:
+        # a REAL user password: the refusal class (the engine has no
+        # secret to verify with)
+        from ..functions.pdfcrypt import encrypt_pdf_bytes
+
+        return pdf_ref(j), encrypt_pdf_bytes(
+            data, user_pw=b"secret", owner_pw=b"owner", r=3, length=128
+        ), "locked"
     if j % 5 == 4:
         return pdf_ref(j), make_pdf15_bytes(pages), "ok15"
     return pdf_ref(j), data, "ok"

@@ -405,3 +405,68 @@ def test_cid_corpus_class_extracts_clean_text():
         # generator words are plain ascii prose — the CMap recovered it
         assert all(c.isascii() for c in joined)
     assert seen >= 3
+
+
+# --- RC4 standard-security-handler decryption (§7.6.2-7.6.4) ----------------
+
+def test_rc4_known_answer_vector():
+    # the classic public RC4 test vector: key "Key", plaintext
+    # "Plaintext" -> BBF316E8D940AF0AD3
+    from mcp_ocr_server_spark.functions.pdfcrypt import rc4
+    assert rc4(b"Key", b"Plaintext").hex() == "bbf316e8d940af0ad3"
+    assert rc4(b"Key", rc4(b"Key", b"data")) == b"data"  # symmetric
+
+
+@pytest.mark.parametrize("r, length", [(2, 40), (3, 128)])
+def test_empty_user_password_decrypts(r, length):
+    from mcp_ocr_server_spark.functions.pdfcrypt import encrypt_pdf_bytes
+    pages = [["owner locked body", "line two"], ["page two"]]
+    plain = make_pdf(pages, compress=True)
+    want = extract_pdf_text(plain)
+    enc = encrypt_pdf_bytes(plain, owner_pw=b"ownersecret",
+                            r=r, length=length)
+    assert b"owner locked body" not in enc  # actually ciphered
+    assert extract_pdf_text(enc) == want
+
+
+def test_real_user_password_refuses():
+    from mcp_ocr_server_spark.functions.pdfcrypt import encrypt_pdf_bytes
+    enc = encrypt_pdf_bytes(make_pdf([["x"]]), user_pw=b"hunter2",
+                            owner_pw=b"o", r=3, length=128)
+    with pytest.raises(ValueError, match="password required"):
+        extract_pdf_text(enc)
+
+
+def test_aes_crypt_filter_refuses_by_name():
+    from mcp_ocr_server_spark.functions.pdfcrypt import encrypt_pdf_bytes
+    enc = encrypt_pdf_bytes(make_pdf([["x"]]))
+    enc = enc.replace(b"/Filter /Standard /V 1 /R 2",
+                      b"/Filter /Standard /V 4 /R 4")
+    with pytest.raises(ValueError, match="AES"):
+        extract_pdf_text(enc)
+
+
+def test_dangling_encrypt_ref_still_refuses():
+    data = make_pdf([["x"]])
+    data = data.replace(b"/Root 1 0 R", b"/Root 1 0 R /Encrypt 99 0 R")
+    with pytest.raises(ValueError, match="decryption unsupported"):
+        extract_pdf_text(data)
+
+
+def test_decryption_reaches_every_extractor_surface():
+    """Type0 CMap streams and scanned-page image XObjects are streams
+    too — the per-object keys must decrypt them all."""
+    import numpy as np
+    from mcp_ocr_server_spark.functions.pdf import (
+        extract_pdf_page_rasters,
+    )
+    from mcp_ocr_server_spark.functions.pdfcrypt import encrypt_pdf_bytes
+    from mcp_ocr_server_spark.imaging.font import render_text
+    from mcp_ocr_server_spark.sources.synthetic import (
+        make_scanned_pdf_bytes, make_type0_pdf_bytes)
+
+    t0 = make_type0_pdf_bytes([["cid under rc4"]])
+    assert extract_pdf_text(encrypt_pdf_bytes(t0)) == ["cid under rc4"]
+    img = render_text("SCAN RC4", scale=2)
+    sc = encrypt_pdf_bytes(make_scanned_pdf_bytes([img]))
+    assert np.array_equal(extract_pdf_page_rasters(sc)[0], img)
