@@ -158,7 +158,7 @@ def main() -> None:
         "pdf_layout", "scan_inventory", "scan_ocr",
         "media_video_frames",
         "media_audio_inventory", "audio_tags", "media_video_inventory",
-        "warc_records", "warc_main_content",
+        "warc_records", "warc_main_content", "sitemap_urls",
         "bm25_search", "fingerprint_winnow", "dedup_winnow_pairs",
         "dedup_exact", "dedup_ngram_jaccard", "dedup_minhash",
         "dedup_minhash_pairs",

@@ -2225,6 +2225,92 @@ def layout_pdf_df(spark, cfg: CorpusConfig, n: int = N_LAYOUT_PDFS):
 
 
 # ---------------------------------------------------------------------------
+# sitemap corpus (functions/sitemap.py) — the crawl frontier's other
+# URL source: leaf urlsets (plain / gzipped / bare-tag), sitemapindex
+# files, sparse optional fields, and the refusal classes
+
+_S_SITEMAP = 16
+N_SITEMAPS = 20
+
+_CHANGEFREQS = ("always", "hourly", "daily", "weekly", "monthly")
+
+
+def sitemap_ref(j: int) -> str:
+    return f"/crawl/sitemaps/{j:05d}.xml"
+
+
+def sitemap_item(cfg: CorpusConfig, j: int) -> tuple[str, bytes, str]:
+    """(media_ref, bytes, kind).  Kinds: urlset (plain, namespaced),
+    urlset_gz (gzipped, bare tags — both axes the wild emits), sparse
+    (optional fields absent), index (sitemapindex of child sitemaps),
+    plus error classes malformed (truncated XML), badpriority
+    (non-numeric <priority>), and garbage (not XML).  Hosts and /docs/
+    paths align with the url-family's robots-rule universe so the
+    frontier composition actually gates."""
+    from ..functions.sitemap import encode_sitemap
+
+    rng = _rng(cfg.seed, _S_SITEMAP, j)
+    host = f"site{j % 5}.example.com"
+    n = int(rng.integers(4, 10))
+    entries = []
+    for k in range(n):
+        m = int(rng.integers(0, 50))
+        e = dict(loc=f"https://{host}/docs/{m}")
+        if rng.integers(0, 3) > 0:
+            e["lastmod"] = (f"2026-0{1 + int(rng.integers(0, 8))}-"
+                            f"{1 + int(rng.integers(0, 27)):02d}")
+        if rng.integers(0, 3) > 0:
+            e["changefreq"] = _CHANGEFREQS[
+                int(rng.integers(0, len(_CHANGEFREQS)))]
+        if rng.integers(0, 2) > 0:
+            e["priority"] = round(float(rng.integers(1, 11)) / 10, 1)
+        entries.append(e)
+    if j % 10 == 9:
+        return sitemap_ref(j), b"\x00not xml\xff" * 8, "garbage"
+    if j % 10 == 7:
+        data = encode_sitemap(entries)
+        return sitemap_ref(j), data[: int(len(data) * 0.6)], "malformed"
+    if j % 10 == 5:
+        entries[0]["priority"] = "high"
+        return sitemap_ref(j), encode_sitemap(entries), "badpriority"
+    if j % 7 == 3:
+        kids = [
+            dict(loc=f"https://{host}/sitemap-{k}.xml.gz",
+                 lastmod=f"2026-01-{k + 1:02d}")
+            for k in range(3)
+        ]
+        return sitemap_ref(j), encode_sitemap(
+            kids, kind="sitemapindex", gzipped=j % 2 == 1
+        ), "index"
+    if j % 3 == 2:
+        for e in entries:
+            e.pop("lastmod", None)
+            e.pop("changefreq", None)
+            e.pop("priority", None)
+        return sitemap_ref(j), encode_sitemap(entries), "sparse"
+    if j % 2 == 1:
+        return sitemap_ref(j), encode_sitemap(
+            entries, gzipped=True, namespaced=False
+        ), "urlset_gz"
+    return sitemap_ref(j), encode_sitemap(entries), "urlset"
+
+
+SITEMAP_MEDIA_SCHEMA = "media_ref string, bytes binary, kind string"
+
+
+def sitemap_df(spark, cfg: CorpusConfig, n: int = N_SITEMAPS):
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [sitemap_item(cfg, int(j)) for j in pdf["id"]]
+            yield pd.DataFrame(
+                rows, columns=["media_ref", "bytes", "kind"])
+
+    return spark.range(0, n, numPartitions=4).mapInPandas(
+        gen, schema=SITEMAP_MEDIA_SCHEMA
+    )
+
+
+# ---------------------------------------------------------------------------
 # composite-PDF corpus: pages that COMPOSITE — vector text painted over
 # or under embedded images, several images per page, rect-filled
 # backgrounds, invisible OCR-layer text — the class only a renderer

@@ -352,6 +352,25 @@ def gen_pdf_render_meta() -> pd.DataFrame:
     return df
 
 
+def gen_sitemap_urls() -> pd.DataFrame:
+    """Golden for the sitemap-ingestion query: SAME row code the Spark
+    stage runs (functions/sitemap.sitemap_rows) over the sitemap
+    corpus."""
+    from mcp_ocr_server_spark.functions.sitemap import sitemap_rows
+
+    rows: list[dict] = []
+    for j in range(S.N_SITEMAPS):
+        ref, data, _kind = S.sitemap_item(FLAGSHIP_CORPUS, j)
+        rows.extend(sitemap_rows(ref, data))
+    df = pd.DataFrame(
+        rows, columns=["media_ref", "entry_idx", "kind", "loc",
+                       "lastmod", "changefreq", "priority", "error"]
+    )
+    df["entry_idx"] = df["entry_idx"].astype("Int64")
+    df["priority"] = df["priority"].astype("float64")
+    return df
+
+
 def gen_scan_formats() -> tuple[pd.DataFrame, pd.DataFrame]:
     """Goldens for the scan-format corpus (BMP/PNM/TIFF — the rest of
     the imdecode input matrix): inventory rows and per-page OCR rows,
@@ -516,6 +535,12 @@ def main() -> None:
           f" ({int(scan.error.notna().sum())} errors)")
     print(f"pdf_render_meta: {len(rend)} rows"
           f" ({int(rend.error.notna().sum())} errors)")
+    smap = gen_sitemap_urls()
+    smap.to_parquet(
+        os.path.join(FIXTURES_DIR, "sitemap_urls.parquet"), index=False
+    )
+    print(f"sitemap_urls: {len(smap)} rows"
+          f" ({int(smap.error.notna().sum())} errors)")
     sinv, socr = gen_scan_formats()
     sinv.to_parquet(
         os.path.join(FIXTURES_DIR, "scan_inventory.parquet"), index=False
