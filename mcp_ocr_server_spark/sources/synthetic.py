@@ -2311,6 +2311,108 @@ def sitemap_df(spark, cfg: CorpusConfig, n: int = N_SITEMAPS):
 
 
 # ---------------------------------------------------------------------------
+# robots.txt corpus (functions/robots.py) — one file per HOST, host
+# names aligned with the sitemap corpus so the frontier composition
+# joins them for real.  Classes cover RFC 9309's selection and
+# matching traps: specific-UA-beats-star, consecutive-UA grouping,
+# same-agent group combination, '*'/'$' wildcard patterns, messy
+# real-world formatting, Sitemap: discovery lines, and the refusals.
+
+_S_ROBOTS = 17
+N_ROBOTS = 10
+
+
+def robots_ref(j: int) -> str:
+    # the ref IS the host — at crawl scale the robots store is keyed
+    # by host, and the frontier composition joins on it.  j in [0, 5)
+    # are the sitemap-corpus hosts (live rules); the error/edge
+    # classes live on their own hosts so the store realistically
+    # carries junk entries that no frontier URL ever joins
+    if j < 5:
+        return f"site{j}.example.com"
+    return f"edge{j}.example.net"
+
+
+def robots_item(cfg: CorpusConfig, j: int) -> tuple[str, bytes, str]:
+    """(media_ref/host, bytes, kind).  j in [0, N_ROBOTS); j < 5 carry
+    the sitemap hosts' ACTUAL rules (the frontier composition joins
+    them); j >= 5 are the error/edge classes on disjoint hosts."""
+    if j == 5:
+        return robots_ref(j), b"x" * (500 * 1024 + 1), "oversize"
+    if j == 6:
+        return robots_ref(j), b"PK\x03\x04\x00binary\x00zip", "nul"
+    if j == 7:
+        # no group matches our crawler: zero rule rows, default-allow
+        return robots_ref(j), (
+            b"User-agent: googlebot\nDisallow: /\n"
+        ), "nomatch"
+    if j == 8:
+        # messy but legal: BOM, CRLF, comments, mixed-case keys,
+        # unknown directives, empty Disallow (= allow-all no-op)
+        return robots_ref(j), (
+            b"\xef\xbb\xbf# robots for site3\r\n"
+            b"USER-AGENT: *\r\n"
+            b"Crawl-delay: 10\r\n"
+            b"Disallow:\r\n"
+            b"DISALLOW: /tmp/ # trailing comment\r\n"
+            b"Sitemap: https://site3.example.com/sitemap.xml\r\n"
+        ), "messy"
+    if j == 9:
+        # two groups for the SAME agent combine (RFC 9309 §2.2.1)
+        return robots_ref(j), (
+            b"User-agent: synthcrawler\nDisallow: /a/\n\n"
+            b"User-agent: synthcrawler\nAllow: /a/pub\n"
+        ), "combined"
+    # j in [0, 5): the per-host live rule files the frontier consumes
+    if j == 0:
+        body = (b"User-agent: *\n"
+                b"Disallow: /docs/1\n"
+                b"Allow: /docs/12\n"
+                b"Sitemap: https://site0.example.com/sitemap.xml\n")
+        kind = "star"
+    elif j == 1:
+        # specific UA beats star: the star group would allow all, the
+        # synthcrawler group disallows /docs/2*
+        body = (b"User-agent: *\nDisallow:\n\n"
+                b"User-agent: synthcrawler\nDisallow: /docs/2\n")
+        kind = "specific"
+    elif j == 2:
+        # wildcard + anchor patterns
+        body = (b"User-agent: *\n"
+                b"Disallow: /docs/*3$\n"
+                b"Allow: /docs/13$\n")
+        kind = "wildcards"
+    elif j == 3:
+        # consecutive UA lines share one group
+        body = (b"User-agent: otherbot\n"
+                b"User-agent: synthcrawler\n"
+                b"Disallow: /docs/4\n")
+        kind = "multi_ua"
+    else:
+        # site-wide disallow with a carve-out (longest match wins)
+        body = (b"User-agent: *\n"
+                b"Disallow: /\n"
+                b"Allow: /docs/3\n")
+        kind = "carveout"
+    return robots_ref(j), body, kind
+
+
+ROBOTS_MEDIA_SCHEMA = "media_ref string, bytes binary, kind string"
+
+
+def robots_df(spark, cfg: CorpusConfig, n: int = N_ROBOTS):
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [robots_item(cfg, int(j)) for j in pdf["id"]]
+            yield pd.DataFrame(
+                rows, columns=["media_ref", "bytes", "kind"])
+
+    return spark.range(0, n, numPartitions=2).mapInPandas(
+        gen, schema=ROBOTS_MEDIA_SCHEMA
+    )
+
+
+# ---------------------------------------------------------------------------
 # composite-PDF corpus: pages that COMPOSITE — vector text painted over
 # or under embedded images, several images per page, rect-filled
 # backgrounds, invisible OCR-layer text — the class only a renderer

@@ -371,6 +371,26 @@ def gen_sitemap_urls() -> pd.DataFrame:
     return df
 
 
+def gen_robots_rules() -> pd.DataFrame:
+    """Golden for the robots.txt parse query: SAME row code the Spark
+    stage runs (functions/robots.robots_rows) over the robots
+    corpus."""
+    from mcp_ocr_server_spark.functions.robots import robots_rows
+
+    rows: list[dict] = []
+    for j in range(S.N_ROBOTS):
+        ref, data, _kind = S.robots_item(FLAGSHIP_CORPUS, j)
+        rows.extend(robots_rows(ref, data))
+    df = pd.DataFrame(
+        rows, columns=["media_ref", "row_idx", "kind", "agent",
+                       "allow", "pattern", "regex", "sitemap_url",
+                       "error"]
+    )
+    df["row_idx"] = df["row_idx"].astype("Int64")
+    df["allow"] = df["allow"].astype("boolean")
+    return df
+
+
 def gen_scan_formats() -> tuple[pd.DataFrame, pd.DataFrame]:
     """Goldens for the scan-format corpus (BMP/PNM/TIFF — the rest of
     the imdecode input matrix): inventory rows and per-page OCR rows,
@@ -541,6 +561,12 @@ def main() -> None:
     )
     print(f"sitemap_urls: {len(smap)} rows"
           f" ({int(smap.error.notna().sum())} errors)")
+    robo = gen_robots_rules()
+    robo.to_parquet(
+        os.path.join(FIXTURES_DIR, "robots_rules.parquet"), index=False
+    )
+    print(f"robots_rules: {len(robo)} rows"
+          f" ({int(robo.error.notna().sum())} errors)")
     sinv, socr = gen_scan_formats()
     sinv.to_parquet(
         os.path.join(FIXTURES_DIR, "scan_inventory.parquet"), index=False
