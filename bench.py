@@ -158,8 +158,8 @@ def main() -> None:
         "pdf_layout", "scan_inventory", "scan_ocr",
         "media_video_frames",
         "media_audio_inventory", "audio_tags", "media_video_inventory",
-        "warc_records", "warc_main_content", "sitemap_urls",
-        "robots_rules",
+        "warc_records", "warc_main_content", "warc_redirects",
+        "sitemap_urls", "robots_rules",
         # frontier_admission is registry/correctness-only: it re-runs
         # both fan-outs timed above (sitemap_urls + robots_rules)
         "bm25_search", "fingerprint_winnow", "dedup_winnow_pairs",

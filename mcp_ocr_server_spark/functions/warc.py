@@ -259,6 +259,74 @@ def warc_record_rows(ref: str, data: bytes) -> list[dict]:
     return rows
 
 
+def http_location(block: bytes) -> str | None:
+    """The Location header of an HTTP response block (redirect
+    target), None when absent."""
+    sep = block.find(b"\r\n\r\n")
+    head = block[: sep if sep >= 0 else len(block)]
+    for line in head.split(_CRLF)[1:]:
+        if line.lower().startswith(b"location:"):
+            return line.split(b":", 1)[1].strip().decode(
+                "latin-1", "replace")
+    return None
+
+
+WARC_REDIRECTS_SCHEMA = (
+    "warc_ref string, rec_idx int, url string, http_status int,"
+    " location string, error string"
+)
+
+
+def _http_status(block: bytes) -> int:
+    """Status code from the response head ONLY — no body decode, so a
+    refused content coding on a non-3xx page cannot error a query that
+    never needed its payload."""
+    nl = block.find(_CRLF)
+    status_line = block[: nl if nl >= 0 else len(block)]
+    parts = status_line.split(None, 2)
+    if len(parts) < 2 or not parts[0].startswith(b"HTTP/"):
+        raise ValueError(
+            f"warc: bad http status line {status_line[:40]!r}"
+        )
+    try:
+        return int(parts[1])
+    except ValueError:
+        raise ValueError("warc: non-integer http status") from None
+
+
+def warc_redirect_rows(ref: str, data: bytes) -> list[dict]:
+    """One archive's redirect EDGES — every 3xx response's
+    (url -> Location) pair, the crawl-graph edges a frontier follows
+    (and dedups against) next to sitemap/robots discovery.  A 3xx
+    without a Location header is itself a data point (location null).
+    Only the response HEAD is parsed (status line + headers) — payload
+    codings never run, so a brotli page cannot error this query.
+    Same two-level error isolation as warc_record_rows."""
+    rows: list[dict] = []
+    base = dict(warc_ref=ref, rec_idx=None, url=None, http_status=None,
+                location=None, error=None)
+    try:
+        for i, (hdrs, block) in enumerate(iter_warc_records(data)):
+            if hdrs.get("warc-type") != "response":
+                continue
+            try:
+                status = _http_status(block)
+                if not 300 <= status <= 399:
+                    continue
+                loc = http_location(block)
+            except Exception as exc:
+                rows.append(dict(base, rec_idx=i,
+                                 url=hdrs.get("warc-target-uri"),
+                                 error=str(exc)))
+                continue
+            rows.append(dict(base, rec_idx=i,
+                             url=hdrs.get("warc-target-uri"),
+                             http_status=status, location=loc))
+    except Exception as exc:
+        rows.append(dict(base, error=str(exc)))
+    return rows
+
+
 def warc_records(archives: DataFrame) -> DataFrame:
     """Archive bytes -> typed record rows (1:N row-local fan-out,
     zero shuffle).  Input: (warc_ref string, bytes binary)."""
@@ -405,6 +473,8 @@ def encode_warc(records: list[dict], gzip_members: bool = False) -> bytes:
             reason = {200: "OK", 404: "Not Found",
                       301: "Moved Permanently"}.get(status, "X")
             extra = ""
+            if r.get("location"):
+                extra += f"Location: {r['location']}\r\n"
             cenc = r.get("content_encoding", "")
             if cenc in ("gzip", "x-gzip"):
                 co = zlib.compressobj(6, zlib.DEFLATED, 31)

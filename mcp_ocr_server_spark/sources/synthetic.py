@@ -1527,7 +1527,11 @@ def warc_item(cfg: CorpusConfig, j: int) -> tuple[str, bytes, str]:
                      payload=b"not found"))
     recs.append(dict(type="response",
                      url=f"http://site{j % 5}.example/moved",
-                     http_status=301, mime="text/html", payload=b""))
+                     http_status=301, mime="text/html", payload=b"",
+                     location=f"https://site{j % 5}.example/new-home"))
+    recs.append(dict(type="response",
+                     url=f"http://site{j % 5}.example/broken-redirect",
+                     http_status=302, mime="text/html", payload=b""))
     gz = j % 2 == 1
     return warc_ref(j), encode_warc(recs, gzip_members=gz), (
         "warc_gz" if gz else "warc")

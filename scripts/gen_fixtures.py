@@ -371,6 +371,24 @@ def gen_sitemap_urls() -> pd.DataFrame:
     return df
 
 
+def gen_warc_redirects() -> pd.DataFrame:
+    """Golden for the redirect-edge query: SAME row code the Spark
+    stage runs (functions/warc.warc_redirect_rows)."""
+    from mcp_ocr_server_spark.functions.warc import warc_redirect_rows
+
+    rows: list[dict] = []
+    for j in range(S.N_WARC_FILES):
+        ref, data, _kind = S.warc_item(FLAGSHIP_CORPUS, j)
+        rows.extend(warc_redirect_rows(ref, data))
+    df = pd.DataFrame(
+        rows, columns=["warc_ref", "rec_idx", "url", "http_status",
+                       "location", "error"]
+    )
+    df["rec_idx"] = df["rec_idx"].astype("Int64")
+    df["http_status"] = df["http_status"].astype("Int64")
+    return df
+
+
 def gen_robots_rules() -> pd.DataFrame:
     """Golden for the robots.txt parse query: SAME row code the Spark
     stage runs (functions/robots.robots_rows) over the robots
@@ -567,6 +585,12 @@ def main() -> None:
     )
     print(f"robots_rules: {len(robo)} rows"
           f" ({int(robo.error.notna().sum())} errors)")
+    wred = gen_warc_redirects()
+    wred.to_parquet(
+        os.path.join(FIXTURES_DIR, "warc_redirects.parquet"), index=False
+    )
+    print(f"warc_redirects: {len(wred)} rows"
+          f" ({int(wred.error.notna().sum())} errors)")
     sinv, socr = gen_scan_formats()
     sinv.to_parquet(
         os.path.join(FIXTURES_DIR, "scan_inventory.parquet"), index=False

@@ -199,3 +199,28 @@ def test_brotli_refuses_and_isolates():
     assert len(rows) == 2
     assert "'br' unsupported" in rows[0]["error"]
     assert rows[1]["error"] is None and rows[1]["payload_len"] > 0
+
+
+def test_redirect_edges_head_only():
+    from mcp_ocr_server_spark.functions.warc import warc_redirect_rows
+    recs = [
+        dict(type="response", url="http://x/old", http_status=301,
+             mime="text/html", payload=b"", location="https://x/new"),
+        dict(type="response", url="http://x/302", http_status=302,
+             mime="text/html", payload=b""),  # 3xx without Location
+        # a refused content coding on a NON-3xx page must not error
+        # the redirect query: only the head is parsed
+        dict(type="response", url="http://x/br", http_status=200,
+             mime="text/html", payload=b"\x1b", content_encoding="br"),
+        dict(type="response", url="http://x/ok", http_status=200,
+             mime="text/html", payload=b"<p>x</p>"),
+    ]
+    rows = warc_redirect_rows("w", encode_warc(recs))
+    assert [(r["url"], r["http_status"], r["location"], r["error"])
+            for r in rows] == [
+        ("http://x/old", 301, "https://x/new", None),
+        ("http://x/302", 302, None, None),
+    ]
+    # structural failure: one loud rec_idx-null row
+    rows = warc_redirect_rows("w", b"NOTWARC")
+    assert len(rows) == 1 and rows[0]["error"]
