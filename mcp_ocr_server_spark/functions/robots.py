@@ -139,6 +139,28 @@ def effective_rules(
     return best, rules
 
 
+def admission_fold():
+    """The RFC 9309 winner as ONE shared Spark expression — a
+    row-local filter/transform/array_max fold over a joined `rules`
+    array (struct<…, pattern, regex, allow>) against a `path` column:
+    regex matching via the translation above, longest-PATTERN
+    precedence, allow wins exact ties, empty path matches as '/'.
+    Shared verbatim by the batch composition
+    (queries.q_frontier_admission) and the streaming gate
+    (streaming.url_admission.streaming_frontier_admission) so the two
+    consumers can never drift — the factoring discipline
+    robots_verdict/host_path_of already follow.  Aggregates nothing,
+    so it is legal inside an append-mode streaming query."""
+    from pyspark.sql import functions as F
+
+    return F.expr(
+        "array_max(transform("
+        " filter(rules, r -> if(path = '', '/', path) rlike r.regex),"
+        " r -> struct(length(r.pattern) * 2 + int(r.allow) AS score,"
+        "             r.allow AS allow, r.pattern AS pattern)))"
+    )
+
+
 def robots_rows(
     ref: str, data: bytes, product_token: str = "synthcrawler"
 ) -> list[dict]:

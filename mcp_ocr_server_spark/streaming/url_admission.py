@@ -143,3 +143,41 @@ def run_streaming_robots_admission(
         spark, docs_dir, out_dir, checkpoint_dir,
         streaming_robots_admission, available_now,
     )
+
+
+def streaming_frontier_admission(
+    urls_stream: DataFrame, rules: DataFrame, url_col: str = "url"
+) -> DataFrame:
+    """q_frontier_admission's streaming twin with PARSED robots rules
+    (functions/robots.py output) instead of the planted-bucket store:
+    discovered URLs (sitemap entries, redirect targets, page links)
+    arrive in micro-batches, join the host-keyed rules table
+    (stream-static broadcast — the rules side is one KB-sized array
+    per HOST, refreshed out of band at production scale), the RFC 9309
+    verdict is the same row-local rlike/longest-pattern fold as batch
+    (aggregates nothing, legal in append mode), and survivors flow
+    through the shared 256-shard first-seen operator so each canonical
+    URL is admitted exactly once ACROSS batches.
+
+    `rules` schema: (host string, rules array<struct<row_idx, pattern,
+    regex, allow>>) — exactly what q_frontier_admission builds.  The
+    verdict expression is functions/robots.admission_fold, shared
+    VERBATIM with the batch composition."""
+    from ..functions.robots import admission_fold
+    from ..queries import host_path_of, url_canonical
+
+    canon = urls_stream.select(
+        "doc_id", url_canonical(url_col).alias("canonical_url")
+    )
+    host, path = host_path_of("canonical_url")
+    urls = canon.select(
+        "doc_id", "canonical_url",
+        host.alias("host"), path.alias("path"),
+    )
+    gated = (
+        urls.join(F.broadcast(rules), "host", "left")
+        .withColumn("w", admission_fold())
+        .filter(F.coalesce(F.col("w.allow"), F.lit(True)))
+        .select("doc_id", "canonical_url")
+    )
+    return _admit_first_seen(gated)

@@ -798,3 +798,80 @@ def test_streaming_warc_main_matches_batch(spark, tmp_path):
     assert all((r.canonical_url, r.main_text) in ok_pairs for r in got)
     # charset provenance flows through the streaming path too
     assert {r.charset_source for r in got} >= {"http", "meta", "bom"}
+
+
+def test_streaming_frontier_admission_matches_batch(spark, tmp_path):
+    """Parsed-robots streaming frontier (streaming_frontier_admission,
+    q_frontier_admission's twin): sitemap-discovered URLs arrive in
+    two micro-batches carrying cross-batch duplicates; the admitted
+    canonical-URL set equals the batch composition's distinct ALLOWED
+    set, one admission per URL, and no disallowed URL is ever
+    admitted."""
+    from mcp_ocr_server_spark import queries as Q
+    from mcp_ocr_server_spark.streaming.url_admission import (
+        streaming_frontier_admission,
+    )
+
+    # batch truth: the full text-to-verdict composition
+    batch = Q.QUERIES["frontier_admission"][0](spark, None).collect()
+    allowed_locs = {r.loc for r in batch if r.allowed}
+    denied_locs = {r.loc for r in batch if not r.allowed}
+    assert allowed_locs and denied_locs  # the gate actually gates
+
+    # rules side, exactly as the batch composition builds it
+    from mcp_ocr_server_spark.functions.robots import (
+        ROBOTS_SCHEMA,
+        robots_rows,
+    )
+    from mcp_ocr_server_spark.sources import synthetic as S
+
+    rule_rows = []
+    for j in range(S.N_ROBOTS):
+        ref, data, _k = S.robots_item(Q.FLAGSHIP_CORPUS, j)
+        rule_rows.extend(
+            r for r in robots_rows(ref, data) if r["kind"] == "rule"
+        )
+    rules = (
+        spark.createDataFrame(rule_rows, ROBOTS_SCHEMA)
+        .groupBy(F.col("media_ref").alias("host"))
+        .agg(F.sort_array(F.collect_list(F.struct(
+            "row_idx", "pattern", "regex", "allow"))).alias("rules"))
+    )
+
+    # url stream: sitemap locs as (doc_id, url), split into two
+    # overlapping landing files (cross-batch duplicates included)
+    urls = Q.QUERIES["sitemap_urls"][0](spark, None).filter(
+        (F.col("kind") == "urlset") & F.col("error").isNull()
+    ).select(
+        F.monotonically_increasing_id().alias("doc_id"),
+        F.col("loc").alias("url"),
+    ).collect()
+    landing = str(tmp_path / "urls_landing")
+    half = len(urls) // 2
+    df1 = spark.createDataFrame(urls[:half + 5], "doc_id long, url string")
+    df2 = spark.createDataFrame(urls[half - 5:], "doc_id long, url string")
+    df1.coalesce(1).write.parquet(landing, mode="append")
+    df2.coalesce(1).write.parquet(landing, mode="append")
+
+    stream = (
+        spark.readStream.schema("doc_id long, url string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing)
+    )
+    q = (
+        streaming_frontier_admission(stream, rules)
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", str(tmp_path / "f_out"))
+        .option("checkpointLocation", str(tmp_path / "f_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    got = spark.read.parquet(str(tmp_path / "f_out")).collect()
+    # sitemap locs are already canonical (https, lowercase, no junk),
+    # so canonical_url == loc and the sets compare directly
+    assert {r.canonical_url for r in got} == allowed_locs
+    assert len(got) == len({r.canonical_url for r in got})
+    assert not {r.canonical_url for r in got} & denied_locs
