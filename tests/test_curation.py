@@ -294,3 +294,28 @@ def test_url_robots_empty_path_matches_as_root(spark):
     assert not rows[1].allowed and rows[1].matched_rule == "/"
     assert rows[2].allowed and rows[2].matched_rule == "/docs/2"
     assert rows[3].allowed and rows[3].matched_rule is None  # no rules
+
+
+def test_frontier_schedule_politeness_invariants(spark):
+    """Scheduling: per host never more than CRAWL_RATE URLs share a
+    slot, ranks are contiguous from 1, capacity caps at
+    CRAWL_RATE*SCHED_SLOTS, and higher-priority URLs never sit behind
+    lower-priority ones."""
+    from mcp_ocr_server_spark import queries as Q
+
+    rows = Q.QUERIES["frontier_schedule"][0](spark, None).collect()
+    assert rows
+    by_host = {}
+    for r in rows:
+        by_host.setdefault(r.host, []).append(r)
+    cap = Q.CRAWL_RATE * Q.SCHED_SLOTS
+    for host, hr in by_host.items():
+        hr.sort(key=lambda r: r.sched_rank)
+        assert [r.sched_rank for r in hr] == list(range(1, len(hr) + 1))
+        assert len(hr) <= cap
+        slots = {}
+        for r in hr:
+            assert r.slot == (r.sched_rank - 1) // Q.CRAWL_RATE
+            assert r.slot_pos == (r.sched_rank - 1) % Q.CRAWL_RATE
+            slots[r.slot] = slots.get(r.slot, 0) + 1
+        assert all(n <= Q.CRAWL_RATE for n in slots.values())
