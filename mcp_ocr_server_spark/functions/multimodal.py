@@ -82,13 +82,22 @@ def parse_pdf_pages(data: bytes) -> list[np.ndarray]:
     functions/pdf.extract_pdf_page_rasters parses the object graph and
     decodes the samples (unfiltered + FlateDecode at 1/8-bit
     DeviceGray and 8-bit DeviceRGB; DCTDecode via the in-repo baseline
-    JPEG decoder when present).  Pages needing true COMPOSITING
-    (vector art, multiple images, text-over-image) raise ValueError by
-    name — rendering those is the one part that still needs a real
-    rasterizer backend."""
+    JPEG decoder when present).  Pages that COMPOSITE (multiple
+    images, text-over-image, rect fills) fall through to the
+    content-stream renderer (functions/pdfrender.render_pdf_pages —
+    the same fallback chain pdf_text_row's OCR path uses); only
+    constructs outside the renderer scope (vector curves, strokes,
+    rotation, real font programs) still raise ValueError by name."""
     from .pdf import extract_pdf_page_rasters
 
-    return extract_pdf_page_rasters(data)
+    try:
+        return extract_pdf_page_rasters(data)
+    except ValueError as exc:
+        if "compositing" not in str(exc):
+            raise
+        from .pdfrender import render_pdf_pages
+
+        return render_pdf_pages(data)
 
 
 def decode_wav(data: bytes) -> tuple[np.ndarray, int]:

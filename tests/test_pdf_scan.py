@@ -192,3 +192,21 @@ def test_pdf_corpus_scan_class_recovers_text():
         assert row["text"].strip()  # OCR recovered page text
         assert row["confidence"] < 100.0 or row["confidence"] == 100.0
     assert seen >= 2
+
+
+def test_parse_pdf_pages_compositing_fallback():
+    """Multi-image pages fall through to the content-stream renderer
+    instead of refusing (same chain as pdf_text_row's OCR path); the
+    noimage/born-digital refusal is unchanged."""
+    from mcp_ocr_server_spark.sources.synthetic import (
+        make_composite_pdf_bytes)
+    top = render_text("TOP", scale=2)
+    bot = render_text("BOT", scale=2)
+    comp = make_composite_pdf_bytes([[
+        ("image", top, 72, 640), ("image", bot, 72, 520)]])
+    (page,) = parse_pdf_pages(comp)
+    assert page.shape == (792, 612)
+    h, w = top.shape
+    assert np.array_equal(page[792 - 640 - h:792 - 640, 72:72 + w], top)
+    with pytest.raises(ValueError, match="no image XObject"):
+        parse_pdf_pages(S.make_pdf_bytes([["born digital"]]))
