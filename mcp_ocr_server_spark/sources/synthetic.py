@@ -2278,8 +2278,14 @@ def sitemap_item(cfg: CorpusConfig, j: int) -> tuple[str, bytes, str]:
         entries[0]["priority"] = "high"
         return sitemap_ref(j), encode_sitemap(entries), "badpriority"
     if j % 7 == 3:
+        # children reference REAL refs of this corpus's files (j-3,
+        # j-2, j-1 — never another index by the class moduli), so the
+        # recursion is resolvable as a JOIN against the store
+        # (sitemap_expand); index 10's children deliberately include a
+        # malformed and a garbage file, whose parse errors must
+        # surface WITH index provenance, not vanish
         kids = [
-            dict(loc=f"https://{host}/sitemap-{k}.xml.gz",
+            dict(loc=f"https://{host}{sitemap_ref(j - 3 + k)}",
                  lastmod=f"2026-01-{k + 1:02d}")
             for k in range(3)
         ]
