@@ -159,9 +159,11 @@ def main() -> None:
         "media_video_frames",
         "media_audio_inventory", "audio_tags", "media_video_inventory",
         "warc_records", "warc_main_content", "warc_redirects",
-        "sitemap_urls", "robots_rules",
-        # frontier_admission is registry/correctness-only: it re-runs
-        # both fan-outs timed above (sitemap_urls + robots_rules)
+        "sitemap_urls", "robots_rules", "feed_entries",
+        # frontier_admission / frontier_schedule / sitemap_expand /
+        # discovery_matrix are registry/correctness-only: each re-runs
+        # fan-outs timed above (sitemap_urls, robots_rules,
+        # feed_entries, warc_redirects)
         "bm25_search", "fingerprint_winnow", "dedup_winnow_pairs",
         "dedup_exact", "dedup_ngram_jaccard", "dedup_minhash",
         "dedup_minhash_pairs",

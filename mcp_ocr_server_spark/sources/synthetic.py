@@ -2423,6 +2423,76 @@ def robots_df(spark, cfg: CorpusConfig, n: int = N_ROBOTS):
 
 
 # ---------------------------------------------------------------------------
+# feed corpus (functions/feeds.py) — RSS 2.0 + Atom discovery feeds,
+# hosts and /docs/ paths aligned with the sitemap/robots universe so
+# the discovery matrix can compare sources per host
+
+_S_FEED = 18
+N_FEEDS = 15
+
+
+def feed_ref(j: int) -> str:
+    return f"/crawl/feeds/{j:05d}.xml"
+
+
+def feed_item(cfg: CorpusConfig, j: int) -> tuple[str, bytes, str]:
+    """(media_ref, bytes, kind).  Kinds: rss, rss_gz, atom (rel=self
+    links present, alternate wins), sparse (link-less / field-less
+    entries — data, not errors), plus error classes malformed,
+    wrongroot (an html page where a feed was expected), garbage."""
+    from ..functions.feeds import encode_atom, encode_rss
+
+    rng = _rng(cfg.seed, _S_FEED, j)
+    host = f"site{j % 5}.example.com"
+    n = int(rng.integers(3, 8))
+    entries = []
+    for _k in range(n):
+        m = int(rng.integers(0, 50))
+        entries.append(dict(
+            title=_words(rng, _PROSE_WORDS, int(rng.integers(2, 5))),
+            link=f"https://{host}/docs/{m}",
+            published=(f"2026-0{1 + int(rng.integers(0, 8))}-"
+                       f"{1 + int(rng.integers(0, 27)):02d}"),
+            guid=f"urn:doc:{host}:{m}",
+        ))
+    if j % 11 == 10:
+        return feed_ref(j), b"\x07not a feed\xfe" * 6, "garbage"
+    if j % 11 == 8:
+        data = encode_rss(entries)
+        return feed_ref(j), data[: int(len(data) * 0.55)], "malformed"
+    if j % 11 == 6:
+        return feed_ref(j), (
+            b"<html><body><p>not a feed</p></body></html>"
+        ), "wrongroot"
+    if j % 5 == 4:
+        for e in entries:
+            e.pop("link", None)
+            e.pop("guid", None)
+            e.pop("published", None)
+        return feed_ref(j), encode_rss(entries), "sparse"
+    if j % 3 == 2:
+        return feed_ref(j), encode_atom(entries), "atom"
+    if j % 2 == 1:
+        return feed_ref(j), encode_rss(entries, gzipped=True), "rss_gz"
+    return feed_ref(j), encode_rss(entries), "rss"
+
+
+FEED_MEDIA_SCHEMA = "media_ref string, bytes binary, kind string"
+
+
+def feed_df(spark, cfg: CorpusConfig, n: int = N_FEEDS):
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [feed_item(cfg, int(j)) for j in pdf["id"]]
+            yield pd.DataFrame(
+                rows, columns=["media_ref", "bytes", "kind"])
+
+    return spark.range(0, n, numPartitions=2).mapInPandas(
+        gen, schema=FEED_MEDIA_SCHEMA
+    )
+
+
+# ---------------------------------------------------------------------------
 # composite-PDF corpus: pages that COMPOSITE — vector text painted over
 # or under embedded images, several images per page, rect-filled
 # backgrounds, invisible OCR-layer text — the class only a renderer

@@ -371,6 +371,23 @@ def gen_sitemap_urls() -> pd.DataFrame:
     return df
 
 
+def gen_feed_entries() -> pd.DataFrame:
+    """Golden for the feed-ingestion query: SAME row code the Spark
+    stage runs (functions/feeds.feed_rows)."""
+    from mcp_ocr_server_spark.functions.feeds import feed_rows
+
+    rows: list[dict] = []
+    for j in range(S.N_FEEDS):
+        ref, data, _kind = S.feed_item(FLAGSHIP_CORPUS, j)
+        rows.extend(feed_rows(ref, data))
+    df = pd.DataFrame(
+        rows, columns=["media_ref", "entry_idx", "kind", "title",
+                       "link", "published", "guid", "error"]
+    )
+    df["entry_idx"] = df["entry_idx"].astype("Int64")
+    return df
+
+
 def gen_warc_redirects() -> pd.DataFrame:
     """Golden for the redirect-edge query: SAME row code the Spark
     stage runs (functions/warc.warc_redirect_rows)."""
@@ -591,6 +608,12 @@ def main() -> None:
     )
     print(f"warc_redirects: {len(wred)} rows"
           f" ({int(wred.error.notna().sum())} errors)")
+    feed = gen_feed_entries()
+    feed.to_parquet(
+        os.path.join(FIXTURES_DIR, "feed_entries.parquet"), index=False
+    )
+    print(f"feed_entries: {len(feed)} rows"
+          f" ({int(feed.error.notna().sum())} errors)")
     sinv, socr = gen_scan_formats()
     sinv.to_parquet(
         os.path.join(FIXTURES_DIR, "scan_inventory.parquet"), index=False

@@ -42,7 +42,7 @@ ZERO_SHUFFLE = [
     "media_audio_inventory", "media_video_inventory",
     "warc_records", "warc_main_content", "pdf_scan_ocr", "audio_tags",
     "pdf_render_ocr", "pdf_layout", "scan_inventory", "scan_ocr",
-    "sitemap_urls", "robots_rules", "warc_redirects",
+    "sitemap_urls", "robots_rules", "warc_redirects", "feed_entries",
     "dedup_simhash", "lang_id",
     "text_quality", "token_stats", "doc_fingerprint",
 ]
