@@ -67,7 +67,12 @@ def _rss_entry(item) -> dict:
         if name == "title":
             e["title"] = _text(f)
         elif name == "link":
-            e["link"] = _text(f)
+            # first TEXT-carrying link wins: real-world RSS items also
+            # carry text-less <atom:link rel="self" href=…/> elements
+            # (same localname under namespace-tolerant matching) which
+            # must never clobber the already-parsed page URL
+            if e["link"] is None:
+                e["link"] = _text(f)
         elif name == "pubdate":
             e["published"] = _text(f)
         elif name == "guid":

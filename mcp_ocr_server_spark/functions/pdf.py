@@ -955,20 +955,55 @@ def _decode_image_xobject(obj: _Obj) -> "np.ndarray":
     )
 
 
+def _page_paints_overlays(content: bytes) -> bool:
+    """True when a page's content stream paints anything VISIBLE
+    besides image XObjects — shown text outside an invisible Tr 3
+    layer, or filled paths.  Such a page's raster is NOT its embedded
+    image: the bare-XObject shortcut would silently drop the overlay
+    (review finding), so callers must route it to the renderer.  An
+    invisible OCR text layer (Tr 3 — the searchable-scan shape) is
+    exactly the case the shortcut remains correct for."""
+    render_mode = 0.0
+    stack: list[float] = []
+    for tok in _tokens(content):
+        if _NUM_TOKEN_RE.fullmatch(tok):
+            stack.append(float(tok))
+            continue
+        if tok == b"Tr":
+            if stack:
+                render_mode = stack[-1]
+        elif tok in (b"f", b"F", b"f*", b"B", b"B*", b"b", b"b*",
+                     b"S", b"s", b"sh"):
+            return True
+        elif tok in (b"Tj", b"TJ", b"'", b'"'):
+            if render_mode != 3.0:
+                return True
+        if tok[:1] not in b"0123456789+-." :
+            stack.clear()
+    return False
+
+
+_NUM_TOKEN_RE = re.compile(rb"[-+]?[0-9]*\.?[0-9]+")
+
+
 def extract_pdf_page_rasters(data: bytes) -> list["np.ndarray"]:
     """Per-page raster of a scanned/image PDF, page-tree order.
 
-    Each page must paint at least one image XObject; pages with several
-    refuse loudly (multi-image layout needs true rendering).  Raises
-    ValueError for non-PDF bytes, encrypted documents, pages without an
-    image, and unsupported image features — same refusal contract as
-    extract_pdf_text."""
+    Each page must paint EXACTLY its single image XObject (an
+    invisible Tr 3 OCR text layer is allowed — the searchable-scan
+    shape).  Pages with several images, or with visible text / filled
+    paths over the image, refuse loudly as compositing (the renderer
+    path); a bare-XObject answer there would be a silently wrong
+    raster.  Raises ValueError for non-PDF bytes, encrypted documents,
+    pages without an image, and unsupported image features — same
+    refusal contract as extract_pdf_text."""
     objs = _validated_objects(data)
     out = []
     for pnum in _page_order(data, objs):
+        body = objs[pnum].body
         imgs = [
             num
-            for _name, num in _resources_xobjects(objs[pnum].body, objs)
+            for _name, num in _resources_xobjects(body, objs)
             if num in objs
             and re.search(rb"/Subtype\s*/Image\b", objs[num].body)
         ]
@@ -981,6 +1016,11 @@ def extract_pdf_page_rasters(data: bytes) -> list["np.ndarray"]:
             raise ValueError(
                 "page paints multiple image XObjects: compositing"
                 " needs a renderer"
+            )
+        if _page_paints_overlays(_page_content(objs, body)):
+            raise ValueError(
+                "page paints visible text/fills over its image:"
+                " compositing needs a renderer"
             )
         out.append(_decode_image_xobject(objs[imgs[0]]))
     return out

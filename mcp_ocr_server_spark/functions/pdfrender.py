@@ -238,19 +238,43 @@ def _luma(r: float, g: float, b: float) -> int:
     return (77 * ri + 150 * gi + 29 * bi + 128) >> 8
 
 
+def _page_rotate(
+    objs: dict[int, _Obj], body: bytes, depth: int = 0
+) -> int:
+    """Effective /Rotate, following /Parent inheritance like
+    /MediaBox; 0 when the chain never sets one."""
+    m = re.search(rb"/Rotate\s+([-+]?\d+)", body)
+    if m is not None:
+        return int(m.group(1))
+    pm = re.search(rb"/Parent\s+(\d+)\s+\d+\s+R", body)
+    if pm is not None and depth < 8:
+        parent = objs.get(int(pm.group(1)))
+        if parent is not None:
+            return _page_rotate(objs, parent.body, depth + 1)
+    return 0
+
+
 def _render_page(
     objs: dict[int, _Obj],
     body: bytes,
     content: bytes,
     px_per_pt: float,
 ) -> np.ndarray:
-    if re.search(rb"/Rotate\s+(?!0\b)\d", body):
+    # negative and inherited rotations count too (ISO 32000-1 Table
+    # 30: /Rotate is inheritable, any multiple of 90) — a silently
+    # unrotated raster is the failure class this module must never
+    # produce (review finding)
+    if _page_rotate(objs, body) % 360 != 0:
         raise ValueError("page /Rotate rendering unsupported")
     canvas = _Canvas(_media_box(objs, body), px_per_pt)
     xobjects = dict(_resources_xobjects(body, objs))
 
     ctm = _Mat(1.0, 1.0, 0.0, 0.0)
-    gstack: list[tuple[_Mat, int]] = []
+    # q/Q saves the FULL graphics state, which per ISO 32000-1 §8.4.2
+    # includes the text state (size, spacing, leading, render mode) —
+    # restoring only (ctm, fill) would leak e.g. a Tr 3 invisible mode
+    # past Q and silently blank later text (review finding)
+    gstack: list[tuple] = []
     fill_gray = 0
     # text state
     in_text = False
@@ -331,10 +355,12 @@ def _render_page(
                 " unsupported"
             )
         if op == b"q":
-            gstack.append((ctm.copy(), fill_gray))
+            gstack.append((ctm.copy(), fill_gray, size, leading,
+                           char_sp, word_sp, render_mode))
         elif op == b"Q":
             if gstack:
-                ctm, fill_gray = gstack.pop()
+                (ctm, fill_gray, size, leading, char_sp, word_sp,
+                 render_mode) = gstack.pop()
         elif op == b"cm":
             ctm = _Mat.from6(nums(6), "cm").mul(ctm)
         elif op == b"g":

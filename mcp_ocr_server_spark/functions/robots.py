@@ -100,10 +100,10 @@ def parse_robots(data: bytes) -> tuple[list[dict], list[str]]:
         if key in ("allow", "disallow"):
             if cur is None:
                 continue  # rule before any User-agent line: skipped
-            if val == "" and key == "disallow":
-                # empty Disallow = allow everything: a no-op rule
-                continue
             if val == "":
+                # empty value is a no-op for BOTH directives (empty
+                # Disallow = allow everything; empty Allow matches
+                # nothing useful)
                 continue
             cur["rules"].append((key == "allow", val))
         elif key == "sitemap":

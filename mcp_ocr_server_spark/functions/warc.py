@@ -153,23 +153,53 @@ def _dechunk(body: bytes) -> bytes:
         pos += 2
 
 
+MAX_BODY_BYTES = 64 * 1024 * 1024  # decoded entity-body cap per record
+
+
 def _decode_content(payload: bytes, encoding: str) -> bytes:
     """Undo Content-Encoding.  gzip/x-gzip and deflate (both the
     correct zlib-wrapped form and the bare-DEFLATE form real servers
     ship under the same name) decode; identity passes through;
     anything else (br, zstd, compress) refuses loudly by name — the
     codec is absent and silently-raw bytes would poison the charset
-    and main-content stages downstream."""
+    and main-content stages downstream.
+
+    Completeness is CHECKED, not assumed: a gzip stream truncated
+    mid-member raises (a partial page must never flow onward with
+    error=None), multi-member bodies decode every member, and the
+    decoded size is capped at MAX_BODY_BYTES so a hostile bomb cannot
+    balloon a task."""
     enc = encoding.strip().lower()
     if enc in ("", "identity"):
         return payload
     if enc in ("gzip", "x-gzip"):
-        return zlib.decompressobj(16 + zlib.MAX_WBITS).decompress(payload)
+        out = bytearray()
+        rest = payload
+        while rest:
+            d = zlib.decompressobj(16 + zlib.MAX_WBITS)
+            out += d.decompress(rest, MAX_BODY_BYTES + 1 - len(out))
+            if len(out) > MAX_BODY_BYTES:
+                raise ValueError("warc: decoded body over 64 MB")
+            if not d.eof:
+                raise ValueError(
+                    "warc: gzip content-encoding truncated mid-stream"
+                )
+            rest = d.unused_data
+        return bytes(out)
     if enc == "deflate":
         try:
-            return zlib.decompress(payload)
+            d = zlib.decompressobj()
+            out = d.decompress(payload, MAX_BODY_BYTES + 1)
         except zlib.error:
-            return zlib.decompress(payload, -zlib.MAX_WBITS)
+            d = zlib.decompressobj(-zlib.MAX_WBITS)
+            out = d.decompress(payload, MAX_BODY_BYTES + 1)
+        if len(out) > MAX_BODY_BYTES:
+            raise ValueError("warc: decoded body over 64 MB")
+        if not d.eof:
+            raise ValueError(
+                "warc: deflate content-encoding truncated mid-stream"
+            )
+        return out
     raise ValueError(f"warc: content-encoding {enc!r} unsupported")
 
 

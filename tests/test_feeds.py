@@ -97,3 +97,20 @@ def test_corpus_classes():
                           "malformed", "wrongroot", "garbage"}
     assert S.feed_item(FLAGSHIP_CORPUS, 2) == \
         S.feed_item(FLAGSHIP_CORPUS, 2)
+
+
+def test_textless_atom_self_link_never_clobbers_rss_link():
+    data = (b'<?xml version="1.0"?>\n<rss version="2.0"><channel>'
+            b"<title>t</title><item><title>a</title>"
+            b"<link>https://x/page</link>"
+            b'<atom:link xmlns:atom="http://www.w3.org/2005/Atom"'
+            b' rel="self" href="https://x/feed"/>'
+            b"</item></channel></rss>")
+    _k, out = parse_feed(data)
+    assert out[0]["link"] == "https://x/page"
+    # and in the reversed order too
+    data2 = data.replace(
+        b"<link>https://x/page</link>", b"").replace(
+        b"</item>", b"<link>https://x/page</link></item>")
+    _k, out2 = parse_feed(data2)
+    assert out2[0]["link"] == "https://x/page"

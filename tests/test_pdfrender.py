@@ -270,3 +270,91 @@ def test_pdf_text_row_born_digital_unaffected():
     assert row["error"] is None
     assert "hello from page one" in row["text"]
     assert row["confidence"] == 100.0
+
+
+# --- review-finding regressions ----------------------------------------------
+
+def test_single_image_with_visible_caption_routes_to_renderer():
+    """A page whose single image carries a VISIBLE text caption is
+    compositing: the bare-XObject shortcut must refuse (a raster
+    without the caption is silently wrong) and the renderer must
+    produce the composited page."""
+    from mcp_ocr_server_spark.functions.multimodal import parse_pdf_pages
+    from mcp_ocr_server_spark.functions.pdf import (
+        extract_pdf_page_rasters,
+    )
+    img = render_text("SCAN BODY", scale=2)
+    data = S.make_composite_pdf_bytes([[
+        ("image", img, 72, 600),
+        ("text", "CAPTION LINE", 72, 520, 20),
+    ]])
+    with pytest.raises(ValueError, match="compositing"):
+        extract_pdf_page_rasters(data)
+    (page,) = parse_pdf_pages(data)  # falls through to the renderer
+    assert page.shape == (792, 612)
+    assert ocr(page) == "SCAN BODY\nCAPTION LINE"
+
+
+def test_invisible_ocr_layer_keeps_the_raster_shortcut():
+    """Tr 3 text over a single image is the searchable-scan shape the
+    shortcut remains exactly correct for — it must NOT refuse."""
+    from mcp_ocr_server_spark.functions.pdf import (
+        extract_pdf_page_rasters,
+    )
+    img = render_text("SCAN", scale=2)
+    data = S.make_composite_pdf_bytes([[
+        ("image", img, 72, 600),
+        ("hidden", "SCAN", 72, 604, 20),
+    ]])
+    (out,) = extract_pdf_page_rasters(data)
+    assert np.array_equal(out, img)
+
+
+def test_rect_fill_also_routes_to_renderer():
+    from mcp_ocr_server_spark.functions.pdf import (
+        extract_pdf_page_rasters,
+    )
+    img = render_text("SCAN", scale=2)
+    data = S.make_composite_pdf_bytes([[
+        ("image", img, 72, 600),
+        ("rect", 60, 100, 200, 10, 0.2),
+    ]])
+    with pytest.raises(ValueError, match="compositing"):
+        extract_pdf_page_rasters(data)
+
+
+@pytest.mark.parametrize("rot, ok", [(-90, False), (90, False),
+                                     (270, False), (360, True), (0, True)])
+def test_rotate_variants(rot, ok):
+    data = page([("text", "T", 72, 400, 20)])
+    data = data.replace(
+        b"/MediaBox [0 0 612 792]",
+        b"/Rotate %d /MediaBox [0 0 612 792]" % rot)
+    if ok:
+        render_pdf_pages(data)  # multiples of 360 are identity
+    else:
+        with pytest.raises(ValueError, match="/Rotate"):
+            render_pdf_pages(data)
+
+
+def test_rotate_inherited_from_pages_node_refuses():
+    data = page([("text", "T", 72, 400, 20)])
+    data = data.replace(b"<< /Type /Pages ",
+                        b"<< /Type /Pages /Rotate 90 ")
+    with pytest.raises(ValueError, match="/Rotate"):
+        render_pdf_pages(data)
+
+
+def test_q_restores_text_state():
+    """Tr 3 (and spacing) set inside q..Q must not leak past Q —
+    the graphics state includes the text state (§8.4.2)."""
+    raw = (b"q BT /F1 20 Tf 3 Tr 72 500 Td (HIDDEN) Tj ET Q "
+           b"BT /F1 20 Tf 72 400 Td (SHOWN) Tj ET")
+    (out,) = render_pdf_pages(page([("raw", raw)]))
+    assert ocr(out) == "SHOWN"
+    raww = (b"q BT /F1 20 Tf 40 Tc ET Q "
+            b"BT /F1 20 Tf 72 400 Td (AB) Tj ET")
+    (outw,) = render_pdf_pages(page([("raw", raww)]))
+    base = render_pdf_pages(
+        page([("raw", b"BT /F1 20 Tf 72 400 Td (AB) Tj ET")]))[0]
+    assert np.array_equal(outw, base)  # Tc did not leak

@@ -136,3 +136,40 @@ def test_corpus_classes():
     assert set(kinds) == {"star", "specific", "wildcards", "multi_ua",
                           "carveout", "oversize", "nul", "nomatch",
                           "messy", "combined"}
+
+
+def test_admission_fold_tiebreak_matches_duckdb(spark):
+    """Two same-length same-polarity patterns matching one path score
+    identically; BOTH engines must pick the SAME winner (Spark
+    array_max struct order = score, allow, pattern; the oracle QUALIFY
+    mirrors it: score DESC, pattern DESC) — review finding."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from mcp_ocr_server_spark.functions.robots import (
+        admission_fold,
+        rule_regex,
+    )
+
+    rules = [("/docs/a*", False), ("/docs/*b", False)]
+    rows = [("h", "/docs/ab",
+             [(p, rule_regex(p), a) for p, a in rules])]
+    df = spark.createDataFrame(
+        rows, "host string, path string,"
+        " rules array<struct<pattern string, regex string,"
+        " allow boolean>>")
+    got = df.withColumn("w", admission_fold()).select(
+        "w.pattern", "w.allow").collect()[0]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE r(pattern VARCHAR, regex VARCHAR,"
+                " allow BOOLEAN)")
+    for p, a in rules:
+        con.execute("INSERT INTO r VALUES (?, ?, ?)",
+                    [p, rule_regex(p), a])
+    want = con.execute(
+        "SELECT pattern, allow FROM r"
+        " WHERE regexp_matches('/docs/ab', regex)"
+        " QUALIFY row_number() OVER (ORDER BY"
+        " length(pattern) * 2 + allow::INT DESC, pattern DESC) = 1"
+    ).fetchone()
+    assert (got.pattern, got.allow) == want
