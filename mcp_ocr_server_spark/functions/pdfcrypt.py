@@ -1,20 +1,31 @@
-"""Standard security handler decryption for RC4 PDFs (ISO 32000-1
-§7.6.2-7.6.4, revisions 2-3 / V 1-2) — pure stdlib (hashlib.md5 plus a
-15-line RC4).
+"""Standard security handler decryption for encrypted PDFs (ISO
+32000-1 §7.6.2-7.6.4 / ISO 32000-2 §7.6.4, revisions 2-6) — pure
+stdlib (hashlib plus a 15-line RC4) + the in-repo AES backend
+(functions/aes.py).
 
 Most "encrypted" PDFs in a crawl are OWNER-locked: the user password is
 EMPTY (the document opens in any viewer; only print/copy permission
-bits are asserted) and the content is RC4-encrypted with a key derived
+bits are asserted) and the content is encrypted with a key derived
 from the padded empty password.  Those documents are fully readable
 without any secret, and refusing them throws away perfectly
-extractable text.  This module derives the key (Algorithm 2), verifies
-the empty user password against /U (Algorithms 4/5), and decrypts
-per-object stream payloads (Algorithm 1) so the text/layout/raster
-extractors run unchanged.
+extractable text.  This module derives the key, verifies the empty
+user password against /U, and decrypts per-object stream payloads so
+the text/layout/raster extractors run unchanged.  All three handler
+generations are live:
+
+  - /V 1-2, /R 2-3: RC4 40-128 bit (Algorithms 2/4/5, the classic).
+  - /V 4, /R 4: crypt filters — /CFM /AESV2 (AES-128-CBC, per-object
+    key salted with b"sAlT", 16-byte IV prefix, PKCS#7) and /CFM /V2
+    (RC4 under the V4 layout).  /EncryptMetadata false folds the
+    spec's 0xFFFFFFFF into the Algorithm 2 hash.
+  - /V 5, /R 5-6: /CFM /AESV3 (AES-256-CBC, the file key used
+    directly for every object).  R6 validates the empty user
+    password with the Algorithm 2.B iterated-SHA-2 hash and unwraps
+    the file key from /UE; R5 (the deprecated SHA-256-only interim
+    revision) is the degenerate one-hash case.
 
 Documented scope (refusals name the feature):
-  - /Filter /Standard, /V 1-2 (RC4 40-128 bit), /R 2-3.  V4/V5
-    crypt-filter layouts (AESV2/AESV3) refuse — no AES in scope.
+  - /Filter /Standard only; public-key (Adobe.PubSec) handlers refuse.
   - EMPTY user password only.  A real password is a secret this
     engine cannot know; verification failure refuses with "password
     required".
@@ -25,10 +36,11 @@ Documented scope (refusals name the feature):
     XObjects — everything the extractors read.  Top-level literal
     strings (document info) stay encrypted; no extractor reads them.
 
-The writer half (encrypt_pdf_bytes) RC4-encrypts an existing
-classic-xref file and appends the /Encrypt dict + /ID, deriving /O
-and /U with the same key schedule — corpus classes and the decryptor
-are pinned against each other, not against copied constants.
+The writer half (encrypt_pdf_bytes) encrypts an existing classic-xref
+file and appends the /Encrypt dict + /ID, deriving /O, /U (and for
+V5: /OE, /UE, /Perms) with the same key schedule — corpus classes and
+the decryptor are pinned against each other, not against copied
+constants.
 """
 
 from __future__ import annotations
@@ -36,6 +48,8 @@ from __future__ import annotations
 import hashlib
 import re
 import struct
+
+from . import aes
 
 # Algorithm 2's 32-byte padding string (ISO 32000-1 Table _the_ pad;
 # public constant reproduced in every PDF implementation)
@@ -70,7 +84,7 @@ def _pad_password(pw: bytes) -> bytes:
 
 def derive_key(
     o_entry: bytes, p: int, id0: bytes, r: int, n_bytes: int,
-    user_pw: bytes = b"",
+    user_pw: bytes = b"", encrypt_metadata: bool = True,
 ) -> bytes:
     """Algorithm 2: the file encryption key from the (padded) user
     password, /O, /P (as a 32-bit signed LE dword), and /ID[0]."""
@@ -81,11 +95,32 @@ def derive_key(
     # low 32 bits little-endian either way
     h.update(struct.pack("<q", p)[:4])
     h.update(id0)
+    if r >= 4 and not encrypt_metadata:
+        h.update(b"\xff\xff\xff\xff")
     key = h.digest()
     if r >= 3:
         for _ in range(50):
             key = hashlib.md5(key[:n_bytes]).digest()
     return key[:n_bytes]
+
+
+def hash_2b(pw: bytes, salt: bytes, udata: bytes = b"") -> bytes:
+    """ISO 32000-2 Algorithm 2.B (R6): the iterated SHA-256/384/512
+    password hash.  Start with SHA-256(pw + salt + udata); each round
+    AES-128-CBC-encrypts 64 copies of (pw + K + udata) under K's first
+    16 bytes (IV = next 16) and picks the next hash by the first 16
+    bytes of the ciphertext mod 3 (256 ≡ 1 mod 3, so byte-sum mod 3);
+    stop after round 64 once the last ciphertext byte <= round - 32."""
+    k = hashlib.sha256(pw + salt + udata).digest()
+    algs = (hashlib.sha256, hashlib.sha384, hashlib.sha512)
+    i = 0
+    while True:
+        k1 = (pw + k + udata) * 64
+        e = aes.cbc_encrypt(k[:16], k[16:32], k1, pad=False)
+        k = algs[sum(e[:16]) % 3](e).digest()
+        i += 1
+        if i >= 64 and e[-1] <= i - 32:
+            return k[:32]
 
 
 def compute_o(owner_pw: bytes, user_pw: bytes, r: int,
@@ -114,24 +149,43 @@ def compute_u(key: bytes, id0: bytes, r: int) -> bytes:
     return out + b"\x00" * 16
 
 
-def object_key(key: bytes, num: int, gen: int = 0) -> bytes:
-    """Algorithm 1: per-object RC4 key (md5 of key + 3 LE bytes of the
-    object number + 2 LE bytes of the generation)."""
+def object_key(key: bytes, num: int, gen: int = 0,
+               salt: bytes = b"") -> bytes:
+    """Algorithm 1: per-object key (md5 of key + 3 LE bytes of the
+    object number + 2 LE bytes of the generation; AESV2 additionally
+    appends the spec's b"sAlT" constant)."""
     h = hashlib.md5()
     h.update(key)
     h.update(struct.pack("<I", num)[:3])
     h.update(struct.pack("<I", gen)[:2])
+    h.update(salt)
     return h.digest()[: min(len(key) + 5, 16)]
 
 
 class StandardDecryptor:
-    """Verified empty-user-password decryptor for one document."""
+    """Verified empty-user-password decryptor for one document.
 
-    def __init__(self, key: bytes) -> None:
+    mode: 'rc4' (V1-2, and V4 /CFM /V2 — per-object RC4 key),
+    'aesv2' (V4 — per-object AES-128 key salted with b"sAlT"),
+    'aesv3' (V5 — the file key used directly)."""
+
+    def __init__(self, key: bytes, mode: str = "rc4") -> None:
         self.key = key
+        self.mode = mode
 
     def decrypt_stream(self, num: int, payload: bytes) -> bytes:
-        return rc4(object_key(self.key, num), payload)
+        if self.mode == "rc4":
+            return rc4(object_key(self.key, num), payload)
+        if self.mode == "aesv2":
+            k = object_key(self.key, num, salt=b"sAlT")
+        else:  # aesv3
+            k = self.key
+        if len(payload) < 32 or len(payload) % 16:
+            raise ValueError(
+                "encrypted PDF: AES stream payload shorter than"
+                " IV + one block (or unaligned)"
+            )
+        return aes.cbc_decrypt(k, payload[:16], payload[16:])
 
 
 def _one_string(body: bytes, key: bytes) -> bytes | None:
@@ -163,10 +217,28 @@ def build_decryptor(enc_body: bytes, id0: bytes) -> StandardDecryptor:
         )
     v = _int_of(enc_body, b"V") or 0
     r = _int_of(enc_body, b"R") or 0
-    if v not in (1, 2) or r not in (2, 3):
+    if v == 5 and r in (5, 6):
+        return _build_v5(enc_body, r)
+    mode = "rc4"
+    if v == 4:
+        if r != 4:
+            raise ValueError(
+                f"encrypted PDF: V=4/R={r} unsupported — only R4"
+            )
+        cfm = re.search(rb"/CFM\s*/(\w+)", enc_body)
+        cfm_name = cfm.group(1) if cfm else b""
+        if cfm_name == b"AESV2":
+            mode = "aesv2"
+        elif cfm_name != b"V2":
+            raise ValueError(
+                f"encrypted PDF: crypt filter /CFM /"
+                f"{cfm_name.decode('ascii', 'replace')} unsupported"
+                " — only AESV2/V2"
+            )
+    elif v not in (1, 2) or r not in (2, 3):
         raise ValueError(
-            f"encrypted PDF: V={v}/R={r} (AES crypt filters)"
-            " unsupported — only RC4 V1-2/R2-3"
+            f"encrypted PDF: V={v}/R={r} unsupported —"
+            " only V1-2/R2-3 (RC4), V4/R4 (AESV2), V5/R5-6 (AESV3)"
         )
     p = _int_of(enc_body, b"P")
     o_entry = _one_string(enc_body, b"O")
@@ -174,8 +246,15 @@ def build_decryptor(enc_body: bytes, id0: bytes) -> StandardDecryptor:
     if p is None or not o_entry or not u_entry:
         raise ValueError("encrypted PDF: /Encrypt dict missing O/U/P")
     length = _int_of(enc_body, b"Length") or 40
+    if v == 4 and length <= 32:
+        length *= 8  # a /CF-dict /Length is in BYTES; top-level in bits
     n_bytes = max(5, min(16, length // 8))
-    key = derive_key(o_entry, p, id0, r, n_bytes)
+    enc_meta = not re.search(
+        rb"/EncryptMetadata\s+false\b", enc_body
+    )
+    key = derive_key(
+        o_entry, p, id0, r, n_bytes, encrypt_metadata=enc_meta
+    )
     expect = compute_u(key, id0, r)
     ok = (expect[:16] == u_entry[:16]) if r >= 3 else (
         expect == u_entry[:32]
@@ -185,7 +264,50 @@ def build_decryptor(enc_body: bytes, id0: bytes) -> StandardDecryptor:
             "encrypted PDF: password required (empty user password"
             " does not verify)"
         )
-    return StandardDecryptor(key)
+    return StandardDecryptor(key, mode)
+
+
+def _build_v5(enc_body: bytes, r: int) -> StandardDecryptor:
+    """V5 (AES-256): verify the EMPTY user password against the 48-byte
+    /U (hash ‖ validation salt ‖ key salt) and unwrap the file key from
+    /UE — Algorithms 2.A/8 of ISO 32000-2.  R6 hashes with Algorithm
+    2.B; R5 (the deprecated interim revision) with one SHA-256."""
+    cfm = re.search(rb"/CFM\s*/(\w+)", enc_body)
+    if cfm is not None and cfm.group(1) != b"AESV3":
+        raise ValueError(
+            f"encrypted PDF: V=5 crypt filter /CFM /"
+            f"{cfm.group(1).decode('ascii', 'replace')} unsupported"
+        )
+    u_entry = _one_string(enc_body, b"U")
+    ue_entry = _one_string(enc_body, b"UE")
+    if not u_entry or len(u_entry) < 48 or not ue_entry or \
+            len(ue_entry) < 32:
+        raise ValueError("encrypted PDF: V5 /Encrypt missing U/UE")
+    vsalt, ksalt = u_entry[32:40], u_entry[40:48]
+
+    def _h(pw: bytes, salt: bytes) -> bytes:
+        if r == 6:
+            return hash_2b(pw, salt)
+        return hashlib.sha256(pw + salt).digest()
+
+    if _h(b"", vsalt) != u_entry[:32]:
+        raise ValueError(
+            "encrypted PDF: password required (empty user password"
+            " does not verify)"
+        )
+    file_key = aes.cbc_decrypt(
+        _h(b"", ksalt), b"\x00" * 16, ue_entry[:32], unpad=False
+    )
+    # /Perms (when present) must round-trip the b"adb" sentinel —
+    # a garbage file key would otherwise silently emit noise streams
+    perms = _one_string(enc_body, b"Perms")
+    if perms and len(perms) >= 16:
+        if aes.decrypt_block(file_key, perms[:16])[9:12] != b"adb":
+            raise ValueError(
+                "encrypted PDF: /Perms does not verify under the"
+                " unwrapped file key"
+            )
+    return StandardDecryptor(file_key, "aesv3")
 
 
 def trailer_id0(data: bytes) -> bytes:
@@ -212,17 +334,56 @@ def encrypt_pdf_bytes(
     length: int = 40,
     file_id: bytes = b"\x01" * 16,
 ) -> bytes:
-    """RC4-encrypt a classic-xref PDF produced by the in-repo writers:
-    every stream payload is RC4'd under its per-object key, an
+    """Encrypt a classic-xref PDF produced by the in-repo writers:
+    every stream payload is ciphered under its per-object key, an
     /Encrypt dict is appended, and the trailer gains /Encrypt + /ID.
-    Deterministic; the corpus/test half of the decryptor above."""
+    r=2/3 → RC4 (V1/V2), r=4 → AES-128 crypt filter (V4 /AESV2),
+    r=6 → AES-256 (V5 /AESV3).  Deterministic (AES IVs are derived
+    from the file id + object number); the corpus/test half of the
+    decryptor above."""
     from .pdf import _objects
 
+    if r == 4:
+        length = 128
+    elif r == 6:
+        length = 256
     n_bytes = max(5, min(16, length // 8))
     p = -44  # print allowed, modify/copy denied — a typical owner lock
-    o_entry = compute_o(owner_pw, user_pw, r, n_bytes)
-    key = derive_key(o_entry, p, file_id, r, n_bytes, user_pw=user_pw)
-    u_entry = compute_u(key, file_id, r)
+
+    if r == 6:
+        file_key = hashlib.sha256(b"file-key" + file_id).digest()
+        vs_u = hashlib.md5(file_id + b"vU").digest()[:8]
+        ks_u = hashlib.md5(file_id + b"kU").digest()[:8]
+        vs_o = hashlib.md5(file_id + b"vO").digest()[:8]
+        ks_o = hashlib.md5(file_id + b"kO").digest()[:8]
+        u_entry = hash_2b(user_pw, vs_u) + vs_u + ks_u
+        ue_entry = aes.cbc_encrypt(
+            hash_2b(user_pw, ks_u), b"\x00" * 16, file_key, pad=False
+        )
+        o_entry = hash_2b(owner_pw, vs_o, u_entry) + vs_o + ks_o
+        oe_entry = aes.cbc_encrypt(
+            hash_2b(owner_pw, ks_o, u_entry), b"\x00" * 16, file_key,
+            pad=False,
+        )
+        perms = aes.encrypt_block(
+            file_key,
+            struct.pack("<q", p)[:4] + b"\xff" * 4 + b"Tadbmcp!",
+        )
+        key = file_key
+    else:
+        o_entry = compute_o(owner_pw, user_pw, r, n_bytes)
+        key = derive_key(
+            o_entry, p, file_id, r, n_bytes, user_pw=user_pw
+        )
+        u_entry = compute_u(key, file_id, min(r, 3))
+
+    def _cipher(num: int, payload: bytes) -> bytes:
+        if r in (2, 3):
+            return rc4(object_key(key, num), payload)
+        iv = hashlib.md5(file_id + struct.pack("<I", num)).digest()
+        k = key if r == 6 else object_key(key, num, salt=b"sAlT")
+        return iv + aes.cbc_encrypt(k, iv, payload)
+
     objs = _objects(data)
     bodies: list[tuple[int, bytes]] = []
     for num in sorted(objs):
@@ -230,7 +391,7 @@ def encrypt_pdf_bytes(
         if o.stream is None:
             bodies.append((num, o.body))
         else:
-            enc = rc4(object_key(key, num), o.stream)
+            enc = _cipher(num, o.stream)
             body = re.sub(
                 rb"/Length\s+\d+(?!\d)",
                 b"/Length " + str(len(enc)).encode(),
@@ -240,15 +401,37 @@ def encrypt_pdf_bytes(
                 (num, body + b"\nstream\n" + enc + b"\nendstream")
             )
     enc_num = max(objs) + 1
-    v = 1 if length == 40 else 2
-    enc_dict = (
-        b"<< /Filter /Standard /V " + str(v).encode()
-        + b" /R " + str(r).encode()
-        + b" /Length " + str(length).encode()
-        + b" /P " + str(p).encode()
-        + b" /O <" + o_entry.hex().encode() + b">"
-        + b" /U <" + u_entry.hex().encode() + b"> >>"
-    )
+    if r == 6:
+        enc_dict = (
+            b"<< /Filter /Standard /V 5 /R 6 /Length 256"
+            b" /CF << /StdCF << /CFM /AESV3 /AuthEvent /DocOpen"
+            b" /Length 32 >> >> /StmF /StdCF /StrF /StdCF"
+            + b" /P " + str(p).encode()
+            + b" /O <" + o_entry.hex().encode() + b">"
+            + b" /U <" + u_entry.hex().encode() + b">"
+            + b" /OE <" + oe_entry.hex().encode() + b">"
+            + b" /UE <" + ue_entry.hex().encode() + b">"
+            + b" /Perms <" + perms.hex().encode() + b"> >>"
+        )
+    elif r == 4:
+        enc_dict = (
+            b"<< /Filter /Standard /V 4 /R 4 /Length 128"
+            b" /CF << /StdCF << /CFM /AESV2 /AuthEvent /DocOpen"
+            b" /Length 16 >> >> /StmF /StdCF /StrF /StdCF"
+            + b" /P " + str(p).encode()
+            + b" /O <" + o_entry.hex().encode() + b">"
+            + b" /U <" + u_entry.hex().encode() + b"> >>"
+        )
+    else:
+        v = 1 if length == 40 else 2
+        enc_dict = (
+            b"<< /Filter /Standard /V " + str(v).encode()
+            + b" /R " + str(r).encode()
+            + b" /Length " + str(length).encode()
+            + b" /P " + str(p).encode()
+            + b" /O <" + o_entry.hex().encode() + b">"
+            + b" /U <" + u_entry.hex().encode() + b"> >>"
+        )
     bodies.append((enc_num, enc_dict))
     root = re.search(rb"/Root\s+(\d+)\s+\d+\s+R", data)
     root_ref = root.group(0) if root else b"/Root 1 0 R"

@@ -1835,11 +1835,13 @@ def pdf_item(cfg: CorpusConfig, j: int) -> tuple[str, bytes, str]:
     (PDF 1.5 ObjStm + XRef-stream layout, the post-2005 default),
     cid (Type0 font, 2-byte glyph-id strings decoded via /ToUnicode),
     rc4 (owner-locked RC4 encryption with an empty user password —
-    decrypts, text identical to its plaintext twin), scan (pages are
-    image XObjects — no content-stream text, rides the pipeline's
+    decrypts, text identical to its plaintext twin), aes (the same
+    owner-locked shape under the V4/AESV2 and V5/R6/AESV3 crypt-filter
+    layouts — the post-Acrobat-7 default), scan (pages are image
+    XObjects — no content-stream text, rides the pipeline's
     raster->OCR fallback), garbage (not a PDF), encrypted (dangling
     /Encrypt ref), locked (real user password), and lzw (unsupported
-    filter) — the last four are error-row classes."""
+    filter) — the last three are error-row classes."""
     rng = _rng(cfg.seed, _S_PDF, j)
     n_pages = 1 + j % 3
     pages = [
@@ -1900,6 +1902,16 @@ def pdf_item(cfg: CorpusConfig, j: int) -> tuple[str, bytes, str]:
         return pdf_ref(j), encrypt_pdf_bytes(
             data, user_pw=b"secret", owner_pw=b"owner", r=3, length=128
         ), "locked"
+    if j % 9 == 7:
+        # owner-locked AES encryption (the post-Acrobat-7 default):
+        # rotating V4/AESV2-128 and V5/R6/AESV3-256 crypt-filter
+        # layouts, EMPTY user password — decrypts, text identical to
+        # the unencrypted twin
+        from ..functions.pdfcrypt import encrypt_pdf_bytes
+
+        return pdf_ref(j), encrypt_pdf_bytes(
+            data, owner_pw=b"owner", r=4 if j % 2 == 0 else 6
+        ), "aes"
     if j % 5 == 4:
         return pdf_ref(j), make_pdf15_bytes(pages), "ok15"
     return pdf_ref(j), data, "ok"

@@ -417,7 +417,11 @@ def test_rc4_known_answer_vector():
     assert rc4(b"Key", rc4(b"Key", b"data")) == b"data"  # symmetric
 
 
-@pytest.mark.parametrize("r, length", [(2, 40), (3, 128)])
+@pytest.mark.parametrize("r, length", [
+    (2, 40), (3, 128),   # RC4 V1/V2
+    (4, 128),            # AES-128 crypt filter (V4 /AESV2)
+    (6, 256),            # AES-256 (V5 /R6 /AESV3)
+])
 def test_empty_user_password_decrypts(r, length):
     from mcp_ocr_server_spark.functions.pdfcrypt import encrypt_pdf_bytes
     pages = [["owner locked body", "line two"], ["page two"]]
@@ -429,21 +433,78 @@ def test_empty_user_password_decrypts(r, length):
     assert extract_pdf_text(enc) == want
 
 
-def test_real_user_password_refuses():
+@pytest.mark.parametrize("r", [3, 4, 6])
+def test_real_user_password_refuses(r):
     from mcp_ocr_server_spark.functions.pdfcrypt import encrypt_pdf_bytes
     enc = encrypt_pdf_bytes(make_pdf([["x"]]), user_pw=b"hunter2",
-                            owner_pw=b"o", r=3, length=128)
+                            owner_pw=b"o", r=r, length=128)
     with pytest.raises(ValueError, match="password required"):
         extract_pdf_text(enc)
 
 
-def test_aes_crypt_filter_refuses_by_name():
+def test_v5_r5_interim_revision_decrypts():
+    """R5 (the deprecated SHA-256-only interim revision) is the
+    degenerate one-hash case of the R6 path — build its U/UE by hand
+    and pin that _build_v5 accepts it."""
+    import hashlib
+
+    from mcp_ocr_server_spark.functions import aes
+    from mcp_ocr_server_spark.functions.pdfcrypt import build_decryptor
+
+    file_key = hashlib.sha256(b"any 32-byte key material....x" + b"123").digest()
+    vs, ks = b"v" * 8, b"k" * 8
+    u = hashlib.sha256(b"" + vs).digest() + vs + ks
+    ue = aes.cbc_encrypt(
+        hashlib.sha256(b"" + ks).digest(), b"\x00" * 16, file_key,
+        pad=False,
+    )
+    body = (
+        b"<< /Filter /Standard /V 5 /R 5 /Length 256"
+        b" /CF << /StdCF << /CFM /AESV3 >> >> /StmF /StdCF"
+        b" /U <" + u.hex().encode() + b">"
+        b" /UE <" + ue.hex().encode() + b"> >>"
+    )
+    dec = build_decryptor(body, b"")
+    assert dec.mode == "aesv3" and dec.key == file_key
+
+
+def test_unknown_crypt_filter_refuses_by_name():
     from mcp_ocr_server_spark.functions.pdfcrypt import encrypt_pdf_bytes
     enc = encrypt_pdf_bytes(make_pdf([["x"]]))
-    enc = enc.replace(b"/Filter /Standard /V 1 /R 2",
-                      b"/Filter /Standard /V 4 /R 4")
-    with pytest.raises(ValueError, match="AES"):
-        extract_pdf_text(enc)
+    # a V4 layout with no /CF dict at all: the CFM is unknowable
+    broken = enc.replace(b"/Filter /Standard /V 1 /R 2",
+                         b"/Filter /Standard /V 4 /R 4")
+    with pytest.raises(ValueError, match="crypt filter"):
+        extract_pdf_text(broken)
+    # an explicitly foreign CFM refuses with its name
+    aes_enc = encrypt_pdf_bytes(make_pdf([["x"]]), r=4)
+    with pytest.raises(ValueError, match="AESV1"):
+        extract_pdf_text(aes_enc.replace(b"/CFM /AESV2", b"/CFM /AESV1"))
+
+
+def test_v5_perms_sentinel_guards_the_file_key():
+    """A corrupted /Perms must refuse rather than silently emitting
+    noise streams under a wrong key."""
+    from mcp_ocr_server_spark.functions.pdfcrypt import encrypt_pdf_bytes
+    enc = encrypt_pdf_bytes(make_pdf([["x"]]), owner_pw=b"o", r=6)
+    m = re.search(rb"/Perms <([0-9a-f]{32})>", enc)
+    assert m is not None
+    flipped = bytearray(bytes.fromhex(m.group(1).decode()))
+    flipped[0] ^= 0xFF
+    broken = enc.replace(m.group(1), flipped.hex().encode())
+    with pytest.raises(ValueError, match="Perms"):
+        extract_pdf_text(broken)
+
+
+def test_hash_2b_termination_and_determinism():
+    """Algorithm 2.B: deterministic, 32 bytes, and actually iterates
+    past round 64 (the data-dependent tail) for some inputs."""
+    from mcp_ocr_server_spark.functions.pdfcrypt import hash_2b
+    a = hash_2b(b"", b"saltsalt")
+    assert a == hash_2b(b"", b"saltsalt") and len(a) == 32
+    assert a != hash_2b(b"", b"other-sa")
+    assert a != hash_2b(b"pw", b"saltsalt")
+    assert hash_2b(b"", b"s1" * 4, b"u" * 48) != hash_2b(b"", b"s1" * 4)
 
 
 def test_dangling_encrypt_ref_still_refuses():
@@ -453,9 +514,11 @@ def test_dangling_encrypt_ref_still_refuses():
         extract_pdf_text(data)
 
 
-def test_decryption_reaches_every_extractor_surface():
+@pytest.mark.parametrize("r", [2, 4, 6])
+def test_decryption_reaches_every_extractor_surface(r):
     """Type0 CMap streams and scanned-page image XObjects are streams
-    too — the per-object keys must decrypt them all."""
+    too — the per-object keys must decrypt them all, under every
+    cipher generation."""
     import numpy as np
     from mcp_ocr_server_spark.functions.pdf import (
         extract_pdf_page_rasters,
@@ -465,8 +528,31 @@ def test_decryption_reaches_every_extractor_surface():
     from mcp_ocr_server_spark.sources.synthetic import (
         make_scanned_pdf_bytes, make_type0_pdf_bytes)
 
-    t0 = make_type0_pdf_bytes([["cid under rc4"]])
-    assert extract_pdf_text(encrypt_pdf_bytes(t0)) == ["cid under rc4"]
-    img = render_text("SCAN RC4", scale=2)
-    sc = encrypt_pdf_bytes(make_scanned_pdf_bytes([img]))
+    t0 = make_type0_pdf_bytes([["cid under crypt"]])
+    assert extract_pdf_text(
+        encrypt_pdf_bytes(t0, r=r)
+    ) == ["cid under crypt"]
+    img = render_text("SCAN ENC", scale=2)
+    sc = encrypt_pdf_bytes(make_scanned_pdf_bytes([img]), r=r)
     assert np.array_equal(extract_pdf_page_rasters(sc)[0], img)
+
+
+def test_aes_corpus_class_extracts_clean_text():
+    """Both AES variants appear in the pdf corpus and extract the same
+    ascii prose as their plaintext twins."""
+    from mcp_ocr_server_spark.queries import FLAGSHIP_CORPUS
+    from mcp_ocr_server_spark.sources.synthetic import (
+        N_PDF_DOCS, pdf_item)
+
+    seen = 0
+    for j in range(N_PDF_DOCS):
+        ref, data, kind = pdf_item(FLAGSHIP_CORPUS, j)
+        if kind != "aes":
+            continue
+        seen += 1
+        # both crypt-filter layouts must appear across the corpus
+        layout = b"/AESV3" if b"/AESV3" in data else b"/AESV2"
+        assert layout in data
+        joined = "\n".join(extract_pdf_text(data))
+        assert joined and all(c.isascii() for c in joined)
+    assert seen >= 2
