@@ -12,9 +12,18 @@ deterministic no-external-font engine can draw faithfully:
     matrices only — rotation/shear refuses loudly, never a silently
     wrong raster), fill gray/RGB (g/rg, BT.601 luma fold to the
     grayscale canvas).
-  - path painting: `re` rectangles filled by f/F/f* (the background /
-    table-rule subset generators actually emit); curves, general
-    polygons, strokes, and clips refuse by name.
+  - path painting: full path construction (m/l/c/v/y/h/re — cubic
+    Béziers flattened deterministically at 16 segments), fills with
+    BOTH winding rules (f/F nonzero, f* even-odd) through a
+    pixel-center scanline engine (per-edge winding deltas + one
+    cumsum), strokes (S/s/B/B*/b/b*: one same-orientation quad per
+    segment, butt caps, square joins — exact for the axis-aligned
+    joins of real table rules, a documented approximation for oblique
+    ones; width scales by the CTM's geometric-mean scale), and
+    clipping (W/W* intersected into a device mask every paint method
+    honors).  Rect-only f fills keep the original exact integer-rect
+    semantics, so pre-existing goldens are bit-stable.  Dash patterns
+    (other than solid), shading, and inline images refuse by name.
   - image XObjects: any count per page, each painted into its CTM
     unit-square rectangle with nearest-neighbor resampling via the
     SAME _decode_image_xobject the scanned path uses.
@@ -72,20 +81,6 @@ _NUM_RE = re.compile(rb"[-+]?[0-9]*\.?[0-9]+")
 # operators that PAINT (or alter paint state) in ways this renderer
 # cannot reproduce faithfully — each refuses by name, never silently
 _REFUSED_OPS = {
-    b"m": "path segments (m/l/c/v/y/h)",
-    b"l": "path segments (m/l/c/v/y/h)",
-    b"c": "path segments (m/l/c/v/y/h)",
-    b"v": "path segments (m/l/c/v/y/h)",
-    b"y": "path segments (m/l/c/v/y/h)",
-    b"h": "path segments (m/l/c/v/y/h)",
-    b"S": "stroking",
-    b"s": "stroking",
-    b"B": "fill+stroke painting",
-    b"B*": "fill+stroke painting",
-    b"b": "fill+stroke painting",
-    b"b*": "fill+stroke painting",
-    b"W": "clipping paths",
-    b"W*": "clipping paths",
     b"sh": "shading patterns",
     b"BI": "inline images",
     b"gs": "ExtGState (transparency/soft masks)",
@@ -94,7 +89,171 @@ _REFUSED_OPS = {
     b"sc": "non-device colorspaces",
     b"scn": "non-device colorspaces",
     b"k": "CMYK color",
+    b"K": "CMYK color",
 }
+
+
+_BEZIER_STEPS = 16  # fixed deterministic cubic flattening
+
+
+class _Path:
+    """The current path: subpaths of USER-space points (Béziers
+    flattened at construction, _BEZIER_STEPS segments each).  Rect-only
+    paths remember their rectangles so plain `re … f` fills keep the
+    original exact fill_rect pixel semantics (golden stability); any
+    m/l/c/v/y/h segment switches the path to the general scanline
+    engine."""
+
+    def __init__(self) -> None:
+        self.subpaths: list[list[tuple[float, float]]] = []
+        self.rects: list[tuple[float, float, float, float]] = []
+        self.has_segments = False
+        self.cur: tuple[float, float] | None = None
+
+    def moveto(self, x: float, y: float) -> None:
+        self.subpaths.append([(x, y)])
+        self.cur = (x, y)
+        self.has_segments = True
+
+    def lineto(self, x: float, y: float) -> None:
+        if self.cur is None:
+            raise ValueError("content stream: l/c/v/y without a moveto")
+        self.subpaths[-1].append((x, y))
+        self.cur = (x, y)
+        self.has_segments = True
+
+    def curveto(
+        self, c1: tuple[float, float], c2: tuple[float, float],
+        end: tuple[float, float],
+    ) -> None:
+        if self.cur is None:
+            raise ValueError("content stream: l/c/v/y without a moveto")
+        x0, y0 = self.cur
+        sp = self.subpaths[-1]
+        for i in range(1, _BEZIER_STEPS + 1):
+            t = i / _BEZIER_STEPS
+            u = 1.0 - t
+            sp.append((
+                u * u * u * x0 + 3 * u * u * t * c1[0]
+                + 3 * u * t * t * c2[0] + t * t * t * end[0],
+                u * u * u * y0 + 3 * u * u * t * c1[1]
+                + 3 * u * t * t * c2[1] + t * t * t * end[1],
+            ))
+        self.cur = end
+        self.has_segments = True
+
+    def close(self) -> None:
+        if self.subpaths and len(self.subpaths[-1]) > 1:
+            sp = self.subpaths[-1]
+            if sp[0] != sp[-1]:
+                sp.append(sp[0])
+            self.cur = sp[0]
+
+    def add_rect(self, x: float, y: float, w: float, h: float) -> None:
+        self.rects.append((x, y, w, h))
+        # §8.5.2.1: re ALSO begins a new (closed) subpath
+        self.subpaths.append([
+            (x, y), (x + w, y), (x + w, y + h), (x, y + h), (x, y),
+        ])
+        self.cur = (x, y)
+
+    def empty(self) -> bool:
+        return not self.subpaths
+
+    def device_polys(self, ctm: "_Mat", canvas: "_Canvas",
+                     close: bool = True):
+        """Device-pixel polylines.  close=True (fill/clip semantics)
+        implicitly closes every open subpath; close=False (stroke)
+        keeps them open — only an explicit h/s adds the closing
+        segment."""
+        polys = []
+        for sp in self.subpaths:
+            if len(sp) < 2:
+                continue
+            pts = [
+                (
+                    (px - canvas.x0) * canvas.px,
+                    (canvas.y1 - py) * canvas.px,
+                )
+                for px, py in (ctm.apply(x, y) for x, y in sp)
+            ]
+            if close and pts[0] != pts[-1]:
+                pts.append(pts[0])
+            polys.append(pts)
+        return polys
+
+
+def _rasterize_polys(
+    polys: list[list[tuple[float, float]]],
+    shape: tuple[int, int],
+    even_odd: bool,
+) -> np.ndarray:
+    """Pixel-center scanline rasterization of closed device polygons —
+    winding deltas accumulate per (row, column-boundary), one cumsum
+    gives every pixel's winding number; nonzero or even-odd selects."""
+    h, w = shape
+    delta = np.zeros((h, w + 1), dtype=np.int32)
+    for pts in polys:
+        p = np.asarray(pts, dtype=np.float64)
+        for i in range(len(p) - 1):
+            x0, y0 = p[i]
+            x1, y1 = p[i + 1]
+            if y0 == y1:
+                continue
+            dirn = 1 if y1 > y0 else -1
+            ylo, yhi = (y0, y1) if y0 < y1 else (y1, y0)
+            # rows whose center yc = r + 0.5 lies in [ylo, yhi)
+            r0 = max(0, int(np.ceil(ylo - 0.5)))
+            r1 = min(h, int(np.ceil(yhi - 0.5)))
+            if r1 <= r0:
+                continue
+            yc = np.arange(r0, r1, dtype=np.float64) + 0.5
+            xi = x0 + (yc - y0) * (x1 - x0) / (y1 - y0)
+            # first column whose center exceeds the crossing
+            idx = np.clip(
+                np.floor(xi + 0.5).astype(np.int64), 0, w
+            )
+            np.add.at(delta, (np.arange(r0, r1), idx), dirn)
+    wind = np.cumsum(delta[:, :w], axis=1)
+    if even_odd:
+        return (wind & 1) != 0
+    return wind != 0
+
+
+def _stroke_polys(
+    path: "_Path", ctm: "_Mat", canvas: "_Canvas", width_dev: float,
+) -> list[list[tuple[float, float]]]:
+    """Stroke geometry as same-orientation quads (one per segment,
+    butt caps) plus a width-square at every interior join — exact for
+    the axis-aligned joins real table rules have, a documented square
+    approximation for oblique ones."""
+    half = max(width_dev, 1.0) / 2.0
+    quads: list[list[tuple[float, float]]] = []
+    for pts in path.device_polys(ctm, canvas, close=False):
+        closed_input = len(pts) >= 2 and pts[0] == pts[-1]
+        segs = list(zip(pts[:-1], pts[1:]))
+        for (x0, y0), (x1, y1) in segs:
+            dx, dy = x1 - x0, y1 - y0
+            ln = (dx * dx + dy * dy) ** 0.5
+            if ln == 0.0:
+                continue
+            nx, ny = -dy / ln * half, dx / ln * half
+            quads.append([
+                (x0 + nx, y0 + ny), (x1 + nx, y1 + ny),
+                (x1 - nx, y1 - ny), (x0 - nx, y0 - ny),
+                (x0 + nx, y0 + ny),
+            ])
+        joints = pts[1:-1] if not closed_input else pts[:-1]
+        for jx, jy in joints:
+            # wound the SAME way as the segment quads — an opposite
+            # orientation would CANCEL the winding number where square
+            # and segment overlap and checkerboard the corners
+            quads.append([
+                (jx - half, jy - half), (jx - half, jy + half),
+                (jx + half, jy + half), (jx + half, jy - half),
+                (jx - half, jy - half),
+            ])
+    return quads
 
 
 class _Mat:
@@ -170,6 +329,9 @@ class _Canvas:
         self.img = np.full((h, w), 255, dtype=np.uint8)
         self.x0, self.y1 = x0, y1
         self.px = px_per_pt
+        # current clip region (None = whole page); every paint method
+        # masks through it.  Saved/restored with the graphics state.
+        self.clip: np.ndarray | None = None
 
     def col(self, x_pt: float) -> int:
         return int(round((x_pt - self.x0) * self.px))
@@ -183,7 +345,17 @@ class _Canvas:
         c0, c1 = sorted((self.col(xa), self.col(xb)))
         r0, r1 = sorted((self.row(ya), self.row(yb)))
         h, w = self.img.shape
-        self.img[max(r0, 0): min(r1, h), max(c0, 0): min(c1, w)] = gray
+        sl = np.s_[max(r0, 0): min(r1, h), max(c0, 0): min(c1, w)]
+        if self.clip is None:
+            self.img[sl] = gray
+        else:
+            region = self.img[sl]
+            region[self.clip[sl]] = gray
+
+    def fill_mask(self, mask: np.ndarray, gray: int) -> None:
+        if self.clip is not None:
+            mask = mask & self.clip
+        self.img[mask] = gray
 
     def paint_image(
         self, img: np.ndarray, xa: float, ya: float, xb: float, yb: float
@@ -203,7 +375,13 @@ class _Canvas:
         cols = ((np.arange(tc0, tc1) - c0 + 0.5) * sw / (c1 - c0))
         ri = np.clip(rows.astype(np.int64), 0, sh - 1)
         ci = np.clip(cols.astype(np.int64), 0, sw - 1)
-        self.img[tr0:tr1, tc0:tc1] = img[np.ix_(ri, ci)]
+        src = img[np.ix_(ri, ci)]
+        if self.clip is None:
+            self.img[tr0:tr1, tc0:tc1] = src
+        else:
+            region = self.img[tr0:tr1, tc0:tc1]
+            keep = self.clip[tr0:tr1, tc0:tc1]
+            self.img[tr0:tr1, tc0:tc1] = np.where(keep, src, region)
 
     def draw_glyph(
         self, ch: str, x_pt: float, base_y_pt: float, k: int, gray: int
@@ -226,7 +404,10 @@ class _Canvas:
             return
         sub = big[tr0 - r0: tr1 - r0, tc0 - c0: tc1 - c0]
         region = self.img[tr0:tr1, tc0:tc1]
-        region[sub == 1] = gray
+        ink = sub == 1
+        if self.clip is not None:
+            ink = ink & self.clip[tr0:tr1, tc0:tc1]
+        region[ink] = gray
 
 
 def _luma(r: float, g: float, b: float) -> int:
@@ -276,6 +457,8 @@ def _render_page(
     # past Q and silently blank later text (review finding)
     gstack: list[tuple] = []
     fill_gray = 0
+    stroke_gray = 0
+    line_width = 1.0
     # text state
     in_text = False
     tlm = _Mat(1.0, 1.0, 0.0, 0.0)
@@ -288,13 +471,68 @@ def _render_page(
 
     stack: list[object] = []
     arr: list[object] | None = None
-    path_rects: list[tuple[float, float, float, float]] = []
+    path = _Path()
+    pending_clip: bytes | None = None  # b"W" / b"W*" until the paint op
 
     def nums(n: int) -> list[float]:
         vals = [v for v in stack[-n:] if isinstance(v, float)]
         if len(vals) != n:
             raise ValueError("content stream: malformed operands")
         return vals
+
+    def do_fill(even_odd: bool) -> None:
+        if path.has_segments:
+            mask = _rasterize_polys(
+                path.device_polys(ctm, canvas), canvas.img.shape,
+                even_odd,
+            )
+            canvas.fill_mask(mask, fill_gray)
+        else:
+            # rect-only path: the original exact integer-rect fill
+            for x, y, w, h in path.rects:
+                p0 = ctm.apply(x, y)
+                p1 = ctm.apply(x + w, y + h)
+                canvas.fill_rect(p0[0], p0[1], p1[0], p1[1], fill_gray)
+
+    def do_stroke() -> None:
+        # device stroke width: user width × the CTM's (axis-aligned)
+        # scale — exact when a == d, the geometric mean otherwise
+        # (a documented approximation, same seam as square joins)
+        wd = line_width * canvas.px * (ctm.a * ctm.d) ** 0.5
+        quads = _stroke_polys(path, ctm, canvas, wd)
+        if quads:
+            mask = _rasterize_polys(
+                quads, canvas.img.shape, even_odd=False
+            )
+            canvas.fill_mask(mask, stroke_gray)
+
+    def end_path() -> None:
+        nonlocal pending_clip
+        if pending_clip is not None:
+            h, w = canvas.img.shape
+            if path.has_segments:
+                mask = _rasterize_polys(
+                    path.device_polys(ctm, canvas), (h, w),
+                    even_odd=pending_clip == b"W*",
+                )
+            else:
+                # rect-only clip mirrors fill_rect's integer bounds so
+                # clip∩fill of the SAME rect is lossless
+                mask = np.zeros((h, w), dtype=bool)
+                for x, y, rw, rh in path.rects:
+                    p0 = ctm.apply(x, y)
+                    p1 = ctm.apply(x + rw, y + rh)
+                    c0, c1 = sorted((canvas.col(p0[0]),
+                                     canvas.col(p1[0])))
+                    r0, r1 = sorted((canvas.row(p0[1]),
+                                     canvas.row(p1[1])))
+                    mask[max(r0, 0): min(r1, h),
+                         max(c0, 0): min(c1, w)] = True
+            canvas.clip = (
+                mask if canvas.clip is None else canvas.clip & mask
+            )
+            pending_clip = None
+        path.__init__()
 
     def translate_line(tx: float, ty: float) -> None:
         nonlocal tlm, tm
@@ -355,11 +593,13 @@ def _render_page(
                 " unsupported"
             )
         if op == b"q":
-            gstack.append((ctm.copy(), fill_gray, size, leading,
+            gstack.append((ctm.copy(), fill_gray, stroke_gray,
+                           line_width, canvas.clip, size, leading,
                            char_sp, word_sp, render_mode))
         elif op == b"Q":
             if gstack:
-                (ctm, fill_gray, size, leading, char_sp, word_sp,
+                (ctm, fill_gray, stroke_gray, line_width, canvas.clip,
+                 size, leading, char_sp, word_sp,
                  render_mode) = gstack.pop()
         elif op == b"cm":
             ctm = _Mat.from6(nums(6), "cm").mul(ctm)
@@ -368,18 +608,63 @@ def _render_page(
             fill_gray = int(round(max(0.0, min(1.0, v)) * 255))
         elif op == b"rg":
             fill_gray = _luma(*nums(3))
+        elif op == b"G":
+            v = nums(1)[0]
+            stroke_gray = int(round(max(0.0, min(1.0, v)) * 255))
+        elif op == b"RG":
+            stroke_gray = _luma(*nums(3))
+        elif op == b"w":
+            line_width = nums(1)[0]
+        elif op == b"d":
+            # solid ([] 0) is the only dash pattern drawn faithfully
+            if (len(stack) >= 2 and isinstance(stack[-2], list)
+                    and stack[-2]):
+                raise ValueError(
+                    "content stream: dash patterns rendering"
+                    " unsupported"
+                )
         elif op == b"re":
             x, y, w, h = nums(4)
-            path_rects.append((x, y, w, h))
+            path.add_rect(x, y, w, h)
+        elif op == b"m":
+            x, y = nums(2)
+            path.moveto(x, y)
+        elif op == b"l":
+            x, y = nums(2)
+            path.lineto(x, y)
+        elif op == b"c":
+            x1, y1, x2, y2, x3, y3 = nums(6)
+            path.curveto((x1, y1), (x2, y2), (x3, y3))
+        elif op == b"v":
+            x2, y2, x3, y3 = nums(4)
+            if path.cur is None:
+                raise ValueError(
+                    "content stream: l/c/v/y without a moveto"
+                )
+            path.curveto(path.cur, (x2, y2), (x3, y3))
+        elif op == b"y":
+            x1, y1, x3, y3 = nums(4)
+            path.curveto((x1, y1), (x3, y3), (x3, y3))
+        elif op == b"h":
+            path.close()
+        elif op in (b"W", b"W*"):
+            pending_clip = op
         elif op in (b"f", b"F", b"f*"):
-            for x, y, w, h in path_rects:
-                p0 = ctm.apply(x, y)
-                p1 = ctm.apply(x + w, y + h)
-                canvas.fill_rect(p0[0], p0[1], p1[0], p1[1],
-                                 fill_gray)
-            path_rects = []
+            do_fill(even_odd=op == b"f*")
+            end_path()
+        elif op in (b"S", b"s"):
+            if op == b"s":
+                path.close()
+            do_stroke()
+            end_path()
+        elif op in (b"B", b"B*", b"b", b"b*"):
+            if op in (b"b", b"b*"):
+                path.close()
+            do_fill(even_odd=op in (b"B*", b"b*"))
+            do_stroke()
+            end_path()
         elif op == b"n":
-            path_rects = []  # path dropped (W refuses above)
+            end_path()
         elif op == b"Do":
             if not stack or not isinstance(stack[-1], bytes):
                 raise ValueError("Do without an XObject name")

@@ -2630,8 +2630,10 @@ def comp_pdf_item(cfg: CorpusConfig, j: int) -> tuple[str, bytes, str, str]:
     Classes: text_over_image (vector caption under an embedded scan),
     two_images (two scan strips stacked on one page), ocr_layer (scan
     plus invisible Tr 3 text — the searchable-scanned-PDF shape),
-    rect_bg (text on a filled gray panel), rotated (refusal: rotated
-    Tm), garbage (refusal: not a PDF)."""
+    rect_bg (text on a filled gray panel), vector (stroked rule +
+    filled triangle + Bézier blob decorating a text line), clipped
+    (oversized light fill W-clipped to the band behind the text),
+    rotated (refusal: rotated Tm), garbage (refusal: not a PDF)."""
     rng = _rng(cfg.seed, _S_COMPPDF, j)
     line_a = _words(rng, _FONT_WORDS, int(rng.integers(2, 4)))
     line_b = _words(rng, _FONT_WORDS, int(rng.integers(2, 4)))
@@ -2643,6 +2645,30 @@ def comp_pdf_item(cfg: CorpusConfig, j: int) -> tuple[str, bytes, str, str]:
         data = make_composite_pdf_bytes([[("raw", raw)]])
         return comp_pdf_ref(j), data, "rotated", ""
     img = render_text(line_a, scale=2)
+    if j % 7 == 6:
+        # vector decoration: a stroked heading rule, a filled triangle
+        # bullet, and a Bézier blob — LIGHT gray (0.95, the same
+        # binarize-away contrast as the rect_bg panel: shading, not
+        # ink) so OCR truth stays exactly the text line while the
+        # renderer's path/stroke/winding engine runs end to end
+        raw = (b"1.5 w 0.95 G 72 390 m 430 390 l S "
+               b"0.95 g 58 398 m 66 402 l 58 406 l h f "
+               b"460 560 m 490 620 520 620 550 560 c h f 0 g")
+        data = make_composite_pdf_bytes([[
+            ("raw", raw),
+            ("text", line_a, 72, 400, 20),
+        ]])
+        return comp_pdf_ref(j), data, "vector", line_a
+    if j % 7 == 3:
+        # clipped panel: an oversized light fill clipped (W n) to the
+        # band behind the text — the rect_bg shape via the clip engine
+        raw = (b"q 60 488 480 44 re W n"
+               b" 0.95 g 0 300 612 400 re f Q 0 g")
+        data = make_composite_pdf_bytes([[
+            ("raw", raw),
+            ("text", line_a, 72, 500, 20),
+        ]])
+        return comp_pdf_ref(j), data, "clipped", line_a
     if j % 5 == 4:
         # searchable scanned PDF: the page paints ONLY the scan; a
         # generator-supplied text layer rides invisibly underneath

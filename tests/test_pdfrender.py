@@ -155,6 +155,124 @@ def test_lowercase_input_renders_uppercase_atlas():
     assert ocr(out) == "HELLO"
 
 
+# --- vector paths: fills, winding rules, strokes, clips ---------------------
+
+def test_triangle_fill_exact_coverage():
+    """Pixel-center scanline fill of a right triangle covers exactly
+    base*height/2 pixels (the half-pixel offsets cancel row by row)."""
+    (out,) = render_pdf_pages(
+        page([("raw", b"0 g 100 100 m 200 100 l 100 200 l h f")])
+    )
+    # pixel centers at y = k + 0.5 see the hypotenuse at x = 200 - y:
+    # rows cover 100, 99, …, 1 columns -> sum = L(L+1)/2
+    assert int((out < 255).sum()) == 100 * 101 // 2
+
+
+def test_winding_rules_differ_on_self_intersection():
+    """A five-point star: nonzero fills the pentagram core, even-odd
+    leaves it white — the classic rule discriminator."""
+    star = b"100 300 m 160 340 l 90 340 l 150 300 l 125 360 l h "
+    (nz,) = render_pdf_pages(page([("raw", b"0 g " + star + b"f")]))
+    (eo,) = render_pdf_pages(page([("raw", b"0 g " + star + b"f*")]))
+    ink_nz = int((nz < 255).sum())
+    ink_eo = int((eo < 255).sum())
+    assert ink_nz > ink_eo > 0
+    # the even-odd ink is a strict subset of the nonzero ink
+    assert (((eo < 255) & ~(nz < 255)).sum()) == 0
+
+
+def test_bezier_flattening_symmetric_and_bounded():
+    """y-symmetric cubic: the filled blob is left-right symmetric about
+    the curve's midpoint column and stays inside its control box."""
+    raw = b"0 g 300 100 m 350 200 400 200 450 100 c h f"
+    (out,) = render_pdf_pages(page([("raw", raw)]))
+    ink = out < 255
+    rows, cols = np.nonzero(ink)
+    assert cols.min() >= 300 and cols.max() <= 450
+    assert rows.min() >= 792 - 200 and rows.max() <= 792 - 100
+    mid = (300 + 450) / 2
+    assert abs((cols - mid).mean()) < 1.0  # symmetry
+
+
+def test_stroke_exact_rule_geometry():
+    """An axis-aligned 4-pt-wide table rule paints exactly a
+    length x width rectangle (butt caps)."""
+    raw = b"4 w 0 G 72 500 m 540 500 l S"
+    (out,) = render_pdf_pages(page([("raw", raw)]))
+    ink = out < 255
+    assert int(ink.sum()) == (540 - 72) * 4
+    rows, cols = np.nonzero(ink)
+    assert cols.min() == 72 and cols.max() == 539
+    assert rows.max() - rows.min() == 3
+
+
+def test_stroke_closed_path_square_joins():
+    """s closes the path; a stroked rectangle outline is the frame of
+    outer minus inner area (square joins are exact at 90°)."""
+    raw = b"2 w 0 G 100 100 m 200 100 l 200 180 l 100 180 l s"
+    (out,) = render_pdf_pages(page([("raw", raw)]))
+    outer = (100 + 2) * (80 + 2)
+    inner = (100 - 2) * (80 - 2)
+    assert int((out < 255).sum()) == outer - inner
+
+
+def test_fill_and_stroke_B_uses_both_colors():
+    raw = b"0.5 g 0 G 4 w 100 100 m 200 100 l 150 200 l b"
+    (out,) = render_pdf_pages(page([("raw", raw)]))
+    grays = set(np.unique(out).tolist())
+    assert 0 in grays and 128 in grays and 255 in grays
+
+
+def test_clip_bounds_fill_and_restores_with_Q():
+    """W n clips a later oversized fill to exactly the clip rect; Q
+    restores the unclipped state."""
+    raw = (b"q 72 600 100 50 re W n"
+           b" 0 g 50 580 200 100 re f Q"
+           b" 0 g 10 10 5 5 re f")
+    (out,) = render_pdf_pages(page([("raw", raw)]))
+    assert int((out < 255).sum()) == 100 * 50 + 25
+
+
+def test_clip_applies_to_text_and_images():
+    img = np.zeros((40, 40), dtype=np.uint8)
+    raw_img = (b"q 100 700 20 40 re W n "
+               b"q 40 0 0 40 100 700 cm /Im0 Do Q Q")
+    data = page([("image", np.full((1, 1), 255, np.uint8), 0, 0),
+                 ("raw", raw_img)])
+    # rebuild with the real image as Im0: simpler — draw via raw on a
+    # page whose only XObject is the 40x40 black square
+    data = S.make_composite_pdf_bytes([[("image", img, 100, 700)]])
+    data = data.replace(
+        b"q 40 0 0 40 100 700 cm /Im0 Do Q",
+        b"q 100 700 20 40 re W n 40 0 0 40 100 700 cm /Im0 Do Q",
+    )
+    (out,) = render_pdf_pages(data)
+    assert int((out < 255).sum()) == 20 * 40
+    # text under a clip: glyph ink outside the band is masked
+    raw_t = (b"q 72 395 30 30 re W n "
+             b"BT /F1 20 Tf 72 400 Td (HHHH) Tj ET Q")
+    (clipped,) = render_pdf_pages(page([("raw", raw_t)]))
+    (full,) = render_pdf_pages(
+        page([("raw", b"BT /F1 20 Tf 72 400 Td (HHHH) Tj ET")])
+    )
+    assert 0 < int((clipped < 255).sum()) < int((full < 255).sum())
+    assert ((clipped < 255) & ~(full < 255)).sum() == 0
+
+
+def test_vector_decoration_under_ocr_text_e2e():
+    """The realistic composite: a stroked rule + filled triangle bullet
+    decorating a text line — OCR still recovers the text."""
+    raw = (b"1.5 w 0 G 72 390 m 400 390 l S "
+           b"0 g 60 400 m 68 404 l 60 408 l h f")
+    data = page([
+        ("raw", raw),
+        ("text", "VECTOR ART PAGE", 72, 400, 20),
+    ])
+    rows = render_pdf_rows("m", data, FIXTURE_JOB)
+    assert rows[0]["error"] is None
+    assert "VECTOR ART PAGE" in rows[0]["text"]
+
+
 # --- refusal contract -------------------------------------------------------
 
 @pytest.mark.parametrize(
@@ -163,15 +281,15 @@ def test_lowercase_input_renders_uppercase_atlas():
         (b"BT /F1 20 Tf 0.7 0.7 -0.7 0.7 100 400 Tm (T) Tj ET",
          "non-axis-aligned"),
         (b"q 10 0 5 10 0 0 cm Q", "non-axis-aligned"),
-        (b"100 100 m 200 200 l S", "path segments"),
-        (b"0 0 10 10 re W n", "clipping"),
+        (b"100 100 l f", "without a moveto"),
+        (b"[3 2] 0 d 100 100 m 200 200 l S", "dash patterns"),
         (b"BI /W 1 /H 1 ID x EI", "inline images"),
         (b"/GS0 gs", "ExtGState"),
         (b"BT /F1 20 Tf 1 Tr (T) Tj ET", "render mode 1"),
         (b"BT /F1 20 Tf 50 Tz (T) Tj ET", "horizontal text scaling"),
         (b"0 0 0 1 k", "CMYK"),
     ],
-    ids=["rot-tm", "shear-cm", "path", "clip", "inline-img",
+    ids=["rot-tm", "shear-cm", "bare-lineto", "dash", "inline-img",
          "extgstate", "tr-stroke", "tz", "cmyk"],
 )
 def test_refusals(raw, msg):
@@ -232,7 +350,8 @@ def test_corpus_truth_recovery_all_classes():
             assert got == truth, (j, kind)
             assert all(r["confidence"] > 50 for r in rows)
     assert seen == {"text_over_image", "two_images", "ocr_layer",
-                    "rect_bg", "rotated", "garbage"}
+                    "rect_bg", "vector", "clipped", "rotated",
+                    "garbage"}
 
 
 def test_determinism():
