@@ -539,6 +539,7 @@ def _validated_objects(data: bytes) -> dict[int, _Obj]:
     # /Encrypt only means encryption inside the TRAILER dict — grepping
     # the whole file would reject documents whose page TEXT mentions it
     enc_ref: int | None = None
+    id0 = b""
     for tm in re.finditer(rb"trailer(.*?)startxref", data, re.S):
         em = re.search(rb"/Encrypt\s+(\d+)\s+\d+\s+R", tm.group(1))
         if em is not None:
@@ -546,29 +547,16 @@ def _validated_objects(data: bytes) -> dict[int, _Obj]:
         elif re.search(rb"/Encrypt\b", tm.group(1)):
             raise ValueError("encrypted PDF: decryption unsupported")
     objs = _objects(data)
-    if enc_ref is not None:
-        from .pdfcrypt import build_decryptor, trailer_id0
-
-        enc_obj = objs.get(enc_ref)
-        if enc_obj is None:
-            raise ValueError("encrypted PDF: decryption unsupported")
-        dec = build_decryptor(enc_obj.body, trailer_id0(data))
-        objs = {
-            num: (
-                o if o.stream is None or num == enc_ref
-                else _Obj(o.body, dec.decrypt_stream(num, o.stream))
-            )
-            for num, o in objs.items()
-        }
-    # PDF 1.5+ layout: with no 'trailer' keyword the trailer dict IS
-    # the /XRef stream's dict (its head sits UNCOMPRESSED in the file,
-    # so the flat scan sees it) — that is where /Encrypt lives for
-    # these files, and the check must run BEFORE ObjStm expansion or
-    # an encrypted payload would surface as a zlib error instead of
-    # the contract's refusal.  The /Type checks run on parsed object
-    # HEADS, not the whole file, so page text that merely mentions
-    # these names cannot false-positive.
+    xref_heads: list[bytes] = []
     if b"trailer" not in data:
+        # PDF 1.5+ layout: with no 'trailer' keyword the trailer dict
+        # IS the /XRef stream's dict (its head sits UNCOMPRESSED in
+        # the file, so the flat scan sees it) — that is where /Encrypt
+        # lives for these files, and it must be found BEFORE ObjStm
+        # expansion or an encrypted payload would surface as a zlib
+        # error instead of decrypting.  The /Type checks run on parsed
+        # object HEADS, not the whole file, so page text that merely
+        # mentions these names cannot false-positive.
         xref_heads = [
             o.body for o in objs.values()
             if o.stream is not None
@@ -580,10 +568,40 @@ def _validated_objects(data: bytes) -> dict[int, _Obj]:
                 " cross-reference unparseable"
             )
         for h in xref_heads:
-            if re.search(rb"/Encrypt\b", h):
+            em = re.search(rb"/Encrypt\s+(\d+)\s+\d+\s+R", h)
+            if em is not None:
+                enc_ref = int(em.group(1))
+                im = re.search(rb"/ID\s*\[\s*<([0-9A-Fa-f]+)>", h)
+                if im is not None:
+                    hx = im.group(1).decode("ascii")
+                    id0 = bytes.fromhex(
+                        hx + ("0" if len(hx) % 2 else "")
+                    )
+            elif re.search(rb"/Encrypt\b", h):
                 raise ValueError(
                     "encrypted PDF: decryption unsupported"
                 )
+    if enc_ref is not None:
+        from .pdfcrypt import build_decryptor, trailer_id0
+
+        enc_obj = objs.get(enc_ref)
+        if enc_obj is None:
+            raise ValueError("encrypted PDF: decryption unsupported")
+        dec = build_decryptor(
+            enc_obj.body, id0 or trailer_id0(data)
+        )
+        # every stream decrypts EXCEPT the /Encrypt dict and /XRef
+        # streams — cross-reference streams are never encrypted
+        # (§7.5.8.2: a reader parses them before it can know the
+        # document is encrypted at all)
+        objs = {
+            num: (
+                o if o.stream is None or num == enc_ref
+                or re.search(rb"/Type\s*/XRef\b", o.body)
+                else _Obj(o.body, dec.decrypt_stream(num, o.stream))
+            )
+            for num, o in objs.items()
+        }
     # surface objects hidden inside /ObjStm payloads (PDF 1.5+
     # compressed object storage) — the r4 refusal path, now parsed
     _expand_objstms(objs)

@@ -343,6 +343,60 @@ def encrypt_pdf_bytes(
     decryptor above."""
     from .pdf import _objects
 
+    enc_dict, _cipher = writer_material(
+        r, length, user_pw, owner_pw, file_id
+    )
+    from .pdf import _objects
+
+    objs = _objects(data)
+    bodies: list[tuple[int, bytes]] = []
+    for num in sorted(objs):
+        o = objs[num]
+        if o.stream is None:
+            bodies.append((num, o.body))
+        else:
+            enc = _cipher(num, o.stream)
+            body = re.sub(
+                rb"/Length\s+\d+(?!\d)",
+                b"/Length " + str(len(enc)).encode(),
+                o.body, count=1,
+            )
+            bodies.append(
+                (num, body + b"\nstream\n" + enc + b"\nendstream")
+            )
+    enc_num = max(objs) + 1
+    bodies.append((enc_num, enc_dict))
+    root = re.search(rb"/Root\s+(\d+)\s+\d+\s+R", data)
+    root_ref = root.group(0) if root else b"/Root 1 0 R"
+    out = bytearray(b"%PDF-1.4\n")
+    offsets: dict[int, int] = {}
+    for num, body in bodies:
+        offsets[num] = len(out)
+        out += f"{num} 0 obj\n".encode() + body + b"\nendobj\n"
+    xref_at = len(out)
+    top = max(offsets)
+    out += f"xref\n0 {top + 1}\n".encode()
+    out += b"0000000000 65535 f \n"
+    for num in range(1, top + 1):
+        out += f"{offsets.get(num, 0):010d} 00000 n \n".encode()
+    out += (
+        b"trailer\n<< /Size " + str(top + 1).encode()
+        + b" " + root_ref
+        + b" /Encrypt " + str(enc_num).encode() + b" 0 R"
+        + b" /ID [<" + file_id.hex().encode() + b"> <"
+        + file_id.hex().encode() + b">] >>\nstartxref\n"
+        + str(xref_at).encode() + b"\n%%EOF\n"
+    )
+    return bytes(out)
+
+
+def writer_material(
+    r: int, length: int, user_pw: bytes, owner_pw: bytes,
+    file_id: bytes,
+):
+    """(/Encrypt dict body, cipher(num, payload) -> bytes) — the key
+    schedule shared by the classic-xref writer above and the 1.5
+    XRef-stream-layout writer (sources/synthetic.make_pdf15_bytes)."""
     if r == 4:
         length = 128
     elif r == 6:
@@ -384,23 +438,6 @@ def encrypt_pdf_bytes(
         k = key if r == 6 else object_key(key, num, salt=b"sAlT")
         return iv + aes.cbc_encrypt(k, iv, payload)
 
-    objs = _objects(data)
-    bodies: list[tuple[int, bytes]] = []
-    for num in sorted(objs):
-        o = objs[num]
-        if o.stream is None:
-            bodies.append((num, o.body))
-        else:
-            enc = _cipher(num, o.stream)
-            body = re.sub(
-                rb"/Length\s+\d+(?!\d)",
-                b"/Length " + str(len(enc)).encode(),
-                o.body, count=1,
-            )
-            bodies.append(
-                (num, body + b"\nstream\n" + enc + b"\nendstream")
-            )
-    enc_num = max(objs) + 1
     if r == 6:
         enc_dict = (
             b"<< /Filter /Standard /V 5 /R 6 /Length 256"
@@ -432,26 +469,4 @@ def encrypt_pdf_bytes(
             + b" /O <" + o_entry.hex().encode() + b">"
             + b" /U <" + u_entry.hex().encode() + b"> >>"
         )
-    bodies.append((enc_num, enc_dict))
-    root = re.search(rb"/Root\s+(\d+)\s+\d+\s+R", data)
-    root_ref = root.group(0) if root else b"/Root 1 0 R"
-    out = bytearray(b"%PDF-1.4\n")
-    offsets: dict[int, int] = {}
-    for num, body in bodies:
-        offsets[num] = len(out)
-        out += f"{num} 0 obj\n".encode() + body + b"\nendobj\n"
-    xref_at = len(out)
-    top = max(offsets)
-    out += f"xref\n0 {top + 1}\n".encode()
-    out += b"0000000000 65535 f \n"
-    for num in range(1, top + 1):
-        out += f"{offsets.get(num, 0):010d} 00000 n \n".encode()
-    out += (
-        b"trailer\n<< /Size " + str(top + 1).encode()
-        + b" " + root_ref
-        + b" /Encrypt " + str(enc_num).encode() + b" 0 R"
-        + b" /ID [<" + file_id.hex().encode() + b"> <"
-        + file_id.hex().encode() + b">] >>\nstartxref\n"
-        + str(xref_at).encode() + b"\n%%EOF\n"
-    )
-    return bytes(out)
+    return enc_dict, _cipher

@@ -1723,7 +1723,10 @@ def make_type0_pdf_bytes(
     return bytes(out)
 
 
-def make_pdf15_bytes(pages: list[list[str]]) -> bytes:
+def make_pdf15_bytes(
+    pages: list[list[str]], encrypt_r: int | None = None,
+    user_pw: bytes = b"", owner_pw: bytes = b"owner",
+) -> bytes:
     """PDF 1.5 compressed-object layout (ISO 32000-1 §7.5.7-7.5.8),
     the structure most post-2005 generators emit: catalog / page tree /
     font / page dicts live inside a Flate /ObjStm, the cross-reference
@@ -1731,29 +1734,48 @@ def make_pdf15_bytes(pages: list[list[str]]) -> bytes:
     objects, type-2 rows for ObjStm members), and there is NO 'trailer'
     keyword — the XRef stream's dict is the trailer.  Content streams
     stay top-level (streams may not live inside an ObjStm).
-    Deterministic, like make_pdf_bytes."""
+    Deterministic, like make_pdf_bytes.
+
+    encrypt_r (None/2/3/4/6) adds standard-security-handler encryption
+    IN this layout — /Encrypt lives in the XRef stream's dict, stream
+    payloads (content streams AND the ObjStm) are ciphered, the XRef
+    stream itself stays plaintext per §7.5.8.2 — the modern
+    "AES + xref streams" shape virtually every post-2005 encrypted
+    PDF has."""
     import struct
     import zlib
 
     n = len(pages)
     # object numbering: 1..n content streams, n+1 ObjStm, then the
     # ObjStm members (catalog n+2, pages n+3, font n+4, page dicts
-    # n+5..), and the /XRef stream last
+    # n+5..), the /Encrypt dict (when encrypting), and the /XRef
+    # stream last
     objstm_num = n + 1
     cat, pgs, font = n + 2, n + 3, n + 4
     page_nums = [n + 5 + i for i in range(n)]
-    xref_num = n + 5 + n
+    enc_num = n + 5 + n if encrypt_r is not None else None
+    xref_num = n + 5 + n + (1 if encrypt_r is not None else 0)
     size = xref_num + 1
 
+    file_id = b"\x15" * 16
+    if encrypt_r is not None:
+        from ..functions.pdfcrypt import writer_material
+
+        enc_dict, cipher = writer_material(
+            encrypt_r, 128, user_pw, owner_pw, file_id
+        )
+    else:
+        enc_dict, cipher = b"", lambda _num, payload: payload
+
     contents: list[bytes] = []
-    for lines in pages:
+    for i, lines in enumerate(pages):
         parts = [b"BT /F1 12 Tf 72 720 Td"]
         for k, line in enumerate(lines):
             if k:
                 parts.append(b"0 -14 Td")
             parts.append(b"(" + _pdf_escape(line) + b") Tj")
         parts.append(b"ET")
-        payload = zlib.compress(b" ".join(parts))
+        payload = cipher(i + 1, zlib.compress(b" ".join(parts)))
         contents.append(
             b"<< /Length " + str(len(payload)).encode()
             + b" /Filter /FlateDecode >>\nstream\n" + payload
@@ -1785,7 +1807,7 @@ def make_pdf15_bytes(pages: list[list[str]]) -> bytes:
     header = " ".join(
         f"{num} {off}" for (num, _), off in zip(members, offs)
     ).encode() + b"\n"
-    stm_payload = zlib.compress(header + bodies)
+    stm_payload = cipher(objstm_num, zlib.compress(header + bodies))
     objstm = (
         b"<< /Type /ObjStm /N " + str(len(members)).encode()
         + b" /First " + str(len(header)).encode()
@@ -1796,8 +1818,10 @@ def make_pdf15_bytes(pages: list[list[str]]) -> bytes:
 
     out = bytearray(b"%PDF-1.5\n")
     top_offsets: dict[int, int] = {}
-    for num, body in [*zip(range(1, n + 1), contents),
-                      (objstm_num, objstm)]:
+    top_objs = [*zip(range(1, n + 1), contents), (objstm_num, objstm)]
+    if enc_num is not None:
+        top_objs.append((enc_num, enc_dict))
+    for num, body in top_objs:
         top_offsets[num] = len(out)
         out += f"{num} 0 obj\n".encode() + body + b"\nendobj\n"
     xref_at = len(out)
@@ -1816,11 +1840,19 @@ def make_pdf15_bytes(pages: list[list[str]]) -> bytes:
                 i for i, (m, _) in enumerate(members) if m == num
             )
             rows.append(row(2, objstm_num, idx))
+    # the XRef stream itself is NEVER encrypted (§7.5.8.2) — a reader
+    # must parse it before it can know the document is encrypted
     xdata = zlib.compress(b"".join(rows))
+    enc_entry = (
+        b" /Encrypt " + str(enc_num).encode() + b" 0 R /ID [<"
+        + file_id.hex().encode() + b"> <" + file_id.hex().encode()
+        + b">]"
+    ) if enc_num is not None else b""
     out += (
         f"{xref_num} 0 obj\n".encode()
         + b"<< /Type /XRef /Size " + str(size).encode()
-        + b" /Root " + str(cat).encode() + b" 0 R /W [1 2 2] /Index [0 "
+        + b" /Root " + str(cat).encode() + b" 0 R" + enc_entry
+        + b" /W [1 2 2] /Index [0 "
         + str(size).encode() + b"] /Length " + str(len(xdata)).encode()
         + b" /Filter /FlateDecode >>\nstream\n" + xdata
         + b"\nendstream\nendobj\n"
@@ -1913,6 +1945,13 @@ def pdf_item(cfg: CorpusConfig, j: int) -> tuple[str, bytes, str]:
             data, owner_pw=b"owner", r=4 if j % 2 == 0 else 6
         ), "aes"
     if j % 5 == 4:
+        # the post-2005 default layout; every other ok15 doc is ALSO
+        # owner-locked AES-256 — /Encrypt in the XRef stream's dict,
+        # the modern "encrypted + xref streams" combination
+        if j % 10 == 4:
+            return pdf_ref(j), make_pdf15_bytes(
+                pages, encrypt_r=6
+            ), "aes15"
         return pdf_ref(j), make_pdf15_bytes(pages), "ok15"
     return pdf_ref(j), data, "ok"
 

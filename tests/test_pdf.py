@@ -496,6 +496,50 @@ def test_v5_perms_sentinel_guards_the_file_key():
         extract_pdf_text(broken)
 
 
+@pytest.mark.parametrize("r", [2, 3, 4, 6])
+def test_pdf15_layout_decrypts(r):
+    """Encryption in the 1.5 XRef-stream layout — /Encrypt in the
+    XRef dict, ciphered content + ObjStm payloads, PLAINTEXT xref
+    stream (§7.5.8.2) — decrypts for every handler generation."""
+    from mcp_ocr_server_spark.sources.synthetic import make_pdf15_bytes
+
+    pages = [["modern encrypted body", "line two"], ["page two"]]
+    plain = make_pdf15_bytes(pages)
+    want = extract_pdf_text(plain)
+    enc = make_pdf15_bytes(pages, encrypt_r=r)
+    # actually ciphered: the (deterministic) zlib payload of page 1 in
+    # the plain file appears nowhere in the encrypted one
+    payload = re.search(rb"stream\n(.*?)\nendstream", plain,
+                        re.S).group(1)
+    assert payload not in enc
+    assert extract_pdf_text(enc) == want
+
+
+def test_pdf15_real_password_refuses():
+    from mcp_ocr_server_spark.sources.synthetic import make_pdf15_bytes
+
+    enc = make_pdf15_bytes([["x"]], encrypt_r=6, user_pw=b"secret")
+    with pytest.raises(ValueError, match="password required"):
+        extract_pdf_text(enc)
+
+
+def test_aes15_corpus_class_extracts_clean_text():
+    from mcp_ocr_server_spark.queries import FLAGSHIP_CORPUS
+    from mcp_ocr_server_spark.sources.synthetic import (
+        N_PDF_DOCS, pdf_item)
+
+    seen = 0
+    for j in range(N_PDF_DOCS):
+        ref, data, kind = pdf_item(FLAGSHIP_CORPUS, j)
+        if kind != "aes15":
+            continue
+        seen += 1
+        assert b"trailer" not in data and b"/AESV3" in data
+        joined = "\n".join(extract_pdf_text(data))
+        assert joined and all(c.isascii() for c in joined)
+    assert seen >= 2
+
+
 def test_hash_2b_termination_and_determinism():
     """Algorithm 2.B: deterministic, 32 bytes, and actually iterates
     past round 64 (the data-dependent tail) for some inputs."""
