@@ -21,9 +21,15 @@ deterministic no-external-font engine can draw faithfully:
     joins of real table rules, a documented approximation for oblique
     ones; width scales by the CTM's geometric-mean scale), and
     clipping (W/W* intersected into a device mask every paint method
-    honors).  Rect-only f fills keep the original exact integer-rect
-    semantics, so pre-existing goldens are bit-stable.  Dash patterns
-    (other than solid), shading, and inline images refuse by name.
+    honors), dash patterns (§8.4.3.6 arc-length duty cycle with
+    phase; join squares are skipped for dashed strokes so a gap at a
+    corner stays a gap), and inline images (BI/ID/EI §8.9.7 —
+    unfiltered / /Fl / /AHx / /DCT via the in-repo JPEG codec, 8-bit
+    G/RGB and 1-bit G; data length is computed exactly per filter,
+    never by searching image bytes for 'EI').  Rect-only f fills keep
+    the original exact integer-rect semantics, so pre-existing
+    goldens are bit-stable.  Shading, ImageMask stencils, CCITT/LZW
+    inline filters, and non-device colorspaces refuse by name.
   - image XObjects: any count per page, each painted into its CTM
     unit-square rectangle with nearest-neighbor resampling via the
     SAME _decode_image_xobject the scanned path uses.
@@ -82,7 +88,6 @@ _NUM_RE = re.compile(rb"[-+]?[0-9]*\.?[0-9]+")
 # cannot reproduce faithfully — each refuses by name, never silently
 _REFUSED_OPS = {
     b"sh": "shading patterns",
-    b"BI": "inline images",
     b"gs": "ExtGState (transparency/soft masks)",
     b"Tz": "horizontal text scaling",
     b"Ts": "text rise",
@@ -94,6 +99,197 @@ _REFUSED_OPS = {
 
 
 _BEZIER_STEPS = 16  # fixed deterministic cubic flattening
+
+_WS = b"\x00\t\n\x0c\r "
+_DELIMS = b"()<>[]{}/%"
+
+
+def _extract_inline_images(
+    content: bytes,
+) -> tuple[bytes, list[np.ndarray]]:
+    """Lift BI…ID…EI inline images (§8.9.7) out of a content stream.
+
+    Each block is replaced by `/IIn IIDo` (a private operator the
+    render loop paints like an image XObject), and the decoded
+    grayscale pixels are returned alongside.  The scan skips literal
+    and hex strings, so page TEXT containing 'BI' can never
+    false-positive.  Data length is determined EXACTLY per filter:
+    unfiltered = padded-row arithmetic, /AHx = up to '>', /Fl = where
+    the zlib stream self-terminates — never by searching for 'EI'
+    inside image bytes (which may legally contain it).  Supported:
+    /CS /G|/RGB (8-bit) and 1-bit /G; anything else refuses by
+    name."""
+    out = bytearray()
+    imgs: list[np.ndarray] = []
+    i, n = 0, len(content)
+    while i < n:
+        c = content[i]
+        ch = content[i:i + 1]
+        if ch == b"(":
+            depth, j = 1, i + 1
+            while j < n and depth:
+                cj = content[j:j + 1]
+                if cj == b"\\":
+                    j += 2
+                    continue
+                if cj == b"(":
+                    depth += 1
+                elif cj == b")":
+                    depth -= 1
+                j += 1
+            out += content[i:j]
+            i = j
+            continue
+        if ch == b"<" and content[i:i + 2] != b"<<":
+            j = content.find(b">", i + 1)
+            j = n if j < 0 else j + 1
+            out += content[i:j]
+            i = j
+            continue
+        if (ch == b"B" and content[i:i + 2] == b"BI"
+                and (i == 0 or content[i - 1] in _WS
+                     or content[i - 1:i] in (b"]", b")"))
+                and (i + 2 >= n or content[i + 2] in _WS)):
+            img, end = _parse_inline_image(content, i + 2)
+            out += b" /II%d IIDo " % len(imgs)
+            imgs.append(img)
+            i = end
+            continue
+        out += ch
+        i += 1
+    return bytes(out), imgs
+
+
+def _parse_inline_image(
+    content: bytes, i: int
+) -> tuple[np.ndarray, int]:
+    """Parse one inline image starting just after 'BI'; returns
+    (gray_pixels, end_offset_past_EI)."""
+    import zlib
+
+    from ..imaging.codecs import to_gray
+    from .pdf import _tokens
+
+    idm = re.search(rb"\bID", content[i:])
+    if idm is None:
+        raise ValueError("inline image: missing ID")
+    dict_part = content[i:i + idm.start()]
+    toks = list(_tokens(dict_part))
+    params: dict[bytes, object] = {}
+    k = 0
+    while k + 1 < len(toks):
+        if toks[k][:1] == b"/":
+            params[toks[k][1:]] = toks[k + 1]
+            k += 2
+        else:
+            k += 1
+
+    def _int_param(*names: bytes) -> int | None:
+        for nm in names:
+            v = params.get(nm)
+            if v is not None:
+                try:
+                    return int(v)
+                except ValueError:
+                    return None
+        return None
+
+    w = _int_param(b"W", b"Width")
+    h = _int_param(b"H", b"Height")
+    bpc = _int_param(b"BPC", b"BitsPerComponent") or 8
+    cs = params.get(b"CS", params.get(b"ColorSpace", b"/G"))
+    filt = params.get(b"F", params.get(b"Filter"))
+    if params.get(b"IM") == b"true" or params.get(b"ImageMask") == b"true":
+        raise ValueError("inline image: /ImageMask stencils unsupported")
+    if w is None or h is None or w <= 0 or h <= 0 or w * h > 2 ** 24:
+        raise ValueError("inline image: missing or absurd /W //H")
+    cs_name = cs if isinstance(cs, bytes) else b"/G"
+    if cs_name in (b"/G", b"/DeviceGray"):
+        channels = 1
+    elif cs_name in (b"/RGB", b"/DeviceRGB"):
+        channels = 3
+    else:
+        raise ValueError(
+            "inline image: colorspace "
+            + cs_name.decode("latin-1") + " unsupported"
+        )
+    if bpc not in (1, 8) or (bpc == 1 and channels != 1):
+        raise ValueError(f"inline image: /BPC {bpc} unsupported")
+    # exactly ONE whitespace byte after ID, then the data
+    d0 = i + idm.end()
+    if d0 < len(content) and content[d0] in _WS:
+        d0 += 1
+    if filt in (b"/Fl", b"/FlateDecode"):
+        z = zlib.decompressobj()
+        try:
+            raw = z.decompress(content[d0:])
+        except zlib.error as e:
+            raise ValueError(f"inline image: bad Flate data ({e})")
+        if not z.eof:
+            raise ValueError("inline image: truncated Flate data")
+        end = len(content) - len(z.unused_data)
+    elif filt in (b"/AHx", b"/ASCIIHexDecode"):
+        gt = content.find(b">", d0)
+        if gt < 0:
+            raise ValueError("inline image: unterminated AHx data")
+        hx = re.sub(rb"\s", b"", content[d0:gt])
+        if len(hx) % 2:
+            hx += b"0"
+        try:
+            raw = bytes.fromhex(hx.decode("ascii"))
+        except ValueError:
+            raise ValueError("inline image: bad AHx data")
+        end = gt + 1
+    elif filt in (b"/DCT", b"/DCTDecode"):
+        from ..imaging.codecs import to_gray as _tg
+        from ..imaging.jpeg import decode_jpeg
+
+        eoi = content.find(b"\xff\xd9", d0)
+        if eoi < 0:
+            raise ValueError("inline image: JPEG data missing EOI")
+        img = decode_jpeg(content[d0:eoi + 2])
+        if img.ndim == 3:
+            img = _tg(img)
+        if img.shape != (h, w):
+            raise ValueError(
+                "inline image: JPEG dims disagree with /W //H"
+            )
+        em = re.compile(rb"\s*EI(?![0-9A-Za-z])").match(
+            content, eoi + 2
+        )
+        if em is None:
+            raise ValueError("inline image: missing EI")
+        return img.astype(np.uint8), em.end()
+    elif filt is None:
+        row_bytes = (w * bpc * channels + 7) // 8
+        need = row_bytes * h
+        raw = content[d0:d0 + need]
+        if len(raw) < need:
+            raise ValueError("inline image: truncated data")
+        end = d0 + need
+    else:
+        raise ValueError(
+            "inline image: filter "
+            + (filt.decode("latin-1") if isinstance(filt, bytes)
+               else "?") + " unsupported"
+        )
+    em = re.compile(rb"\s*EI(?![0-9A-Za-z])").match(content, end)
+    if em is None:
+        raise ValueError("inline image: missing EI")
+    row_bytes = (w * bpc * channels + 7) // 8
+    if len(raw) < row_bytes * h:
+        raise ValueError("inline image: data shorter than /W x /H")
+    arr = np.frombuffer(raw[: row_bytes * h], dtype=np.uint8)
+    if bpc == 1:
+        bits = np.unpackbits(
+            arr.reshape(h, row_bytes), axis=1
+        )[:, :w]
+        img = (bits * 255).astype(np.uint8)
+    elif channels == 1:
+        img = arr.reshape(h, w)
+    else:
+        img = to_gray(arr.reshape(h, w, 3))
+    return img.astype(np.uint8), em.end()
 
 
 class _Path:
@@ -220,18 +416,67 @@ def _rasterize_polys(
     return wind != 0
 
 
+def _dash_runs(
+    pts: list[tuple[float, float]],
+    pattern: list[float], phase: float,
+) -> list[tuple[tuple[float, float], tuple[float, float]]]:
+    """Split one device polyline into the ON sub-segments of a dash
+    pattern (§8.4.3.6: the pattern cycles along the path's arc length,
+    starting `phase` units in; it restarts per subpath)."""
+    total = sum(pattern)
+    if total <= 0.0:
+        return [(a, b) for a, b in zip(pts[:-1], pts[1:])]
+    # position inside the cycle and whether we start ON
+    pos = phase % total
+    idx = 0
+    while pos >= pattern[idx]:
+        pos -= pattern[idx]
+        idx = (idx + 1) % len(pattern)
+    on = idx % 2 == 0
+    remaining = pattern[idx] - pos
+    runs = []
+    for (x0, y0), (x1, y1) in zip(pts[:-1], pts[1:]):
+        dx, dy = x1 - x0, y1 - y0
+        ln = (dx * dx + dy * dy) ** 0.5
+        if ln == 0.0:
+            continue
+        t = 0.0
+        while t < ln:
+            step = min(remaining, ln - t)
+            if on and step > 0.0:
+                runs.append((
+                    (x0 + dx * t / ln, y0 + dy * t / ln),
+                    (x0 + dx * (t + step) / ln,
+                     y0 + dy * (t + step) / ln),
+                ))
+            t += step
+            remaining -= step
+            if remaining <= 1e-9:
+                idx = (idx + 1) % len(pattern)
+                on = not on
+                remaining = pattern[idx]
+    return runs
+
+
 def _stroke_polys(
     path: "_Path", ctm: "_Mat", canvas: "_Canvas", width_dev: float,
+    dash: tuple[list[float], float] | None = None,
 ) -> list[list[tuple[float, float]]]:
     """Stroke geometry as same-orientation quads (one per segment,
     butt caps) plus a width-square at every interior join — exact for
     the axis-aligned joins real table rules have, a documented square
-    approximation for oblique ones."""
+    approximation for oblique ones.  Dashed strokes quad each ON run
+    and skip the join squares (a dash gap at a corner must stay a
+    gap)."""
     half = max(width_dev, 1.0) / 2.0
     quads: list[list[tuple[float, float]]] = []
     for pts in path.device_polys(ctm, canvas, close=False):
         closed_input = len(pts) >= 2 and pts[0] == pts[-1]
-        segs = list(zip(pts[:-1], pts[1:]))
+        if dash is not None:
+            segs = _dash_runs(pts, *dash)
+            closed_input = False  # no joins for dashed strokes
+        else:
+            segs = list(zip(pts[:-1], pts[1:]))
         for (x0, y0), (x1, y1) in segs:
             dx, dy = x1 - x0, y1 - y0
             ln = (dx * dx + dy * dy) ** 0.5
@@ -243,6 +488,8 @@ def _stroke_polys(
                 (x1 - nx, y1 - ny), (x0 - nx, y0 - ny),
                 (x0 + nx, y0 + ny),
             ])
+        if dash is not None:
+            continue
         joints = pts[1:-1] if not closed_input else pts[:-1]
         for jx, jy in joints:
             # wound the SAME way as the segment quads — an opposite
@@ -449,6 +696,7 @@ def _render_page(
         raise ValueError("page /Rotate rendering unsupported")
     canvas = _Canvas(_media_box(objs, body), px_per_pt)
     xobjects = dict(_resources_xobjects(body, objs))
+    content, inline_imgs = _extract_inline_images(content)
 
     ctm = _Mat(1.0, 1.0, 0.0, 0.0)
     # q/Q saves the FULL graphics state, which per ISO 32000-1 §8.4.2
@@ -459,6 +707,7 @@ def _render_page(
     fill_gray = 0
     stroke_gray = 0
     line_width = 1.0
+    dash: tuple[list[float], float] | None = None  # (pattern, phase)
     # text state
     in_text = False
     tlm = _Mat(1.0, 1.0, 0.0, 0.0)
@@ -498,8 +747,16 @@ def _render_page(
         # device stroke width: user width × the CTM's (axis-aligned)
         # scale — exact when a == d, the geometric mean otherwise
         # (a documented approximation, same seam as square joins)
-        wd = line_width * canvas.px * (ctm.a * ctm.d) ** 0.5
-        quads = _stroke_polys(path, ctm, canvas, wd)
+        scale = canvas.px * (ctm.a * ctm.d) ** 0.5
+        wd = line_width * scale
+        dev_dash = None
+        if dash is not None and dash[0]:
+            # dash lengths live in user space; same scale as the width
+            dev_dash = (
+                [max(u * scale, 0.0) for u in dash[0]],
+                dash[1] * scale,
+            )
+        quads = _stroke_polys(path, ctm, canvas, wd, dev_dash)
         if quads:
             mask = _rasterize_polys(
                 quads, canvas.img.shape, even_odd=False
@@ -594,12 +851,12 @@ def _render_page(
             )
         if op == b"q":
             gstack.append((ctm.copy(), fill_gray, stroke_gray,
-                           line_width, canvas.clip, size, leading,
-                           char_sp, word_sp, render_mode))
+                           line_width, dash, canvas.clip, size,
+                           leading, char_sp, word_sp, render_mode))
         elif op == b"Q":
             if gstack:
-                (ctm, fill_gray, stroke_gray, line_width, canvas.clip,
-                 size, leading, char_sp, word_sp,
+                (ctm, fill_gray, stroke_gray, line_width, dash,
+                 canvas.clip, size, leading, char_sp, word_sp,
                  render_mode) = gstack.pop()
         elif op == b"cm":
             ctm = _Mat.from6(nums(6), "cm").mul(ctm)
@@ -616,13 +873,17 @@ def _render_page(
         elif op == b"w":
             line_width = nums(1)[0]
         elif op == b"d":
-            # solid ([] 0) is the only dash pattern drawn faithfully
-            if (len(stack) >= 2 and isinstance(stack[-2], list)
-                    and stack[-2]):
-                raise ValueError(
-                    "content stream: dash patterns rendering"
-                    " unsupported"
-                )
+            if len(stack) >= 2 and isinstance(stack[-2], list):
+                arr_els = [
+                    v for v in stack[-2] if isinstance(v, float)
+                ]
+                ph = stack[-1] if isinstance(stack[-1], float) else 0.0
+                if arr_els and (min(arr_els) < 0.0
+                                or sum(arr_els) <= 0.0):
+                    raise ValueError(
+                        "content stream: invalid dash pattern"
+                    )
+                dash = (arr_els, ph) if arr_els else None
         elif op == b"re":
             x, y, w, h = nums(4)
             path.add_rect(x, y, w, h)
@@ -665,6 +926,17 @@ def _render_page(
             end_path()
         elif op == b"n":
             end_path()
+        elif op == b"IIDo":
+            # private op emitted by _extract_inline_images — paints a
+            # pre-decoded inline image like an image XObject
+            if not stack or not isinstance(stack[-1], bytes):
+                raise ValueError("inline image marker corrupted")
+            idx = int(stack[-1][3:])
+            p0 = ctm.apply(0.0, 0.0)
+            p1 = ctm.apply(1.0, 1.0)
+            canvas.paint_image(
+                inline_imgs[idx], p0[0], p0[1], p1[0], p1[1]
+            )
         elif op == b"Do":
             if not stack or not isinstance(stack[-1], bytes):
                 raise ValueError("Do without an XObject name")

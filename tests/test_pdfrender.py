@@ -259,6 +259,88 @@ def test_clip_applies_to_text_and_images():
     assert ((clipped < 255) & ~(full < 255)).sum() == 0
 
 
+def test_dashed_stroke_exact_duty_cycle():
+    """[6 4] over a 100-pt 2-pt-wide rule: 10 full cycles, 60 pt ON —
+    exactly 120 ink pixels; phase shifts the ON runs but not the
+    total; the dash state restores with Q."""
+    (out,) = render_pdf_pages(
+        page([("raw", b"2 w 0 G [6 4] 0 d 100 500 m 200 500 l S")])
+    )
+    assert int((out < 255).sum()) == 60 * 2
+    (ph,) = render_pdf_pages(
+        page([("raw", b"2 w 0 G [6 4] 3 d 100 500 m 200 500 l S")])
+    )
+    assert int((ph < 255).sum()) == 60 * 2
+    assert not np.array_equal(out, ph)
+    # Q restores solid
+    (solid,) = render_pdf_pages(page([(
+        "raw",
+        b"q [6 4] 0 d Q 2 w 0 G 100 500 m 200 500 l S",
+    )]))
+    assert int((solid < 255).sum()) == 100 * 2
+
+
+def test_inline_image_unfiltered_gray():
+    data = bytes([0, 255] * 2 + [255, 0] * 2) * 2  # 4x4 checkerboard
+    raw = (b"q 40 0 0 40 100 600 cm BI /W 4 /H 4 /BPC 8 /CS /G ID "
+           + data + b" EI Q")
+    (out,) = render_pdf_pages(page([("raw", raw)]))
+    reg = out[792 - 640:792 - 600, 100:140]
+    assert int((reg == 0).sum()) == 800  # half of the 40x40 paste
+
+
+def test_inline_image_flate_rgb_and_ahx():
+    import zlib as _z
+    rgb = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255, 255, 255, 255])
+    raw = (b"q 20 0 0 20 300 600 cm BI /W 2 /H 2 /BPC 8 /CS /RGB"
+           b" /F /Fl ID " + _z.compress(rgb) + b" EI Q")
+    (out,) = render_pdf_pages(page([("raw", raw)]))
+    reg = out[792 - 620:792 - 600, 300:320]
+    # BT.601 lumas of pure R/G/B + white
+    assert sorted(np.unique(reg).tolist()) == [29, 77, 149, 255]
+    raw = (b"q 10 0 0 10 400 600 cm BI /W 2 /H 1 /BPC 8 /CS /G"
+           b" /F /AHx ID 00 FF> EI Q")
+    (out,) = render_pdf_pages(page([("raw", raw)]))
+    reg = out[792 - 610:792 - 600, 400:410]
+    assert set(np.unique(reg).tolist()) == {0, 255}
+
+
+def test_inline_image_1bit_and_ei_inside_data():
+    # 1-bit 8x2: rows 0b10101010 = pixels alternating
+    raw = (b"q 8 0 0 2 100 100 cm BI /W 8 /H 2 /BPC 1 /CS /G ID "
+           + bytes([0b10101010, 0b01010101]) + b" EI Q")
+    (out,) = render_pdf_pages(page([("raw", raw)]))
+    reg = out[792 - 102:792 - 100, 100:108]
+    assert int((reg == 0).sum()) == 8
+    # unfiltered data whose BYTES spell ' EI ' cannot end the image
+    # early — length comes from /W /H arithmetic, not a search
+    data = b" EI " * 4  # 16 bytes = 4x4 8-bit gray
+    raw = (b"q 4 0 0 4 200 100 cm BI /W 4 /H 4 /BPC 8 /CS /G ID "
+           + data + b" EI Q")
+    (out,) = render_pdf_pages(page([("raw", raw)]))  # must not raise
+
+
+def test_inline_image_dct_via_in_repo_codec():
+    """/DCT inline data rides imaging/jpeg.decode_jpeg; the stream
+    self-terminates at EOI so no EI search touches entropy bytes."""
+    from mcp_ocr_server_spark.imaging.jpeg import encode_jpeg
+
+    src = np.full((8, 8), 32, dtype=np.uint8)
+    jpg = encode_jpeg(src, quality=95)
+    raw = (b"q 8 0 0 8 100 200 cm BI /W 8 /H 8 /BPC 8 /CS /G"
+           b" /F /DCT ID " + jpg + b" EI Q")
+    (out,) = render_pdf_pages(page([("raw", raw)]))
+    reg = out[792 - 208:792 - 200, 100:108]
+    assert abs(int(reg.mean()) - 32) < 6  # lossy but close
+
+
+def test_bi_inside_text_string_is_not_an_image():
+    (out,) = render_pdf_pages(
+        page([("text", "BI ID EI", 72, 400, 20)])
+    )
+    assert int((out < 255).sum()) > 0  # rendered as glyphs, no error
+
+
 def test_vector_decoration_under_ocr_text_e2e():
     """The realistic composite: a stroked rule + filled triangle bullet
     decorating a text line — OCR still recovers the text."""
@@ -282,14 +364,17 @@ def test_vector_decoration_under_ocr_text_e2e():
          "non-axis-aligned"),
         (b"q 10 0 5 10 0 0 cm Q", "non-axis-aligned"),
         (b"100 100 l f", "without a moveto"),
-        (b"[3 2] 0 d 100 100 m 200 200 l S", "dash patterns"),
-        (b"BI /W 1 /H 1 ID x EI", "inline images"),
+        (b"[-3 2] 0 d 100 100 m 200 200 l S", "invalid dash"),
+        (b"BI /W 1 /H 1 /CS /CMYK ID x EI", "colorspace"),
+        (b"BI /W 1 /H 1 /IM true ID x EI", "ImageMask"),
+        (b"BI /W 1 /H 1 /F /CCF ID x EI", "filter"),
         (b"/GS0 gs", "ExtGState"),
         (b"BT /F1 20 Tf 1 Tr (T) Tj ET", "render mode 1"),
         (b"BT /F1 20 Tf 50 Tz (T) Tj ET", "horizontal text scaling"),
         (b"0 0 0 1 k", "CMYK"),
     ],
-    ids=["rot-tm", "shear-cm", "bare-lineto", "dash", "inline-img",
+    ids=["rot-tm", "shear-cm", "bare-lineto", "neg-dash",
+         "inline-cmyk", "inline-mask", "inline-ccf",
          "extgstate", "tr-stroke", "tz", "cmyk"],
 )
 def test_refusals(raw, msg):
