@@ -10,14 +10,20 @@ Info (TimestampScale + Duration -> seconds) and Segment > Tracks >
 TrackEntry (first video track's CodecID + PixelWidth/PixelHeight;
 falls back to the first audio track's CodecID for audio-only files),
 unknown-size Segments (the streaming shape — size all-ones runs to
-end of input).  Frame/block demux is NOT attempted: VP8/VP9 bitstream
-decode is a float codec backend, and block walking without it would
-be unverifiable plumbing — parse_mp4_frames refuses webm loudly by
-name, as before.
+end of input), and the BLOCK layer: Segment > Cluster > Timestamp +
+SimpleBlock / BlockGroup{Block, ReferenceBlock} demux
+(parse_mkv_blocks / parse_mkv_frames) — track vint, signed 16-bit
+relative timestamp, keyframe flag (SimpleBlock bit 0x80; a
+BlockGroup's Block is a keyframe iff no ReferenceBlock sibling).
+Laced blocks (Xiph/fixed/EBML lacing, flag bits 0x06) refuse by
+name.  Decoding the frame PAYLOADS themselves (VP8/VP9) remains a
+float codec backend; payloads whose codec the repo carries (Matroska
+V_MJPEG → imaging/jpeg.py) decode for real downstream, exactly like
+MJPEG-in-AVI/mp4.
 
 The writer emits a deterministic minimal-but-conformant file (EBML
-header, Segment{Info, Tracks}, optional opaque Cluster) so every
-parser path is pinned by in-repo streams.
+header, Segment{Info, Tracks}, optional Cluster of SimpleBlocks) so
+every parser path is pinned by in-repo streams.
 """
 
 from __future__ import annotations
@@ -43,6 +49,13 @@ _ID_PIXEL_HEIGHT = 0xBA
 _ID_AUDIO = 0xE1
 _ID_SAMPLING_FREQ = 0xB5
 _ID_CHANNELS = 0x9F
+_ID_TRACK_NUMBER = 0xD7
+_ID_CLUSTER = 0x1F43B675
+_ID_CLUSTER_TS = 0xE7
+_ID_SIMPLEBLOCK = 0xA3
+_ID_BLOCKGROUP = 0xA0
+_ID_BLOCK = 0xA1
+_ID_REFERENCEBLOCK = 0xFB
 
 
 def _read_vint(data: bytes, pos: int, keep_marker: bool) -> tuple[int, int, int]:
@@ -170,6 +183,118 @@ def mkv_metadata(data: bytes) -> dict:
     return out
 
 
+def _parse_block(
+    data: bytes, ps: int, pe: int, cluster_ts: int,
+    keyframe: bool | None,
+) -> dict:
+    """One SimpleBlock/Block payload -> block dict.  keyframe=None
+    means 'from the flags byte' (SimpleBlock); a bool means the
+    BlockGroup already decided (ReferenceBlock presence)."""
+    track, pos, _ = _read_vint(data, ps, keep_marker=False)
+    if pos + 3 > pe:
+        raise ValueError("mkv: truncated block header")
+    rel = struct.unpack(">h", data[pos:pos + 2])[0]
+    flags = data[pos + 2]
+    if flags & 0x06:
+        raise ValueError("mkv: laced blocks unsupported")
+    return dict(
+        track=track,
+        ticks=cluster_ts + rel,
+        keyframe=bool(flags & 0x80) if keyframe is None else keyframe,
+        payload=data[pos + 3:pe],
+    )
+
+
+def parse_mkv_blocks(data: bytes) -> list[dict]:
+    """Every data block of a Matroska/WebM file, demux order —
+    dict(track, time_s, keyframe, payload).  Raises ValueError for
+    non-EBML bytes, foreign DocTypes, laced blocks, and structural
+    truncation — the same refuse-loudly contract as mkv_metadata."""
+    if data[:4] != EBML_MAGIC:
+        raise ValueError(f"mkv: bad EBML magic {data[:4]!r}")
+    doctype = None
+    scale = 1_000_000
+    blocks: list[dict] = []
+    for eid, ps, pe in _walk(data, 0, len(data)):
+        if eid == _ID_EBML:
+            for cid, cs, ce in _walk(data, ps, pe):
+                if cid == _ID_DOCTYPE:
+                    doctype = data[cs:ce].split(b"\x00")[0].decode(
+                        "ascii", "replace"
+                    )
+        elif eid == _ID_SEGMENT:
+            for cid, cs, ce in _walk(data, ps, pe):
+                if cid == _ID_INFO:
+                    for gid, gs, ge in _walk(data, cs, ce):
+                        if gid == _ID_TIMESTAMP_SCALE:
+                            scale = _uint(data, gs, ge)
+                elif cid == _ID_CLUSTER:
+                    cts = 0
+                    for gid, gs, ge in _walk(data, cs, ce):
+                        if gid == _ID_CLUSTER_TS:
+                            cts = _uint(data, gs, ge)
+                        elif gid == _ID_SIMPLEBLOCK:
+                            blocks.append(_parse_block(
+                                data, gs, ge, cts, None
+                            ))
+                        elif gid == _ID_BLOCKGROUP:
+                            blk = None
+                            has_ref = False
+                            for bid, bs, be in _walk(data, gs, ge):
+                                if bid == _ID_BLOCK:
+                                    blk = (bs, be)
+                                elif bid == _ID_REFERENCEBLOCK:
+                                    has_ref = True
+                            if blk is not None:
+                                blocks.append(_parse_block(
+                                    data, blk[0], blk[1], cts,
+                                    not has_ref,
+                                ))
+    if doctype not in ("webm", "matroska"):
+        raise ValueError(
+            f"mkv: DocType {doctype!r} is not webm/matroska"
+        )
+    if scale <= 0:
+        raise ValueError("mkv: TimestampScale is 0")
+    for b in blocks:
+        b["time_s"] = b.pop("ticks") * scale / 1e9
+    return blocks
+
+
+def first_video_track(data: bytes) -> int | None:
+    """TrackNumber of the first video TrackEntry, None if absent."""
+    for eid, ps, pe in _walk(data, 0, len(data)):
+        if eid != _ID_SEGMENT:
+            continue
+        for cid, cs, ce in _walk(data, ps, pe):
+            if cid != _ID_TRACKS:
+                continue
+            for tid, ts, te in _walk(data, cs, ce):
+                if tid != _ID_TRACK_ENTRY:
+                    continue
+                ttype = num = None
+                for gid, gs, ge in _walk(data, ts, te):
+                    if gid == _ID_TRACK_TYPE:
+                        ttype = _uint(data, gs, ge)
+                    elif gid == _ID_TRACK_NUMBER:
+                        num = _uint(data, gs, ge)
+                if ttype == 1:
+                    return num
+    return None
+
+
+def parse_mkv_frames(data: bytes) -> list[bytes]:
+    """Frame payloads of the first VIDEO track, demux order — the
+    Matroska twin of parse_mp4_frames/parse_avi_frames.  A file with
+    a video track but no clusters yields []; a file with clusters
+    whose blocks all belong to other tracks yields [] too."""
+    vtrack = first_video_track(data)
+    blocks = parse_mkv_blocks(data)
+    if vtrack is None:
+        raise ValueError("mkv: no video track")
+    return [b["payload"] for b in blocks if b["track"] == vtrack]
+
+
 # ---------------------------------------------------------------------------
 # deterministic writer
 
@@ -192,6 +317,21 @@ def _uint_el(eid: int, v: int) -> bytes:
     return _el(eid, v.to_bytes(n, "big"))
 
 
+def encode_simpleblock(
+    track: int, rel_ts: int, payload: bytes, keyframe: bool = True,
+    lacing_flags: int = 0,
+) -> bytes:
+    """One SimpleBlock element (track vint, int16 relative timestamp,
+    flags, payload).  lacing_flags is test plumbing for the refusal
+    path."""
+    flags = (0x80 if keyframe else 0) | (lacing_flags & 0x06)
+    body = (
+        _enc_size(track) + struct.pack(">h", rel_ts)
+        + bytes([flags]) + payload
+    )
+    return _el(_ID_SIMPLEBLOCK, body)
+
+
 def encode_mkv(
     doctype: str = "webm",
     codec: str = "V_VP9",
@@ -201,10 +341,14 @@ def encode_mkv(
     timestamp_scale: int = 1_000_000,
     cluster: bytes = b"",
     audio: "tuple[str, float, int] | None" = None,
+    frames: "list[tuple[int, bool, bytes]] | None" = None,
 ) -> bytes:
     """Minimal conformant Matroska/WebM: EBML header, Segment{Info,
     Tracks[, Cluster]}.  audio = (codec_id, sampling_hz, channels)
-    adds an audio track.  Deterministic byte-identical output."""
+    adds an audio track.  frames = [(rel_ts_ticks, keyframe, payload)]
+    builds a Cluster of SimpleBlocks on the video track (track 1);
+    `cluster` passes raw cluster bytes instead (refusal-path tests).
+    Deterministic byte-identical output."""
     ebml = _el(_ID_EBML, _el(_ID_DOCTYPE, doctype.encode()))
     info = _uint_el(_ID_TIMESTAMP_SCALE, timestamp_scale)
     if duration_s is not None:
@@ -214,7 +358,8 @@ def encode_mkv(
     if codec:
         tracks += _el(
             _ID_TRACK_ENTRY,
-            _uint_el(_ID_TRACK_TYPE, 1)
+            _uint_el(_ID_TRACK_NUMBER, 1)
+            + _uint_el(_ID_TRACK_TYPE, 1)
             + _el(_ID_CODEC_ID, codec.encode())
             + _el(
                 _ID_VIDEO,
@@ -226,7 +371,8 @@ def encode_mkv(
         acodec, hz, ch = audio
         tracks += _el(
             _ID_TRACK_ENTRY,
-            _uint_el(_ID_TRACK_TYPE, 2)
+            _uint_el(_ID_TRACK_NUMBER, 2)
+            + _uint_el(_ID_TRACK_TYPE, 2)
             + _el(_ID_CODEC_ID, acodec.encode())
             + _el(
                 _ID_AUDIO,
@@ -235,6 +381,11 @@ def encode_mkv(
             ),
         )
     seg_payload = _el(_ID_INFO, info) + _el(_ID_TRACKS, tracks)
+    if frames:
+        body = _uint_el(_ID_CLUSTER_TS, 0)
+        for rel_ts, key, payload in frames:
+            body += encode_simpleblock(1, rel_ts, payload, key)
+        seg_payload += _el(_ID_CLUSTER, body)
     if cluster:
-        seg_payload += _el(0x1F43B675, cluster)
+        seg_payload += _el(_ID_CLUSTER, cluster)
     return ebml + _el(_ID_SEGMENT, seg_payload)

@@ -194,17 +194,22 @@ def _decode_video_frames(data: bytes, every_n: int) -> list[tuple[int, bytes]]:
     demux) — both are pure table/structure work, no codec backend;
     what needs a codec is only decoding the returned frame PAYLOADS
     when they are compressed bitstreams (per-frame error rows
-    downstream, frame sampling itself still real).  webm/mkv (EBML)
-    and foreign payloads raise ValueError naming what was seen,
-    surfacing as per-clip error rows."""
+    downstream, frame sampling itself still real).  webm/matroska
+    demuxes via the EBML block layer (functions/mkv.py SimpleBlock /
+    BlockGroup walk); foreign payloads raise ValueError naming what
+    was seen, surfacing as per-clip error rows."""
     if data[:4] == b"RIFF" and data[8:12] == b"AVI ":
         from .avi import parse_avi_frames
 
         frames = parse_avi_frames(data)
+    elif data[:4] == b"\x1aE\xdf\xa3":
+        from .mkv import parse_mkv_frames
+
+        frames = parse_mkv_frames(data)
     else:
         from .mp4 import parse_mp4_frames
 
-        frames = parse_mp4_frames(data)  # loud on EBML/foreign
+        frames = parse_mp4_frames(data)  # loud on foreign
     return [(i, f) for i, f in enumerate(frames) if i % every_n == 0]
 
 
@@ -492,13 +497,26 @@ def video_inventory_row(ref: str, data: bytes) -> dict:
                 duration_s=(n / fps) if fps and n is not None else None,
             )
         elif data[:4] == b"\x1aE\xdf\xa3":
-            from .mkv import mkv_metadata
+            from .mkv import first_video_track, mkv_metadata, \
+                parse_mkv_blocks
 
             m = mkv_metadata(data)
+            vtrack = first_video_track(data)
+            # an unreadable block layer (laced, or a corrupt cluster)
+            # does not invalidate the metadata row — the count is
+            # simply unknown, like an mp4 without sample tables
+            try:
+                nb = [
+                    b for b in parse_mkv_blocks(data)
+                    if b["track"] == vtrack
+                ] if vtrack is not None else []
+            except ValueError:
+                nb = []
             row.update(
                 container=m["container"], codec=m["codec"],
                 width=m["width"], height=m["height"],
-                duration_s=m["duration_s"], n_frames=None,
+                duration_s=m["duration_s"],
+                n_frames=len(nb) if nb else None,
             )
         else:
             from .mp4 import mp4_metadata

@@ -1052,9 +1052,12 @@ def video_item(cfg: CorpusConfig, j: int) -> tuple[str, bytes, str]:
       avi_opaque     — real container parse, frames are a compressed
                        codec's bitstream (not PNG/JPEG) => per-frame
                        pixel-decode error rows, frame COUNT still right
+      mkv_mjpeg      — Matroska V_MJPEG: EBML SimpleBlock demux
+                       (functions/mkv.py) + JPEG decode + analyzer —
+                       the third container through the full real chain
       avi_truncated  — RIFF/'AVI ' magic, chopped => per-clip error row
-      webm           — EBML magic => loud container-specific refusal,
-                       one per-clip error row
+      webm           — EBML magic, garbage body => loud structural
+                       refusal, one per-clip error row
     """
     from ..functions.avi import encode_avi
     from ..imaging.png import encode_png
@@ -1101,6 +1104,29 @@ def video_item(cfg: CorpusConfig, j: int) -> tuple[str, bytes, str]:
             encode_avi(frames, w, h, fps=12, fourcc=b"H264"),
             "avi_opaque",
         )
+    if j % 14 == 11:
+        # Matroska V_MJPEG: the THIRD container through the full real
+        # chain — EBML SimpleBlock demux (functions/mkv.py) + baseline
+        # JPEG decode + analyzer metrics
+        from ..functions.mkv import encode_mkv
+        from ..imaging.jpeg import encode_jpeg
+
+        frames = []
+        for k in range(n_frames):
+            ramp = (
+                np.linspace(0, 255, w, dtype=np.float64)[None, :]
+                + np.full((h, 1), 10.0 * k)
+            )
+            img = np.clip(
+                ramp + rng.integers(0, 24, (h, w)), 0, 255
+            ).astype(np.uint8)
+            frames.append(encode_jpeg(img, quality=90))
+        data = encode_mkv(
+            doctype="matroska", codec="V_MJPEG", width=w, height=h,
+            duration_s=n_frames / 12.0,
+            frames=[(83 * k, k == 0, f) for k, f in enumerate(frames)],
+        )
+        return video_ref(j), data, "mkv_mjpeg"
     if j % 6 == 3:
         # true MJPEG: every frame is an independent baseline JPEG
         # (imaging/jpeg.py) — the whole chain is real, lossy codec
@@ -1193,18 +1219,32 @@ def video_sniff_item(cfg: CorpusConfig, j: int) -> tuple[str, bytes, str]:
         data = encode_mp4(5.0)
         return vsniff_ref(j), data[: 40 + j % 20], "mp4_truncated"
     if cls == 5:
-        # REAL webm/matroska (functions/mkv.py writer): EBML header +
-        # Segment{Info, Tracks, opaque Cluster} — metadata parses,
-        # frame demux still refuses by codec name
+        # REAL webm/matroska (functions/mkv.py writer).  webm: a
+        # structurally-valid Cluster of SimpleBlocks whose payloads
+        # are an opaque VP9-ish bitstream — the BLOCK layer demuxes
+        # (n_frames real), pixel decode is the codec seam.  matroska:
+        # a garbage cluster — metadata still parses, block count
+        # unknowable (the try/except-None inventory path).
         from ..functions.mkv import encode_mkv
 
         webm = j % 2 == 0
+        if webm:
+            frames = [
+                (33 * k, k == 0,
+                 rng.integers(0, 256, 96).astype(np.uint8).tobytes())
+                for k in range(2 + j % 4)
+            ]
+            cluster, frames_arg = b"", frames
+        else:
+            cluster = rng.integers(0, 256, 128).astype(
+                np.uint8).tobytes()
+            frames_arg = None
         data = encode_mkv(
             doctype="webm" if webm else "matroska",
             codec="V_VP9" if webm else "V_MPEG4/ISO/AVC",
             width=320 + 64 * (j % 4), height=180 + 36 * (j % 4),
             duration_s=1.5 + (j % 5) * 2.25,
-            cluster=rng.integers(0, 256, 128).astype(np.uint8).tobytes(),
+            cluster=cluster, frames=frames_arg,
         )
         return vsniff_ref(j), data, "webm" if webm else "matroska"
     return vsniff_ref(j), b"\x00" + rng.integers(1, 255, 63).astype(

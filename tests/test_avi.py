@@ -152,10 +152,16 @@ def test_video_stage_over_synthetic_corpus(spark):
             # the same full chain as the avi class, other container
             assert all(r.error is None for r in rows), (ref, rows)
             assert all(r.frame_idx % 2 == 0 for r in rows)
+        elif kind == "mkv_mjpeg":
+            # EBML SimpleBlock demux + JPEG decode: the third
+            # container through the full real chain
+            assert all(r.error is None for r in rows), (ref, rows)
+            assert all(r.frame_idx % 2 == 0 for r in rows)
         elif kind == "webm":
-            # EBML is refused loudly by name: one per-clip error row
+            # EBML magic with a garbage body: the block walk refuses
+            # structurally — one per-clip error row
             assert len(rows) == 1 and rows[0].frame_idx is None
-            assert "EBML" in rows[0].error
+            assert rows[0].error.startswith("mkv:")
 
 
 def test_avi_idx1_offsets_point_at_frame_ckids():

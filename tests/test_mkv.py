@@ -88,3 +88,92 @@ def test_truncation_fuzz(cut):
         mkv_metadata(blob[: min(cut, len(blob) - 1)])
     except ValueError:
         pass
+
+
+# --- block layer (SimpleBlock / BlockGroup demux) ---------------------------
+
+def _blocks_api():
+    from mcp_ocr_server_spark.functions.mkv import (
+        encode_simpleblock, first_video_track, parse_mkv_blocks,
+        parse_mkv_frames)
+    return (encode_simpleblock, first_video_track, parse_mkv_blocks,
+            parse_mkv_frames)
+
+
+def test_simpleblock_roundtrip_timestamps_and_keyframes():
+    _, fvt, blocks_of, frames_of = _blocks_api()
+    frames = [(40 * k, k == 0, b"payload-%d" % k) for k in range(4)]
+    data = encode_mkv(frames=frames, timestamp_scale=1_000_000)
+    assert fvt(data) == 1
+    blocks = blocks_of(data)
+    assert [b["track"] for b in blocks] == [1] * 4
+    assert [round(b["time_s"], 3) for b in blocks] == [
+        0.0, 0.04, 0.08, 0.12]
+    assert [b["keyframe"] for b in blocks] == [True, False, False,
+                                               False]
+    assert frames_of(data) == [b"payload-%d" % k for k in range(4)]
+
+
+def test_blockgroup_keyframe_iff_no_referenceblock():
+    from mcp_ocr_server_spark.functions.mkv import (
+        _el, _enc_size)
+    import struct as _s
+    _, _, blocks_of, _ = _blocks_api()
+
+    def group(payload, with_ref):
+        body = _el(0xA1, _enc_size(1) + _s.pack(">h", 0) + b"\x00"
+                   + payload)
+        if with_ref:
+            body += _el(0xFB, b"\x7f")
+        return _el(0xA0, body)
+
+    cluster = (_el(0xE7, b"\x00") + group(b"key", False)
+               + group(b"delta", True))
+    data = encode_mkv(cluster=cluster)
+    blocks = blocks_of(data)
+    assert [(b["payload"], b["keyframe"]) for b in blocks] == [
+        (b"key", True), (b"delta", False)]
+
+
+def test_laced_blocks_refuse_by_name():
+    from mcp_ocr_server_spark.functions.mkv import (
+        _el, encode_simpleblock)
+    _, _, blocks_of, _ = _blocks_api()
+    sb = encode_simpleblock(1, 0, b"x" * 8, lacing_flags=0x02)
+    data = encode_mkv(cluster=_el(0xE7, b"\x00") + sb)
+    with pytest.raises(ValueError, match="laced"):
+        blocks_of(data)
+
+
+def test_garbage_cluster_refuses_structurally():
+    _, _, blocks_of, _ = _blocks_api()
+    data = encode_mkv(cluster=b"\x00" * 40)
+    with pytest.raises(ValueError):
+        blocks_of(data)
+
+
+def test_frames_of_audio_only_file_refuses():
+    _, _, _, frames_of = _blocks_api()
+    data = encode_mkv(codec="", audio=("A_OPUS", 48000.0, 2))
+    with pytest.raises(ValueError, match="no video track"):
+        frames_of(data)
+
+
+def test_mkv_mjpeg_full_chain_via_video_features():
+    """Matroska V_MJPEG: EBML demux + JPEG decode + analyzer — the
+    third container through the complete real chain."""
+    from mcp_ocr_server_spark.functions.multimodal import (
+        _decode_video_frames)
+    from mcp_ocr_server_spark.imaging.codecs import decode_image
+    from mcp_ocr_server_spark.imaging.jpeg import encode_jpeg
+    imgs = [np.full((8, 12), 60 * k + 20, np.uint8) for k in range(3)]
+    data = encode_mkv(
+        doctype="matroska", codec="V_MJPEG", width=12, height=8,
+        frames=[(33 * k, k == 0, encode_jpeg(im, quality=95))
+                for k, im in enumerate(imgs)],
+    )
+    out = _decode_video_frames(data, every_n=1)
+    assert len(out) == 3
+    for (idx, payload), src in zip(out, imgs):
+        dec = decode_image(payload)
+        assert abs(float(dec.mean()) - float(src.mean())) < 6
