@@ -193,7 +193,8 @@ def main() -> None:
         "source_quota",
         "events_json", "event_quantiles", "event_cardinality",
         "event_funnel", "user_retention",
-        "vocab_topk", "vocab_topk_per_lang", "pmi_pairs", "tfidf_topk",
+        "vocab_topk", "vocab_topk_per_lang", "pmi_pairs",
+        "bpe_pairs", "bpe_merges", "tfidf_topk",
         "corpus_split",
         "corpus_diff", "merge_upsert", "corpus_profile",
         "decontaminate", "decontaminate_bloom", "curation_funnel",
