@@ -33,6 +33,11 @@ deterministic no-external-font engine can draw faithfully:
   - image XObjects: any count per page, each painted into its CTM
     unit-square rectangle with nearest-neighbor resampling via the
     SAME _decode_image_xobject the scanned path uses.
+  - form XObjects (§8.10): recursive content-stream execution with
+    /Matrix × CTM, /BBox clipping, own-/Resources-else-caller's
+    lookup, and the implicit per-Do save/restore; nesting is
+    depth-capped so a self-referencing form refuses instead of
+    recursing.
   - text: the full positioning set the layout interpreter tracks
     (BT/ET, Tf, Tc/Tw, TL, Td/TD/Tm/T*, Tj/'/"/TJ with per-element
     kerning), rendered with the in-repo 5x7 atlas (imaging/font.py).
@@ -682,6 +687,64 @@ def _page_rotate(
     return 0
 
 
+_MAX_FORM_DEPTH = 8  # recursion cap for nested form XObjects
+
+
+def _exec_form(
+    objs: dict[int, _Obj],
+    canvas: "_Canvas",
+    obj: _Obj,
+    ctm: "_Mat",
+    page_xobjects: dict[bytes, int],
+    depth: int,
+    fill_gray: int,
+    stroke_gray: int,
+    line_width: float,
+    dash: tuple[list[float], float] | None,
+) -> None:
+    """Execute a /Subtype /Form XObject (§8.10): apply its /Matrix to
+    the CTM, clip to its /BBox, run its content stream with its own
+    /Resources (falling back to the caller's), restore the clip —
+    the implicit save/restore the spec prescribes for Do."""
+    from .pdf import _resources_xobjects as _rx
+    from .pdf import _stream_of
+
+    if depth >= _MAX_FORM_DEPTH:
+        raise ValueError("form XObject nesting too deep")
+    payload = _stream_of(obj)
+    if payload is None:
+        raise ValueError("form XObject without a content stream")
+    mm = re.search(rb"/Matrix\s*\[(.*?)\]", obj.body, re.S)
+    if mm is not None:
+        fnums = [float(t) for t in _NUM_RE.findall(mm.group(1))]
+        if len(fnums) != 6:
+            raise ValueError("form XObject: malformed /Matrix")
+        form_ctm = _Mat.from6(fnums, "form /Matrix").mul(ctm)
+    else:
+        form_ctm = ctm.copy()
+    saved_clip = canvas.clip
+    bm = re.search(rb"/BBox\s*\[(.*?)\]", obj.body, re.S)
+    if bm is not None:
+        bb = [float(t) for t in _NUM_RE.findall(bm.group(1))]
+        if len(bb) == 4:
+            p0 = form_ctm.apply(bb[0], bb[1])
+            p1 = form_ctm.apply(bb[2], bb[3])
+            h, w = canvas.img.shape
+            c0, c1 = sorted((canvas.col(p0[0]), canvas.col(p1[0])))
+            r0, r1 = sorted((canvas.row(p0[1]), canvas.row(p1[1])))
+            mask = np.zeros((h, w), dtype=bool)
+            mask[max(r0, 0): min(r1, h), max(c0, 0): min(c1, w)] = True
+            canvas.clip = (
+                mask if canvas.clip is None else canvas.clip & mask
+            )
+    sub = dict(_rx(obj.body, objs)) or page_xobjects
+    try:
+        _exec_content(objs, canvas, payload, form_ctm, sub, depth + 1,
+                      fill_gray, stroke_gray, line_width, dash)
+    finally:
+        canvas.clip = saved_clip
+
+
 def _render_page(
     objs: dict[int, _Obj],
     body: bytes,
@@ -695,19 +758,39 @@ def _render_page(
     if _page_rotate(objs, body) % 360 != 0:
         raise ValueError("page /Rotate rendering unsupported")
     canvas = _Canvas(_media_box(objs, body), px_per_pt)
-    xobjects = dict(_resources_xobjects(body, objs))
+    _exec_content(
+        objs, canvas, content, _Mat(1.0, 1.0, 0.0, 0.0),
+        dict(_resources_xobjects(body, objs)), 0,
+    )
+    return canvas.img
+
+
+def _exec_content(
+    objs: dict[int, _Obj],
+    canvas: _Canvas,
+    content: bytes,
+    base_ctm: _Mat,
+    xobjects: dict[bytes, int],
+    depth: int,
+    fill_gray: int = 0,
+    stroke_gray: int = 0,
+    line_width: float = 1.0,
+    dash: tuple[list[float], float] | None = None,
+) -> None:
+    """Execute one content stream onto a shared canvas — the page's
+    top-level stream at depth 0, and form XObjects recursively (each
+    form runs with the CTM = form /Matrix × caller CTM, clipped to
+    its /BBox, inheriting the caller's color/width/dash state; its
+    state changes die with the call, which is exactly the implicit
+    save/restore §8.10.1 prescribes for Do)."""
     content, inline_imgs = _extract_inline_images(content)
 
-    ctm = _Mat(1.0, 1.0, 0.0, 0.0)
+    ctm = base_ctm.copy()
     # q/Q saves the FULL graphics state, which per ISO 32000-1 §8.4.2
     # includes the text state (size, spacing, leading, render mode) —
     # restoring only (ctm, fill) would leak e.g. a Tr 3 invisible mode
     # past Q and silently blank later text (review finding)
     gstack: list[tuple] = []
-    fill_gray = 0
-    stroke_gray = 0
-    line_width = 1.0
-    dash: tuple[list[float], float] | None = None  # (pattern, phase)
     # text state
     in_text = False
     tlm = _Mat(1.0, 1.0, 0.0, 0.0)
@@ -946,14 +1029,18 @@ def _render_page(
                 raise ValueError(
                     "Do names an XObject missing from /Resources"
                 )
-            if not re.search(rb"/Subtype\s*/Image\b", obj.body):
+            if re.search(rb"/Subtype\s*/Form\b", obj.body):
+                _exec_form(objs, canvas, obj, ctm, xobjects, depth,
+                           fill_gray, stroke_gray, line_width, dash)
+            elif re.search(rb"/Subtype\s*/Image\b", obj.body):
+                img = _decode_image_xobject(obj)
+                p0 = ctm.apply(0.0, 0.0)
+                p1 = ctm.apply(1.0, 1.0)
+                canvas.paint_image(img, p0[0], p0[1], p1[0], p1[1])
+            else:
                 raise ValueError(
-                    "form XObject rendering unsupported"
+                    "Do names an XObject of unsupported /Subtype"
                 )
-            img = _decode_image_xobject(obj)
-            p0 = ctm.apply(0.0, 0.0)
-            p1 = ctm.apply(1.0, 1.0)
-            canvas.paint_image(img, p0[0], p0[1], p1[0], p1[1])
         elif op == b"BT":
             in_text = True
             tlm = _Mat(1.0, 1.0, 0.0, 0.0)
@@ -1011,11 +1098,10 @@ def _render_page(
                         tm = _Mat(tm.a, tm.d,
                                   tm.e - el / 1000.0 * size * tm.a,
                                   tm.f)
-        # every other operator is non-painting state (line width/caps,
-        # marked content, stroke color) — harmless under the refusal
-        # set above, intentionally ignored
+        # every other operator is non-painting state (caps/joins,
+        # marked content) — harmless under the refusal set above,
+        # intentionally ignored
         stack.clear()
-    return canvas.img
 
 
 def render_pdf_pages(

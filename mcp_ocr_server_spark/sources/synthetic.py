@@ -2652,6 +2652,24 @@ def make_composite_pdf_bytes(
                     % (_fnum(gray), _fnum(x), _fnum(y),
                        _fnum(w), _fnum(h))
                 )
+            elif tag == "form":
+                # ("form", inner_content, matrix6_or_None,
+                #  bbox4_or_None): a /Subtype /Form XObject invoked
+                # with a bare Do — the logo/header reuse shape
+                _t, inner, matrix, bbox = el
+                head = b"<< /Type /XObject /Subtype /Form"
+                if matrix is not None:
+                    head += (b" /Matrix [" + b" ".join(
+                        _fnum(v) for v in matrix) + b"]")
+                if bbox is not None:
+                    head += (b" /BBox [" + b" ".join(
+                        _fnum(v) for v in bbox) + b"]")
+                head += (b" /Length " + str(len(inner)).encode()
+                         + b" >>\nstream\n" + inner + b"\nendstream")
+                objs.append(head)
+                name = f"/Im{len(img_entries)}".encode()
+                img_entries.append((name, len(objs)))
+                content += b"%s Do\n" % name
             elif tag == "raw":
                 content += el[1] + b"\n"
             else:  # pragma: no cover - writer misuse
@@ -2712,7 +2730,9 @@ def comp_pdf_item(cfg: CorpusConfig, j: int) -> tuple[str, bytes, str, str]:
     rect_bg (text on a filled gray panel), vector (stroked rule +
     filled triangle + Bézier blob decorating a text line), clipped
     (oversized light fill W-clipped to the band behind the text),
-    rotated (refusal: rotated Tm), garbage (refusal: not a PDF)."""
+    form (a reusable form-XObject banner placed twice through
+    different /Matrix values under the text), rotated (refusal:
+    rotated Tm), garbage (refusal: not a PDF)."""
     rng = _rng(cfg.seed, _S_COMPPDF, j)
     line_a = _words(rng, _FONT_WORDS, int(rng.integers(2, 4)))
     line_b = _words(rng, _FONT_WORDS, int(rng.integers(2, 4)))
@@ -2738,6 +2758,19 @@ def comp_pdf_item(cfg: CorpusConfig, j: int) -> tuple[str, bytes, str, str]:
             ("text", line_a, 72, 400, 20),
         ]])
         return comp_pdf_ref(j), data, "vector", line_a
+    if j % 11 == 5:
+        # form XObject letterhead: a reusable light-gray banner
+        # painted TWICE through different /Matrix placements (the
+        # logo-reuse shape) under the text — drives §8.10 end to end
+        inner = b"0.95 g 0 0 120 8 re f"
+        data = make_composite_pdf_bytes([[
+            ("form", inner, (1.0, 0, 0, 1.0, 60, 540),
+             (0.0, 0.0, 120.0, 8.0)),
+            ("form", inner, (2.0, 0, 0, 1.0, 300, 540),
+             (0.0, 0.0, 120.0, 8.0)),
+            ("text", line_a, 72, 500, 20),
+        ]])
+        return comp_pdf_ref(j), data, "form", line_a
     if j % 7 == 3:
         # clipped panel: an oversized light fill clipped (W n) to the
         # band behind the text — the rect_bg shape via the clip engine

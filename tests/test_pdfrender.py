@@ -334,6 +334,62 @@ def test_inline_image_dct_via_in_repo_codec():
     assert abs(int(reg.mean()) - 32) < 6  # lossy but close
 
 
+# --- form XObjects (§8.10) --------------------------------------------------
+
+def test_form_xobject_matrix_placement_and_reuse():
+    """One form painted twice through different /Matrix values — the
+    logo-reuse shape: unit content lands scaled+translated exactly."""
+    inner = b"0 g 0 0 10 10 re f"
+    data = page([
+        ("form", inner, (1, 0, 0, 1, 100, 100), (0, 0, 10, 10)),
+        ("form", inner, (2, 0, 0, 2, 300, 100), (0, 0, 10, 10)),
+    ])
+    (out,) = render_pdf_pages(data)
+    ink = out < 255
+    assert int(ink[792 - 110:792 - 100, 100:110].sum()) == 100
+    assert int(ink[792 - 120:792 - 100, 300:320].sum()) == 400
+    assert int(ink.sum()) == 500
+
+
+def test_form_bbox_clips_overdraw():
+    data = page([
+        ("form", b"0 g 0 0 50 50 re f", (1, 0, 0, 1, 100, 100),
+         (0, 0, 10, 10)),
+    ])
+    (out,) = render_pdf_pages(data)
+    assert int((out < 255).sum()) == 100
+
+
+def test_form_state_changes_do_not_leak():
+    """§8.10.1 implicit save/restore: a fill color set inside the
+    form must not affect the caller's later paint."""
+    data = page([
+        ("form", b"0.5 g", None, None),
+        ("rect", 0, 0, 5, 5, 0.0),
+    ])
+    (out,) = render_pdf_pages(data)
+    assert out[791, 0] == 0  # black, not the form's 0.5 gray
+
+
+def test_form_nesting_depth_bomb_refuses():
+    """A form whose content invokes /Im0 with no own /Resources falls
+    back to the page's XObject dict — i.e. itself; the depth cap must
+    refuse instead of recursing forever."""
+    data = page([("form", b"/Im0 Do", None, (0, 0, 10, 10))])
+    with pytest.raises(ValueError, match="nesting too deep"):
+        render_pdf_pages(data)
+
+
+def test_form_text_recovers_through_ocr():
+    inner = b"BT /F1 20 Tf 0 0 Td (FORM TEXT) Tj ET"
+    data = page([
+        ("form", inner, (1, 0, 0, 1, 72, 400), (0, -10, 300, 30)),
+    ])
+    rows = render_pdf_rows("m", data, FIXTURE_JOB)
+    assert rows[0]["error"] is None
+    assert "FORM TEXT" in rows[0]["text"]
+
+
 def test_bi_inside_text_string_is_not_an_image():
     (out,) = render_pdf_pages(
         page([("text", "BI ID EI", 72, 400, 20)])
@@ -435,8 +491,8 @@ def test_corpus_truth_recovery_all_classes():
             assert got == truth, (j, kind)
             assert all(r["confidence"] > 50 for r in rows)
     assert seen == {"text_over_image", "two_images", "ocr_layer",
-                    "rect_bg", "vector", "clipped", "rotated",
-                    "garbage"}
+                    "rect_bg", "vector", "clipped", "form",
+                    "rotated", "garbage"}
 
 
 def test_determinism():
