@@ -26,10 +26,14 @@ deterministic no-external-font engine can draw faithfully:
     corner stays a gap), and inline images (BI/ID/EI §8.9.7 —
     unfiltered / /Fl / /AHx / /DCT via the in-repo JPEG codec, 8-bit
     G/RGB and 1-bit G; data length is computed exactly per filter,
-    never by searching image bytes for 'EI').  Rect-only f fills keep
-    the original exact integer-rect semantics, so pre-existing
-    goldens are bit-stable.  Shading, ImageMask stencils, CCITT/LZW
-    inline filters, and non-device colorspaces refuse by name.
+    never by searching image bytes for 'EI'), and axial shading
+    (sh /ShadingType 2 under a /FunctionType 2 exponential ramp —
+    one vectorized device-space projection over the clip region;
+    radial/mesh shadings and sampled/stitching functions refuse by
+    name).  Rect-only f fills keep the original exact integer-rect
+    semantics, so pre-existing goldens are bit-stable.  ImageMask
+    stencils, CCITT/LZW inline filters, and non-device colorspaces
+    refuse by name.
   - image XObjects: any count per page, each painted into its CTM
     unit-square rectangle with nearest-neighbor resampling via the
     SAME _decode_image_xobject the scanned path uses.
@@ -75,6 +79,7 @@ from .pdf import (
     _decode_image_xobject,
     _page_content,
     _page_order,
+    _resources_entries,
     _resources_xobjects,
     _string_bytes,
     _tokens,
@@ -92,7 +97,6 @@ _NUM_RE = re.compile(rb"[-+]?[0-9]*\.?[0-9]+")
 # operators that PAINT (or alter paint state) in ways this renderer
 # cannot reproduce faithfully — each refuses by name, never silently
 _REFUSED_OPS = {
-    b"sh": "shading patterns",
     b"gs": "ExtGState (transparency/soft masks)",
     b"Tz": "horizontal text scaling",
     b"Ts": "text rise",
@@ -690,6 +694,93 @@ def _page_rotate(
 _MAX_FORM_DEPTH = 8  # recursion cap for nested form XObjects
 
 
+def _shading_gray(body: bytes, key: bytes, default: float) -> float:
+    """BT.601 gray (0-1) of a /C0 or /C1 function color array."""
+    m = re.search(rb"/" + key + rb"\s*\[(.*?)\]", body, re.S)
+    if m is None:
+        return default
+    comps = [float(t) for t in _NUM_RE.findall(m.group(1))]
+    if len(comps) == 1:
+        return comps[0]
+    if len(comps) == 3:
+        return _luma(*comps) / 255.0
+    raise ValueError("shading: unsupported color component count")
+
+
+def _paint_axial_shading(
+    canvas: "_Canvas", sh_body: bytes, objs: dict[int, _Obj],
+    ctm: "_Mat",
+) -> None:
+    """`sh` with /ShadingType 2 (axial, §8.7.4.5.3) under a Type 2
+    exponential-interpolation function: paints the current clip
+    region with gray(t) = C0 + t^N (C1 - C0), t = the pixel's
+    projection onto the axis (affine maps keep the parameterization
+    linear, so t is computed directly in device space — one
+    vectorized numpy expression, no per-pixel Python).  /Extend
+    controls whether t clamps beyond the endpoints or leaves pixels
+    untouched.  Radial/mesh types and sampled/stitching functions
+    refuse by name."""
+    tm = re.search(rb"/ShadingType\s+(\d+)", sh_body)
+    if tm is None or int(tm.group(1)) != 2:
+        raise ValueError(
+            "shading: only /ShadingType 2 (axial) is supported"
+        )
+    cm = re.search(rb"/Coords\s*\[(.*?)\]", sh_body, re.S)
+    if cm is None:
+        raise ValueError("shading: missing /Coords")
+    coords = [float(t) for t in _NUM_RE.findall(cm.group(1))]
+    if len(coords) != 4:
+        raise ValueError("shading: axial /Coords needs 4 numbers")
+    # the function may be inline or an indirect reference
+    fbody = sh_body
+    fm = re.search(rb"/Function\s+(\d+)\s+\d+\s+R", sh_body)
+    if fm is not None:
+        fobj = objs.get(int(fm.group(1)))
+        if fobj is None:
+            raise ValueError("shading: dangling /Function reference")
+        fbody = fobj.body
+    ftm = re.search(rb"/FunctionType\s+(\d+)", fbody)
+    if ftm is None or int(ftm.group(1)) != 2:
+        raise ValueError(
+            "shading: only /FunctionType 2 (exponential) is supported"
+        )
+    nm = re.search(rb"/N\s+([-\d.]+)", fbody)
+    n_exp = float(nm.group(1)) if nm else 1.0
+    c0 = _shading_gray(fbody, b"C0", 0.0)
+    c1 = _shading_gray(fbody, b"C1", 1.0)
+    em = re.search(rb"/Extend\s*\[\s*(\w+)\s+(\w+)\s*\]", sh_body)
+    ext0 = em is not None and em.group(1) == b"true"
+    ext1 = em is not None and em.group(2) == b"true"
+    # device-space axis endpoints (pixel coordinates)
+    u0 = ctm.apply(coords[0], coords[1])
+    u1 = ctm.apply(coords[2], coords[3])
+    d0 = ((u0[0] - canvas.x0) * canvas.px,
+          (canvas.y1 - u0[1]) * canvas.px)
+    d1 = ((u1[0] - canvas.x0) * canvas.px,
+          (canvas.y1 - u1[1]) * canvas.px)
+    ax, ay = d1[0] - d0[0], d1[1] - d0[1]
+    denom = ax * ax + ay * ay
+    if denom == 0.0:
+        raise ValueError("shading: degenerate axis")
+    h, w = canvas.img.shape
+    ys = np.arange(h, dtype=np.float64)[:, None] + 0.5
+    xs = np.arange(w, dtype=np.float64)[None, :] + 0.5
+    t = ((xs - d0[0]) * ax + (ys - d0[1]) * ay) / denom
+    paint = np.ones((h, w), dtype=bool)
+    if not ext0:
+        paint &= t >= 0.0
+    if not ext1:
+        paint &= t <= 1.0
+    if canvas.clip is not None:
+        paint &= canvas.clip
+    tc = np.clip(t, 0.0, 1.0)
+    gray = np.clip(
+        np.rint((c0 + np.power(tc, n_exp) * (c1 - c0)) * 255.0),
+        0, 255,
+    ).astype(np.uint8)
+    canvas.img[paint] = gray[paint]
+
+
 def _exec_form(
     objs: dict[int, _Obj],
     canvas: "_Canvas",
@@ -701,6 +792,7 @@ def _exec_form(
     stroke_gray: int,
     line_width: float,
     dash: tuple[list[float], float] | None,
+    caller_shadings: dict[bytes, int],
 ) -> None:
     """Execute a /Subtype /Form XObject (§8.10): apply its /Matrix to
     the CTM, clip to its /BBox, run its content stream with its own
@@ -738,9 +830,13 @@ def _exec_form(
                 mask if canvas.clip is None else canvas.clip & mask
             )
     sub = dict(_rx(obj.body, objs)) or page_xobjects
+    sub_sh = dict(
+        _resources_entries(obj.body, objs, b"Shading")
+    ) or caller_shadings
     try:
         _exec_content(objs, canvas, payload, form_ctm, sub, depth + 1,
-                      fill_gray, stroke_gray, line_width, dash)
+                      fill_gray, stroke_gray, line_width, dash,
+                      shadings=sub_sh)
     finally:
         canvas.clip = saved_clip
 
@@ -761,6 +857,7 @@ def _render_page(
     _exec_content(
         objs, canvas, content, _Mat(1.0, 1.0, 0.0, 0.0),
         dict(_resources_xobjects(body, objs)), 0,
+        shadings=dict(_resources_entries(body, objs, b"Shading")),
     )
     return canvas.img
 
@@ -776,6 +873,7 @@ def _exec_content(
     stroke_gray: int = 0,
     line_width: float = 1.0,
     dash: tuple[list[float], float] | None = None,
+    shadings: dict[bytes, int] | None = None,
 ) -> None:
     """Execute one content stream onto a shared canvas — the page's
     top-level stream at depth 0, and form XObjects recursively (each
@@ -1009,6 +1107,16 @@ def _exec_content(
             end_path()
         elif op == b"n":
             end_path()
+        elif op == b"sh":
+            if not stack or not isinstance(stack[-1], bytes):
+                raise ValueError("sh without a shading name")
+            num = (shadings or {}).get(stack[-1])
+            sh_obj = objs.get(num) if num is not None else None
+            if sh_obj is None:
+                raise ValueError(
+                    "sh names a shading missing from /Resources"
+                )
+            _paint_axial_shading(canvas, sh_obj.body, objs, ctm)
         elif op == b"IIDo":
             # private op emitted by _extract_inline_images — paints a
             # pre-decoded inline image like an image XObject
@@ -1031,7 +1139,8 @@ def _exec_content(
                 )
             if re.search(rb"/Subtype\s*/Form\b", obj.body):
                 _exec_form(objs, canvas, obj, ctm, xobjects, depth,
-                           fill_gray, stroke_gray, line_width, dash)
+                           fill_gray, stroke_gray, line_width, dash,
+                           shadings or {})
             elif re.search(rb"/Subtype\s*/Image\b", obj.body):
                 img = _decode_image_xobject(obj)
                 p0 = ctm.apply(0.0, 0.0)

@@ -2617,6 +2617,7 @@ def make_composite_pdf_bytes(
     for elements in pages:
         content = bytearray()
         img_entries: list[tuple[bytes, int]] = []
+        sh_entries: list[tuple[bytes, int]] = []
         for el in elements:
             tag = el[0]
             if tag == "image":
@@ -2670,6 +2671,24 @@ def make_composite_pdf_bytes(
                 name = f"/Im{len(img_entries)}".encode()
                 img_entries.append((name, len(objs)))
                 content += b"%s Do\n" % name
+            elif tag == "axial":
+                # ("axial", x0, y0, x1, y1, g0, g1, extend): a
+                # /ShadingType 2 gradient painted with sh over the
+                # current clip
+                _t, x0, y0, x1, y1, g0, g1, ext = el
+                ext_s = b"true true" if ext else b"false false"
+                objs.append(
+                    b"<< /ShadingType 2 /ColorSpace /DeviceGray"
+                    b" /Coords [" + b" ".join(
+                        _fnum(v) for v in (x0, y0, x1, y1))
+                    + b"] /Extend [" + ext_s + b"]"
+                    b" /Function << /FunctionType 2 /Domain [0 1]"
+                    b" /C0 [" + _fnum(g0) + b"] /C1 [" + _fnum(g1)
+                    + b"] /N 1 >> >>"
+                )
+                name = b"/Sh%d" % len(sh_entries)
+                sh_entries.append((name, len(objs)))
+                content += b"%s sh\n" % name
             elif tag == "raw":
                 content += el[1] + b"\n"
             else:  # pragma: no cover - writer misuse
@@ -2682,10 +2701,17 @@ def make_composite_pdf_bytes(
         xdict = b" ".join(
             b"%s %d 0 R" % (nm, num) for nm, num in img_entries
         )
+        shdict = b" ".join(
+            b"%s %d 0 R" % (nm, num) for nm, num in sh_entries
+        )
+        res = b" /Resources << /XObject << " + xdict + b" >>"
+        if sh_entries:
+            res += b" /Shading << " + shdict + b" >>"
+        res += b" >>"
         objs.append(
             b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792]"
-            b" /Resources << /XObject << " + xdict + b" >> >>"
-            b" /Contents " + str(cnum).encode() + b" 0 R >>"
+            + res
+            + b" /Contents " + str(cnum).encode() + b" 0 R >>"
         )
         kids.append(len(objs))
     objs[0] = b"<< /Type /Catalog /Pages 2 0 R >>"

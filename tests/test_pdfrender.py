@@ -618,3 +618,43 @@ def test_q_restores_text_state():
     base = render_pdf_pages(
         page([("raw", b"BT /F1 20 Tf 72 400 Td (AB) Tj ET")]))[0]
     assert np.array_equal(outw, base)  # Tc did not leak
+
+
+# --- axial shading (sh, /ShadingType 2) -------------------------------------
+
+def test_axial_shading_exact_ramp_in_clip():
+    """A 256-pt axis under a clip band: every pixel's gray equals the
+    rounded linear ramp exactly; pixels outside the clip stay
+    white."""
+    data = page([
+        ("raw", b"q 100 100 256 10 re W n"),
+        ("axial", 100, 0, 356, 0, 0.0, 1.0, True),
+        ("raw", b"Q"),
+    ])
+    (out,) = render_pdf_pages(data)
+    band = out[792 - 110:792 - 100, 100:356]
+    exp = np.clip(np.rint(
+        (np.arange(100, 356) + 0.5 - 100) / 256 * 255), 0, 255)
+    assert (band == exp[None, :]).all()
+    assert out[0, 0] == 255
+
+
+def test_axial_shading_extend_false_leaves_outside_untouched():
+    data = page([
+        ("raw", b"q 100 100 300 10 re W n"),
+        ("axial", 150, 0, 250, 0, 0.0, 1.0, False),
+        ("raw", b"Q"),
+    ])
+    (out,) = render_pdf_pages(data)
+    row = out[792 - 105]
+    assert row[120] == 255          # before the axis start: untouched
+    assert row[380] == 255          # after the end: untouched
+    assert row[160] < row[240]      # ramp inside
+
+
+def test_radial_shading_refuses_by_name():
+    raw = b"/Sh0 sh"
+    data = page([("axial", 0, 0, 10, 0, 0.0, 1.0, False)])
+    data = data.replace(b"/ShadingType 2", b"/ShadingType 3")
+    with pytest.raises(ValueError, match="ShadingType 2"):
+        render_pdf_pages(data)
