@@ -256,6 +256,8 @@ def _parse(data: bytes):
             continue
         if block != 0x2C:
             raise ValueError(f"gif: unknown block 0x{block:02x}")
+        if pos + 9 > len(data):
+            raise ValueError("gif: truncated image descriptor")
         left, top, w, h, ip = struct.unpack_from("<HHHHB", data, pos)
         pos += 9
         if w == 0 or h == 0 or left + w > sw or top + h > sh:
