@@ -64,7 +64,7 @@ def test_audio_video_keyframe_plumbing(spark):
     assert set(per_ref) == set(kinds)
     for ref, rows in per_ref.items():
         if kinds[ref] in ("avi", "mp4", "mp4_mjpeg", "avi_opaque",
-                          "avi_mjpeg"):
+                          "avi_mjpeg", "mkv_mjpeg"):
             assert all(r.error is None and r.frame_sha for r in rows)
         else:
             assert len(rows) == 1 and rows[0].error
