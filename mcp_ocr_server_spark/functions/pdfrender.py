@@ -30,10 +30,15 @@ deterministic no-external-font engine can draw faithfully:
     (sh /ShadingType 2 under a /FunctionType 2 exponential ramp —
     one vectorized device-space projection over the clip region;
     radial/mesh shadings and sampled/stitching functions refuse by
-    name).  Rect-only f fills keep the original exact integer-rect
-    semantics, so pre-existing goldens are bit-stable.  ImageMask
-    stencils, CCITT/LZW inline filters, and non-device colorspaces
-    refuse by name.
+    name), ImageMask stencils (§8.9.6.2 — 1-bit masks painting the
+    CURRENT FILL COLOR through their clear bits, /Decode [1 0]
+    inversion honored, both as XObjects and inline), and the BENIGN
+    /ExtGState subset (gs applying /LW and /D; /SMask /None, /BM
+    /Normal and opacity 1 accepted as no-ops).  Rect-only f fills
+    keep the original exact integer-rect semantics, so pre-existing
+    goldens are bit-stable.  Soft masks, non-Normal blend modes,
+    transparency below 1, transfer functions/halftones, CCITT/LZW
+    inline filters, and non-device colorspaces refuse by name.
   - image XObjects: any count per page, each painted into its CTM
     unit-square rectangle with nearest-neighbor resampling via the
     SAME _decode_image_xobject the scanned path uses.
@@ -97,7 +102,6 @@ _NUM_RE = re.compile(rb"[-+]?[0-9]*\.?[0-9]+")
 # operators that PAINT (or alter paint state) in ways this renderer
 # cannot reproduce faithfully — each refuses by name, never silently
 _REFUSED_OPS = {
-    b"gs": "ExtGState (transparency/soft masks)",
     b"Tz": "horizontal text scaling",
     b"Ts": "text rise",
     b"sc": "non-device colorspaces",
@@ -208,26 +212,35 @@ def _parse_inline_image(
     bpc = _int_param(b"BPC", b"BitsPerComponent") or 8
     cs = params.get(b"CS", params.get(b"ColorSpace", b"/G"))
     filt = params.get(b"F", params.get(b"Filter"))
-    if params.get(b"IM") == b"true" or params.get(b"ImageMask") == b"true":
-        raise ValueError("inline image: /ImageMask stencils unsupported")
+    is_mask = (params.get(b"IM") == b"true"
+               or params.get(b"ImageMask") == b"true")
     if w is None or h is None or w <= 0 or h <= 0 or w * h > 2 ** 24:
         raise ValueError("inline image: missing or absurd /W //H")
-    cs_name = cs if isinstance(cs, bytes) else b"/G"
-    if cs_name in (b"/G", b"/DeviceGray"):
+    if is_mask:
+        # §8.9.6.2 stencil: 1-bit, paints the current fill color
+        # through its clear bits; /D [1 0] inverts
+        if bpc != 1:
+            raise ValueError("inline image mask: /BPC must be 1")
         channels = 1
-    elif cs_name in (b"/RGB", b"/DeviceRGB"):
-        channels = 3
     else:
-        raise ValueError(
-            "inline image: colorspace "
-            + cs_name.decode("latin-1") + " unsupported"
-        )
-    if bpc not in (1, 8) or (bpc == 1 and channels != 1):
-        raise ValueError(f"inline image: /BPC {bpc} unsupported")
+        cs_name = cs if isinstance(cs, bytes) else b"/G"
+        if cs_name in (b"/G", b"/DeviceGray"):
+            channels = 1
+        elif cs_name in (b"/RGB", b"/DeviceRGB"):
+            channels = 3
+        else:
+            raise ValueError(
+                "inline image: colorspace "
+                + cs_name.decode("latin-1") + " unsupported"
+            )
+        if bpc not in (1, 8) or (bpc == 1 and channels != 1):
+            raise ValueError(f"inline image: /BPC {bpc} unsupported")
     # exactly ONE whitespace byte after ID, then the data
     d0 = i + idm.end()
     if d0 < len(content) and content[d0] in _WS:
         d0 += 1
+    if is_mask and filt in (b"/DCT", b"/DCTDecode"):
+        raise ValueError("inline image mask: /DCT data unsupported")
     if filt in (b"/Fl", b"/FlateDecode"):
         z = zlib.decompressobj()
         try:
@@ -268,7 +281,7 @@ def _parse_inline_image(
         )
         if em is None:
             raise ValueError("inline image: missing EI")
-        return img.astype(np.uint8), em.end()
+        return (False, img.astype(np.uint8)), em.end()
     elif filt is None:
         row_bytes = (w * bpc * channels + 7) // 8
         need = row_bytes * h
@@ -288,6 +301,11 @@ def _parse_inline_image(
     row_bytes = (w * bpc * channels + 7) // 8
     if len(raw) < row_bytes * h:
         raise ValueError("inline image: data shorter than /W x /H")
+    if is_mask:
+        invert = re.search(
+            rb"/D(?:ecode)?\s*\[\s*1", dict_part
+        ) is not None
+        return (True, _unpack_stencil(raw, w, h, invert)), em.end()
     arr = np.frombuffer(raw[: row_bytes * h], dtype=np.uint8)
     if bpc == 1:
         bits = np.unpackbits(
@@ -298,7 +316,7 @@ def _parse_inline_image(
         img = arr.reshape(h, w)
     else:
         img = to_gray(arr.reshape(h, w, 3))
-    return img.astype(np.uint8), em.end()
+    return (False, img.astype(np.uint8)), em.end()
 
 
 class _Path:
@@ -639,6 +657,32 @@ class _Canvas:
             keep = self.clip[tr0:tr1, tc0:tc1]
             self.img[tr0:tr1, tc0:tc1] = np.where(keep, src, region)
 
+    def paint_stencil(
+        self, mask: np.ndarray, xa: float, ya: float, xb: float,
+        yb: float, gray: int,
+    ) -> None:
+        """ImageMask painting (§8.9.6.2): the mask resamples into the
+        device rectangle like an image, but only True cells paint —
+        and they paint the CURRENT FILL COLOR; False cells leave the
+        canvas untouched."""
+        c0, c1 = sorted((self.col(xa), self.col(xb)))
+        r0, r1 = sorted((self.row(ya), self.row(yb)))
+        h, w = self.img.shape
+        tc0, tc1 = max(c0, 0), min(c1, w)
+        tr0, tr1 = max(r0, 0), min(r1, h)
+        if tc1 <= tc0 or tr1 <= tr0 or c1 == c0 or r1 == r0:
+            return
+        sh, sw = mask.shape
+        rows = ((np.arange(tr0, tr1) - r0 + 0.5) * sh / (r1 - r0))
+        cols = ((np.arange(tc0, tc1) - c0 + 0.5) * sw / (c1 - c0))
+        ri = np.clip(rows.astype(np.int64), 0, sh - 1)
+        ci = np.clip(cols.astype(np.int64), 0, sw - 1)
+        ink = mask[np.ix_(ri, ci)]
+        if self.clip is not None:
+            ink = ink & self.clip[tr0:tr1, tc0:tc1]
+        region = self.img[tr0:tr1, tc0:tc1]
+        region[ink] = gray
+
     def draw_glyph(
         self, ch: str, x_pt: float, base_y_pt: float, k: int, gray: int
     ) -> None:
@@ -692,6 +736,95 @@ def _page_rotate(
 
 
 _MAX_FORM_DEPTH = 8  # recursion cap for nested form XObjects
+
+
+def _unpack_stencil(
+    raw: bytes, w: int, h: int, invert: bool
+) -> np.ndarray:
+    """1-bit rows (byte-padded, MSB first) -> bool paint mask.  Per
+    §8.9.6.2 the DEFAULT /Decode [0 1] paints through 0-bits; /Decode
+    [1 0] (invert=True) flips that."""
+    row_bytes = (w + 7) // 8
+    if len(raw) < row_bytes * h:
+        raise ValueError("image mask: truncated sample data")
+    arr = np.frombuffer(
+        raw[: row_bytes * h], dtype=np.uint8
+    ).reshape(h, row_bytes)
+    bits = np.unpackbits(arr, axis=1)[:, :w]
+    return (bits == 1) if invert else (bits == 0)
+
+
+def _decode_image_mask(obj: _Obj) -> np.ndarray:
+    """An /ImageMask true XObject -> bool paint mask (True = paint the
+    current fill color).  BPC must be 1; Flate or no filter; /Decode
+    [1 0] inversion honored (the only legal non-default)."""
+    import zlib
+
+    body = obj.body
+    wm = re.search(rb"/Width\s+(\d+)", body)
+    hm = re.search(rb"/Height\s+(\d+)", body)
+    if wm is None or hm is None:
+        raise ValueError("image mask: missing /Width //Height")
+    w, h = int(wm.group(1)), int(hm.group(1))
+    if w <= 0 or h <= 0 or w * h > _MAX_CANVAS_PX:
+        raise ValueError("image mask: dimensions out of range")
+    bm = re.search(rb"/BitsPerComponent\s+(\d+)", body)
+    if bm is not None and int(bm.group(1)) != 1:
+        raise ValueError("image mask: /BitsPerComponent must be 1")
+    invert = False
+    dm = re.search(rb"/Decode\s*\[\s*([\d.]+)\s+([\d.]+)\s*\]", body)
+    if dm is not None:
+        invert = float(dm.group(1)) == 1.0
+    filt = re.search(rb"/Filter\s*/(\w+)", body)
+    raw = obj.stream or b""
+    if filt is not None:
+        if filt.group(1) != b"FlateDecode":
+            raise ValueError(
+                "image mask: filter /"
+                + filt.group(1).decode("latin-1") + " unsupported"
+            )
+        try:
+            raw = zlib.decompress(raw)
+        except zlib.error as e:
+            raise ValueError(f"image mask: bad Flate data ({e})")
+    return _unpack_stencil(raw, w, h, invert)
+
+
+def _apply_extgstate(
+    body: bytes, line_width: float,
+    dash: tuple[list[float], float] | None,
+):
+    """Apply the BENIGN subset of an /ExtGState dict (§8.4.5): /LW and
+    /D, ignoring caps/joins/miter/rendering-intent/flatness (which
+    this renderer approximates anyway).  Anything that would change
+    composited PIXELS in ways the engine cannot draw — soft masks,
+    transparency constants below 1, non-Normal blend modes, transfer
+    functions and halftones — refuses by name, never silently."""
+    if re.search(rb"/SMask\s*(?!/None\b)[/\[<\d]", body):
+        raise ValueError("ExtGState: /SMask soft masks unsupported")
+    if re.search(rb"/BM\s*/(?!Normal\b|Compatible\b)\w+", body):
+        raise ValueError(
+            "ExtGState: non-Normal blend modes unsupported"
+        )
+    for key in (b"CA", b"ca"):
+        m = re.search(rb"/" + key + rb"\s+([\d.]+)", body)
+        if m is not None and float(m.group(1)) != 1.0:
+            raise ValueError(
+                "ExtGState: transparency (/%s < 1) unsupported"
+                % key.decode()
+            )
+    for bad, why in ((rb"/TR2?\b", "transfer functions"),
+                     (rb"/HT\b", "halftones")):
+        if re.search(bad, body):
+            raise ValueError(f"ExtGState: {why} unsupported")
+    lw = re.search(rb"/LW\s+([\d.]+)", body)
+    if lw is not None:
+        line_width = float(lw.group(1))
+    dm = re.search(rb"/D\s*\[\s*\[(.*?)\]\s*([\d.]+)\s*\]", body)
+    if dm is not None:
+        pattern = [float(t) for t in _NUM_RE.findall(dm.group(1))]
+        dash = (pattern, float(dm.group(2))) if pattern else None
+    return line_width, dash
 
 
 def _shading_gray(body: bytes, key: bytes, default: float) -> float:
@@ -793,6 +926,7 @@ def _exec_form(
     line_width: float,
     dash: tuple[list[float], float] | None,
     caller_shadings: dict[bytes, int],
+    caller_extgstates: dict[bytes, int],
 ) -> None:
     """Execute a /Subtype /Form XObject (§8.10): apply its /Matrix to
     the CTM, clip to its /BBox, run its content stream with its own
@@ -833,10 +967,13 @@ def _exec_form(
     sub_sh = dict(
         _resources_entries(obj.body, objs, b"Shading")
     ) or caller_shadings
+    sub_gs = dict(
+        _resources_entries(obj.body, objs, b"ExtGState")
+    ) or caller_extgstates
     try:
         _exec_content(objs, canvas, payload, form_ctm, sub, depth + 1,
                       fill_gray, stroke_gray, line_width, dash,
-                      shadings=sub_sh)
+                      shadings=sub_sh, extgstates=sub_gs)
     finally:
         canvas.clip = saved_clip
 
@@ -858,6 +995,9 @@ def _render_page(
         objs, canvas, content, _Mat(1.0, 1.0, 0.0, 0.0),
         dict(_resources_xobjects(body, objs)), 0,
         shadings=dict(_resources_entries(body, objs, b"Shading")),
+        extgstates=dict(
+            _resources_entries(body, objs, b"ExtGState")
+        ),
     )
     return canvas.img
 
@@ -874,6 +1014,7 @@ def _exec_content(
     line_width: float = 1.0,
     dash: tuple[list[float], float] | None = None,
     shadings: dict[bytes, int] | None = None,
+    extgstates: dict[bytes, int] | None = None,
 ) -> None:
     """Execute one content stream onto a shared canvas — the page's
     top-level stream at depth 0, and form XObjects recursively (each
@@ -1107,6 +1248,18 @@ def _exec_content(
             end_path()
         elif op == b"n":
             end_path()
+        elif op == b"gs":
+            if not stack or not isinstance(stack[-1], bytes):
+                raise ValueError("gs without an ExtGState name")
+            num = (extgstates or {}).get(stack[-1])
+            gobj = objs.get(num) if num is not None else None
+            if gobj is None:
+                raise ValueError(
+                    "gs names an ExtGState missing from /Resources"
+                )
+            line_width, dash = _apply_extgstate(
+                gobj.body, line_width, dash
+            )
         elif op == b"sh":
             if not stack or not isinstance(stack[-1], bytes):
                 raise ValueError("sh without a shading name")
@@ -1125,9 +1278,13 @@ def _exec_content(
             idx = int(stack[-1][3:])
             p0 = ctm.apply(0.0, 0.0)
             p1 = ctm.apply(1.0, 1.0)
-            canvas.paint_image(
-                inline_imgs[idx], p0[0], p0[1], p1[0], p1[1]
-            )
+            is_mask, arr = inline_imgs[idx]
+            if is_mask:
+                canvas.paint_stencil(
+                    arr, p0[0], p0[1], p1[0], p1[1], fill_gray
+                )
+            else:
+                canvas.paint_image(arr, p0[0], p0[1], p1[0], p1[1])
         elif op == b"Do":
             if not stack or not isinstance(stack[-1], bytes):
                 raise ValueError("Do without an XObject name")
@@ -1140,12 +1297,20 @@ def _exec_content(
             if re.search(rb"/Subtype\s*/Form\b", obj.body):
                 _exec_form(objs, canvas, obj, ctm, xobjects, depth,
                            fill_gray, stroke_gray, line_width, dash,
-                           shadings or {})
+                           shadings or {}, extgstates or {})
             elif re.search(rb"/Subtype\s*/Image\b", obj.body):
-                img = _decode_image_xobject(obj)
                 p0 = ctm.apply(0.0, 0.0)
                 p1 = ctm.apply(1.0, 1.0)
-                canvas.paint_image(img, p0[0], p0[1], p1[0], p1[1])
+                if re.search(rb"/ImageMask\s+true\b", obj.body):
+                    canvas.paint_stencil(
+                        _decode_image_mask(obj),
+                        p0[0], p0[1], p1[0], p1[1], fill_gray,
+                    )
+                else:
+                    canvas.paint_image(
+                        _decode_image_xobject(obj),
+                        p0[0], p0[1], p1[0], p1[1],
+                    )
             else:
                 raise ValueError(
                     "Do names an XObject of unsupported /Subtype"

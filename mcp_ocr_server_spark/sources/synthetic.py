@@ -2618,6 +2618,7 @@ def make_composite_pdf_bytes(
         content = bytearray()
         img_entries: list[tuple[bytes, int]] = []
         sh_entries: list[tuple[bytes, int]] = []
+        gs_entries: list[tuple[bytes, int]] = []
         for el in elements:
             tag = el[0]
             if tag == "image":
@@ -2671,6 +2672,42 @@ def make_composite_pdf_bytes(
                 name = f"/Im{len(img_entries)}".encode()
                 img_entries.append((name, len(objs)))
                 content += b"%s Do\n" % name
+            elif tag == "stencil":
+                # ("stencil", bool_hw_array, x, y, invert): an
+                # /ImageMask true XObject painted at native size —
+                # True cells are the CLEAR (painting) bits unless
+                # invert, matching the §8.9.6.2 default /Decode
+                _t, mask, x, y, invert = el
+                h, w = mask.shape
+                bits = np.packbits(
+                    (~mask if not invert else mask).astype(np.uint8),
+                    axis=1,
+                )
+                payload = _z.compress(bits.tobytes())
+                head = (
+                    b"<< /Subtype /Image /ImageMask true /Width "
+                    + str(w).encode() + b" /Height " + str(h).encode()
+                    + b" /BitsPerComponent 1"
+                    + (b" /Decode [1 0]" if invert else b"")
+                    + b" /Filter /FlateDecode /Length "
+                    + str(len(payload)).encode()
+                    + b" >>\nstream\n" + payload + b"\nendstream"
+                )
+                objs.append(head)
+                name = f"/Im{len(img_entries)}".encode()
+                img_entries.append((name, len(objs)))
+                content += (
+                    b"q %d 0 0 %d %s %s cm %s Do Q\n"
+                    % (w, h, _fnum(x), _fnum(y), name)
+                )
+            elif tag == "extg":
+                # ("extg", dict_body_bytes): an /ExtGState resource
+                # applied with gs
+                _t, body_b = el
+                objs.append(body_b)
+                name = b"/G%d" % len(gs_entries)
+                gs_entries.append((name, len(objs)))
+                content += b"%s gs\n" % name
             elif tag == "axial":
                 # ("axial", x0, y0, x1, y1, g0, g1, extend): a
                 # /ShadingType 2 gradient painted with sh over the
@@ -2707,6 +2744,10 @@ def make_composite_pdf_bytes(
         res = b" /Resources << /XObject << " + xdict + b" >>"
         if sh_entries:
             res += b" /Shading << " + shdict + b" >>"
+        if gs_entries:
+            res += b" /ExtGState << " + b" ".join(
+                b"%s %d 0 R" % (nm, num) for nm, num in gs_entries
+            ) + b" >>"
         res += b" >>"
         objs.append(
             b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792]"

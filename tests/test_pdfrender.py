@@ -422,7 +422,7 @@ def test_vector_decoration_under_ocr_text_e2e():
         (b"100 100 l f", "without a moveto"),
         (b"[-3 2] 0 d 100 100 m 200 200 l S", "invalid dash"),
         (b"BI /W 1 /H 1 /CS /CMYK ID x EI", "colorspace"),
-        (b"BI /W 1 /H 1 /IM true ID x EI", "ImageMask"),
+        (b"BI /W 8 /H 1 /BPC 8 /IM true ID x EI", "BPC must be 1"),
         (b"BI /W 1 /H 1 /F /CCF ID x EI", "filter"),
         (b"/GS0 gs", "ExtGState"),
         (b"BT /F1 20 Tf 1 Tr (T) Tj ET", "render mode 1"),
@@ -430,7 +430,7 @@ def test_vector_decoration_under_ocr_text_e2e():
         (b"0 0 0 1 k", "CMYK"),
     ],
     ids=["rot-tm", "shear-cm", "bare-lineto", "neg-dash",
-         "inline-cmyk", "inline-mask", "inline-ccf",
+         "inline-cmyk", "inline-mask-bpc", "inline-ccf",
          "extgstate", "tr-stroke", "tz", "cmyk"],
 )
 def test_refusals(raw, msg):
@@ -658,3 +658,74 @@ def test_radial_shading_refuses_by_name():
     data = data.replace(b"/ShadingType 2", b"/ShadingType 3")
     with pytest.raises(ValueError, match="ShadingType 2"):
         render_pdf_pages(data)
+
+
+# --- ImageMask stencils + ExtGState benign subset ---------------------------
+
+def test_inline_image_mask_paints_fill_through_clear_bits():
+    """§8.9.6.2 default /Decode [0 1]: ZERO bits paint the current
+    fill color; /D [1 0] inverts; set bits leave pixels untouched."""
+    raw = (b"0.5 g q 8 0 0 1 100 100 cm BI /W 8 /H 1 /BPC 1 /IM true"
+           b" ID " + bytes([0b10101010]) + b" EI Q")
+    (out,) = render_pdf_pages(page([("raw", raw)]))
+    assert out[792 - 101, 100:108].tolist() == [
+        255, 128, 255, 128, 255, 128, 255, 128]
+    raw2 = (b"0 g q 8 0 0 1 200 100 cm BI /W 8 /H 1 /BPC 1 /IM true"
+            b" /D [1 0] ID " + bytes([0b10101010]) + b" EI Q")
+    (o2,) = render_pdf_pages(page([("raw", raw2)]))
+    assert o2[792 - 101, 200:208].tolist() == [
+        0, 255, 0, 255, 0, 255, 0, 255]
+
+
+def test_xobject_image_mask_stencil():
+    mask = np.zeros((4, 8), bool)
+    mask[:, ::2] = True  # True cells = painting bits (writer default)
+    data = page([("raw", b"0 g"), ("stencil", mask, 100, 100, False)])
+    (out,) = render_pdf_pages(data)
+    reg = out[792 - 104:792 - 100, 100:108]
+    assert (reg[:, ::2] == 0).all() and (reg[:, 1::2] == 255).all()
+    # invert=True writes the complement bits + /Decode [1 0]: the
+    # SAME cells must paint — proving the inversion decode path
+    datai = page([("raw", b"0 g"), ("stencil", mask, 100, 100, True)])
+    (oi,) = render_pdf_pages(datai)
+    assert np.array_equal(oi, out)
+
+
+def test_extgstate_applies_lw_and_dash():
+    """gs with the benign subset: /LW sets the stroke width, /D the
+    dash pattern — pinned by exact stroke geometry."""
+    g = b"<< /Type /ExtGState /LW 4 >>"
+    data = page([
+        ("extg", g),
+        ("raw", b"0 G 72 500 m 540 500 l S"),
+    ])
+    (out,) = render_pdf_pages(data)
+    assert int((out < 255).sum()) == (540 - 72) * 4
+    gd = b"<< /Type /ExtGState /LW 2 /D [[6 4] 0] >>"
+    data = page([
+        ("extg", gd),
+        ("raw", b"0 G 100 500 m 200 500 l S"),
+    ])
+    (out,) = render_pdf_pages(data)
+    assert int((out < 255).sum()) == 60 * 2
+
+
+@pytest.mark.parametrize("body, msg", [
+    (b"<< /SMask 9 0 R >>", "SMask"),
+    (b"<< /BM /Multiply >>", "blend modes"),
+    (b"<< /ca 0.5 >>", "transparency"),
+    (b"<< /CA 0.25 >>", "transparency"),
+    (b"<< /TR 9 0 R >>", "transfer functions"),
+], ids=["smask", "blend", "ca", "CA", "transfer"])
+def test_extgstate_refusals(body, msg):
+    data = page([("extg", body)])
+    with pytest.raises(ValueError, match=msg):
+        render_pdf_pages(data)
+
+
+def test_extgstate_smask_none_and_normal_bm_are_benign():
+    g = b"<< /SMask /None /BM /Normal /CA 1 /ca 1.0 /LW 3 >>"
+    data = page([("extg", g), ("raw", b"0 G 100 500 m 200 500 l S")])
+    (out,) = render_pdf_pages(data)
+    # width 3 rounds to a 3-px band: wd=3 -> half=1.5 around y=292.5
+    assert int((out < 255).sum()) == 100 * 3
