@@ -1040,7 +1040,20 @@ def extract_pdf_page_rasters(data: bytes) -> list["np.ndarray"]:
                 "page paints visible text/fills over its image:"
                 " compositing needs a renderer"
             )
-        out.append(_decode_image_xobject(objs[imgs[0]]))
+        img = _decode_image_xobject(objs[imgs[0]])
+        # /Rotate (inheritable, §7.7.3.3) is the clockwise DISPLAY
+        # rotation — the sideways-scanner shape; an unrotated raster
+        # would OCR garbage (same semantics as the renderer path)
+        from .pdfrender import _page_rotate
+
+        rot = _page_rotate(objs, body) % 360
+        if rot % 90 != 0:
+            raise ValueError("page /Rotate must be a multiple of 90")
+        if rot:
+            import numpy as _np
+
+            img = _np.ascontiguousarray(_np.rot90(img, k=-rot // 90))
+        out.append(img)
     return out
 
 

@@ -987,9 +987,13 @@ def _render_page(
     # negative and inherited rotations count too (ISO 32000-1 Table
     # 30: /Rotate is inheritable, any multiple of 90) — a silently
     # unrotated raster is the failure class this module must never
-    # produce (review finding)
-    if _page_rotate(objs, body) % 360 != 0:
-        raise ValueError("page /Rotate rendering unsupported")
+    # produce (review finding).  Multiples of 90 now RENDER: the page
+    # rasterizes in its own coordinate system and the finished canvas
+    # rotates clockwise by /Rotate, which is exactly the §7.7.3.3
+    # display semantics (the shape every sideways scanner PDF has).
+    rot = _page_rotate(objs, body) % 360
+    if rot % 90 != 0:
+        raise ValueError("page /Rotate must be a multiple of 90")
     canvas = _Canvas(_media_box(objs, body), px_per_pt)
     _exec_content(
         objs, canvas, content, _Mat(1.0, 1.0, 0.0, 0.0),
@@ -999,6 +1003,8 @@ def _render_page(
             _resources_entries(body, objs, b"ExtGState")
         ),
     )
+    if rot:
+        return np.ascontiguousarray(np.rot90(canvas.img, k=-rot // 90))
     return canvas.img
 
 

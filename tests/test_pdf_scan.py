@@ -210,3 +210,22 @@ def test_parse_pdf_pages_compositing_fallback():
     assert np.array_equal(page[792 - 640 - h:792 - 640, 72:72 + w], top)
     with pytest.raises(ValueError, match="no image XObject"):
         parse_pdf_pages(S.make_pdf_bytes([["born digital"]]))
+
+
+def test_scanned_rotate_corrects_sideways_scan():
+    """/Rotate 90 on a scanned page: the extracted raster is the
+    display-corrected (clockwise-rotated) image, so a sideways scan
+    OCRs correctly."""
+    import numpy as np
+
+    from mcp_ocr_server_spark.functions.pdf import (
+        extract_pdf_page_rasters)
+
+    img = render_text("SIDEWAYS SCAN", scale=2)
+    # author stores the scan rotated counterclockwise and marks the
+    # page /Rotate 90 (the scanner idiom)
+    stored = np.ascontiguousarray(np.rot90(img, k=1))
+    data = S.make_scanned_pdf_bytes([stored])
+    data = data.replace(b"/Type /Page ", b"/Type /Page /Rotate 90 ")
+    (out,) = extract_pdf_page_rasters(data)
+    assert np.array_equal(out, img)

@@ -438,12 +438,23 @@ def test_refusals(raw, msg):
         render_pdf_pages(page([("raw", raw)]))
 
 
-def test_rotated_page_refuses():
+def test_rotate_90_multiples_render_display_orientation():
+    """/Rotate is the clockwise DISPLAY rotation (§7.7.3.3): the
+    rendered canvas is exactly the unrotated raster rotated k×90°
+    clockwise — the sideways-scanner-PDF shape; non-multiples of 90
+    still refuse."""
     data = page([("text", "T", 72, 400, 20)])
-    data = data.replace(b"/MediaBox [0 0 612 792]",
-                        b"/Rotate 90 /MediaBox [0 0 612 792]")
-    with pytest.raises(ValueError, match="/Rotate"):
-        render_pdf_pages(data)
+    (base,) = render_pdf_pages(data)
+    for deg, k in ((90, -1), (180, -2), (270, -3), (-90, 1)):
+        d = data.replace(
+            b"/MediaBox [0 0 612 792]",
+            b"/Rotate %d /MediaBox [0 0 612 792]" % deg)
+        (out,) = render_pdf_pages(d)
+        assert np.array_equal(out, np.rot90(base, k=k)), deg
+    bad = data.replace(b"/MediaBox [0 0 612 792]",
+                       b"/Rotate 45 /MediaBox [0 0 612 792]")
+    with pytest.raises(ValueError, match="multiple of 90"):
+        render_pdf_pages(bad)
 
 
 def test_non_pdf_and_encrypted_refuse():
@@ -583,26 +594,27 @@ def test_rect_fill_also_routes_to_renderer():
         extract_pdf_page_rasters(data)
 
 
-@pytest.mark.parametrize("rot, ok", [(-90, False), (90, False),
-                                     (270, False), (360, True), (0, True)])
-def test_rotate_variants(rot, ok):
+@pytest.mark.parametrize("rot, k", [(-90, 1), (90, -1), (270, -3),
+                                    (360, 0), (0, 0)])
+def test_rotate_variants(rot, k):
+    """Any /Rotate multiple of 90 renders as the clockwise-rotated
+    display raster (§7.7.3.3); multiples of 360 are the identity."""
     data = page([("text", "T", 72, 400, 20)])
-    data = data.replace(
+    (base,) = render_pdf_pages(data)
+    rotated = data.replace(
         b"/MediaBox [0 0 612 792]",
         b"/Rotate %d /MediaBox [0 0 612 792]" % rot)
-    if ok:
-        render_pdf_pages(data)  # multiples of 360 are identity
-    else:
-        with pytest.raises(ValueError, match="/Rotate"):
-            render_pdf_pages(data)
+    (out,) = render_pdf_pages(rotated)
+    assert np.array_equal(out, np.rot90(base, k=k))
 
 
-def test_rotate_inherited_from_pages_node_refuses():
+def test_rotate_inherited_from_pages_node_applies():
     data = page([("text", "T", 72, 400, 20)])
-    data = data.replace(b"<< /Type /Pages ",
-                        b"<< /Type /Pages /Rotate 90 ")
-    with pytest.raises(ValueError, match="/Rotate"):
-        render_pdf_pages(data)
+    (base,) = render_pdf_pages(data)
+    inh = data.replace(b"<< /Type /Pages ",
+                       b"<< /Type /Pages /Rotate 90 ")
+    (out,) = render_pdf_pages(inh)
+    assert np.array_equal(out, np.rot90(base, k=-1))
 
 
 def test_q_restores_text_state():
