@@ -222,22 +222,259 @@ def _objects(data: bytes) -> dict[int, _Obj]:
         pos = eo + len(b"endobj")
 
 
+# --- stream filters (ISO 32000-1 §7.4) --------------------------------------
+# The decodable set: FlateDecode, LZWDecode (the TIFF bitstream dialect
+# already in imaging/tiff.py), ASCII85Decode, ASCIIHexDecode,
+# RunLengthDecode, applied as a CHAIN in /Filter array order, with
+# /DecodeParms PNG predictors (the /XRef-stream idiom) and TIFF
+# horizontal differencing undone after Flate/LZW.  DCTDecode is an
+# IMAGE payload, handled by _decode_image_xobject; in a content-stream
+# position it refuses by name, as do the codec filters we cannot
+# re-derive here (CCITTFax/JBIG2/JPX) and /Crypt.
+
+_FILTER_ABBREV = {
+    b"/Fl": b"/FlateDecode",
+    b"/LZW": b"/LZWDecode",
+    b"/A85": b"/ASCII85Decode",
+    b"/AHx": b"/ASCIIHexDecode",
+    b"/RL": b"/RunLengthDecode",
+    b"/DCT": b"/DCTDecode",
+    b"/CCF": b"/CCITTFaxDecode",
+}
+
+
+def _parse_filters(body: bytes) -> list[bytes]:
+    """The /Filter entry as a normalized name list ([] = unfiltered)."""
+    fm = re.search(rb"/Filter\s*(\[[^\]]*\]|/[A-Za-z0-9]+)", body)
+    if fm is None:
+        return []
+    names = re.findall(rb"/[A-Za-z0-9]+", fm.group(1))
+    return [_FILTER_ABBREV.get(n, n) for n in names]
+
+
+def _dict_span(body: bytes, start: int) -> tuple[bytes, int] | None:
+    """(inner bytes, end offset just past `>>`) of the balanced
+    `<< … >>` dict beginning at/after `start`."""
+    m = re.compile(rb"<<").search(body, start)
+    if m is None:
+        return None
+    depth, pos = 1, m.end()
+    while depth and pos < len(body):
+        nxt_open = body.find(b"<<", pos)
+        nxt_close = body.find(b">>", pos)
+        if nxt_close == -1:
+            return None
+        if nxt_open != -1 and nxt_open < nxt_close:
+            depth, pos = depth + 1, nxt_open + 2
+        else:
+            depth, pos = depth - 1, nxt_close + 2
+    return (body[m.end() : pos - 2], pos) if depth == 0 else None
+
+
+def _parse_decode_parms(body: bytes, n: int) -> list[bytes | None]:
+    """/DecodeParms (or /DP) aligned with the n-entry filter chain:
+    a bare dict applies to the first filter, an array aligns per
+    position with `null` holes, absent = all None."""
+    m = re.search(rb"/(?:DecodeParms|DP)\b\s*", body)
+    if m is None:
+        return [None] * n
+    pos = m.end()
+    if body[pos : pos + 1] == b"[":
+        items: list[bytes | None] = []
+        p = pos + 1
+        while p < len(body) and len(items) < n:
+            while p < len(body) and body[p : p + 1] in b" \t\r\n":
+                p += 1
+            if body[p : p + 1] == b"]":
+                break
+            if body[p : p + 2] == b"<<":
+                span = _dict_span(body, p)
+                if span is None:
+                    raise ValueError("/DecodeParms: unbalanced dict")
+                items.append(span[0])
+                p = span[1]
+            elif body[p : p + 4] == b"null":
+                items.append(None)
+                p += 4
+            else:
+                raise ValueError("/DecodeParms: unsupported array entry")
+        items += [None] * (n - len(items))
+        return items
+    span = _dict_span(body, pos)
+    if span is None:
+        raise ValueError("/DecodeParms: expected dict or array")
+    return [span[0]] + [None] * (n - 1)
+
+
+def _a85_decode(data: bytes) -> bytes:
+    """ASCII85Decode (§7.4.3): whitespace-tolerant, `z` groups, `~>`
+    EOD — stdlib a85decode does the arithmetic."""
+    import base64
+
+    end = data.find(b"~>")
+    payload = data[:end] if end != -1 else data
+    try:
+        return base64.a85decode(b"<~" + payload + b"~>", adobe=True)
+    except ValueError as exc:
+        raise ValueError(f"ASCII85Decode: {exc}") from None
+
+
+def _ahx_decode(data: bytes) -> bytes:
+    """ASCIIHexDecode (§7.4.2): up to `>`, odd final digit pads 0."""
+    end = data.find(b">")
+    payload = re.sub(rb"\s+", b"", data[: end if end != -1 else len(data)])
+    if len(payload) % 2:
+        payload += b"0"
+    try:
+        return bytes.fromhex(payload.decode("ascii"))
+    except (ValueError, UnicodeDecodeError):
+        raise ValueError("ASCIIHexDecode: bad hex data") from None
+
+
+def _rl_decode(data: bytes) -> bytes:
+    """RunLengthDecode (§7.4.5): length byte 0-127 = copy n+1 literal
+    bytes, 129-255 = repeat next byte 257-n times, 128 = EOD."""
+    out = bytearray()
+    pos = 0
+    while pos < len(data):
+        n = data[pos]
+        pos += 1
+        if n == 128:
+            return bytes(out)
+        if n < 128:
+            chunk = data[pos : pos + n + 1]
+            if len(chunk) < n + 1:
+                raise ValueError("RunLengthDecode: truncated literal run")
+            out += chunk
+            pos += n + 1
+        else:
+            if pos >= len(data):
+                raise ValueError("RunLengthDecode: truncated repeat run")
+            out += bytes([data[pos]]) * (257 - n)
+            pos += 1
+    return bytes(out)  # tolerate missing EOD at exact end
+
+
+def _parm_int(parms: bytes | None, key: bytes, default: int) -> int:
+    if parms is None:
+        return default
+    m = re.search(rb"/" + key + rb"\s+(-?\d+)", parms)
+    return int(m.group(1)) if m else default
+
+
+def _undo_predictor_bytes(data: bytes, parms: bytes | None) -> bytes:
+    """Undo a /Predictor post-filter (§7.4.4.4): 2 = TIFF horizontal
+    differencing (8-bit only), 10-15 = the PNG per-row filter set
+    (each row: tag byte + filtered bytes; Sub/Up/Average/Paeth undone
+    against the reconstructed prior row).  Predictor 1/absent is the
+    identity."""
+    pred = _parm_int(parms, b"Predictor", 1)
+    if pred <= 1:
+        return data
+    colors = _parm_int(parms, b"Colors", 1)
+    bpc = _parm_int(parms, b"BitsPerComponent", 8)
+    columns = _parm_int(parms, b"Columns", 1)
+    if colors < 1 or columns < 1 or bpc not in (1, 2, 4, 8):
+        raise ValueError("/Predictor: parameter out of range")
+    rowlen = (colors * bpc * columns + 7) // 8
+    if pred == 2:
+        if bpc != 8:
+            raise ValueError(
+                "/Predictor 2 (TIFF) supports 8-bit samples only"
+            )
+        if len(data) % rowlen:
+            raise ValueError("/Predictor 2: data not a whole row count")
+        out = bytearray(data)
+        for r in range(0, len(out), rowlen):
+            for i in range(r + colors, r + rowlen):
+                out[i] = (out[i] + out[i - colors]) & 0xFF
+        return bytes(out)
+    if not 10 <= pred <= 15:
+        raise ValueError(f"/Predictor {pred} unsupported")
+    bpp = max(1, (colors * bpc + 7) // 8)
+    stride = rowlen + 1
+    if len(data) % stride:
+        raise ValueError("PNG predictor: data not a whole row count")
+    out = bytearray()
+    prior = bytearray(rowlen)
+    for r in range(0, len(data), stride):
+        tag = data[r]
+        row = bytearray(data[r + 1 : r + stride])
+        if tag == 0:
+            pass
+        elif tag == 1:  # Sub
+            for i in range(bpp, rowlen):
+                row[i] = (row[i] + row[i - bpp]) & 0xFF
+        elif tag == 2:  # Up
+            for i in range(rowlen):
+                row[i] = (row[i] + prior[i]) & 0xFF
+        elif tag == 3:  # Average
+            for i in range(rowlen):
+                left = row[i - bpp] if i >= bpp else 0
+                row[i] = (row[i] + ((left + prior[i]) >> 1)) & 0xFF
+        elif tag == 4:  # Paeth
+            for i in range(rowlen):
+                a = row[i - bpp] if i >= bpp else 0
+                b = prior[i]
+                c = prior[i - bpp] if i >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                if pa <= pb and pa <= pc:
+                    pr = a
+                elif pb <= pc:
+                    pr = b
+                else:
+                    pr = c
+                row[i] = (row[i] + pr) & 0xFF
+        else:
+            raise ValueError(f"PNG predictor: bad row tag {tag}")
+        out += row
+        prior = row
+    return bytes(out)
+
+
+def _apply_filter_list(
+    raw: bytes, filters: list[bytes], parms: list[bytes | None]
+) -> bytes:
+    """Run the decodable filter chain in order; anything outside the
+    set refuses by name (never feeds compressed bytes downstream as
+    'decoded' data)."""
+    data = raw
+    for f, p in zip(filters, parms):
+        if f == b"/FlateDecode":
+            try:
+                data = zlib.decompress(data)
+            except zlib.error as exc:
+                raise ValueError(f"FlateDecode: {exc}") from None
+            data = _undo_predictor_bytes(data, p)
+        elif f == b"/LZWDecode":
+            if _parm_int(p, b"EarlyChange", 1) != 1:
+                raise ValueError("LZWDecode: /EarlyChange 0 unsupported")
+            from ..imaging.tiff import lzw_decode
+
+            data = _undo_predictor_bytes(lzw_decode(data), p)
+        elif f == b"/ASCII85Decode":
+            data = _a85_decode(data)
+        elif f == b"/ASCIIHexDecode":
+            data = _ahx_decode(data)
+        elif f == b"/RunLengthDecode":
+            data = _rl_decode(data)
+        else:
+            raise ValueError(
+                f"unsupported stream filter {f.decode('latin-1', 'replace')}:"
+                " Flate/LZW/A85/AHx/RL chains are in scope"
+            )
+    return data
+
+
 def _stream_of(obj: _Obj | None) -> bytes | None:
     if obj is None or obj.stream is None:
         return None
-    raw = obj.stream
-    fm = re.search(rb"/Filter\s*(\[[^\]]*\]|/[^\s/<>\[\]()]*)", obj.body)
-    if fm is None:
-        return raw
-    filt = re.sub(rb"[\[\]\s]", b"", fm.group(1))
-    if filt == b"/FlateDecode":
-        return zlib.decompress(raw)
-    # LZW / ASCII85 / DCT chains: refusing loudly beats feeding raw
-    # compressed bytes to the text interpreter and emitting garbage
-    # with error=None
-    raise ValueError(
-        f"unsupported stream filter {filt.decode('latin-1', 'replace')}:"
-        " only FlateDecode (zlib) and unfiltered streams are in scope"
+    filters = _parse_filters(obj.body)
+    if not filters:
+        return obj.stream
+    return _apply_filter_list(
+        obj.stream, filters, _parse_decode_parms(obj.body, len(filters))
     )
 
 
@@ -256,19 +493,14 @@ def _expand_objstms(objs: dict[int, _Obj]) -> None:
     ignore generations; the flat-scanned copy is from the same file).
 
     Raises ValueError on structural corruption (missing /N or /First,
-    header shorter than the pair count) and on /DecodeParms predictors
-    (rare on ObjStm — predictors are an /XRef-stream idiom — and
-    out of scope like the non-Flate filters)."""
+    header shorter than the pair count); filters and /DecodeParms
+    predictors ride the shared _stream_of chain."""
     stms = [
         o for o in objs.values()
         if o.stream is not None
         and re.search(rb"/Type\s*/ObjStm\b", o.body)
     ]
     for o in stms:
-        if re.search(rb"/DecodeParms\b", o.body):
-            raise ValueError(
-                "ObjStm with /DecodeParms (predictor) unsupported"
-            )
         payload = _stream_of(o)
         nm = re.search(rb"/N\s+(\d+)", o.body)
         fm = re.search(rb"/First\s+(\d+)", o.body)
@@ -884,24 +1116,109 @@ def _image_filter(body: bytes) -> bytes:
     return re.sub(rb"[\[\]\s]", b"", fm.group(1))
 
 
-def _decode_image_xobject(obj: _Obj) -> "np.ndarray":
+def _unpack_samples(
+    samples: bytes, w: int, h: int, bpc: int, ncomp: int
+) -> "np.ndarray":
+    """(h, w, ncomp) uint8 array of RAW sample values (no range
+    scaling), rows padded to byte boundaries per §8.9.5.2."""
+    import numpy as np
+
+    stride = (w * ncomp * bpc + 7) // 8
+    if len(samples) < stride * h:
+        raise ValueError("image XObject: sample data truncated")
+    rows = np.frombuffer(samples[: stride * h], dtype=np.uint8)
+    rows = rows.reshape(h, stride)
+    if bpc == 8:
+        return rows[:, : w * ncomp].reshape(h, w, ncomp).copy()
+    bits = np.unpackbits(rows, axis=1)[:, : w * ncomp * bpc]
+    bits = bits.reshape(h, w * ncomp, bpc)
+    weights = (1 << np.arange(bpc - 1, -1, -1)).astype(np.uint8)
+    vals = (bits * weights).sum(axis=2).astype(np.uint8)
+    return vals.reshape(h, w, ncomp)
+
+
+def _parse_decode_array(body: bytes, n: int) -> list[float] | None:
+    m = re.search(rb"/Decode\s*\[([^\]]*)\]", body)
+    if m is None:
+        return None
+    nums = [float(t) for t in re.findall(rb"[-\d.]+", m.group(1))]
+    if len(nums) != 2 * n:
+        raise ValueError(
+            "image XObject: /Decode length does not match components"
+        )
+    return nums
+
+
+def _indexed_lookup(
+    body: bytes, cs_inner: bytes, objs: dict[int, _Obj] | None
+) -> tuple[int, int, bytes]:
+    """(base components, hival, palette bytes) of an /Indexed
+    colorspace array `[/Indexed base hival lookup]` (§8.6.6.3).
+    The lookup may be a literal string, a hex string, or an indirect
+    stream reference."""
+    m = re.search(
+        rb"/Indexed\s*(/DeviceGray|/DeviceRGB)\s+(\d+)\s*"
+        rb"(\((?:[^()\\]|\\.)*\)|<[0-9A-Fa-f\s]*>|\d+\s+\d+\s+R)",
+        cs_inner, re.S,
+    )
+    if m is None:
+        raise ValueError(
+            "image XObject: /Indexed base must be /DeviceGray or"
+            " /DeviceRGB with a string or stream lookup"
+        )
+    ncomp = 1 if m.group(1) == b"/DeviceGray" else 3
+    hival = int(m.group(2))
+    tok = m.group(3)
+    if tok.endswith(b"R"):
+        if objs is None:
+            raise ValueError(
+                "image XObject: indirect /Indexed lookup needs the"
+                " object table"
+            )
+        ref = int(tok.split()[0])
+        pal_obj = objs.get(ref)
+        pal = _stream_of(pal_obj)
+        if pal is None:
+            raise ValueError(
+                "image XObject: dangling /Indexed lookup reference"
+            )
+    elif tok.startswith(b"("):
+        pal = _decode_literal(tok)
+    else:
+        pal = _decode_hex(tok)
+    if len(pal) < (hival + 1) * ncomp:
+        raise ValueError("image XObject: /Indexed lookup too short")
+    return ncomp, hival, pal
+
+
+def _luma_fold(rgb: "np.ndarray") -> "np.ndarray":
+    """(…, 3) uint8 -> (…) uint8 ITU-R BT.601 integer luma — exact,
+    reproducible across hosts."""
+    import numpy as np
+
+    r = rgb.astype(np.uint32)
+    return (
+        (77 * r[..., 0] + 150 * r[..., 1] + 29 * r[..., 2] + 128) >> 8
+    ).astype(np.uint8)
+
+
+def _decode_image_xobject(
+    obj: _Obj, objs: dict[int, _Obj] | None = None
+) -> "np.ndarray":
     """One /Subtype /Image XObject -> grayscale uint8 raster.
 
-    Supported: no-filter + /FlateDecode at DeviceGray 1/8-bit and
-    DeviceRGB 8-bit (ITU-R BT.601 integer luma fold); /DCTDecode via
-    the in-repo baseline JPEG decoder (imaging/jpeg.py) when present.
-    Everything else raises ValueError naming the unsupported feature.
-    """
+    Supported: the full decodable filter CHAIN (Flate/LZW/A85/AHx/RL
+    + predictors) over /DeviceGray 1/2/4/8-bit, /DeviceRGB 8-bit
+    (ITU-R BT.601 integer luma fold), and /Indexed palettes over
+    either base at 1/2/4/8-bit indices; /DCTDecode (chain-terminal)
+    via the in-repo baseline JPEG decoder; /Decode component remaps
+    (§8.9.5.2 — the 1-bit fax inversion [1 0] shape and any linear
+    map); /SMask soft masks composited onto the white page background
+    (needs `objs` to resolve the mask object).  Everything else
+    raises ValueError naming the unsupported feature."""
     import numpy as np
 
     body = obj.body
-    for bad, why in (
-        (rb"/Decode\s*\[", "/Decode inversion array"),
-        (rb"/SMask\b", "/SMask transparency"),
-        (rb"/Indexed\b", "/Indexed palette colorspace"),
-    ):
-        if re.search(bad, body):
-            raise ValueError(f"image XObject: {why} unsupported")
     ints = {}
     for key, rx in _IMG_INT_RE.items():
         m = rx.search(body)
@@ -914,63 +1231,132 @@ def _decode_image_xobject(obj: _Obj) -> "np.ndarray":
     bpc = ints[b"BitsPerComponent"]
     if w <= 0 or h <= 0 or w * h > 64_000_000:
         raise ValueError("image XObject dimensions out of range")
-    cs = re.search(rb"/ColorSpace\s*/(DeviceGray|DeviceRGB)\b", body)
-    filt = _image_filter(body)
+    if bpc not in (1, 2, 4, 8):
+        raise ValueError(f"image XObject: {bpc}-bit samples unsupported")
     raw = obj.stream or b""
-    if filt == b"/DCTDecode":
-        # the payload is a complete JPEG file — decode with the in-repo
-        # baseline decoder (JFIF handles its own geometry/colorspace)
+    filters = _parse_filters(body)
+    parms = _parse_decode_parms(body, len(filters))
+    if filters and filters[-1] == b"/DCTDecode":
+        # chain-terminal JPEG payload (possibly ascii-armored by the
+        # preceding filters) — JFIF handles geometry/colorspace; the
+        # sample-space options below don't apply to DCT output
+        if re.search(rb"/Decode\s*\[", body):
+            raise ValueError(
+                "image XObject: /Decode with /DCTDecode unsupported"
+            )
         try:
             from ..imaging.jpeg import decode_jpeg_gray
         except ImportError:
             raise ValueError(
                 "image XObject: /DCTDecode needs imaging.jpeg"
             ) from None
-        img = decode_jpeg_gray(raw)
+        img = decode_jpeg_gray(
+            _apply_filter_list(raw, filters[:-1], parms[:-1])
+        )
         if img.shape != (h, w):
             raise ValueError(
                 "DCTDecode geometry mismatch vs /Width /Height"
             )
-        return img
-    if cs is None:
+        return _apply_smask(img, body, objs)
+    samples = _apply_filter_list(raw, filters, parms)
+    maxval = (1 << bpc) - 1
+    # colorspace: direct name, /Indexed array (inline or via an
+    # indirect reference to the array object)
+    cs_inner = None
+    csm = re.search(rb"/ColorSpace\s*(\[[^\]]*\]|/[A-Za-z0-9]+"
+                    rb"|\d+\s+\d+\s+R)", body, re.S)
+    if csm is None:
+        raise ValueError("image XObject: missing /ColorSpace")
+    cs_tok = csm.group(1)
+    if cs_tok.endswith(b"R") and not cs_tok.startswith(b"/"):
+        if objs is None:
+            raise ValueError(
+                "image XObject: indirect /ColorSpace needs the"
+                " object table"
+            )
+        cs_obj = objs.get(int(cs_tok.split()[0]))
+        if cs_obj is None:
+            raise ValueError(
+                "image XObject: dangling /ColorSpace reference"
+            )
+        cs_tok = cs_obj.body.strip()
+    if cs_tok.startswith(b"["):
+        cs_inner = cs_tok
+    if cs_inner is not None and b"/Indexed" in cs_inner:
+        base_ncomp, hival, pal = _indexed_lookup(body, cs_inner, objs)
+        if _parse_decode_array(body, 1) is not None:
+            raise ValueError(
+                "image XObject: /Decode on /Indexed unsupported"
+            )
+        idx = _unpack_samples(samples, w, h, bpc, 1)[..., 0]
+        idx = np.minimum(idx, hival)  # §8.6.6.3: clamp out-of-range
+        table = np.frombuffer(
+            pal[: (hival + 1) * base_ncomp], dtype=np.uint8
+        ).reshape(hival + 1, base_ncomp)
+        mapped = table[idx]
+        gray = (mapped[..., 0] if base_ncomp == 1
+                else _luma_fold(mapped))
+        return _apply_smask(gray.copy(), body, objs)
+    nm = re.search(rb"/(DeviceGray|DeviceRGB)\b", cs_tok)
+    if nm is None:
         raise ValueError(
-            "image XObject: only /DeviceGray and /DeviceRGB supported"
+            "image XObject: only /DeviceGray, /DeviceRGB and /Indexed"
+            " colorspaces supported"
         )
-    ncomp = 1 if cs.group(1) == b"DeviceGray" else 3
-    if filt == b"/FlateDecode":
-        samples = zlib.decompress(raw)
-    elif filt == b"":
-        samples = raw
-    else:
+    ncomp = 1 if nm.group(1) == b"DeviceGray" else 3
+    if ncomp == 3 and bpc != 8:
         raise ValueError(
-            "image XObject: unsupported filter "
-            + filt.decode("latin-1", "replace")
+            "image XObject: sub-byte /DeviceRGB samples unsupported"
         )
-    if bpc == 8:
-        need = w * h * ncomp
-        if len(samples) < need:
-            raise ValueError("image XObject: sample data truncated")
-        a = np.frombuffer(samples[:need], dtype=np.uint8)
-        if ncomp == 1:
-            return a.reshape(h, w).copy()
-        rgb = a.reshape(h, w, 3).astype(np.uint32)
-        # BT.601 integer luma — exact, reproducible across hosts
-        return (
-            (77 * rgb[..., 0] + 150 * rgb[..., 1] + 29 * rgb[..., 2] + 128)
-            >> 8
+    arr = _unpack_samples(samples, w, h, bpc, ncomp)
+    dec = _parse_decode_array(body, ncomp)
+    if dec is None:
+        dec = [0.0, 1.0] * ncomp
+    # component map: value = Dmin + s/maxval * (Dmax - Dmin), scaled
+    # to the 0-255 output range (float64 + rint — IEEE-deterministic)
+    out = np.empty((h, w, ncomp), dtype=np.uint8)
+    for c in range(ncomp):
+        lo, hi = dec[2 * c], dec[2 * c + 1]
+        vals = lo + arr[..., c].astype(np.float64) / maxval * (hi - lo)
+        out[..., c] = np.clip(
+            np.rint(vals * 255.0), 0, 255
         ).astype(np.uint8)
-    if bpc == 1 and ncomp == 1:
-        stride = (w + 7) // 8  # rows padded to byte boundaries
-        if len(samples) < stride * h:
-            raise ValueError("image XObject: sample data truncated")
-        rows = np.frombuffer(
-            samples[: stride * h], dtype=np.uint8
-        ).reshape(h, stride)
-        bits = np.unpackbits(rows, axis=1)[:, :w]
-        return (bits * np.uint8(255)).astype(np.uint8)  # 1 = white
-    raise ValueError(
-        f"image XObject: {bpc}-bit/{ncomp}-component samples unsupported"
-    )
+    gray = out[..., 0] if ncomp == 1 else _luma_fold(out)
+    return _apply_smask(np.ascontiguousarray(gray), body, objs)
+
+
+def _apply_smask(
+    img: "np.ndarray", body: bytes, objs: dict[int, _Obj] | None
+) -> "np.ndarray":
+    """Composite a /SMask soft mask (§11.6.5.2) onto the white page
+    background: out = (alpha * pix + (255 - alpha) * 255) / 255 in
+    exact integer arithmetic.  The mask must be a /DeviceGray image
+    of identical geometry; no mask = identity."""
+    import numpy as np
+
+    sm = re.search(rb"/SMask\s+(\d+)\s+\d+\s+R", body)
+    if sm is None:
+        if re.search(rb"/SMask\b", body):
+            raise ValueError(
+                "image XObject: /SMask must be an indirect image"
+                " reference"
+            )
+        return img
+    if objs is None:
+        raise ValueError(
+            "image XObject: /SMask needs the object table"
+        )
+    mask_obj = objs.get(int(sm.group(1)))
+    if mask_obj is None:
+        raise ValueError("image XObject: dangling /SMask reference")
+    mask = _decode_image_xobject(mask_obj, objs)
+    if mask.shape != img.shape:
+        raise ValueError(
+            "image XObject: /SMask geometry differs from the image"
+        )
+    a = mask.astype(np.uint32)
+    p = img.astype(np.uint32)
+    return ((a * p + (255 - a) * 255 + 127) // 255).astype(np.uint8)
 
 
 def _page_paints_overlays(content: bytes) -> bool:
@@ -1040,7 +1426,7 @@ def extract_pdf_page_rasters(data: bytes) -> list["np.ndarray"]:
                 "page paints visible text/fills over its image:"
                 " compositing needs a renderer"
             )
-        img = _decode_image_xobject(objs[imgs[0]])
+        img = _decode_image_xobject(objs[imgs[0]], objs)
         # /Rotate (inheritable, §7.7.3.3) is the clockwise DISPLAY
         # rotation — the sideways-scanner shape; an unrotated raster
         # would OCR garbage (same semantics as the renderer path)

@@ -1314,7 +1314,7 @@ def _exec_content(
                     )
                 else:
                     canvas.paint_image(
-                        _decode_image_xobject(obj),
+                        _decode_image_xobject(obj, objs),
                         p0[0], p0[1], p1[0], p1[1],
                     )
             else:

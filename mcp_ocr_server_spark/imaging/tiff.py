@@ -124,7 +124,14 @@ def packbits_encode(data: bytes) -> bytes:
 _CLEAR, _EOI = 256, 257
 
 
-def lzw_decode(data: bytes, expected: int) -> bytes:
+def lzw_decode(data: bytes, expected: int | None = None,
+               cap: int = 1 << 26) -> bytes:
+    """TIFF-variant LZW (MSB-first, early change).  `expected` is the
+    exact output length when the caller knows it (TIFF strips/tiles do
+    — short output raises); `expected=None` decodes until the EOI code
+    or end of data (the PDF /LZWDecode contract, ISO 32000-1 §7.4.4 —
+    same bitstream dialect), bounded by `cap` so a hostile stream
+    cannot balloon memory."""
     out = bytearray()
     bitbuf = bitcnt = 0
     pos = 0
@@ -144,10 +151,12 @@ def lzw_decode(data: bytes, expected: int) -> bytes:
         code = (bitbuf >> bitcnt) & ((1 << width) - 1)
         return code
 
-    while len(out) < expected:
+    while expected is None or len(out) < expected:
         code = read_code()
         if code == _EOI:
             break
+        if len(out) > cap:
+            raise ValueError("lzw: output exceeds cap")
         if code == _CLEAR:
             table = table[:258]
             width = 9
@@ -174,6 +183,8 @@ def lzw_decode(data: bytes, expected: int) -> bytes:
         # 2^w - 1, two earlier than a late-change decoder
         if len(table) + 2 >= (1 << width) and width < 12:
             width += 1
+    if expected is None:
+        return bytes(out)
     if len(out) < expected:
         raise ValueError("lzw: short output")
     return bytes(out[:expected])

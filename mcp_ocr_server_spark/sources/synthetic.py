@@ -1620,10 +1620,66 @@ def _pdf_escape(s: str) -> bytes:
     ).encode("latin-1")
 
 
-def make_pdf_bytes(pages: list[list[str]], compress: bool = False) -> bytes:
+def _rl_encode(data: bytes) -> bytes:
+    """RunLengthDecode-compatible encoder (ISO 32000-1 §7.4.5):
+    runs of >= 3 as repeats, literals chunked at 128, EOD byte."""
+    out = bytearray()
+    pos = 0
+    n = len(data)
+    while pos < n:
+        run = 1
+        while pos + run < n and run < 128 and data[pos + run] == data[pos]:
+            run += 1
+        if run >= 3:
+            out += bytes([257 - run, data[pos]])
+            pos += run
+            continue
+        lit_end = pos + 1
+        while (
+            lit_end < n and lit_end - pos < 128
+            and not (
+                lit_end + 2 < n
+                and data[lit_end] == data[lit_end + 1] == data[lit_end + 2]
+            )
+        ):
+            lit_end += 1
+        out += bytes([lit_end - pos - 1]) + data[pos:lit_end]
+        pos = lit_end
+    out.append(128)
+    return bytes(out)
+
+
+def _filtered_stream(content: bytes, mode: str) -> tuple[bytes, bytes]:
+    """(payload, /Filter head fragment) for a content stream under a
+    named decode pipeline — the writer half of functions/pdf's filter
+    chain ('flate', 'lzw', 'a85flate', 'rl')."""
+    import base64
+    import zlib
+
+    if mode == "flate":
+        return zlib.compress(content), b" /Filter /FlateDecode"
+    if mode == "lzw":
+        from ..imaging.tiff import lzw_encode
+
+        return lzw_encode(content), b" /Filter /LZWDecode"
+    if mode == "a85flate":
+        payload = base64.a85encode(zlib.compress(content)) + b"~>"
+        return payload, b" /Filter [/ASCII85Decode /FlateDecode]"
+    if mode == "rl":
+        return _rl_encode(content), b" /Filter /RunLengthDecode"
+    raise ValueError(f"unknown stream filter mode {mode!r}")
+
+
+def make_pdf_bytes(
+    pages: list[list[str]], compress: bool = False,
+    stream_filter: str | None = None,
+) -> bytes:
     """Minimal structurally-correct PDF writer: catalog -> page tree ->
     one content stream per page (one Tj per line), valid xref +
-    trailer, direct /Length on every stream.  Deterministic."""
+    trailer, direct /Length on every stream.  Deterministic.
+    `stream_filter` selects a _filtered_stream pipeline for the content
+    streams (overrides `compress`; compress=True stays byte-identical
+    to the historical Flate output)."""
     import zlib
 
     objs: list[bytes] = []  # object number = index + 1
@@ -1649,10 +1705,13 @@ def make_pdf_bytes(pages: list[list[str]], compress: bool = False) -> bytes:
             parts.append(b"(" + _pdf_escape(line) + b") Tj")
         parts.append(b"ET")
         content = b" ".join(parts)
-        if compress:
-            payload = zlib.compress(content)
-            head = b"<< /Length " + str(len(payload)).encode() + \
-                b" /Filter /FlateDecode >>"
+        mode = stream_filter if stream_filter else (
+            "flate" if compress else None
+        )
+        if mode is not None:
+            payload, filt = _filtered_stream(content, mode)
+            head = (b"<< /Length " + str(len(payload)).encode()
+                    + filt + b" >>")
         else:
             payload = content
             head = b"<< /Length " + str(len(payload)).encode() + b" >>"
@@ -1911,9 +1970,12 @@ def pdf_item(cfg: CorpusConfig, j: int) -> tuple[str, bytes, str]:
     owner-locked shape under the V4/AESV2 and V5/R6/AESV3 crypt-filter
     layouts — the post-Acrobat-7 default), scan (pages are image
     XObjects — no content-stream text, rides the pipeline's
-    raster->OCR fallback), garbage (not a PDF), encrypted (dangling
-    /Encrypt ref), locked (real user password), and lzw (unsupported
-    filter) — the last three are error-row classes."""
+    raster->OCR fallback), lzw (content streams under real /LZWDecode
+    compression — the TIFF bitstream dialect), a85 (an
+    [/ASCII85Decode /FlateDecode] filter CHAIN, the PostScript-era
+    ascii-armor shape), garbage (not a PDF), encrypted (dangling
+    /Encrypt ref), and locked (real user password) — the last three
+    are error-row classes."""
     rng = _rng(cfg.seed, _S_PDF, j)
     n_pages = 1 + j % 3
     pages = [
@@ -1933,11 +1995,15 @@ def pdf_item(cfg: CorpusConfig, j: int) -> tuple[str, bytes, str]:
             data.replace(b"/Root 1 0 R", b"/Root 1 0 R /Encrypt 9 0 R"),
             "encrypted",
         )
-    if j % 7 == 6 and compress:
+    if j % 7 == 6:
+        # real alternate filter pipelines: LZW-compressed content
+        # streams, and the [/A85 /Fl] chain — both extract the same
+        # text as their Flate twins
+        mode = "lzw" if j % 2 == 0 else "a85flate"
         return (
             pdf_ref(j),
-            data.replace(b"/Filter /FlateDecode", b"/Filter /LZWDecode"),
-            "lzw",
+            make_pdf_bytes(pages, stream_filter=mode),
+            "lzw" if mode == "lzw" else "a85",
         )
     if j % 9 == 3:
         # scanned document: rendered page images embedded as XObjects
@@ -2017,7 +2083,7 @@ INTERLEAVED_CORPUS = CorpusConfig(n_docs=60, p_pdf=0.35)
 # the extractor under test)
 
 _S_SCANPDF = 10
-N_SCAN_PDFS = 24  # fixed: goldens for this corpus are committed
+N_SCAN_PDFS = 36  # fixed: goldens for this corpus are committed
 
 
 def scan_pdf_ref(j: int) -> str:
@@ -2030,6 +2096,7 @@ def make_scanned_pdf_bytes(
     color: str = "gray",
     flate: bool = True,
     dct: bool = False,
+    variant: str = "",
 ) -> bytes:
     """Minimal structurally-correct scanned-PDF writer: one page per
     grayscale uint8 image, each page a single /Subtype /Image XObject
@@ -2037,7 +2104,15 @@ def make_scanned_pdf_bytes(
     (rows padded to byte boundaries, 1 = white), 8-bit /DeviceRGB with
     R=G=B (luma folds back to the input exactly), and dct=True for
     /DCTDecode (a real baseline JPEG payload via imaging/jpeg.py —
-    the filter real-world scanners emit).  Deterministic."""
+    the filter real-world scanners emit).  `variant` exercises the
+    reader's §8.9 sample-space features, each chosen so the decoded
+    raster is an EXACT function of the input: 'indexed' (4-bit
+    indices into a 16-entry gray-ramp /DeviceRGB palette — decodes
+    to (img>>4)*17), 'smask' (a zero base image whose /SMask alpha
+    is 255-img — composites onto white back to img exactly),
+    'invert' (complemented samples under /Decode [1 0] — decodes to
+    img), 'rl' (/RunLengthDecode samples), 'pred' (Flate + the PNG
+    Up predictor via /DecodeParms).  Deterministic."""
     import zlib
 
     objs: list[bytes] = []
@@ -2048,15 +2123,51 @@ def make_scanned_pdf_bytes(
         b"<< /Type /Pages /Kids [" + kids + b"] /Count "
         + str(len(images)).encode() + b" >>"
     )
+    smask_nums = {
+        i: 2 + 3 * len(images) + 1 + i for i in range(len(images))
+    } if variant == "smask" else {}
+    smask_objs: list[bytes] = []
     for i, img in enumerate(images):
         h, w = img.shape[:2]
         pnum = page_nums[i]
+        extra = b""
         if dct:
             from ..imaging.jpeg import encode_jpeg
 
             payload = encode_jpeg(img, quality=95)
             filt = b" /Filter /DCTDecode"
             cs, bpc = b"/DeviceGray", b"8"
+        elif variant == "indexed":
+            idx = (img >> 4).astype(np.uint8)
+            stride = (w + 1) // 2
+            padded = np.zeros((h, stride * 2), dtype=np.uint8)
+            padded[:, :w] = idx
+            samples = ((padded[:, 0::2] << 4)
+                       | padded[:, 1::2]).tobytes()
+            pal = bytes(
+                v for k in range(16) for v in (k * 17, k * 17, k * 17)
+            )
+            cs = (b"[/Indexed /DeviceRGB 15 <"
+                  + pal.hex().encode() + b">]")
+            bpc = b"4"
+        elif variant == "invert":
+            samples = (255 - img).tobytes()
+            cs, bpc = b"/DeviceGray", b"8"
+            extra += b" /Decode [1 0]"
+        elif variant == "smask":
+            samples = np.zeros((h, w), dtype=np.uint8).tobytes()
+            cs, bpc = b"/DeviceGray", b"8"
+            extra += (b" /SMask " + str(smask_nums[i]).encode()
+                      + b" 0 R")
+            mask_payload = zlib.compress((255 - img).tobytes())
+            smask_objs.append(
+                b"<< /Subtype /Image /Width " + str(w).encode()
+                + b" /Height " + str(h).encode()
+                + b" /ColorSpace /DeviceGray /BitsPerComponent 8"
+                + b" /Filter /FlateDecode /Length "
+                + str(len(mask_payload)).encode()
+                + b" >>\nstream\n" + mask_payload + b"\nendstream"
+            )
         elif bits == 1:
             stride = (w + 7) // 8
             rowbits = (img >= 128).astype(np.uint8)
@@ -2071,7 +2182,25 @@ def make_scanned_pdf_bytes(
             samples = img.tobytes()
             cs, bpc = b"/DeviceGray", b"8"
         if not dct:
-            if flate:
+            if variant == "rl":
+                payload = _rl_encode(samples)
+                filt = b" /Filter /RunLengthDecode"
+            elif variant == "pred":
+                rowlen = len(samples) // h
+                rows = np.frombuffer(
+                    samples, dtype=np.uint8
+                ).reshape(h, rowlen)
+                prior = np.zeros(rowlen, dtype=np.uint8)
+                enc = bytearray()
+                for r in range(h):
+                    enc.append(2)  # PNG Up row filter
+                    enc += (rows[r] - prior).tobytes()
+                    prior = rows[r]
+                payload = zlib.compress(bytes(enc))
+                filt = b" /Filter /FlateDecode"
+                extra += (b" /DecodeParms << /Predictor 12 /Columns "
+                          + str(rowlen).encode() + b" >>")
+            elif flate:
                 payload = zlib.compress(samples)
                 filt = b" /Filter /FlateDecode"
             else:
@@ -2088,7 +2217,7 @@ def make_scanned_pdf_bytes(
             b"<< /Subtype /Image /Width " + str(w).encode()
             + b" /Height " + str(h).encode()
             + b" /ColorSpace " + cs + b" /BitsPerComponent " + bpc
-            + filt + b" /Length " + str(len(payload)).encode()
+            + extra + filt + b" /Length " + str(len(payload)).encode()
             + b" >>\nstream\n" + payload + b"\nendstream"
         )
         content = (
@@ -2099,6 +2228,7 @@ def make_scanned_pdf_bytes(
             b"<< /Length " + str(len(content)).encode() + b" >>\nstream\n"
             + content + b"\nendstream"
         )
+    objs.extend(smask_objs)
     out = bytearray(b"%PDF-1.4\n")
     offsets = []
     for i, body in enumerate(objs):
@@ -2125,7 +2255,10 @@ _SCAN_DEGRADATIONS = ("clean", "low_contrast", "dark", "bright")
 def scan_pdf_item(cfg: CorpusConfig, j: int) -> tuple[str, bytes, str, str]:
     """(media_ref, bytes, kind, true_text).  Kind classes cover the
     raster extractor's whole contract: gray8 (Flate), raw (unfiltered),
-    gray1 (1-bit packed rows), rgb (luma fold), multi (2-page), plus
+    gray1 (1-bit packed rows), rgb (luma fold), multi (2-page),
+    the §8.9 sample-space classes indexed (4-bit palette), smask
+    (soft-mask composite), invert (/Decode [1 0]), rle
+    (/RunLengthDecode) and pred (Flate + PNG Up predictor), plus
     error classes noimage (born-digital text PDF) and garbage."""
     rng = _rng(cfg.seed, _S_SCANPDF, j)
     n_lines = int(rng.integers(1, 3))
@@ -2148,6 +2281,27 @@ def scan_pdf_item(cfg: CorpusConfig, j: int) -> tuple[str, bytes, str, str]:
         # lossy, but far inside the OCR chain's recovery margin
         data = make_scanned_pdf_bytes([img], dct=True)
         return scan_pdf_ref(j), data, "dct", true_text
+    if j % 13 == 5:
+        # 4-bit /Indexed gray-ramp palette: 16-level quantization is
+        # far inside the binarizer's margin
+        data = make_scanned_pdf_bytes([img], variant="indexed")
+        return scan_pdf_ref(j), data, "indexed", true_text
+    if j % 13 == 7:
+        # /SMask soft mask over a zero base: composites onto white
+        # back to the source raster exactly
+        data = make_scanned_pdf_bytes([img], variant="smask")
+        return scan_pdf_ref(j), data, "smask", true_text
+    if j % 13 == 9:
+        # /Decode [1 0] over complemented samples: §8.9.5.2 remap
+        data = make_scanned_pdf_bytes([img], variant="invert")
+        return scan_pdf_ref(j), data, "invert", true_text
+    if j % 13 == 11:
+        data = make_scanned_pdf_bytes([img], variant="rl")
+        return scan_pdf_ref(j), data, "rle", true_text
+    if j % 13 == 0:
+        # Flate + PNG Up predictor via /DecodeParms
+        data = make_scanned_pdf_bytes([img], variant="pred")
+        return scan_pdf_ref(j), data, "pred", true_text
     if j % 5 == 4:
         data = make_scanned_pdf_bytes([img], color="rgb")
         return scan_pdf_ref(j), data, "rgb", true_text

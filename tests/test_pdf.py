@@ -195,12 +195,176 @@ def test_encrypt_mention_in_text_is_not_encryption():
 
 
 def test_unsupported_filter_errors_not_garbage():
-    """Non-Flate filters must raise (doc -> error row), never feed raw
-    compressed bytes to the interpreter as 'text' (review finding)."""
+    """Filters outside the decodable set must raise (doc -> error
+    row), never feed raw compressed bytes to the interpreter as
+    'text' (review finding).  JPX/JBIG2/CCITT/Crypt are the refusal
+    set now that Flate/LZW/A85/AHx/RL chains decode for real."""
     pdf = make_pdf(PAGES, compress=True)
-    lzw = pdf.replace(b"/Filter /FlateDecode", b"/Filter /LZWDecode")
-    with pytest.raises(ValueError, match="unsupported stream filter"):
-        extract_pdf_text(lzw)
+    for name in (b"/JPXDecode", b"/JBIG2Decode", b"/CCITTFaxDecode",
+                 b"/Crypt"):
+        bad = pdf.replace(b"/Filter /FlateDecode", b"/Filter " + name)
+        with pytest.raises(ValueError, match="unsupported stream filter"):
+            extract_pdf_text(bad)
+
+
+def _reader_filters():
+    from mcp_ocr_server_spark.functions.pdf import (
+        _apply_filter_list, _parse_decode_parms, _parse_filters)
+
+    return _apply_filter_list, _parse_decode_parms, _parse_filters
+
+
+@pytest.mark.parametrize("mode, kinds", [
+    ("lzw", [b"/LZWDecode"]),
+    ("a85flate", [b"/ASCII85Decode", b"/FlateDecode"]),
+    ("rl", [b"/RunLengthDecode"]),
+])
+def test_filtered_content_streams_roundtrip(mode, kinds):
+    """The writer's alternate filter pipelines (LZW, the A85+Flate
+    chain, RunLength) extract the same text as the Flate twin."""
+    from mcp_ocr_server_spark.sources.synthetic import make_pdf_bytes
+
+    pdf = make_pdf_bytes(PAGES, stream_filter=mode)
+    for k in kinds:
+        assert k in pdf
+    assert extract_pdf_text(pdf) == ["\n".join(p) for p in PAGES]
+
+
+def test_filter_abbreviations_and_ahx():
+    """/Fl /LZW /A85 /AHx /RL short names decode like the long forms;
+    ASCIIHex with whitespace and an odd final digit pads per spec."""
+    _apply, _parms, _parse = _reader_filters()
+    body = b"<< /Filter [/AHx /Fl] >>"
+    names = _parse(body)
+    assert names == [b"/ASCIIHexDecode", b"/FlateDecode"]
+    raw = zlib.compress(b"payload bytes")
+    armored = raw.hex().encode()
+    armored = armored[:8] + b"\n  " + armored[8:] + b">"
+    assert _apply(armored, names, [None, None]) == b"payload bytes"
+    # odd digit count pads a trailing zero: "4" -> 0x40
+    assert _apply(b"4>", [b"/ASCIIHexDecode"], [None]) == b"\x40"
+
+
+def test_rl_decode_runs_literals_and_truncation():
+    from mcp_ocr_server_spark.functions.pdf import _rl_decode
+    from mcp_ocr_server_spark.sources.synthetic import _rl_encode
+
+    for blob in (b"", b"a", b"ab" * 40, b"x" * 300,
+                 bytes(range(256)) * 3, b"aaabccccdd" * 17):
+        assert _rl_decode(_rl_encode(blob)) == blob
+    with pytest.raises(ValueError, match="truncated"):
+        _rl_decode(b"\x05ab")  # literal run promises 6 bytes
+    with pytest.raises(ValueError, match="truncated"):
+        _rl_decode(b"\xfe")  # repeat run with no byte
+
+
+def test_png_predictor_undo_all_tags():
+    """PNG predictors 10-15 (per-row tags 0-4) reconstruct exactly:
+    encode with png.py's own row filters?  No — hand-apply each tag
+    forward here, then assert the reader undoes it."""
+    import numpy as np
+
+    from mcp_ocr_server_spark.functions.pdf import _undo_predictor_bytes
+
+    rng = np.random.default_rng(7)
+    rows, cols, colors = 6, 11, 3
+    raw = rng.integers(0, 256, (rows, cols * colors), dtype=np.uint8)
+    bpp = colors
+    enc = bytearray()
+    prior = np.zeros(cols * colors, dtype=np.uint8)
+    for r in range(rows):
+        tag = r % 5
+        row = raw[r]
+        left = np.concatenate([np.zeros(bpp, np.uint8), row[:-bpp]])
+        pl = np.concatenate([np.zeros(bpp, np.uint8), prior[:-bpp]])
+        if tag == 0:
+            f = row
+        elif tag == 1:
+            f = row - left
+        elif tag == 2:
+            f = row - prior
+        elif tag == 3:
+            f = row - ((left.astype(int) + prior.astype(int)) // 2).astype(
+                np.uint8)
+        else:
+            p = left.astype(int) + prior.astype(int) - pl.astype(int)
+            pa = np.abs(p - left.astype(int))
+            pb = np.abs(p - prior.astype(int))
+            pc = np.abs(p - pl.astype(int))
+            pred = np.where(
+                (pa <= pb) & (pa <= pc), left,
+                np.where(pb <= pc, prior, pl))
+            f = row - pred.astype(np.uint8)
+        enc.append(tag)
+        enc += f.astype(np.uint8).tobytes()
+        prior = row
+    parms = (b"/Predictor 12 /Colors 3 /BitsPerComponent 8 /Columns "
+             + str(cols).encode())
+    assert _undo_predictor_bytes(bytes(enc), parms) == raw.tobytes()
+
+
+def test_tiff_predictor2_and_refusals():
+    from mcp_ocr_server_spark.functions.pdf import _undo_predictor_bytes
+
+    # TIFF horizontal differencing, 2 colors x 4 columns
+    raw = bytes([10, 200, 13, 210, 16, 220, 19, 230])
+    diff = bytes([10, 200, 3, 10, 3, 10, 3, 10])
+    parms = b"/Predictor 2 /Colors 2 /Columns 4"
+    assert _undo_predictor_bytes(diff, parms) == raw
+    with pytest.raises(ValueError, match="8-bit"):
+        _undo_predictor_bytes(diff, parms + b" /BitsPerComponent 4")
+    with pytest.raises(ValueError, match="unsupported"):
+        _undo_predictor_bytes(b"\x00" * 4,
+                              b"/Predictor 7 /Columns 4")
+    with pytest.raises(ValueError, match="whole row"):
+        _undo_predictor_bytes(b"\x00" * 5,
+                              b"/Predictor 12 /Columns 3")
+
+
+def test_decode_parms_array_alignment():
+    """An array /DecodeParms aligns per filter position with null
+    holes; a bare dict applies to the first filter."""
+    _apply, _parms, _parse = _reader_filters()
+    body = (b"<< /Filter [/ASCII85Decode /FlateDecode] "
+            b"/DecodeParms [null << /Predictor 1 >>] >>")
+    parms = _parms(body, 2)
+    assert parms[0] is None and b"Predictor" in parms[1]
+    body2 = b"<< /Filter /FlateDecode /DP << /Predictor 1 >> >>"
+    assert _parms(body2, 1)[0] is not None
+    assert _parms(b"<< /Filter /FlateDecode >>", 1) == [None]
+
+
+def test_filter_corpus_classes_extract_clean_text():
+    """The pdf corpus's lzw and a85 classes (real /LZWDecode streams
+    and the [/A85 /Fl] chain) extract ascii prose — they are TEXT
+    classes now, not error rows."""
+    from mcp_ocr_server_spark.queries import FLAGSHIP_CORPUS
+    from mcp_ocr_server_spark.sources.synthetic import (
+        N_PDF_DOCS, pdf_item)
+
+    seen = {"lzw": 0, "a85": 0}
+    for j in range(N_PDF_DOCS):
+        ref, data, kind = pdf_item(FLAGSHIP_CORPUS, j)
+        if kind not in seen:
+            continue
+        seen[kind] += 1
+        marker = (b"/Filter /LZWDecode" if kind == "lzw"
+                  else b"/Filter [/ASCII85Decode /FlateDecode]")
+        assert marker in data
+        joined = "\n".join(extract_pdf_text(data))
+        assert joined and all(c.isascii() for c in joined)
+    assert seen["lzw"] >= 2 and seen["a85"] >= 2
+
+
+def test_lzw_mislabel_still_errors():
+    """zlib bytes labeled /LZWDecode must raise (invalid code stream),
+    not silently decode to garbage — the corpus's historical lzw
+    error-class contract, now enforced by the decoder itself."""
+    pdf = make_pdf(PAGES, compress=True)
+    mislabeled = pdf.replace(b"/Filter /FlateDecode",
+                             b"/Filter /LZWDecode")
+    with pytest.raises(ValueError):
+        extract_pdf_text(mislabeled)
 
 
 def test_roundtrip_property():
@@ -279,8 +443,9 @@ def test_pdf15_objstm_xref_stream_extracts():
 def test_pdf15_encrypted_and_corrupt_objstm_refused():
     """The refusal contract survives the 1.5 support: /Encrypt in the
     XRef stream's dict (the trailer-less trailer) refuses BEFORE any
-    ObjStm decompression; structurally-corrupt ObjStm headers and
-    predictor DecodeParms refuse loudly rather than emitting garbage;
+    ObjStm decompression; structurally-corrupt ObjStm headers refuse
+    loudly rather than emitting garbage; a predictor-free /DecodeParms
+    dict is now a no-op (the filter chain handles parms for real);
     a file with neither trailer nor /XRef stream stays unparseable."""
     from mcp_ocr_server_spark.sources.synthetic import make_pdf15_bytes
 
@@ -291,10 +456,10 @@ def test_pdf15_encrypted_and_corrupt_objstm_refused():
     with pytest.raises(ValueError, match="/N or /First"):
         extract_pdf_text(pdf.replace(b"/Type /ObjStm /N",
                                      b"/Type /ObjStm /Z"))
-    with pytest.raises(ValueError, match="DecodeParms"):
-        extract_pdf_text(pdf.replace(
-            b"/Type /ObjStm /N",
-            b"/Type /ObjStm /DecodeParms << >> /N"))
+    assert extract_pdf_text(pdf.replace(
+        b"/Type /ObjStm /N",
+        b"/Type /ObjStm /DecodeParms << >> /N")) \
+        == ["\n".join(p) for p in PAGES]
     headless = make_pdf(PAGES).replace(b"trailer", b"trailex")
     with pytest.raises(ValueError, match="no trailer keyword"):
         extract_pdf_text(headless)

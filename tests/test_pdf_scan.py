@@ -89,19 +89,21 @@ def test_refusals(data, msg):
         extract_pdf_page_rasters(data)
 
 
-def test_refuses_decode_array():
+def test_decode_array_inverts():
+    """/Decode [1 0] is a real component remap now (§8.9.5.2): the
+    raster comes back exactly inverted, not a refusal."""
     data = S.make_scanned_pdf_bytes([IMG])
     data = data.replace(
         b"/BitsPerComponent 8", b"/Decode [1 0] /BitsPerComponent 8"
     )
-    with pytest.raises(ValueError, match="/Decode inversion"):
-        extract_pdf_page_rasters(data)
+    out = extract_pdf_page_rasters(data)[0]
+    assert np.array_equal(out, 255 - IMG)
 
 
 def test_refuses_unsupported_filter():
     data = S.make_scanned_pdf_bytes([IMG])
     data = data.replace(b"/Filter /FlateDecode", b"/Filter /CCITTFaxDecode")
-    with pytest.raises(ValueError, match="unsupported filter"):
+    with pytest.raises(ValueError, match="unsupported stream filter"):
         extract_pdf_page_rasters(data)
 
 
@@ -143,7 +145,8 @@ def test_corpus_classes_and_ocr_recovery():
         assert rows[0]["confidence"] > 0
     # the corpus must keep exercising every sample-class branch
     assert kinds == {
-        "gray8", "raw", "gray1", "rgb", "dct", "noimage", "garbage",
+        "gray8", "raw", "gray1", "rgb", "dct", "indexed", "smask",
+        "invert", "rle", "pred", "noimage", "garbage",
     }
 
 
