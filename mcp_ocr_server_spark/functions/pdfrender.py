@@ -840,76 +840,314 @@ def _shading_gray(body: bytes, key: bytes, default: float) -> float:
     raise ValueError("shading: unsupported color component count")
 
 
-def _paint_axial_shading(
-    canvas: "_Canvas", sh_body: bytes, objs: dict[int, _Obj],
-    ctm: "_Mat",
-) -> None:
-    """`sh` with /ShadingType 2 (axial, §8.7.4.5.3) under a Type 2
-    exponential-interpolation function: paints the current clip
-    region with gray(t) = C0 + t^N (C1 - C0), t = the pixel's
-    projection onto the axis (affine maps keep the parameterization
-    linear, so t is computed directly in device space — one
-    vectorized numpy expression, no per-pixel Python).  /Extend
-    controls whether t clamps beyond the endpoints or leaves pixels
-    untouched.  Radial/mesh types and sampled/stitching functions
-    refuse by name."""
-    tm = re.search(rb"/ShadingType\s+(\d+)", sh_body)
-    if tm is None or int(tm.group(1)) != 2:
-        raise ValueError(
-            "shading: only /ShadingType 2 (axial) is supported"
-        )
-    cm = re.search(rb"/Coords\s*\[(.*?)\]", sh_body, re.S)
-    if cm is None:
-        raise ValueError("shading: missing /Coords")
-    coords = [float(t) for t in _NUM_RE.findall(cm.group(1))]
-    if len(coords) != 4:
-        raise ValueError("shading: axial /Coords needs 4 numbers")
-    # the function may be inline or an indirect reference
-    fbody = sh_body
+def _parse_shading_fn(fsrc, objs: dict[int, _Obj], depth: int = 0):
+    """A §7.10 function as a vectorized callable t∈[0,1] -> gray∈[0,1]
+    (numpy in, numpy out — no per-pixel Python).  Supported: Type 2
+    (exponential interpolation), Type 3 (stitching over Type 2/0
+    subfunctions), Type 0 (sampled stream, linear interpolation,
+    1-D input, 1 or 3 output components folded to BT.601 gray).
+    Type 4 (PostScript calculator) refuses by name.  `fsrc` is an
+    _Obj (indirect function, may carry the Type 0 sample stream) or
+    raw dict bytes (inline)."""
+    if depth > 4:
+        raise ValueError("shading function: nesting too deep")
+    body = fsrc.body if isinstance(fsrc, _Obj) else fsrc
+    ftm = re.search(rb"/FunctionType\s+(\d+)", body)
+    if ftm is None:
+        raise ValueError("shading function: missing /FunctionType")
+    ftype = int(ftm.group(1))
+    if ftype == 2:
+        nm = re.search(rb"/N\s+([-\d.]+)", body)
+        n_exp = float(nm.group(1)) if nm else 1.0
+        c0 = _shading_gray(body, b"C0", 0.0)
+        c1 = _shading_gray(body, b"C1", 1.0)
+        return lambda t: c0 + np.power(t, n_exp) * (c1 - c0)
+    if ftype == 3:
+        dm = re.search(rb"/Domain\s*\[(.*?)\]", body, re.S)
+        dom = ([float(x) for x in _NUM_RE.findall(dm.group(1))]
+               if dm else [0.0, 1.0])
+        fm = re.search(rb"/Functions\s*\[", body)
+        if fm is None:
+            raise ValueError("stitching function: missing /Functions")
+        # balanced-bracket scan: subfunction dicts carry their own
+        # [...] arrays, so a non-greedy regex would truncate early
+        depth, p = 0, fm.end() - 1
+        end = None
+        while p < len(body):
+            c = body[p]
+            if c == 0x5B:      # [
+                depth += 1
+            elif c == 0x5D:    # ]
+                depth -= 1
+                if depth == 0:
+                    end = p
+                    break
+            p += 1
+        if end is None:
+            raise ValueError("stitching function: unbalanced /Functions")
+        subs = []
+        arr = body[fm.end() : end]
+        p = 0
+        while p < len(arr):
+            rm = re.compile(rb"\s*(\d+)\s+\d+\s+R").match(arr, p)
+            if rm is not None:
+                sub_obj = objs.get(int(rm.group(1)))
+                if sub_obj is None:
+                    raise ValueError(
+                        "stitching function: dangling subfunction ref"
+                    )
+                subs.append(
+                    _parse_shading_fn(sub_obj, objs, depth + 1))
+                p = rm.end()
+                continue
+            if arr[p : p + 2] == b"<<":
+                from .pdf import _dict_span
+
+                span = _dict_span(arr, p)
+                if span is None:
+                    raise ValueError(
+                        "stitching function: unbalanced inline dict"
+                    )
+                subs.append(
+                    _parse_shading_fn(span[0], objs, depth + 1))
+                p = span[1]
+                continue
+            if arr[p : p + 1] in b" \t\r\n":
+                p += 1
+                continue
+            raise ValueError(
+                "stitching function: unsupported /Functions entry"
+            )
+        k = len(subs)
+        if k == 0:
+            raise ValueError("stitching function: empty /Functions")
+        bm = re.search(rb"/Bounds\s*\[(.*?)\]", body, re.S)
+        bounds = ([float(x) for x in _NUM_RE.findall(bm.group(1))]
+                  if bm else [])
+        if len(bounds) != k - 1:
+            raise ValueError(
+                "stitching function: /Bounds must have k-1 entries"
+            )
+        em = re.search(rb"/Encode\s*\[(.*?)\]", body, re.S)
+        encode = ([float(x) for x in _NUM_RE.findall(em.group(1))]
+                  if em else [0.0, 1.0] * k)
+        if len(encode) != 2 * k:
+            raise ValueError(
+                "stitching function: /Encode must have 2k entries"
+            )
+        edges = [dom[0]] + bounds + [dom[1]]
+
+        def stitched(t):
+            out = np.zeros_like(t, dtype=np.float64)
+            for i, sub in enumerate(subs):
+                lo, hi = edges[i], edges[i + 1]
+                m = ((t >= lo) & (t <= hi)) if i == k - 1 else \
+                    ((t >= lo) & (t < hi))
+                if not np.any(m):
+                    continue
+                span = hi - lo
+                e0, e1 = encode[2 * i], encode[2 * i + 1]
+                tt = (e0 + (t[m] - lo) / span * (e1 - e0)) if span \
+                    else np.full(int(m.sum()), e0)
+                out[m] = sub(tt)
+            return out
+
+        return stitched
+    if ftype == 0:
+        if not isinstance(fsrc, _Obj) or fsrc.stream is None:
+            raise ValueError(
+                "sampled function: needs an indirect stream object"
+            )
+        from .pdf import _stream_of
+
+        samples = _stream_of(fsrc)
+        sm = re.search(rb"/Size\s*\[(.*?)\]", body, re.S)
+        bm = re.search(rb"/BitsPerSample\s+(\d+)", body)
+        rm = re.search(rb"/Range\s*\[(.*?)\]", body, re.S)
+        if sm is None or bm is None or rm is None:
+            raise ValueError(
+                "sampled function: missing /Size /BitsPerSample /Range"
+            )
+        sizes = [int(x) for x in re.findall(rb"\d+", sm.group(1))]
+        if len(sizes) != 1 or sizes[0] < 2:
+            raise ValueError(
+                "sampled function: only 1-D input with >= 2 samples"
+            )
+        n = sizes[0]
+        bps = int(bm.group(1))
+        if bps not in (1, 2, 4, 8, 16):
+            raise ValueError(
+                f"sampled function: {bps}-bit samples unsupported"
+            )
+        rng = [float(x) for x in _NUM_RE.findall(rm.group(1))]
+        m_out = len(rng) // 2
+        if m_out not in (1, 3) or len(rng) != 2 * m_out:
+            raise ValueError(
+                "sampled function: only 1 or 3 output components"
+            )
+        dm = re.search(rb"/Domain\s*\[(.*?)\]", body, re.S)
+        dom = ([float(x) for x in _NUM_RE.findall(dm.group(1))]
+               if dm else [0.0, 1.0])
+        total = n * m_out
+        if bps == 16:
+            need = total * 2
+            if len(samples) < need:
+                raise ValueError("sampled function: stream too short")
+            raw = np.frombuffer(
+                samples[:need], dtype=">u2"
+            ).astype(np.float64)
+        else:
+            need = (total * bps + 7) // 8
+            if len(samples) < need:
+                raise ValueError("sampled function: stream too short")
+            bits = np.unpackbits(
+                np.frombuffer(samples[:need], dtype=np.uint8)
+            )[: total * bps].reshape(total, bps)
+            weights = (1 << np.arange(bps - 1, -1, -1))
+            raw = (bits * weights).sum(axis=1).astype(np.float64)
+        maxv = float((1 << bps) - 1)
+        vals = raw.reshape(n, m_out)
+        comps = np.empty((n, m_out), dtype=np.float64)
+        for c in range(m_out):
+            r0, r1 = rng[2 * c], rng[2 * c + 1]
+            comps[:, c] = r0 + vals[:, c] / maxv * (r1 - r0)
+        if m_out == 1:
+            gray_tab = comps[:, 0]
+        else:
+            gray_tab = (0.299 * comps[:, 0] + 0.587 * comps[:, 1]
+                        + 0.114 * comps[:, 2])
+        d0, d1 = dom[0], dom[1]
+
+        def sampled(t):
+            x = np.clip(
+                (t - d0) / ((d1 - d0) or 1.0) * (n - 1), 0.0, n - 1.0
+            )
+            i0 = np.floor(x).astype(np.intp)
+            i1 = np.minimum(i0 + 1, n - 1)
+            frac = x - i0
+            return gray_tab[i0] * (1.0 - frac) + gray_tab[i1] * frac
+
+        return sampled
+    raise ValueError(
+        f"shading: /FunctionType {ftype} (PostScript calculator)"
+        " unsupported" if ftype == 4 else
+        f"shading: /FunctionType {ftype} unsupported"
+    )
+
+
+def _shading_common(sh_body: bytes, objs: dict[int, _Obj]):
+    """(function, ext0, ext1) shared by the axial and radial painters.
+    The /Function may be inline or an indirect reference."""
+    fsrc: bytes | _Obj = sh_body
     fm = re.search(rb"/Function\s+(\d+)\s+\d+\s+R", sh_body)
     if fm is not None:
         fobj = objs.get(int(fm.group(1)))
         if fobj is None:
             raise ValueError("shading: dangling /Function reference")
-        fbody = fobj.body
-    ftm = re.search(rb"/FunctionType\s+(\d+)", fbody)
-    if ftm is None or int(ftm.group(1)) != 2:
-        raise ValueError(
-            "shading: only /FunctionType 2 (exponential) is supported"
-        )
-    nm = re.search(rb"/N\s+([-\d.]+)", fbody)
-    n_exp = float(nm.group(1)) if nm else 1.0
-    c0 = _shading_gray(fbody, b"C0", 0.0)
-    c1 = _shading_gray(fbody, b"C1", 1.0)
+        fsrc = fobj
+    func = _parse_shading_fn(fsrc, objs)
     em = re.search(rb"/Extend\s*\[\s*(\w+)\s+(\w+)\s*\]", sh_body)
     ext0 = em is not None and em.group(1) == b"true"
     ext1 = em is not None and em.group(2) == b"true"
-    # device-space axis endpoints (pixel coordinates)
-    u0 = ctm.apply(coords[0], coords[1])
-    u1 = ctm.apply(coords[2], coords[3])
-    d0 = ((u0[0] - canvas.x0) * canvas.px,
-          (canvas.y1 - u0[1]) * canvas.px)
-    d1 = ((u1[0] - canvas.x0) * canvas.px,
-          (canvas.y1 - u1[1]) * canvas.px)
-    ax, ay = d1[0] - d0[0], d1[1] - d0[1]
-    denom = ax * ax + ay * ay
-    if denom == 0.0:
-        raise ValueError("shading: degenerate axis")
+    return func, ext0, ext1
+
+
+def _dev_xy(canvas: "_Canvas", ctm: "_Mat", x: float, y: float):
+    u = ctm.apply(x, y)
+    return ((u[0] - canvas.x0) * canvas.px,
+            (canvas.y1 - u[1]) * canvas.px)
+
+
+def _paint_shading(
+    canvas: "_Canvas", sh_body: bytes, objs: dict[int, _Obj],
+    ctm: "_Mat",
+) -> None:
+    """`sh` dispatch (§8.7.4.5): /ShadingType 2 (axial) paints
+    gray(t) with t = the pixel's projection onto the axis;
+    /ShadingType 3 (radial) solves the §8.7.4.5.4 circle-blend
+    quadratic per pixel for the LARGEST admissible s — both as
+    vectorized numpy over the clip region, under Type 2/3/0
+    functions via _parse_shading_fn.  /Extend controls clamping
+    beyond the endpoints vs leaving pixels untouched.  Mesh types
+    (4-7) refuse by name."""
+    tm = re.search(rb"/ShadingType\s+(\d+)", sh_body)
+    stype = int(tm.group(1)) if tm else -1
+    if stype not in (2, 3):
+        raise ValueError(
+            "shading: only /ShadingType 2 (axial) and 3 (radial)"
+            " are supported"
+        )
+    cm = re.search(rb"/Coords\s*\[(.*?)\]", sh_body, re.S)
+    if cm is None:
+        raise ValueError("shading: missing /Coords")
+    coords = [float(t) for t in _NUM_RE.findall(cm.group(1))]
+    func, ext0, ext1 = _shading_common(sh_body, objs)
     h, w = canvas.img.shape
     ys = np.arange(h, dtype=np.float64)[:, None] + 0.5
     xs = np.arange(w, dtype=np.float64)[None, :] + 0.5
-    t = ((xs - d0[0]) * ax + (ys - d0[1]) * ay) / denom
-    paint = np.ones((h, w), dtype=bool)
-    if not ext0:
-        paint &= t >= 0.0
-    if not ext1:
-        paint &= t <= 1.0
+    if stype == 2:
+        if len(coords) != 4:
+            raise ValueError("shading: axial /Coords needs 4 numbers")
+        d0 = _dev_xy(canvas, ctm, coords[0], coords[1])
+        d1 = _dev_xy(canvas, ctm, coords[2], coords[3])
+        ax, ay = d1[0] - d0[0], d1[1] - d0[1]
+        denom = ax * ax + ay * ay
+        if denom == 0.0:
+            raise ValueError("shading: degenerate axis")
+        t = ((xs - d0[0]) * ax + (ys - d0[1]) * ay) / denom
+        paint = np.ones((h, w), dtype=bool)
+        if not ext0:
+            paint &= t >= 0.0
+        if not ext1:
+            paint &= t <= 1.0
+    else:
+        if len(coords) != 6:
+            raise ValueError("shading: radial /Coords needs 6 numbers")
+        if ctm.a != ctm.d:
+            raise ValueError(
+                "radial shading under non-uniform scale unsupported"
+                " (circles would become ellipses)"
+            )
+        scale = ctm.a * canvas.px
+        c0 = _dev_xy(canvas, ctm, coords[0], coords[1])
+        c1 = _dev_xy(canvas, ctm, coords[3], coords[4])
+        r0d, r1d = coords[2] * scale, coords[5] * scale
+        if r0d < 0 or r1d < 0:
+            raise ValueError("shading: negative radial radius")
+        dcx, dcy = c1[0] - c0[0], c1[1] - c0[1]
+        dr = r1d - r0d
+        px = xs - c0[0]
+        py = ys - c0[1]
+        a_q = dcx * dcx + dcy * dcy - dr * dr
+        b_q = -2.0 * (px * dcx + py * dcy + r0d * dr)
+        c_q = px * px + py * py - r0d * r0d
+        lo_b = -np.inf if ext0 else 0.0
+        hi_b = np.inf if ext1 else 1.0
+
+        def admissible(s):
+            return (np.isfinite(s) & (r0d + s * dr >= 0.0)
+                    & (s >= lo_b) & (s <= hi_b))
+
+        with np.errstate(invalid="ignore", divide="ignore"):
+            if a_q == 0.0:
+                s_hi = np.where(b_q != 0.0, -c_q / b_q, np.nan)
+                s_lo = np.full_like(s_hi, np.nan)
+            else:
+                disc = b_q * b_q - 4.0 * a_q * c_q
+                root = np.sqrt(np.where(disc >= 0.0, disc, np.nan))
+                sa = (-b_q + root) / (2.0 * a_q)
+                sb = (-b_q - root) / (2.0 * a_q)
+                s_hi = np.maximum(sa, sb)
+                s_lo = np.minimum(sa, sb)
+            ok_hi = admissible(s_hi)
+            ok_lo = admissible(s_lo)
+            t = np.where(ok_hi, s_hi, np.where(ok_lo, s_lo, 0.0))
+        paint = ok_hi | ok_lo
     if canvas.clip is not None:
         paint &= canvas.clip
     tc = np.clip(t, 0.0, 1.0)
     gray = np.clip(
-        np.rint((c0 + np.power(tc, n_exp) * (c1 - c0)) * 255.0),
-        0, 255,
+        np.rint(func(tc) * 255.0), 0, 255
     ).astype(np.uint8)
     canvas.img[paint] = gray[paint]
 
@@ -1275,7 +1513,7 @@ def _exec_content(
                 raise ValueError(
                     "sh names a shading missing from /Resources"
                 )
-            _paint_axial_shading(canvas, sh_obj.body, objs, ctm)
+            _paint_shading(canvas, sh_obj.body, objs, ctm)
         elif op == b"IIDo":
             # private op emitted by _extract_inline_images — paints a
             # pre-decoded inline image like an image XObject

@@ -2880,6 +2880,70 @@ def make_composite_pdf_bytes(
                 name = b"/Sh%d" % len(sh_entries)
                 sh_entries.append((name, len(objs)))
                 content += b"%s sh\n" % name
+            elif tag == "radial":
+                # ("radial", x0, y0, r0, x1, y1, r1, g0, g1, extend):
+                # a /ShadingType 3 circle blend painted with sh
+                _t, x0, y0, r0, x1, y1, r1, g0, g1, ext = el
+                ext_s = b"true true" if ext else b"false false"
+                objs.append(
+                    b"<< /ShadingType 3 /ColorSpace /DeviceGray"
+                    b" /Coords [" + b" ".join(
+                        _fnum(v) for v in (x0, y0, r0, x1, y1, r1))
+                    + b"] /Extend [" + ext_s + b"]"
+                    b" /Function << /FunctionType 2 /Domain [0 1]"
+                    b" /C0 [" + _fnum(g0) + b"] /C1 [" + _fnum(g1)
+                    + b"] /N 1 >> >>"
+                )
+                name = b"/Sh%d" % len(sh_entries)
+                sh_entries.append((name, len(objs)))
+                content += b"%s sh\n" % name
+            elif tag == "shstitch":
+                # ("shstitch", x0, y0, x1, y1): an axial gradient
+                # under a /FunctionType 3 STITCHING function — a V
+                # ramp (1 -> 0 on [0, .5], 0 -> 1 on [.5, 1]) from
+                # two exponential subfunctions
+                _t, x0, y0, x1, y1 = el
+                objs.append(
+                    b"<< /ShadingType 2 /ColorSpace /DeviceGray"
+                    b" /Coords [" + b" ".join(
+                        _fnum(v) for v in (x0, y0, x1, y1))
+                    + b"] /Extend [true true]"
+                    b" /Function << /FunctionType 3 /Domain [0 1]"
+                    b" /Functions ["
+                    b" << /FunctionType 2 /Domain [0 1] /C0 [1]"
+                    b" /C1 [0] /N 1 >>"
+                    b" << /FunctionType 2 /Domain [0 1] /C0 [0]"
+                    b" /C1 [1] /N 1 >> ]"
+                    b" /Bounds [0.5] /Encode [0 1 0 1] >> >>"
+                )
+                name = b"/Sh%d" % len(sh_entries)
+                sh_entries.append((name, len(objs)))
+                content += b"%s sh\n" % name
+            elif tag == "shsampled":
+                # ("shsampled", x0, y0, x1, y1, samples): an axial
+                # gradient under an indirect /FunctionType 0 SAMPLED
+                # stream (8-bit, /Domain [0 1] /Range [0 1], linear
+                # interpolation between table entries)
+                _t, x0, y0, x1, y1, samples = el
+                tab = bytes(samples)
+                objs.append(
+                    b"<< /FunctionType 0 /Domain [0 1] /Range [0 1]"
+                    b" /Size [" + str(len(tab)).encode() + b"]"
+                    b" /BitsPerSample 8 /Length "
+                    + str(len(tab)).encode()
+                    + b" >>\nstream\n" + tab + b"\nendstream"
+                )
+                fn_num = len(objs)
+                objs.append(
+                    b"<< /ShadingType 2 /ColorSpace /DeviceGray"
+                    b" /Coords [" + b" ".join(
+                        _fnum(v) for v in (x0, y0, x1, y1))
+                    + b"] /Extend [true true]"
+                    b" /Function " + str(fn_num).encode() + b" 0 R >>"
+                )
+                name = b"/Sh%d" % len(sh_entries)
+                sh_entries.append((name, len(objs)))
+                content += b"%s sh\n" % name
             elif tag == "raw":
                 content += el[1] + b"\n"
             else:  # pragma: no cover - writer misuse
@@ -2965,6 +3029,22 @@ def comp_pdf_item(cfg: CorpusConfig, j: int) -> tuple[str, bytes, str, str]:
         data = make_composite_pdf_bytes([[("raw", raw)]])
         return comp_pdf_ref(j), data, "rotated", ""
     img = render_text(line_a, scale=2)
+    if j % 13 == 7:
+        # gradient page furniture: a LIGHT axial header wash and a
+        # light radial vignette (0.95-1.0 — shading, not ink, same
+        # binarize-away contrast as rect_bg) behind the text — drives
+        # the §8.7.4.5 shading engine, incl. the radial circle-blend
+        # solve, end to end while OCR truth stays the text line
+        data = make_composite_pdf_bytes([[
+            ("raw", b"q 60 560 480 60 re W n"),
+            ("axial", 60.0, 0.0, 540.0, 0.0, 1.0, 0.95, True),
+            ("raw", b"Q q 60 300 200 120 re W n"),
+            ("radial", 160.0, 360.0, 0.0, 160.0, 360.0, 90.0,
+             0.95, 1.0, True),
+            ("raw", b"Q"),
+            ("text", line_a, 72, 500, 20),
+        ]])
+        return comp_pdf_ref(j), data, "gradient", line_a
     if j % 7 == 6:
         # vector decoration: a stroked heading rule, a filled triangle
         # bullet, and a Bézier blob — LIGHT gray (0.95, the same

@@ -503,7 +503,7 @@ def test_corpus_truth_recovery_all_classes():
             assert all(r["confidence"] > 50 for r in rows)
     assert seen == {"text_over_image", "two_images", "ocr_layer",
                     "rect_bg", "vector", "clipped", "form",
-                    "rotated", "garbage"}
+                    "gradient", "rotated", "garbage"}
 
 
 def test_determinism():
@@ -664,12 +664,116 @@ def test_axial_shading_extend_false_leaves_outside_untouched():
     assert row[160] < row[240]      # ramp inside
 
 
-def test_radial_shading_refuses_by_name():
-    raw = b"/Sh0 sh"
+def test_radial_shading_exact_disc():
+    """A point-to-circle radial blend (r0=0): every pixel inside the
+    disc grays to round(dist/R * 255) exactly; with /Extend [false
+    false] pixels outside the disc stay untouched."""
+    cx, cy, R = 300.0, 400.0, 60.0
+    data = page([
+        ("radial", cx, cy, 0.0, cx, cy, R, 0.0, 1.0, False),
+    ])
+    (out,) = render_pdf_pages(data)
+    h, w = out.shape
+    ys = np.arange(h)[:, None] + 0.5
+    xs = np.arange(w)[None, :] + 0.5
+    dist = np.hypot(xs - cx, ys - (792 - cy))
+    inside = dist <= R
+    exp = np.clip(np.rint(dist / R * 255), 0, 255)
+    assert (out[inside] == exp[inside]).all()
+    # sub-pixel boundary effects aside, the outside stays white
+    assert (out[dist > R + 1.5] == 255).all()
+
+
+def test_radial_shading_extend_clamps_outside():
+    """/Extend [true true] paints beyond r1 with C1 (t clamps to 1) —
+    the page floods with the edge color instead of staying white."""
+    data = page([
+        ("radial", 300, 400, 0.0, 300, 400, 40.0, 1.0, 0.25, True),
+    ])
+    (out,) = render_pdf_pages(data)
+    assert out[0, 0] == round(0.25 * 255)      # far corner: clamped C1
+    # center pixel sits 0.707 px from the exact center: t = .707/40
+    assert out[792 - 400, 300] == round(
+        (1.0 - np.hypot(0.5, 0.5) / 40.0 * 0.75) * 255)
+
+
+def test_radial_annulus_between_circles():
+    """Concentric r0 > 0: inside the INNER circle no s in [0,1]
+    solves the blend (extend off), so those pixels stay untouched;
+    the annulus ramps C0 -> C1 with t = (dist - r0) / (r1 - r0)."""
+    cx, cy, r0, r1 = 300.0, 400.0, 20.0, 50.0
+    data = page([
+        ("radial", cx, cy, r0, cx, cy, r1, 0.0, 1.0, False),
+    ])
+    (out,) = render_pdf_pages(data)
+    h, w = out.shape
+    ys = np.arange(h)[:, None] + 0.5
+    xs = np.arange(w)[None, :] + 0.5
+    dist = np.hypot(xs - cx, ys - (792 - cy))
+    ann = (dist >= r0) & (dist <= r1)
+    exp = np.clip(np.rint((dist - r0) / (r1 - r0) * 255), 0, 255)
+    assert (out[ann] == exp[ann]).all()
+    assert (out[dist < r0 - 1.5] == 255).all()   # hole untouched
+
+
+def test_stitching_function_v_ramp():
+    """A Type 3 stitching of two exponential halves paints a V: dark
+    at the axis midpoint, light at both ends, exact per pixel."""
+    data = page([
+        ("raw", b"q 100 100 200 10 re W n"),
+        ("shstitch", 100.0, 0.0, 300.0, 0.0),
+        ("raw", b"Q"),
+    ])
+    (out,) = render_pdf_pages(data)
+    band = out[792 - 110:792 - 100, 100:300]
+    t = (np.arange(100, 300) + 0.5 - 100) / 200.0
+    exp = np.where(t < 0.5, 1.0 - t / 0.5 * 1.0,
+                   (t - 0.5) / 0.5)
+    exp = np.clip(np.rint(exp * 255), 0, 255)
+    assert (band == exp[None, :]).all()
+
+
+def test_sampled_function_linear_interpolation():
+    """A Type 0 sampled stream [255, 0, 255] under /Range [0 1]
+    interpolates linearly between table entries — the same V ramp,
+    built from data instead of algebra."""
+    data = page([
+        ("raw", b"q 100 200 128 10 re W n"),
+        ("shsampled", 100.0, 0.0, 228.0, 0.0, [255, 0, 255]),
+        ("raw", b"Q"),
+    ])
+    (out,) = render_pdf_pages(data)
+    band = out[792 - 210:792 - 200, 100:228]
+    t = (np.arange(100, 228) + 0.5 - 100) / 128.0
+    x = t * 2.0  # table index space (n-1 = 2)
+    tab = np.array([1.0, 0.0, 1.0])
+    i0 = np.floor(x).astype(int)
+    i1 = np.minimum(i0 + 1, 2)
+    frac = x - i0
+    exp = np.clip(np.rint(
+        (tab[i0] * (1 - frac) + tab[i1] * frac) * 255), 0, 255)
+    assert (band == exp[None, :]).all()
+
+
+def test_mesh_shading_and_ps_calculator_refuse_by_name():
     data = page([("axial", 0, 0, 10, 0, 0.0, 1.0, False)])
-    data = data.replace(b"/ShadingType 2", b"/ShadingType 3")
-    with pytest.raises(ValueError, match="ShadingType 2"):
-        render_pdf_pages(data)
+    mesh = data.replace(b"/ShadingType 2", b"/ShadingType 4")
+    with pytest.raises(ValueError, match="ShadingType 2 .* 3"):
+        render_pdf_pages(mesh)
+    ps = data.replace(b"/FunctionType 2", b"/FunctionType 4")
+    with pytest.raises(ValueError, match="FunctionType 4"):
+        render_pdf_pages(ps)
+
+
+def test_radial_nonuniform_scale_refuses():
+    from mcp_ocr_server_spark.functions.pdfrender import (
+        _Canvas, _Mat, _paint_shading)
+
+    sh = (b"<< /ShadingType 3 /Coords [10 10 0 10 10 5]"
+          b" /Function << /FunctionType 2 /C0 [0] /C1 [1] /N 1 >> >>")
+    canvas = _Canvas((0.0, 0.0, 50.0, 50.0), 1.0)
+    with pytest.raises(ValueError, match="non-uniform"):
+        _paint_shading(canvas, sh, {}, _Mat(2.0, 1.0, 0.0, 0.0))
 
 
 # --- ImageMask stencils + ExtGState benign subset ---------------------------
