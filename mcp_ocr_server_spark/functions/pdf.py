@@ -331,16 +331,17 @@ def _ahx_decode(data: bytes) -> bytes:
         raise ValueError("ASCIIHexDecode: bad hex data") from None
 
 
-def _rl_decode(data: bytes) -> bytes:
-    """RunLengthDecode (§7.4.5): length byte 0-127 = copy n+1 literal
-    bytes, 129-255 = repeat next byte 257-n times, 128 = EOD."""
+def _rl_decode_span(data: bytes) -> tuple[bytes, int, bool]:
+    """RunLengthDecode walk (§7.4.5): (decoded, consumed, saw_eod).
+    Length byte 0-127 = copy n+1 literal bytes, 129-255 = repeat next
+    byte 257-n times, 128 = EOD."""
     out = bytearray()
     pos = 0
     while pos < len(data):
         n = data[pos]
         pos += 1
         if n == 128:
-            return bytes(out)
+            return bytes(out), pos, True
         if n < 128:
             chunk = data[pos : pos + n + 1]
             if len(chunk) < n + 1:
@@ -352,7 +353,12 @@ def _rl_decode(data: bytes) -> bytes:
                 raise ValueError("RunLengthDecode: truncated repeat run")
             out += bytes([data[pos]]) * (257 - n)
             pos += 1
-    return bytes(out)  # tolerate missing EOD at exact end
+    return bytes(out), pos, False
+
+
+def _rl_decode(data: bytes) -> bytes:
+    # tolerate missing EOD at exact end (stream /Length bounds it)
+    return _rl_decode_span(data)[0]
 
 
 def _parm_int(parms: bytes | None, key: bytes, default: int) -> int:
@@ -1076,8 +1082,22 @@ def _resources_entries(
 ) -> list[tuple[bytes, int]]:
     """(name, objnum) pairs of one page-resource category (/XObject,
     /Font), in declaration order.  /Resources may be inline or an
-    indirect reference; the category sub-dict likewise."""
-    rm = re.search(rb"/Resources\s*(?=(<<)|(\d+)\s+\d+\s+R)", page_body)
+    indirect reference; the category sub-dict likewise.  /Resources
+    is INHERITABLE (§7.7.3.4) — a page without its own entry climbs
+    /Parent links up the page tree (depth-capped), the shape
+    generators that hang one shared dict on the /Pages node emit."""
+    rm = None
+    for _ in range(32):
+        rm = re.search(
+            rb"/Resources\s*(?=(<<)|(\d+)\s+\d+\s+R)", page_body
+        )
+        if rm is not None:
+            break
+        pm = re.search(rb"/Parent\s+(\d+)\s+\d+\s+R", page_body)
+        parent = objs.get(int(pm.group(1))) if pm else None
+        if parent is None:
+            return []
+        page_body = parent.body
     if rm is None:
         return []
     if rm.group(2) is not None:

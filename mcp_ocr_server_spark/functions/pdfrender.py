@@ -24,21 +24,24 @@ deterministic no-external-font engine can draw faithfully:
     honors), dash patterns (§8.4.3.6 arc-length duty cycle with
     phase; join squares are skipped for dashed strokes so a gap at a
     corner stays a gap), and inline images (BI/ID/EI §8.9.7 —
-    unfiltered / /Fl / /AHx / /DCT via the in-repo JPEG codec, 8-bit
-    G/RGB and 1-bit G; data length is computed exactly per filter,
-    never by searching image bytes for 'EI'), and axial shading
-    (sh /ShadingType 2 under a /FunctionType 2 exponential ramp —
-    one vectorized device-space projection over the clip region;
-    radial/mesh shadings and sampled/stitching functions refuse by
-    name), ImageMask stencils (§8.9.6.2 — 1-bit masks painting the
+    unfiltered / /Fl / /AHx / /RL / /LZW / /A85 / /DCT via the
+    in-repo JPEG codec, 8-bit G/RGB and 1-bit G; data length is
+    computed exactly per filter — row arithmetic, zlib/LZW/RL
+    self-termination, '>'/'~>' delimiters — never by searching image
+    bytes for 'EI'), and gradient shading (sh /ShadingType 2 axial
+    and 3 radial under /FunctionType 2 exponential, 3 stitching and
+    0 sampled functions — vectorized device-space evaluation over
+    the clip region; mesh shadings and PostScript-calculator
+    functions refuse by name), ImageMask stencils (§8.9.6.2 — 1-bit
+    masks painting the
     CURRENT FILL COLOR through their clear bits, /Decode [1 0]
     inversion honored, both as XObjects and inline), and the BENIGN
     /ExtGState subset (gs applying /LW and /D; /SMask /None, /BM
     /Normal and opacity 1 accepted as no-ops).  Rect-only f fills
     keep the original exact integer-rect semantics, so pre-existing
     goldens are bit-stable.  Soft masks, non-Normal blend modes,
-    transparency below 1, transfer functions/halftones, CCITT/LZW
-    inline filters, and non-device colorspaces refuse by name.
+    transparency below 1, transfer functions/halftones, CCITT inline
+    filters, and non-device colorspaces refuse by name.
   - image XObjects: any count per page, each painted into its CTM
     unit-square rectangle with nearest-neighbor resampling via the
     SAME _decode_image_xobject the scanned path uses.
@@ -127,8 +130,9 @@ def _extract_inline_images(
     grayscale pixels are returned alongside.  The scan skips literal
     and hex strings, so page TEXT containing 'BI' can never
     false-positive.  Data length is determined EXACTLY per filter:
-    unfiltered = padded-row arithmetic, /AHx = up to '>', /Fl = where
-    the zlib stream self-terminates — never by searching for 'EI'
+    unfiltered = padded-row arithmetic, /AHx = up to '>', /A85 = up
+    to '~>', /Fl = where the zlib stream self-terminates, /RL = its
+    EOD byte, /LZW = its EOI code — never by searching for 'EI'
     inside image bytes (which may legally contain it).  Supported:
     /CS /G|/RGB (8-bit) and 1-bit /G; anything else refuses by
     name."""
@@ -282,6 +286,29 @@ def _parse_inline_image(
         if em is None:
             raise ValueError("inline image: missing EI")
         return (False, img.astype(np.uint8)), em.end()
+    elif filt in (b"/RL", b"/RunLengthDecode"):
+        from .pdf import _rl_decode_span
+
+        raw, consumed, saw_eod = _rl_decode_span(content[d0:])
+        if not saw_eod:
+            raise ValueError("inline image: RL data missing EOD")
+        end = d0 + consumed
+    elif filt in (b"/A85", b"/ASCII85Decode"):
+        from .pdf import _a85_decode
+
+        tail = content.find(b"~>", d0)
+        if tail < 0:
+            raise ValueError("inline image: unterminated A85 data")
+        raw = _a85_decode(content[d0:tail])
+        end = tail + 2
+    elif filt in (b"/LZW", b"/LZWDecode"):
+        from ..imaging.tiff import lzw_decode_span
+
+        try:
+            raw, consumed = lzw_decode_span(content[d0:])
+        except ValueError as e:
+            raise ValueError(f"inline image: bad LZW data ({e})")
+        end = d0 + consumed
     elif filt is None:
         row_bytes = (w * bpc * channels + 7) // 8
         need = row_bytes * h

@@ -132,6 +132,26 @@ def lzw_decode(data: bytes, expected: int | None = None,
     or end of data (the PDF /LZWDecode contract, ISO 32000-1 §7.4.4 —
     same bitstream dialect), bounded by `cap` so a hostile stream
     cannot balloon memory."""
+    return _lzw_decode_core(data, expected, cap)[0]
+
+
+def lzw_decode_span(data: bytes, cap: int = 1 << 26) -> tuple[bytes, int]:
+    """(decoded bytes, consumed input length) — decodes until the EOI
+    code and reports where the stream ended, the contract inline
+    images need to find their EI delimiter without searching the
+    pixel bytes."""
+    out, consumed, saw_eoi = _lzw_decode_core(
+        data, None, cap, want_consumed=True
+    )
+    if not saw_eoi:
+        raise ValueError("lzw: stream ended without EOI")
+    return out, consumed
+
+
+def _lzw_decode_core(
+    data: bytes, expected: int | None, cap: int,
+    want_consumed: bool = False,
+):
     out = bytearray()
     bitbuf = bitcnt = 0
     pos = 0
@@ -143,7 +163,7 @@ def lzw_decode(data: bytes, expected: int | None = None,
         nonlocal bitbuf, bitcnt, pos
         while bitcnt < width:
             if pos >= len(data):
-                return _EOI  # tolerate missing EOI at exact end
+                return -1  # data exhausted without EOI
             bitbuf = (bitbuf << 8) | data[pos]
             pos += 1
             bitcnt += 8
@@ -151,10 +171,14 @@ def lzw_decode(data: bytes, expected: int | None = None,
         code = (bitbuf >> bitcnt) & ((1 << width) - 1)
         return code
 
+    saw_eoi = False
     while expected is None or len(out) < expected:
         code = read_code()
         if code == _EOI:
+            saw_eoi = True
             break
+        if code == -1:
+            break  # tolerate missing EOI at exact end
         if len(out) > cap:
             raise ValueError("lzw: output exceeds cap")
         if code == _CLEAR:
@@ -183,11 +207,13 @@ def lzw_decode(data: bytes, expected: int | None = None,
         # 2^w - 1, two earlier than a late-change decoder
         if len(table) + 2 >= (1 << width) and width < 12:
             width += 1
+    if want_consumed:
+        return bytes(out), pos, saw_eoi
     if expected is None:
-        return bytes(out)
+        return (bytes(out),)
     if len(out) < expected:
         raise ValueError("lzw: short output")
-    return bytes(out[:expected])
+    return (bytes(out[:expected]),)
 
 
 def lzw_encode(data: bytes) -> bytes:

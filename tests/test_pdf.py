@@ -334,6 +334,63 @@ def test_decode_parms_array_alignment():
     assert _parms(b"<< /Filter /FlateDecode >>", 1) == [None]
 
 
+def test_inherited_resources_from_pages_node():
+    """/Resources is inheritable (§7.7.3.4): a page without its own
+    dict must find fonts and XObjects on the /Pages ancestor — the
+    shared-resource shape many generators emit."""
+    import numpy as np
+
+    from mcp_ocr_server_spark.functions.pdf import (
+        extract_pdf_page_rasters)
+    from mcp_ocr_server_spark.imaging.font import render_text
+    from mcp_ocr_server_spark.sources.synthetic import (
+        make_scanned_pdf_bytes, make_type0_pdf_bytes)
+
+    img = render_text("INHERIT", scale=2)
+    data = make_scanned_pdf_bytes([img])
+    rm = re.search(rb"/Resources << /XObject << /Im0 \d+ 0 R >> >> ",
+                   data)
+    assert rm is not None
+    res = rm.group(0)
+    hoisted = data.replace(res, b"").replace(
+        b"<< /Type /Pages ", b"<< /Type /Pages " + res, 1)
+    assert np.array_equal(extract_pdf_page_rasters(hoisted)[0], img)
+    # fonts inherit through the same climb: hoist the Type0 font dict
+    t0 = make_type0_pdf_bytes([["shared font"]])
+    rm = re.search(rb"/Resources << /Font << /F1 3 0 R >> >> ", t0)
+    assert rm is not None
+    hoist = t0.replace(rm.group(0), b"").replace(
+        b"<< /Type /Pages ", b"<< /Type /Pages " + rm.group(0), 1)
+    assert extract_pdf_text(hoist) == ["shared font"]
+
+
+def test_incremental_update_takes_latest_object():
+    """An appended incremental update (same object number, later
+    offset, its own xref + /Prev trailer) must win: the sequential
+    scan's last-overwrites-first is exactly §7.5.6 update
+    semantics."""
+    base = make_pdf([["original words"]])
+    assert extract_pdf_text(base) == ["original words"]
+    new_content = b"BT /F1 12 Tf 72 720 Td (updated words) Tj ET"
+    # the content stream of page 1 is object 5 in make_pdf's skeleton
+    obj_at = len(base)
+    update = (
+        b"5 0 obj\n<< /Length " + str(len(new_content)).encode()
+        + b" >>\nstream\n" + new_content + b"\nendstream\nendobj\n"
+    )
+    xref_at = obj_at + len(update)
+    prev = base.rfind(b"startxref")
+    prev_off = int(base[prev:].split()[1])
+    data = (
+        base + update
+        + b"xref\n5 1\n" + f"{obj_at:010d} 00000 n \n".encode()
+        + b"trailer\n<< /Size 6 /Root 1 0 R /Prev "
+        + str(prev_off).encode() + b" >>\nstartxref\n"
+        + str(xref_at).encode() + b"\n%%EOF\n"
+    )
+    assert extract_pdf_text(data) == ["updated words"]
+
+
 def test_filter_corpus_classes_extract_clean_text():
     """The pdf corpus's lzw and a85 classes (real /LZWDecode streams
     and the [/A85 /Fl] chain) extract ascii prose — they are TEXT

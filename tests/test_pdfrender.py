@@ -320,6 +320,43 @@ def test_inline_image_1bit_and_ei_inside_data():
     (out,) = render_pdf_pages(page([("raw", raw)]))  # must not raise
 
 
+def test_inline_image_rl_lzw_a85():
+    """The remaining decodable inline filters: /RL ends exactly at its
+    EOD byte (even when the decoded pixels spell ' EI '), /LZW
+    self-terminates at its EOI code, /A85 at '~>' — none searches the
+    image bytes for the EI delimiter."""
+    import base64 as _b64
+    import zlib as _z
+
+    from mcp_ocr_server_spark.imaging.tiff import lzw_encode
+    from mcp_ocr_server_spark.sources.synthetic import _rl_encode
+
+    data = b" EI " * 4  # 16 bytes = 4x4 8-bit gray spelling EI
+    raw = (b"q 4 0 0 4 100 300 cm BI /W 4 /H 4 /BPC 8 /CS /G"
+           b" /F /RL ID " + _rl_encode(data) + b" EI Q")
+    (out,) = render_pdf_pages(page([("raw", raw)]))
+    reg = out[792 - 304:792 - 300, 100:104]
+    assert set(np.unique(reg).tolist()) == {0x20, 0x45, 0x49}
+    checker = bytes([0, 255] * 2 + [255, 0] * 2) * 2
+    raw = (b"q 4 0 0 4 200 300 cm BI /W 4 /H 4 /BPC 8 /CS /G"
+           b" /F /LZW ID " + lzw_encode(checker) + b" EI Q")
+    (out,) = render_pdf_pages(page([("raw", raw)]))
+    reg = out[792 - 304:792 - 300, 200:204]
+    assert int((reg == 0).sum()) == 8
+    armored = _b64.a85encode(_z.compress(checker)) + b"~>"
+    raw = (b"q 4 0 0 4 300 300 cm BI /W 4 /H 4 /BPC 8 /CS /G"
+           b" /F [/A85 /Fl] ID " + armored + b" EI Q")
+    # array filter heads on inline images: A85 then Flate — the A85
+    # branch handles only the single-filter form, so this refuses…
+    with pytest.raises(ValueError, match="filter"):
+        render_pdf_pages(page([("raw", raw)]))
+    raw = (b"q 4 0 0 4 300 300 cm BI /W 4 /H 4 /BPC 8 /CS /G"
+           b" /F /A85 ID " + _b64.a85encode(checker) + b"~> EI Q")
+    (out,) = render_pdf_pages(page([("raw", raw)]))
+    reg = out[792 - 304:792 - 300, 300:304]
+    assert int((reg == 0).sum()) == 8
+
+
 def test_inline_image_dct_via_in_repo_codec():
     """/DCT inline data rides imaging/jpeg.decode_jpeg; the stream
     self-terminates at EOI so no EI search touches entropy bytes."""
