@@ -194,7 +194,7 @@ def main() -> None:
         "events_json", "event_quantiles", "event_cardinality",
         "event_funnel", "user_retention",
         "vocab_topk", "vocab_topk_per_lang", "pmi_pairs",
-        "bpe_pairs", "bpe_merges", "tfidf_topk",
+        "bpe_pairs", "bpe_merges", "bpe_encode", "tfidf_topk",
         "corpus_split",
         "corpus_diff", "merge_upsert", "corpus_profile",
         "decontaminate", "decontaminate_bloom", "curation_funnel",
@@ -310,6 +310,22 @@ def main() -> None:
                     "dedup_simhash_pairs",
                     lambda: force(
                         Q.QUERIES["dedup_simhash_pairs"][0](spark, sf_dir)
+                    ),
+                )
+            run_warm(name, lambda qfn=qfn: force(qfn(spark, sf_dir)))
+        elif name == "bpe_encode":
+            # same split as ann_ivf / dedup_clusters: training is a
+            # train-once job already timed as bpe_merges; encode runs
+            # WARM over the memoized merge table so its number is the
+            # steady-state tokenize-the-corpus cost, not a re-train.
+            if (
+                selected is None or name in selected
+            ) and "bpe_merges" not in timings:
+                Q.clear_caches(spark)
+                _timed(
+                    "bpe_merges",
+                    lambda: force(
+                        Q.QUERIES["bpe_merges"][0](spark, sf_dir)
                     ),
                 )
             run_warm(name, lambda qfn=qfn: force(qfn(spark, sf_dir)))

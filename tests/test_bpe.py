@@ -91,6 +91,50 @@ def test_bpe_merges_match_independent_reference(spark):
     assert got == want
 
 
+def test_bpe_encode_matches_independent_reference(spark):
+    """Per-doc token counts under the trained merges, recomputed with
+    the list-of-symbols reference encoder (applies each learned merge
+    left-to-right greedily, no string replace) — the query's chained
+    replace() projection must agree on every document."""
+    import re
+
+    rows = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .select("doc_id", "text").collect()
+    )
+    merges = [
+        (left, right)
+        for _s, left, right, _m, _c in
+        _reference_bpe([r.text for r in rows], Q.BPE_N_MERGES)
+    ]
+
+    def encode(word: str) -> int:
+        syms = list(word)
+        for left, right in merges:
+            out, i = [], 0
+            while i < len(syms):
+                if (i + 1 < len(syms) and syms[i] == left
+                        and syms[i + 1] == right):
+                    out.append(left + right)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return len(syms)
+
+    want = {}
+    for r in rows:
+        words = re.findall(r"[a-z]+", r.text.lower())
+        if words:
+            want[r.doc_id] = (len(words), sum(encode(w) for w in words))
+    got = {
+        r.doc_id: (r.n_words, r.n_tokens)
+        for r in Q.QUERIES["bpe_encode"][0](spark, SF).collect()
+    }
+    assert got == want
+
+
 def test_bpe_pairs_totals_match_reference(spark):
     texts = [
         r.text for r in
