@@ -610,6 +610,74 @@ class _FontDecoder:
         return "".join(out)
 
 
+# Adobe Glyph List, ASCII-covering subset + the common typographic
+# extras TeX/Office subsetters emit.  Glyph names are the STANDARD
+# ones (AGL); anything outside this table decodes to U+FFFD — visibly
+# wrong, never silently dropped.  Letters map to themselves below.
+_AGL_SUBSET = {
+    "space": " ", "exclam": "!", "quotedbl": '"', "numbersign": "#",
+    "dollar": "$", "percent": "%", "ampersand": "&",
+    "quotesingle": "'", "parenleft": "(", "parenright": ")",
+    "asterisk": "*", "plus": "+", "comma": ",", "hyphen": "-",
+    "period": ".", "slash": "/", "zero": "0", "one": "1", "two": "2",
+    "three": "3", "four": "4", "five": "5", "six": "6", "seven": "7",
+    "eight": "8", "nine": "9", "colon": ":", "semicolon": ";",
+    "less": "<", "equal": "=", "greater": ">", "question": "?",
+    "at": "@", "bracketleft": "[", "backslash": "\\",
+    "bracketright": "]", "asciicircum": "^", "underscore": "_",
+    "grave": "`", "braceleft": "{", "bar": "|", "braceright": "}",
+    "asciitilde": "~",
+    "quoteleft": "‘", "quoteright": "’",
+    "quotedblleft": "“", "quotedblright": "”",
+    "endash": "–", "emdash": "—", "bullet": "•",
+    "ellipsis": "…", "fi": "fi", "fl": "fl",
+}
+for _ch in "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ":
+    _AGL_SUBSET[_ch] = _ch
+
+
+def _parse_differences(font_body: bytes,
+                       objs: dict[int, _Obj]) -> _FontDecoder | None:
+    """Decoder for a simple font carrying /Encoding /Differences
+    (§9.6.5) and no /ToUnicode: start from the latin-1 identity (the
+    documented total fallback) and override the re-mapped codes via
+    the AGL-subset glyph table.  Returns None when the font has no
+    Differences array.  The /Encoding value may be a name (ignored —
+    the standard encodings are latin-1-close enough for the fallback
+    contract), an inline dict, or an indirect reference to one."""
+    em = re.search(rb"/Encoding\s*(?=(<<)|(\d+)\s+\d+\s+R)", font_body)
+    if em is None:
+        return None
+    if em.group(2) is not None:
+        eo = objs.get(int(em.group(2)))
+        enc_body = eo.body if eo is not None else b""
+    else:
+        enc_body = _balanced_dict(font_body, em.start()) or b""
+    dm = re.search(rb"/Differences\s*\[", enc_body)
+    if dm is None:
+        return None
+    # balanced scan (names cannot contain brackets, but be safe)
+    depth, p = 1, dm.end()
+    while p < len(enc_body) and depth:
+        if enc_body[p] == 0x5B:
+            depth += 1
+        elif enc_body[p] == 0x5D:
+            depth -= 1
+        p += 1
+    arr = enc_body[dm.end() : p - 1]
+    mapping = {i: chr(i).encode("latin-1").decode("latin-1")
+               for i in range(256)}
+    code = 0
+    for tok in re.findall(rb"/[^\s/<>\[\]()]+|[-+]?\d+", arr):
+        if tok[:1] == b"/":
+            name = tok[1:].decode("latin-1")
+            mapping[code & 0xFF] = _AGL_SUBSET.get(name, "�")
+            code += 1
+        else:
+            code = int(tok)
+    return _FontDecoder(1, mapping)
+
+
 def _parse_tounicode(data: bytes) -> _FontDecoder:
     """Parse a /ToUnicode CMap stream: codespace width, bfchar pairs,
     bfrange runs (both the incrementing-destination and the explicit
@@ -659,20 +727,26 @@ def _page_fonts(
     page_body: bytes, objs: dict[int, _Obj]
 ) -> dict[bytes, _FontDecoder]:
     """name -> decoder for every page font that carries a /ToUnicode
-    CMap.  Fonts without one are absent: their strings keep the
-    latin-1 byte interpretation (right for the standard-font family,
-    the documented garbled-but-total behavior for bare Type0)."""
+    CMap, or — failing that — an /Encoding /Differences array (§9.6.5,
+    the subsetted-simple-font shape: latin-1 identity base with the
+    re-mapped codes resolved through the AGL glyph-name table).
+    Fonts with neither are absent: their strings keep the latin-1
+    byte interpretation (right for the standard-font family, the
+    documented garbled-but-total behavior for bare Type0)."""
     fonts: dict[bytes, _FontDecoder] = {}
     for name, num in _resources_entries(page_body, objs, b"Font"):
         fo = objs.get(num)
         if fo is None:
             continue
         tm = re.search(rb"/ToUnicode\s+(\d+)\s+\d+\s+R", fo.body)
-        if tm is None:
-            continue
-        cmap = _stream_of(objs.get(int(tm.group(1))))
-        if cmap:
-            fonts[name] = _parse_tounicode(cmap)
+        if tm is not None:
+            cmap = _stream_of(objs.get(int(tm.group(1))))
+            if cmap:
+                fonts[name] = _parse_tounicode(cmap)
+                continue
+        diff = _parse_differences(fo.body, objs)
+        if diff is not None:
+            fonts[name] = diff
     return fonts
 
 

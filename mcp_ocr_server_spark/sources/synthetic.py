@@ -1595,7 +1595,7 @@ def warc_df(spark, cfg: CorpusConfig, n: int = N_WARC_FILES):
 
 PDF_MEDIA_SCHEMA = "media_ref string, bytes binary, kind string"
 
-N_PDF_DOCS = 36  # fixed: goldens for this corpus are committed
+N_PDF_DOCS = 48  # fixed: goldens for this corpus are committed
 
 # Bump when any generator's OUTPUT changes: consumers that cache a
 # materialized corpus on disk (bench.py's /tmp parquet) key their cache
@@ -1618,6 +1618,13 @@ def _pdf_escape(s: str) -> bytes:
     return (
         s.replace("\\", "\\\\").replace("(", "\\(").replace(")", "\\)")
     ).encode("latin-1")
+
+
+def _pdf_escape_bytes(b: bytes) -> bytes:
+    return (
+        b.replace(b"\\", b"\\\\")
+        .replace(b"(", b"\\(").replace(b")", b"\\)")
+    )
 
 
 def _rl_encode(data: bytes) -> bytes:
@@ -1822,6 +1829,78 @@ def make_type0_pdf_bytes(
     return bytes(out)
 
 
+def make_differences_pdf_bytes(pages: list[list[str]]) -> bytes:
+    """Subsetted-simple-font PDF writer (§9.6.5): every used character
+    is assigned a HIGH code (128+) and the font carries /Encoding
+    << /Differences [128 /glyphname …] >> mapping codes back through
+    standard AGL glyph names — so a latin-1 byte reading is provably
+    garbage and only the Differences table recovers the text.  Same
+    object skeleton as make_pdf_bytes."""
+    from ..functions.pdf import _AGL_SUBSET
+
+    glyph_of = {ch: name for name, ch in _AGL_SUBSET.items()
+                if len(ch) == 1}
+    used = sorted({ch for pg in pages for ln in pg for ch in ln})
+    if len(used) > 96:
+        raise ValueError("differences writer: too many distinct chars")
+    unknown = [ch for ch in used if ch not in glyph_of]
+    if unknown:
+        raise ValueError(
+            f"differences writer: no glyph name for {unknown!r}")
+    code_of = {ch: 128 + i for i, ch in enumerate(used)}
+    diffs = b"128 " + b" ".join(
+        b"/" + glyph_of[ch].encode("ascii") for ch in used
+    )
+    objs: list[bytes] = []
+    page_nums = [4 + 2 * i for i in range(len(pages))]
+    kids = " ".join(f"{n} 0 R" for n in page_nums).encode()
+    objs.append(b"<< /Type /Catalog /Pages 2 0 R >>")
+    objs.append(
+        b"<< /Type /Pages /Kids [" + kids + b"] /Count "
+        + str(len(pages)).encode() + b" >>"
+    )
+    objs.append(
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Synth-Subset"
+        b" /Encoding << /Type /Encoding /Differences [" + diffs
+        + b"] >> >>"
+    )
+    for i, lines in enumerate(pages):
+        cnum = page_nums[i] + 1
+        objs.append(
+            b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            b"/Resources << /Font << /F1 3 0 R >> >> /Contents "
+            + str(cnum).encode() + b" 0 R >>"
+        )
+        parts = [b"BT /F1 12 Tf 72 720 Td"]
+        for k, line in enumerate(lines):
+            if k:
+                parts.append(b"0 -14 Td")
+            encoded = bytes(code_of[ch] for ch in line)
+            parts.append(b"(" + _pdf_escape_bytes(encoded) + b") Tj")
+        parts.append(b"ET")
+        content = b" ".join(parts)
+        objs.append(
+            b"<< /Length " + str(len(content)).encode()
+            + b" >>\nstream\n" + content + b"\nendstream"
+        )
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = []
+    for i, body in enumerate(objs):
+        offsets.append(len(out))
+        out += f"{i + 1} 0 obj\n".encode() + body + b"\nendobj\n"
+    xref_at = len(out)
+    out += f"xref\n0 {len(objs) + 1}\n".encode()
+    out += b"0000000000 65535 f \n"
+    for off in offsets:
+        out += f"{off:010d} 00000 n \n".encode()
+    out += (
+        b"trailer\n<< /Size " + str(len(objs) + 1).encode()
+        + b" /Root 1 0 R >>\nstartxref\n" + str(xref_at).encode()
+        + b"\n%%EOF\n"
+    )
+    return bytes(out)
+
+
 def make_pdf15_bytes(
     pages: list[list[str]], encrypt_r: int | None = None,
     user_pw: bytes = b"", owner_pw: bytes = b"owner",
@@ -1973,9 +2052,11 @@ def pdf_item(cfg: CorpusConfig, j: int) -> tuple[str, bytes, str]:
     raster->OCR fallback), lzw (content streams under real /LZWDecode
     compression — the TIFF bitstream dialect), a85 (an
     [/ASCII85Decode /FlateDecode] filter CHAIN, the PostScript-era
-    ascii-armor shape), garbage (not a PDF), encrypted (dangling
-    /Encrypt ref), and locked (real user password) — the last three
-    are error-row classes."""
+    ascii-armor shape), diff (subsetted simple font: high codes
+    recovered only through /Encoding /Differences + AGL glyph
+    names), garbage (not a PDF), encrypted (dangling /Encrypt ref),
+    and locked (real user password) — the last three are error-row
+    classes."""
     rng = _rng(cfg.seed, _S_PDF, j)
     n_pages = 1 + j % 3
     pages = [
@@ -2050,6 +2131,13 @@ def pdf_item(cfg: CorpusConfig, j: int) -> tuple[str, bytes, str]:
         return pdf_ref(j), encrypt_pdf_bytes(
             data, owner_pw=b"owner", r=4 if j % 2 == 0 else 6
         ), "aes"
+    if j % 13 == 4:
+        # subsetted simple font: strings are HIGH codes only the
+        # /Encoding /Differences table (via AGL glyph names) can
+        # recover — the TeX/Office-subsetter shape
+        return (
+            pdf_ref(j), make_differences_pdf_bytes(pages), "diff",
+        )
     if j % 5 == 4:
         # the post-2005 default layout; every other ok15 doc is ALSO
         # owner-locked AES-256 — /Encrypt in the XRef stream's dict,

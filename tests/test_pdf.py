@@ -413,6 +413,41 @@ def test_filter_corpus_classes_extract_clean_text():
     assert seen["lzw"] >= 2 and seen["a85"] >= 2
 
 
+def test_differences_encoding_decodes_high_codes():
+    """/Encoding /Differences (§9.6.5): strings written as high codes
+    decode through AGL glyph names; codes the table never remaps keep
+    the latin-1 fallback; unknown glyph names surface as U+FFFD."""
+    from mcp_ocr_server_spark.sources.synthetic import (
+        make_differences_pdf_bytes)
+
+    pages = [["hello world, 42!", "Mixed CASE & (parens)"],
+             ["page two: a-z"]]
+    pdf = make_differences_pdf_bytes(pages)
+    assert b"hello" not in pdf  # provably not latin-1 readable
+    assert extract_pdf_text(pdf) == ["\n".join(p) for p in pages]
+    # an unknown glyph name decodes to U+FFFD, not a silent drop
+    bad = pdf.replace(b"/h ", b"/notaglyph ", 1)
+    out = extract_pdf_text(bad)
+    assert "�ello" in out[0]
+
+
+def test_differences_corpus_class_extracts_clean_text():
+    from mcp_ocr_server_spark.queries import FLAGSHIP_CORPUS
+    from mcp_ocr_server_spark.sources.synthetic import (
+        N_PDF_DOCS, pdf_item)
+
+    seen = 0
+    for j in range(N_PDF_DOCS):
+        ref, data, kind = pdf_item(FLAGSHIP_CORPUS, j)
+        if kind != "diff":
+            continue
+        seen += 1
+        assert b"/Differences" in data
+        joined = "\n".join(extract_pdf_text(data))
+        assert joined and all(c.isascii() for c in joined)
+    assert seen >= 2
+
+
 def test_lzw_mislabel_still_errors():
     """zlib bytes labeled /LZWDecode must raise (invalid code stream),
     not silently decode to garbage — the corpus's historical lzw
