@@ -17,6 +17,10 @@ PCM md5, drop clips outside a duration/rate band, route by codec):
                   duration from a Xing/Info VBR header when present,
                   else an exact full frame-header walk, falling back
                   to the CBR estimate only for unwalkable streams
+    adts/aac    — full ADTS frame-header walk (ISO 14496-3): profile,
+                  rate index, channel config, both header layouts
+                  (with/without CRC), raw-data-block counting => exact
+                  duration; split from mp3 by the zero layer bits
     tags        — Vorbis comments (FLAC block 4 / Ogg comment packet),
                   ID3v2 text frames, RIFF LIST-INFO (audio_tags below)
 
@@ -234,6 +238,62 @@ def _sniff_mp3(data: bytes) -> dict:
     )
 
 
+# ISO/IEC 13818-7 / 14496-3 ADTS sampling_frequency_index table
+# (indices 12-14 reserved, 15 forbidden)
+_ADTS_RATE = [96000, 88200, 64000, 48000, 44100, 32000, 24000, 22050,
+              16000, 12000, 11025, 8000]
+_ADTS_PROFILE = ("aac_main", "aac_lc", "aac_ssr", "aac_ltp")
+
+
+def _sniff_adts(data: bytes) -> dict:
+    """ADTS AAC elementary stream: full frame-header walk.  Each
+    header carries the frame byte length and 1024-sample raw-data
+    blocks, so the duration is EXACT — the same walked-duration
+    contract as _sniff_mp3.  Mid-stream parameter changes, reserved
+    rate indices, and truncation refuse loudly."""
+    pos = 0
+    blocks = 0
+    rate = channels = profile = None
+    while pos < len(data):
+        if pos + 7 > len(data):
+            raise ValueError("adts: truncated frame header")
+        b = data[pos : pos + 7]
+        if b[0] != 0xFF or (b[1] & 0xF6) != 0xF0:
+            raise ValueError("adts: lost sync at frame boundary")
+        sfi = (b[2] >> 2) & 0xF
+        if sfi >= len(_ADTS_RATE):
+            raise ValueError("adts: reserved sampling-frequency index")
+        r = _ADTS_RATE[sfi]
+        ch = ((b[2] & 1) << 2) | ((b[3] >> 6) & 3)
+        if ch == 0:
+            # channel_configuration 0 = defined in a PCE inside the
+            # raw data block — that is codec-payload territory
+            raise ValueError(
+                "adts: channel configuration 0 (in-stream PCE)"
+                " unsupported"
+            )
+        p = (b[2] >> 6) & 3
+        frame_len = ((b[3] & 3) << 11) | (b[4] << 3) | (b[5] >> 5)
+        header_len = 7 if (b[1] & 1) else 9  # CRC adds 2 bytes
+        if frame_len < header_len:
+            raise ValueError("adts: frame length shorter than header")
+        if pos + frame_len > len(data):
+            raise ValueError("adts: truncated frame payload")
+        if rate is None:
+            rate, channels, profile = r, ch, p
+        elif (r, ch, p) != (rate, channels, profile):
+            raise ValueError("adts: stream parameters change mid-file")
+        blocks += (b[6] & 3) + 1  # raw_data_blocks_in_frame - 1
+        pos += frame_len
+    if rate is None:
+        raise ValueError("adts: no frames")
+    return dict(
+        format="adts", codec=_ADTS_PROFILE[profile],
+        sample_rate=rate, channels=channels,
+        duration_s=blocks * 1024 / rate, pcm_md5=None,
+    )
+
+
 def sniff_audio(data: bytes) -> dict:
     """Typed container metadata for an opaque audio payload.  Returns
     dict(format, codec, sample_rate, channels, duration_s, pcm_md5);
@@ -245,6 +305,13 @@ def sniff_audio(data: bytes) -> dict:
         return _sniff_flac(data)
     if data[:4] == b"OggS":
         return _sniff_ogg(data)
+    if (
+        len(data) >= 7 and data[0] == 0xFF
+        and (data[1] & 0xF6) == 0xF0
+    ):
+        # 0xFFF sync with LAYER bits 00: ADTS AAC — an mp3 frame sync
+        # always carries non-zero layer bits, so the split is exact
+        return _sniff_adts(data)
     if data[:3] == b"ID3" or (
         len(data) >= 2 and data[0] == 0xFF and (data[1] & 0xE0) == 0xE0
     ):

@@ -866,7 +866,7 @@ def audio_df(spark, cfg: CorpusConfig, n: int = N_AUDIO_CLIPS):
 # supports; only HEADERS need to be well-formed (the stage never
 # decodes bitstreams), so bodies are rng filler
 
-N_SNIFF_CLIPS = 28
+N_SNIFF_CLIPS = 32
 
 
 def sniff_ref(j: int) -> str:
@@ -942,6 +942,32 @@ def _mp3_bytes(n_frames: int, xing: bool = False,
     return head + bytes(frames)
 
 
+def _adts_bytes(n_frames: int, rate_idx: int = 8, channels: int = 1,
+                profile: int = 1, crc: bool = False,
+                body_len: int = 160, rdb: int = 0) -> bytes:
+    """Real ADTS AAC frame sequence (ISO 14496-3): n_frames valid
+    headers with exact frame lengths; bodies are deterministic filler
+    (the sniffer reads structure, never the codec payload).  crc=True
+    emits the 9-byte protected-header layout; rdb plants
+    raw_data_blocks_in_frame-1 (extra 1024-sample blocks/frame)."""
+    out = bytearray()
+    header_len = 9 if crc else 7
+    fl = header_len + body_len
+    for k in range(n_frames):
+        b1 = 0xF0 | (0 if crc else 1)  # ID=0 (MPEG-4), layer 00
+        b2 = ((profile << 6) | (rate_idx << 2)
+              | ((channels >> 2) & 1))
+        b3 = ((channels & 3) << 6) | ((fl >> 11) & 3)
+        b4 = (fl >> 3) & 0xFF
+        b5 = ((fl & 7) << 5) | 0x1F  # buffer fullness 0x7FF = VBR
+        b6 = 0xFC | (rdb & 3)
+        out += bytes([0xFF, b1, b2, b3, b4, b5, b6])
+        if crc:
+            out += b"\x00\x00"
+        out += bytes((k + i) & 0xFF for i in range(body_len))
+    return bytes(out)
+
+
 def _sniff_tags(j: int) -> dict:
     """Deterministic tag triple for sniff-corpus index j."""
     return dict(
@@ -959,11 +985,13 @@ def sniff_item(cfg: CorpusConfig, j: int) -> tuple[str, bytes, str]:
     STREAMINFO md5 through the Ogg layer) /
     ogg_opus (last-page granule duration), mp3 (REAL frame sequence —
     exact walked duration; Xing header on odds, ID3v2 when j%3==0),
-    flac_truncated and garbage (error rows)."""
+    adts (REAL AAC frame walk — exact block-counted duration,
+    alternating plain/CRC headers, a 2-blocks-per-frame layout, and
+    LC/Main profiles), flac_truncated and garbage (error rows)."""
     import struct
 
     rng = _rng(cfg.seed, _S_SNIFF, j)
-    cls = j % 7
+    cls = j % 8
     if cls == 0:
         pcm = (rng.standard_normal(800) * 2000).astype("<i2")
         tags = _sniff_tags(j) if j % 2 == 0 else None
@@ -1005,6 +1033,20 @@ def sniff_item(cfg: CorpusConfig, j: int) -> tuple[str, bytes, str]:
     if cls == 5:
         full = _flac_bytes(44100, 2, 16, 44100, bytes(16))
         return sniff_ref(j), full[:20], "flac_truncated"
+    if cls == 6:
+        # ADTS AAC — members are j ≡ 6 (mod 8), so variants rotate on
+        # j//8: plain LC mono 16 kHz, CRC-protected stereo 44.1 kHz,
+        # a 2-raw-blocks-per-frame layout, and the Main profile —
+        # every header field the walk reads
+        k = j // 8
+        return sniff_ref(j), _adts_bytes(
+            10 * (1 + j % 3),
+            rate_idx=4 if k % 2 == 1 else 8,
+            channels=1 + k % 2,
+            profile=0 if k == 3 else 1,
+            crc=k == 1,
+            rdb=1 if k == 2 else 0,
+        ), "adts"
     # leading NUL: can never alias an mp3 frame sync or any magic
     return sniff_ref(j), b"\x00" + rng.integers(1, 255, 63).astype(
         np.uint8

@@ -105,6 +105,42 @@ def test_audio_tags_per_format():
         audio_tags(b"\x00\x01garbage bytes")
 
 
+def test_sniff_adts_frame_walk():
+    """ADTS AAC: exact block-counted duration through both header
+    layouts (plain 7-byte and CRC 9-byte), raw-data-block
+    multiplicity, profile names, and the layer-bit split from mp3;
+    mid-stream parameter changes and truncation refuse."""
+    m = sniff_audio(S._adts_bytes(20, rate_idx=8, channels=1))
+    assert (m["format"], m["codec"]) == ("adts", "aac_lc")
+    assert m["sample_rate"] == 16000 and m["channels"] == 1
+    assert m["duration_s"] == 20 * 1024 / 16000
+    # CRC header layout (9 bytes) walks to the same duration
+    c = sniff_audio(S._adts_bytes(20, rate_idx=8, channels=1, crc=True))
+    assert c["duration_s"] == m["duration_s"]
+    # two raw data blocks per frame double the duration
+    d = sniff_audio(S._adts_bytes(20, rate_idx=8, channels=1, rdb=1))
+    assert d["duration_s"] == 2 * m["duration_s"]
+    # Main profile, 44.1 kHz stereo
+    p = sniff_audio(S._adts_bytes(3, rate_idx=4, channels=2, profile=0))
+    assert (p["codec"], p["sample_rate"], p["channels"]) == (
+        "aac_main", 44100, 2)
+    # mp3 sync (layer bits non-zero) does NOT hit the adts branch
+    mp3 = sniff_audio(S._mp3_bytes(5))
+    assert mp3["format"] == "mp3"
+    # refusals: truncated tail frame, mid-stream rate change,
+    # reserved rate index, PCE channel config
+    blob = S._adts_bytes(3)
+    with pytest.raises(ValueError, match="truncated"):
+        sniff_audio(blob[:-10])
+    mixed = blob + S._adts_bytes(1, rate_idx=4)
+    with pytest.raises(ValueError, match="change mid-file"):
+        sniff_audio(mixed)
+    with pytest.raises(ValueError, match="reserved"):
+        sniff_audio(S._adts_bytes(1, rate_idx=13))
+    with pytest.raises(ValueError, match="PCE"):
+        sniff_audio(S._adts_bytes(1, channels=0))
+
+
 def test_sniff_refuses_unknown_and_truncated():
     with pytest.raises(ValueError, match="unknown audio container"):
         sniff_audio(b"\x00\x01\x02\x03garbage")
@@ -208,7 +244,7 @@ def test_sniff_exception_contract_fuzz_magic_prefixed(data):
     actually reaches the per-format parsers instead of dying at the
     magic dispatch."""
     for magic in (b"RIFF" + data[:4] + b"WAVE", b"fLaC", b"OggS",
-                  b"ID3", b"\xff\xfb"):
+                  b"ID3", b"\xff\xfb", b"\xff\xf1", b"\xff\xf0"):
         payload = magic + data
         try:
             m = sniff_audio(payload)
@@ -218,4 +254,4 @@ def test_sniff_exception_contract_fuzz_magic_prefixed(data):
         # (the rate-0 WAV hole a review caught sailed through when
         # this branch asserted nothing)
         assert m["sample_rate"] > 0 and m["channels"] >= 1, m
-        assert m["format"] in ("wav", "flac", "ogg", "mp3")
+        assert m["format"] in ("wav", "flac", "ogg", "mp3", "adts")
