@@ -305,6 +305,21 @@ def sniff_audio(data: bytes) -> dict:
         return _sniff_flac(data)
     if data[:4] == b"OggS":
         return _sniff_ogg(data)
+    if data[:3] == b"ID3" and len(data) >= 10:
+        # an ID3v2 block fronts BOTH mp3 and adts streams — peek past
+        # it (syncsafe size) and re-dispatch on the first sync's layer
+        # bits, so a tagged AAC file routes to the adts walk
+        size = ((data[6] & 0x7F) << 21) | ((data[7] & 0x7F) << 14) \
+            | ((data[8] & 0x7F) << 7) | (data[9] & 0x7F)
+        after = 10 + size
+        if (
+            len(data) >= after + 7 and data[after] == 0xFF
+            and (data[after + 1] & 0xF6) == 0xF0
+        ):
+            meta = _sniff_adts(data[after:])
+            meta["format"] = "adts"
+            return meta
+        return _sniff_mp3(data)
     if (
         len(data) >= 7 and data[0] == 0xFF
         and (data[1] & 0xF6) == 0xF0
@@ -312,7 +327,7 @@ def sniff_audio(data: bytes) -> dict:
         # 0xFFF sync with LAYER bits 00: ADTS AAC — an mp3 frame sync
         # always carries non-zero layer bits, so the split is exact
         return _sniff_adts(data)
-    if data[:3] == b"ID3" or (
+    if (
         len(data) >= 2 and data[0] == 0xFF and (data[1] & 0xE0) == 0xE0
     ):
         return _sniff_mp3(data)

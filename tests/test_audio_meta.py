@@ -127,6 +127,11 @@ def test_sniff_adts_frame_walk():
     # mp3 sync (layer bits non-zero) does NOT hit the adts branch
     mp3 = sniff_audio(S._mp3_bytes(5))
     assert mp3["format"] == "mp3"
+    # an ID3v2 block fronting ADTS re-dispatches past the tag
+    tagged = S._mp3_bytes(3, tags={"title": "T"})
+    id3 = tagged[: tagged.find(b"\xff\xfb")]
+    t = sniff_audio(id3 + S._adts_bytes(5))
+    assert t["format"] == "adts" and t["duration_s"] == 5 * 1024 / 16000
     # refusals: truncated tail frame, mid-stream rate change,
     # reserved rate index, PCE channel config
     blob = S._adts_bytes(3)
