@@ -305,6 +305,12 @@ def sniff_audio(data: bytes) -> dict:
         return _sniff_flac(data)
     if data[:4] == b"OggS":
         return _sniff_ogg(data)
+    if len(data) >= 12 and data[4:8] == b"ftyp":
+        # ISO-BMFF (.m4a): box-table metadata via the shared mp4
+        # walker; a video-only file refuses with "no audio track"
+        from .mp4 import mp4_audio_metadata
+
+        return mp4_audio_metadata(data)
     if data[:3] == b"ID3" and len(data) >= 10:
         # an ID3v2 block fronts BOTH mp3 and adts streams — peek past
         # it (syncsafe size) and re-dispatch on the first sync's layer

@@ -107,6 +107,12 @@ def _parse_stbl(data: bytes, start: int, end: int) -> dict:
             if n >= 1 and q + 12 <= e:
                 out["codec"] = data[q + 8:q + 12].decode(
                     "ascii", "replace")
+                # first sample-entry payload (past size+type) — the
+                # audio path reads channelcount/samplerate from it
+                out["entry_off"] = q + 12
+                out["entry_end"] = min(
+                    e, q + 4 + int.from_bytes(data[q + 4:q + 8], "big")
+                )
         elif btype == b"stsz":
             _, q = _full_box(data, p)
             uniform = int.from_bytes(data[q:q + 4], "big")
@@ -186,6 +192,91 @@ def mp4_metadata(data: bytes) -> dict:
     if not saw_moov:
         raise ValueError("mp4: no moov box (streaming-only fragment?)")
     return meta
+
+
+def mp4_audio_metadata(data: bytes) -> dict:
+    """Audio-track metadata of an ISO-BMFF file (the .m4a shape):
+    dict(format='m4a', codec, sample_rate, channels, duration_s,
+    pcm_md5=None) from the first 'soun'-handler track — the
+    AudioSampleEntry carries channelcount (offset 16) and a 16.16
+    fixed-point samplerate (offset 24) past the 8-byte sample-entry
+    base (ISO 14496-12 §12.2.3).  Loud ValueError when the file has
+    no audio track or the entry is truncated."""
+    data = bytes(data)
+    if len(data) < 12 or data[4:8] != b"ftyp":
+        raise ValueError("m4a: no ftyp box")
+    for btype, p, e in walk_boxes(data, 0, len(data)):
+        if btype != b"moov":
+            continue
+        for b2, p2, e2 in walk_boxes(data, p, e):
+            if b2 != b"trak":
+                continue
+            tk = _parse_track(data, p2, e2)
+            if tk.get("handler") != "soun":
+                continue
+            off = tk.get("entry_off")
+            end = tk.get("entry_end", 0)
+            if off is None or off + 28 > end:
+                raise ValueError("m4a: AudioSampleEntry truncated")
+            channels = int.from_bytes(data[off + 16:off + 18], "big")
+            rate = int.from_bytes(data[off + 24:off + 28], "big") >> 16
+            if channels < 1 or rate < 1:
+                raise ValueError(
+                    "m4a: zero channelcount or samplerate"
+                )
+            return dict(
+                format="m4a", codec=tk.get("codec"),
+                sample_rate=rate, channels=channels,
+                duration_s=tk.get("duration_s"), pcm_md5=None,
+            )
+    raise ValueError("m4a: no audio ('soun') track")
+
+
+def encode_m4a(duration_s: float, rate: int = 44100,
+               channels: int = 2, codec: bytes = b"mp4a") -> bytes:
+    """Minimal deterministic .m4a writer: ftyp(M4A) + moov with one
+    'soun' track (mdhd at the sample rate, hdlr, stsd AudioSampleEntry
+    with channelcount + 16.16 samplerate, empty sample tables) and an
+    opaque mdat — header-structure work only, like encode_mp4."""
+    n = int(round(duration_s * rate))
+    entry = (
+        b"\x00" * 6 + (1).to_bytes(2, "big")      # sample-entry base
+        + b"\x00" * 8                              # reserved
+        + channels.to_bytes(2, "big")
+        + (16).to_bytes(2, "big")                  # samplesize
+        + b"\x00" * 4                              # pre_defined/reserved
+        + (rate << 16).to_bytes(4, "big")          # 16.16 samplerate
+    )
+    stsd = _full(b"stsd", 0, (1).to_bytes(4, "big")
+                 + _box(codec, entry))
+    stbl = _box(b"stbl", stsd
+                + _full(b"stts", 0, (0).to_bytes(4, "big"))
+                + _full(b"stsc", 0, (0).to_bytes(4, "big"))
+                + _full(b"stsz", 0, b"\x00" * 8)
+                + _full(b"stco", 0, (0).to_bytes(4, "big")))
+    minf = _box(b"minf",
+                _full(b"smhd", 0, b"\x00" * 4)
+                + _box(b"dinf", _full(b"dref", 0,
+                                      (1).to_bytes(4, "big")
+                                      + _full(b"url ", 1, b"")))
+                + stbl)
+    mdhd = _full(b"mdhd", 0, (0).to_bytes(8, "big")
+                 + rate.to_bytes(4, "big") + n.to_bytes(4, "big")
+                 + b"\x55\xc4\x00\x00")
+    hdlr = _full(b"hdlr", 0, b"\x00" * 4 + b"soun" + b"\x00" * 12
+                 + b"SoundHandler\x00")
+    mdia = _box(b"mdia", mdhd + hdlr + minf)
+    tkhd = _full(b"tkhd", 0, (0).to_bytes(8, "big")
+                 + (1).to_bytes(4, "big") + b"\x00" * 4
+                 + n.to_bytes(4, "big") + b"\x00" * 60)
+    trak = _box(b"trak", tkhd + mdia)
+    mvhd = _full(b"mvhd", 0, (0).to_bytes(8, "big")
+                 + rate.to_bytes(4, "big") + n.to_bytes(4, "big")
+                 + b"\x00" * 80)
+    moov = _box(b"moov", mvhd + trak)
+    ftyp = _box(b"ftyp", b"M4A \x00\x00\x00\x00M4A mp42isom")
+    mdat = _box(b"mdat", bytes(64))
+    return ftyp + moov + mdat
 
 
 def parse_mp4_frames(data: bytes) -> list[bytes]:

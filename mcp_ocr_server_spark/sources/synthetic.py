@@ -866,7 +866,7 @@ def audio_df(spark, cfg: CorpusConfig, n: int = N_AUDIO_CLIPS):
 # supports; only HEADERS need to be well-formed (the stage never
 # decodes bitstreams), so bodies are rng filler
 
-N_SNIFF_CLIPS = 32
+N_SNIFF_CLIPS = 36
 
 
 def sniff_ref(j: int) -> str:
@@ -987,11 +987,13 @@ def sniff_item(cfg: CorpusConfig, j: int) -> tuple[str, bytes, str]:
     exact walked duration; Xing header on odds, ID3v2 when j%3==0),
     adts (REAL AAC frame walk — exact block-counted duration,
     alternating plain/CRC headers, a 2-blocks-per-frame layout, and
-    LC/Main profiles), flac_truncated and garbage (error rows)."""
+    LC/Main profiles), m4a (ISO-BMFF box tables through the shared
+    mp4 walker — AAC and ALAC sample entries), flac_truncated and
+    garbage (error rows)."""
     import struct
 
     rng = _rng(cfg.seed, _S_SNIFF, j)
-    cls = j % 8
+    cls = j % 9
     if cls == 0:
         pcm = (rng.standard_normal(800) * 2000).astype("<i2")
         tags = _sniff_tags(j) if j % 2 == 0 else None
@@ -1038,7 +1040,7 @@ def sniff_item(cfg: CorpusConfig, j: int) -> tuple[str, bytes, str]:
         # j//8: plain LC mono 16 kHz, CRC-protected stereo 44.1 kHz,
         # a 2-raw-blocks-per-frame layout, and the Main profile —
         # every header field the walk reads
-        k = j // 8
+        k = j // 9
         return sniff_ref(j), _adts_bytes(
             10 * (1 + j % 3),
             rate_idx=4 if k % 2 == 1 else 8,
@@ -1047,6 +1049,18 @@ def sniff_item(cfg: CorpusConfig, j: int) -> tuple[str, bytes, str]:
             crc=k == 1,
             rdb=1 if k == 2 else 0,
         ), "adts"
+    if cls == 7:
+        # ISO-BMFF .m4a: box-table rate/channels/duration through the
+        # shared mp4 walker; rotating mono/stereo and AAC/ALAC entries
+        k = j // 9
+        from ..functions.mp4 import encode_m4a
+
+        return sniff_ref(j), encode_m4a(
+            0.5 * (1 + j % 4),
+            rate=22050 if k % 2 == 0 else 48000,
+            channels=1 + k % 2,
+            codec=b"alac" if k == 3 else b"mp4a",
+        ), "m4a"
     # leading NUL: can never alias an mp3 frame sync or any magic
     return sniff_ref(j), b"\x00" + rng.integers(1, 255, 63).astype(
         np.uint8

@@ -146,6 +146,23 @@ def test_sniff_adts_frame_walk():
         sniff_audio(S._adts_bytes(1, channels=0))
 
 
+def test_sniff_m4a_box_tables():
+    """ISO-BMFF .m4a: rate/channels from the AudioSampleEntry, exact
+    mdhd duration; a video-only mp4 refuses with 'no audio track'."""
+    from mcp_ocr_server_spark.functions.mp4 import encode_m4a, encode_mp4
+
+    m = sniff_audio(encode_m4a(2.5, rate=22050, channels=1))
+    assert (m["format"], m["codec"]) == ("m4a", "mp4a")
+    assert m["sample_rate"] == 22050 and m["channels"] == 1
+    assert m["duration_s"] == 2.5
+    with pytest.raises(ValueError, match="no audio"):
+        sniff_audio(encode_mp4(1.0))
+    # a truncated moov refuses loudly, never silent zeros
+    full = encode_m4a(1.0)
+    with pytest.raises(ValueError):
+        sniff_audio(full[:60])
+
+
 def test_sniff_refuses_unknown_and_truncated():
     with pytest.raises(ValueError, match="unknown audio container"):
         sniff_audio(b"\x00\x01\x02\x03garbage")
