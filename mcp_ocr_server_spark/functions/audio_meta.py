@@ -528,10 +528,29 @@ def audio_tags(data: bytes) -> dict:
                     (blen,) = struct.unpack(">I", b"\x00" + body[1:4])
                     vendor, tags = parse_vorbis_comments(body[4:4 + blen])
                 break
+    elif len(data) >= 12 and data[4:8] == b"ftyp":
+        fmt = "m4a"
+        from .mp4 import m4a_ilst_tags
+
+        tags = m4a_ilst_tags(data)
     elif data[:3] == b"ID3" or (
         len(data) >= 2 and data[0] == 0xFF and (data[1] & 0xE0) == 0xE0
     ):
+        # ID3v2 serves both mp3 and ADTS AAC — label by the first
+        # frame sync's layer bits (zero = ADTS), same split as
+        # sniff_audio; the tag structure is identical
         fmt = "mp3"
+        if data[:3] == b"ID3" and len(data) >= 10:
+            size = ((data[6] & 0x7F) << 21) | ((data[7] & 0x7F) << 14) \
+                | ((data[8] & 0x7F) << 7) | (data[9] & 0x7F)
+            after = 10 + size
+            if (
+                len(data) >= after + 2 and data[after] == 0xFF
+                and (data[after + 1] & 0xF6) == 0xF0
+            ):
+                fmt = "adts"
+        elif (data[1] & 0xF6) == 0xF0:
+            fmt = "adts"
         tags = _id3v2_tags(data)
     else:
         raise ValueError("audio tags: unknown container magic")

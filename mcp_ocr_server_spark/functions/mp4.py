@@ -232,12 +232,50 @@ def mp4_audio_metadata(data: bytes) -> dict:
     raise ValueError("m4a: no audio ('soun') track")
 
 
+# iTunes-style ilst metadata atoms -> the shared tag keys
+_ILST_KEYS = {b"\xa9nam": "title", b"\xa9ART": "artist",
+              b"\xa9alb": "album"}
+
+
+def m4a_ilst_tags(data: bytes) -> list:
+    """(key, value) pairs from the iTunes-style moov/udta/meta/ilst
+    tree: each known atom's 'data' box carries 4 bytes type + 4 bytes
+    locale, then UTF-8 text.  'meta' is a FULL box (version/flags
+    before its children) — the walk accounts for it."""
+    data = bytes(data)
+    tags: list = []
+    for btype, p, e in walk_boxes(data, 0, len(data)):
+        if btype != b"moov":
+            continue
+        for b2, p2, e2 in walk_boxes(data, p, e):
+            if b2 != b"udta":
+                continue
+            for b3, p3, e3 in walk_boxes(data, p2, e2):
+                if b3 != b"meta":
+                    continue
+                for b4, p4, e4 in walk_boxes(data, p3 + 4, e3):
+                    if b4 != b"ilst":
+                        continue
+                    for b5, p5, e5 in walk_boxes(data, p4, e4):
+                        key = _ILST_KEYS.get(b5)
+                        if key is None:
+                            continue
+                        for b6, p6, e6 in walk_boxes(data, p5, e5):
+                            if b6 == b"data" and e6 - p6 > 8:
+                                tags.append((key, data[p6 + 8:e6]
+                                             .decode("utf-8",
+                                                     "replace")))
+    return tags
+
+
 def encode_m4a(duration_s: float, rate: int = 44100,
-               channels: int = 2, codec: bytes = b"mp4a") -> bytes:
+               channels: int = 2, codec: bytes = b"mp4a",
+               tags: dict | None = None) -> bytes:
     """Minimal deterministic .m4a writer: ftyp(M4A) + moov with one
     'soun' track (mdhd at the sample rate, hdlr, stsd AudioSampleEntry
-    with channelcount + 16.16 samplerate, empty sample tables) and an
-    opaque mdat — header-structure work only, like encode_mp4."""
+    with channelcount + 16.16 samplerate, empty sample tables), an
+    optional iTunes-style udta/meta/ilst tag tree, and an opaque
+    mdat — header-structure work only, like encode_mp4."""
     n = int(round(duration_s * rate))
     entry = (
         b"\x00" * 6 + (1).to_bytes(2, "big")      # sample-entry base
@@ -273,7 +311,20 @@ def encode_m4a(duration_s: float, rate: int = 44100,
     mvhd = _full(b"mvhd", 0, (0).to_bytes(8, "big")
                  + rate.to_bytes(4, "big") + n.to_bytes(4, "big")
                  + b"\x00" * 80)
-    moov = _box(b"moov", mvhd + trak)
+    udta = b""
+    if tags:
+        rev = {v: k for k, v in _ILST_KEYS.items()}
+        atoms = b""
+        for key, val in tags.items():
+            payload = (b"\x00\x00\x00\x01" + b"\x00" * 4
+                       + val.encode("utf-8"))
+            atoms += _box(rev[key], _box(b"data", payload))
+        hdlr_m = _full(b"hdlr", 0, b"\x00" * 4 + b"mdir" + b"appl"
+                       + b"\x00" * 9)
+        udta = _box(b"udta", _box(
+            b"meta", b"\x00\x00\x00\x00" + hdlr_m + _box(b"ilst", atoms)
+        ))
+    moov = _box(b"moov", mvhd + trak + udta)
     ftyp = _box(b"ftyp", b"M4A \x00\x00\x00\x00M4A mp42isom")
     mdat = _box(b"mdat", bytes(64))
     return ftyp + moov + mdat

@@ -1060,6 +1060,7 @@ def sniff_item(cfg: CorpusConfig, j: int) -> tuple[str, bytes, str]:
             rate=22050 if k % 2 == 0 else 48000,
             channels=1 + k % 2,
             codec=b"alac" if k == 3 else b"mp4a",
+            tags=_sniff_tags(j) if j % 2 == 1 else None,
         ), "m4a"
     # leading NUL: can never alias an mp3 frame sync or any magic
     return sniff_ref(j), b"\x00" + rng.integers(1, 255, 63).astype(

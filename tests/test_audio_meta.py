@@ -163,6 +163,28 @@ def test_sniff_m4a_box_tables():
         sniff_audio(full[:60])
 
 
+def test_m4a_ilst_tags_and_adts_tag_labels():
+    """iTunes-style ilst atoms resolve through moov/udta/meta (the
+    FULL-box offset); untagged m4a is n_tags=0 data; ADTS payloads —
+    bare or ID3-fronted — label as adts, not mp3."""
+    from mcp_ocr_server_spark.functions.audio_meta import audio_tags
+    from mcp_ocr_server_spark.functions.mp4 import encode_m4a
+
+    t = audio_tags(encode_m4a(
+        1.0, tags={"title": "My Song", "artist": "Band", "album": "LP"}
+    ))
+    assert (t["format"], t["title"], t["artist"], t["album"],
+            t["n_tags"]) == ("m4a", "My Song", "Band", "LP", 3)
+    bare = audio_tags(encode_m4a(1.0))
+    assert bare["format"] == "m4a" and bare["n_tags"] == 0
+    assert audio_tags(S._adts_bytes(3))["format"] == "adts"
+    tagged = S._mp3_bytes(3, tags={"title": "T"})
+    id3 = tagged[: tagged.find(b"\xff\xfb")]
+    r = audio_tags(id3 + S._adts_bytes(3))
+    assert r["format"] == "adts" and r["title"] == "T"
+    assert audio_tags(tagged)["format"] == "mp3"
+
+
 def test_sniff_refuses_unknown_and_truncated():
     with pytest.raises(ValueError, match="unknown audio container"):
         sniff_audio(b"\x00\x01\x02\x03garbage")
