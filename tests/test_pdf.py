@@ -448,6 +448,92 @@ def test_differences_corpus_class_extracts_clean_text():
     assert seen >= 2
 
 
+def test_filter_chain_exception_contract_fuzz():
+    """Property: ARBITRARY bytes through every decodable filter (and
+    the chained forms) either decode to bytes or raise ValueError —
+    never zlib.error, binascii.Error, struct.error, IndexError (the
+    exception-contract leak class)."""
+    from hypothesis import given, settings, strategies as st
+
+    from mcp_ocr_server_spark.functions.pdf import _apply_filter_list
+
+    chains = [
+        [b"/FlateDecode"], [b"/LZWDecode"], [b"/ASCII85Decode"],
+        [b"/ASCIIHexDecode"], [b"/RunLengthDecode"],
+        [b"/ASCII85Decode", b"/FlateDecode"],
+        [b"/ASCIIHexDecode", b"/LZWDecode"],
+    ]
+    parms = (b"/Predictor 12 /Colors 1 /BitsPerComponent 8"
+             b" /Columns 5")
+
+    @settings(max_examples=150, deadline=None)
+    @given(st.binary(min_size=0, max_size=200),
+           st.sampled_from(range(len(chains))),
+           st.booleans())
+    def run(data, ci, with_pred):
+        chain = chains[ci]
+        ps: list = [None] * len(chain)
+        if with_pred and chain[-1] in (b"/FlateDecode", b"/LZWDecode"):
+            ps[-1] = parms
+        try:
+            out = _apply_filter_list(data, chain, ps)
+        except ValueError:
+            return
+        assert isinstance(out, bytes)
+
+    run()
+
+
+def test_image_xobject_sample_space_refusals():
+    """The §8.9 feature error paths name their defect: dangling
+    /SMask, mask-geometry mismatch, short /Indexed lookup, /Decode
+    length mismatch, /Decode on /Indexed."""
+    import zlib as _z
+
+    import numpy as np
+
+    from mcp_ocr_server_spark.functions.pdf import (
+        _decode_image_xobject, _Obj)
+
+    def img_obj(head: bytes, samples: bytes) -> _Obj:
+        return _Obj(head + b" /Filter /FlateDecode", _z.compress(samples))
+
+    gray = (b"<< /Subtype /Image /Width 4 /Height 2"
+            b" /ColorSpace /DeviceGray /BitsPerComponent 8")
+    with pytest.raises(ValueError, match="dangling /SMask"):
+        _decode_image_xobject(
+            img_obj(gray + b" /SMask 99 0 R >>", bytes(8)), {})
+    with pytest.raises(ValueError, match="needs the object table"):
+        _decode_image_xobject(
+            img_obj(gray + b" /SMask 99 0 R >>", bytes(8)), None)
+    mask = img_obj(
+        b"<< /Subtype /Image /Width 3 /Height 3"
+        b" /ColorSpace /DeviceGray /BitsPerComponent 8 >>", bytes(9))
+    with pytest.raises(ValueError, match="geometry"):
+        _decode_image_xobject(
+            img_obj(gray + b" /SMask 7 0 R >>", bytes(8)), {7: mask})
+    with pytest.raises(ValueError, match="lookup too short"):
+        _decode_image_xobject(img_obj(
+            b"<< /Subtype /Image /Width 4 /Height 2"
+            b" /ColorSpace [/Indexed /DeviceRGB 15 <00ff00>]"
+            b" /BitsPerComponent 4 >>", bytes(4)), {})
+    with pytest.raises(ValueError, match="/Decode length"):
+        _decode_image_xobject(
+            img_obj(gray + b" /Decode [0 1 0] >>", bytes(8)), {})
+    with pytest.raises(ValueError, match="/Decode on /Indexed"):
+        _decode_image_xobject(img_obj(
+            b"<< /Subtype /Image /Width 2 /Height 1"
+            b" /ColorSpace [/Indexed /DeviceGray 1 <00ff>]"
+            b" /Decode [1 0] /BitsPerComponent 1 >>", bytes(1)), {})
+    # sub-byte gray decodes with the spec's range scaling: 2-bit 3 -> 255
+    two_bit = _decode_image_xobject(img_obj(
+        b"<< /Subtype /Image /Width 4 /Height 1"
+        b" /ColorSpace /DeviceGray /BitsPerComponent 2 >>",
+        bytes([0b00011011])), {})
+    assert two_bit.tolist() == [[0, 85, 170, 255]]
+    assert np.array_equal(two_bit, two_bit)  # ndarray contract
+
+
 def test_lzw_mislabel_still_errors():
     """zlib bytes labeled /LZWDecode must raise (invalid code stream),
     not silently decode to garbage — the corpus's historical lzw
