@@ -155,7 +155,7 @@ def main() -> None:
         "extract_interleaved", "jsonl_ingest",
         "media_words", "media_image_features", "media_audio_features",
         "media_orphans", "pdf_text", "pdf_scan_ocr", "pdf_render_ocr",
-        "pdf_layout", "scan_inventory", "scan_ocr",
+        "pdf_layout", "pdf_info", "scan_inventory", "scan_ocr",
         "media_video_frames",
         "media_audio_inventory", "audio_tags", "media_video_inventory",
         "warc_records", "warc_main_content", "warc_redirects",

@@ -1684,3 +1684,93 @@ def pdf_layout_rows(ref: str, data: bytes) -> list[dict]:
         return [dict(media_ref=ref, page_idx=None, line_idx=None,
                      x=None, y=None, text=None, error=str(exc))]
     return [dict(media_ref=ref, error=None, **r) for r in rows]
+
+
+# ---------------------------------------------------------------------------
+# document metadata (/Info dictionary, ISO 32000-1 §14.3.3) — the
+# title/author/date signals a curation pipeline dedups and routes on
+# (reference parity: mcp-ocr-server has no pdf surface at all; this is
+# part of the scale-pipeline extension like pdf_text/pdf_layout)
+
+def _pdf_text_string(raw: bytes) -> str:
+    """§7.9.2.2 text string: UTF-16BE when the BOM leads, else
+    PDFDocEncoding — byte-identical to latin-1 over the range the
+    corpus uses (the documented total fallback)."""
+    if raw[:2] == b"\xfe\xff":
+        return raw[2:].decode("utf-16-be", "replace")
+    return raw.decode("latin-1")
+
+
+_PDF_DATE_RE = re.compile(
+    rb"D:(\d{4})(\d{2})?(\d{2})?(\d{2})?(\d{2})?(\d{2})?"
+)
+
+
+def _pdf_date_iso(raw: bytes) -> str | None:
+    """`D:YYYYMMDDHHmmSS…` -> ISO-8601 `YYYY-MM-DDTHH:MM:SS`,
+    defaulting omitted trailing fields per §7.9.4 (month/day 01,
+    time 00); None when the prefix is not a PDF date."""
+    m = _PDF_DATE_RE.match(raw)
+    if m is None:
+        return None
+    y = m.group(1).decode()
+    mo, d, h, mi, s = (
+        (g.decode() if g else default)
+        for g, default in zip(m.groups()[1:],
+                              ("01", "01", "00", "00", "00"))
+    )
+    return f"{y}-{mo}-{d}T{h}:{mi}:{s}"
+
+
+_PDF_STRING_TOK = rb"(\((?:[^()\\]|\\.)*\)|<[0-9A-Fa-f\s]*>)"
+
+
+def extract_pdf_info(data: bytes) -> dict:
+    """The /Info dictionary's standard text fields plus the page
+    count: dict(title, author, subject, producer, created, n_pages).
+    Absent /Info or absent keys are None — absence is data; structural
+    failures (non-PDF, encrypted-without-rights) raise like
+    extract_pdf_text."""
+    data = bytes(data)
+    objs = _validated_objects(data)
+    out: dict = dict(title=None, author=None, subject=None,
+                     producer=None, created=None,
+                     n_pages=len(_page_order(data, objs)))
+    im = None
+    for im in re.finditer(rb"/Info\s+(\d+)\s+\d+\s+R", data):
+        pass  # LAST match wins: incremental updates append trailers
+    if im is None:
+        return out
+    info = objs.get(int(im.group(1)))
+    if info is None:
+        return out
+    for key, field in ((b"Title", "title"), (b"Author", "author"),
+                       (b"Subject", "subject"),
+                       (b"Producer", "producer")):
+        km = re.search(rb"/" + key + rb"\s*" + _PDF_STRING_TOK,
+                       info.body, re.S)
+        if km is not None:
+            out[field] = _pdf_text_string(_string_bytes(km.group(1)))
+    cm = re.search(rb"/CreationDate\s*" + _PDF_STRING_TOK,
+                   info.body, re.S)
+    if cm is not None:
+        out["created"] = _pdf_date_iso(_string_bytes(cm.group(1)))
+    return out
+
+
+PDF_INFO_SCHEMA = (
+    "media_ref string, title string, author string, subject string,"
+    " producer string, created string, n_pages int, error string"
+)
+
+
+def pdf_info_rows(ref: str, data: bytes) -> list[dict]:
+    """Metadata row for one document — shared VERBATIM by the Spark
+    stage (queries.q_pdf_info) and the golden-fixture generator."""
+    try:
+        meta = extract_pdf_info(bytes(data))
+    except Exception as exc:
+        return [dict(media_ref=ref, title=None, author=None,
+                     subject=None, producer=None, created=None,
+                     n_pages=None, error=str(exc))]
+    return [dict(media_ref=ref, error=None, **meta)]

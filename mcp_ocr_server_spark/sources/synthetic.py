@@ -1737,13 +1737,17 @@ def _filtered_stream(content: bytes, mode: str) -> tuple[bytes, bytes]:
 def make_pdf_bytes(
     pages: list[list[str]], compress: bool = False,
     stream_filter: str | None = None,
+    info: dict | None = None, info_utf16: bool = False,
 ) -> bytes:
     """Minimal structurally-correct PDF writer: catalog -> page tree ->
     one content stream per page (one Tj per line), valid xref +
     trailer, direct /Length on every stream.  Deterministic.
     `stream_filter` selects a _filtered_stream pipeline for the content
     streams (overrides `compress`; compress=True stays byte-identical
-    to the historical Flate output)."""
+    to the historical Flate output).  `info` adds an /Info dictionary
+    (keys among title/author/subject/producer/created — created is a
+    raw `D:…` PDF date string); info_utf16 writes the Title as a
+    BOM-led UTF-16BE hex string (§7.9.2.2's other branch)."""
     import zlib
 
     objs: list[bytes] = []  # object number = index + 1
@@ -1780,6 +1784,23 @@ def make_pdf_bytes(
             payload = content
             head = b"<< /Length " + str(len(payload)).encode() + b" >>"
         objs.append(head + b"\nstream\n" + payload + b"\nendstream")
+    info_frag = b""
+    if info:
+        parts2 = []
+        keymap = (("title", b"/Title"), ("author", b"/Author"),
+                  ("subject", b"/Subject"), ("producer", b"/Producer"),
+                  ("created", b"/CreationDate"))
+        for field, key in keymap:
+            v = info.get(field)
+            if v is None:
+                continue
+            if field == "title" and info_utf16:
+                hx = (b"\xfe\xff" + v.encode("utf-16-be")).hex()
+                parts2.append(key + b" <" + hx.encode() + b">")
+            else:
+                parts2.append(key + b" (" + _pdf_escape(v) + b")")
+        objs.append(b"<< " + b" ".join(parts2) + b" >>")
+        info_frag = b" /Info " + str(len(objs)).encode() + b" 0 R"
     out = bytearray(b"%PDF-1.4\n")
     offsets = []
     for i, body in enumerate(objs):
@@ -1792,8 +1813,8 @@ def make_pdf_bytes(
         out += f"{off:010d} 00000 n \n".encode()
     out += (
         b"trailer\n<< /Size " + str(len(objs) + 1).encode()
-        + b" /Root 1 0 R >>\nstartxref\n" + str(xref_at).encode()
-        + b"\n%%EOF\n"
+        + b" /Root 1 0 R" + info_frag + b" >>\nstartxref\n"
+        + str(xref_at).encode() + b"\n%%EOF\n"
     )
     return bytes(out)
 
@@ -2204,6 +2225,20 @@ def pdf_item(cfg: CorpusConfig, j: int) -> tuple[str, bytes, str]:
                 pages, encrypt_r=6
             ), "aes15"
         return pdf_ref(j), make_pdf15_bytes(pages), "ok15"
+    if j % 3 == 0:
+        # plain docs carry an /Info dictionary on a third of the
+        # class: deterministic title/author/date (one doc per rotation
+        # writes the Title as BOM-led UTF-16BE), so pdf_info sees
+        # tagged, untagged, and UTF-16 shapes side by side
+        info = dict(
+            title=f"Synthetic Report {j:03d}",
+            author=("Ada Writer", "Grace Author")[j % 2],
+            producer="spark-graft pdf writer",
+            created=f"D:202{j % 10}0{1 + j % 9}1{j % 10}1{j % 6}0000",
+        )
+        return pdf_ref(j), make_pdf_bytes(
+            pages, compress, info=info, info_utf16=j % 9 == 0
+        ), "ok"
     return pdf_ref(j), data, "ok"
 
 

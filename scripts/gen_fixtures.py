@@ -282,6 +282,27 @@ def gen_word_boxes() -> pd.DataFrame:
     return df
 
 
+def gen_pdf_info() -> pd.DataFrame:
+    """Golden for the document-metadata query: SAME row code the
+    Spark stage runs (functions/pdf.pdf_info_rows) over the pdf
+    corpus."""
+    from mcp_ocr_server_spark.functions.pdf import pdf_info_rows
+
+    rows = []
+    for j in range(S.N_PDF_DOCS):
+        ref, data, _kind = S.pdf_item(FLAGSHIP_CORPUS, j)
+        rows.extend(pdf_info_rows(ref, data))
+    df = pd.DataFrame(
+        rows, columns=["media_ref", "title", "author", "subject",
+                       "producer", "created", "n_pages", "error"]
+    )
+    df["n_pages"] = df["n_pages"].astype("Int64")
+    for c in ("title", "author", "subject", "producer", "created",
+              "error"):
+        df[c] = df[c].astype("string")  # all-null cols must stay VARCHAR
+    return df
+
+
 def gen_pdf_layout() -> pd.DataFrame:
     """Golden for the layout query: SAME row code the Spark stage runs
     (functions/pdf.pdf_layout_rows) over the layout-pdf corpus."""
@@ -637,6 +658,13 @@ def main() -> None:
     )
     print(f"pdf_layout: {len(lay)} rows"
           f" ({int(lay.error.notna().sum())} errors)")
+    pinfo = gen_pdf_info()
+    pinfo.to_parquet(
+        os.path.join(FIXTURES_DIR, "pdf_info.parquet"), index=False
+    )
+    print(f"pdf_info: {len(pinfo)} rows"
+          f" ({int(pinfo.error.notna().sum())} errors;"
+          f" titled {int(pinfo.title.notna().sum())})")
     vid = gen_video_meta()
     vid.to_parquet(os.path.join(FIXTURES_DIR, "video_meta.parquet"), index=False)
     inv = gen_audio_inventory()

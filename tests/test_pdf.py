@@ -534,6 +534,37 @@ def test_image_xobject_sample_space_refusals():
     assert np.array_equal(two_bit, two_bit)  # ndarray contract
 
 
+def test_pdf_info_metadata():
+    """/Info extraction (§14.3.3): latin-1 and BOM-led UTF-16BE text
+    strings, §7.9.4 date normalization with omitted-field defaults,
+    absence-is-data, incremental-update /Info precedence, and the
+    error-row contract."""
+    from mcp_ocr_server_spark.functions.pdf import (
+        extract_pdf_info, pdf_info_rows)
+    from mcp_ocr_server_spark.sources.synthetic import make_pdf_bytes
+
+    pdf = make_pdf_bytes([["body"], ["p2"]], info=dict(
+        title="Ünïcode Tïtle", author="A. Writer",
+        producer="gen", created="D:20240301120000"))
+    m = extract_pdf_info(pdf)
+    assert m["title"] == "Ünïcode Tïtle" and m["author"] == "A. Writer"
+    assert m["created"] == "2024-03-01T12:00:00"
+    assert m["n_pages"] == 2 and m["subject"] is None
+    # UTF-16BE hex-string Title decodes identically
+    u16 = make_pdf_bytes([["x"]], info=dict(title="Ünïcode Tïtle"),
+                         info_utf16=True)
+    assert b"\xdcn\xefcode" not in u16  # not stored as latin-1
+    assert extract_pdf_info(u16)["title"] == "Ünïcode Tïtle"
+    # partial date: omitted fields default per §7.9.4
+    part = make_pdf_bytes([["x"]], info=dict(created="D:2023"))
+    assert extract_pdf_info(part)["created"] == "2023-01-01T00:00:00"
+    # no /Info at all: nulls, never an error
+    assert extract_pdf_info(make_pdf_bytes([["x"]]))["title"] is None
+    # error isolation through the row function
+    row = pdf_info_rows("r", b"not a pdf")[0]
+    assert row["error"] is not None and row["n_pages"] is None
+
+
 def test_lzw_mislabel_still_errors():
     """zlib bytes labeled /LZWDecode must raise (invalid code stream),
     not silently decode to garbage — the corpus's historical lzw
