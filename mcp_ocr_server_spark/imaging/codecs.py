@@ -58,9 +58,46 @@ def sniff_image_format(data: bytes) -> str:
     )
 
 
+def apply_exif_orientation(img: np.ndarray, o: int) -> np.ndarray:
+    """The eight EXIF orientations as numpy views (PIL
+    exif_transpose semantics): 2 mirror, 3 rot180, 4 flip, 5
+    transpose, 6 rotate 90 CW, 7 transverse, 8 rotate 90 CCW."""
+    if o == 2:
+        return img[:, ::-1]
+    if o == 3:
+        return img[::-1, ::-1]
+    if o == 4:
+        return img[::-1]
+    if o == 5:
+        return img.swapaxes(0, 1)
+    if o == 6:
+        return np.rot90(img, -1)
+    if o == 7:
+        return img[::-1, ::-1].swapaxes(0, 1)
+    if o == 8:
+        return np.rot90(img, 1)
+    return img
+
+
+def _decode_jpeg_oriented(data: bytes) -> np.ndarray:
+    """JPEG decode honoring the EXIF orientation tag — the
+    phone-camera sideways capture is a 90° rotation, which sits far
+    OUTSIDE the deskew stage's ±45° estimator range, so applying the
+    tag here is what makes those images OCR-able at all.  (PDF
+    /DCTDecode XObjects keep the raw decode: page orientation there
+    is /Rotate's job.)"""
+    from .jpeg import exif_orientation
+
+    img = decode_jpeg(data)
+    o = exif_orientation(data)
+    if o == 1:
+        return img
+    return np.ascontiguousarray(apply_exif_orientation(img, o))
+
+
 _DECODERS = {
     "png": decode_png,
-    "jpeg": decode_jpeg,
+    "jpeg": _decode_jpeg_oriented,
     "bmp": decode_bmp,
     "pnm": decode_pnm,
     "tiff": decode_tiff,

@@ -1267,3 +1267,70 @@ def encode_jpeg_progressive(
              lambda bw: _emit_dc_refine(bw, zz_list, 0, mcu_order))
     out += b"\xff\xd9"
     return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# EXIF orientation (the phone-camera sideways-capture signal): tag
+# 0x0112 inside the APP1 "Exif" segment's embedded TIFF structure —
+# parsed with the SAME IFD reader imaging/tiff.py ships.  Orientation
+# is advisory display metadata, so a malformed EXIF blob degrades to
+# the identity (1) rather than erroring an otherwise-valid image;
+# the pixel decoder's own refusals are unaffected.
+
+def exif_orientation(data: bytes) -> int:
+    """The EXIF orientation (1-8) of a JPEG payload, 1 when absent or
+    unparseable.  Only segments BEFORE the first scan are examined
+    (where EXIF legally lives)."""
+    if data[:2] != b"\xff\xd8":
+        return 1
+    pos = 2
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            return 1
+        marker = data[pos + 1]
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            pos += 2
+            continue
+        if marker == 0xDA:  # SOS: entropy data follows
+            return 1
+        (seglen,) = struct.unpack_from(">H", data, pos + 2)
+        if marker == 0xE1 and data[pos + 4:pos + 10] == b"Exif\x00\x00":
+            tiff = data[pos + 10:pos + 2 + seglen]
+            try:
+                from .tiff import _read_ifd
+
+                if tiff[:2] == b"II":
+                    e = "<"
+                elif tiff[:2] == b"MM":
+                    e = ">"
+                else:
+                    return 1
+                (magic,) = struct.unpack_from(e + "H", tiff, 2)
+                (ifd0,) = struct.unpack_from(e + "I", tiff, 4)
+                if magic != 42:
+                    return 1
+                entries, _nxt = _read_ifd(tiff, e, ifd0)
+                o = entries.get(0x0112, [1])[0]
+                return o if 1 <= o <= 8 else 1
+            except Exception:
+                return 1
+        pos += 2 + seglen
+    return 1
+
+
+def add_exif_orientation(data: bytes, orientation: int) -> bytes:
+    """Insert an APP1 Exif segment carrying ONLY the orientation tag
+    right after SOI — the writer half that pins the reader."""
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("add_exif_orientation: not a JPEG")
+    if not 1 <= orientation <= 8:
+        raise ValueError("orientation must be 1-8")
+    tiff = (
+        b"II" + struct.pack("<HI", 42, 8)
+        + struct.pack("<H", 1)                       # one IFD entry
+        + struct.pack("<HHIHH", 0x0112, 3, 1, orientation, 0)
+        + struct.pack("<I", 0)                       # no next IFD
+    )
+    payload = b"Exif\x00\x00" + tiff
+    seg = b"\xff\xe1" + struct.pack(">H", len(payload) + 2) + payload
+    return data[:2] + seg + data[2:]

@@ -1339,7 +1339,7 @@ _SCAN_CLASSES = (
     "tiff_deflate_pred", "tiff_multipage", "tiff_tiled", "webp",
     "jpeg_progressive", "pnm_16bit",
     "gif", "gif_interlaced", "gif_animated", "ico_png", "ico_bmp",
-    "err_webp_lossy", "err_foreign",
+    "jpeg_exif", "err_webp_lossy", "err_foreign",
 )
 
 
@@ -1453,6 +1453,24 @@ def scan_format_item(
             from ..imaging.ico import encode_ico_bmp
 
             blob = encode_ico_bmp(img)
+    elif kind == "jpeg_exif":
+        # sideways phone-camera capture: pixels STORED rotated, the
+        # EXIF orientation tag says how to right them — 90° is
+        # outside the deskew estimator's range, so only the tag makes
+        # this class OCR-able.  Stride index rotates through the
+        # non-trivial orientations (6 = 90° CW capture, 8 = CCW,
+        # 3 = upside down, 5 = transposed).
+        from ..imaging.codecs import apply_exif_orientation
+        from ..imaging.jpeg import add_exif_orientation, encode_jpeg
+
+        o = (6, 8, 3, 5)[(j // len(_SCAN_CLASSES)) % 4]
+        upright = page()
+        # store the INVERSE-transformed pixels so applying o rights them
+        inv = {6: 8, 8: 6, 3: 3, 5: 5}[o]
+        stored = np.ascontiguousarray(
+            apply_exif_orientation(upright, inv))
+        blob = add_exif_orientation(
+            encode_jpeg(stored, quality=95), o)
     elif kind == "err_webp_lossy":
         # a real RIFF/WEBP container whose codec chunk is lossy VP8 —
         # must refuse by NAME, not as unknown magic

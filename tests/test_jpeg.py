@@ -310,3 +310,36 @@ def test_progressive_restart_intervals():
     # both blocks: DC=2 -> 16*2/8 + 128 = 132 everywhere
     assert img.shape == (8, 16)
     assert (img == 132).all(), np.unique(img)
+
+
+def test_exif_orientation_read_write_and_transforms():
+    """All 8 orientation tags round-trip through the APP1 writer;
+    apply(o) after apply(inverse(o)) is the identity on an
+    asymmetric array; unparseable EXIF degrades to 1."""
+    import numpy as np
+
+    from mcp_ocr_server_spark.imaging.codecs import (
+        apply_exif_orientation, decode_image)
+    from mcp_ocr_server_spark.imaging.jpeg import (
+        add_exif_orientation, encode_jpeg, exif_orientation)
+
+    img = (np.arange(48).reshape(6, 8) * 5).astype(np.uint8)
+    j = encode_jpeg(img, quality=95)
+    assert exif_orientation(j) == 1  # no APP1: identity
+    for o in range(1, 9):
+        assert exif_orientation(add_exif_orientation(j, o)) == o
+    inv = {1: 1, 2: 2, 3: 3, 4: 4, 5: 5, 6: 8, 7: 7, 8: 6}
+    a = np.arange(24).reshape(4, 6).astype(np.uint8)
+    for o in range(1, 9):
+        back = apply_exif_orientation(
+            apply_exif_orientation(a, inv[o]), o)
+        assert np.array_equal(back, a), o
+    # decode_image rights the pixels: store rotated 90° CCW, tag 6
+    stored = np.ascontiguousarray(apply_exif_orientation(img, 8))
+    tagged = add_exif_orientation(encode_jpeg(stored, quality=95), 6)
+    out = decode_image(tagged)
+    assert out.shape == img.shape
+    assert np.abs(out.astype(int) - img.astype(int)).mean() < 3
+    # garbage EXIF payload: tolerant identity, never an exception
+    junk = j[:2] + b"\xff\xe1\x00\x10Exif\x00\x00XXYYZZQQ" + j[2:]
+    assert exif_orientation(junk) == 1
