@@ -54,6 +54,7 @@ _T_BITS = 258
 _T_COMPRESSION = 259
 _T_PHOTOMETRIC = 262
 _T_STRIP_OFFSETS = 273
+_T_ORIENTATION = 274
 _T_SAMPLES = 277
 _T_ROWS_PER_STRIP = 278
 _T_STRIP_COUNTS = 279
@@ -569,7 +570,16 @@ def decode_tiff_pages(data: bytes) -> list[np.ndarray]:
             raise ValueError("tiff: IFD cycle")
         seen.add(off)
         ifd, off = _read_ifd(data, e, off)
-        pages.append(_decode_page(data, e, ifd))
+        page = _decode_page(data, e, ifd)
+        o = ifd.get(_T_ORIENTATION, [1])[0]
+        if o != 1 and 1 <= o <= 8:
+            # TIFF 6.0 Orientation (tag 274) shares EXIF's eight
+            # values — right the page with the same transform table
+            from .codecs import apply_exif_orientation
+
+            page = np.ascontiguousarray(
+                apply_exif_orientation(page, o))
+        pages.append(page)
         if len(pages) > 10000:
             raise ValueError("tiff: too many pages")
     if not pages:
@@ -606,6 +616,7 @@ def encode_tiff(
     predictor: bool = False,
     bilevel: bool = False,
     tiled: bool = False,
+    orientation: int = 1,
 ) -> bytes:
     """uint8 HxW / HxWx3 pages -> little-endian classic TIFF, one IFD
     per page; RowsPerStrip=16 multi-strip, or 32x32 tiles with
@@ -756,6 +767,10 @@ def encode_tiff(
         if predictor:
             add(_T_PLANAR, 3, [1])
             add(_T_PREDICTOR, 3, [2])
+        if orientation != 1:
+            # tag 274: stored pixels need this display transform —
+            # the decoder rights them with the shared EXIF table
+            add(_T_ORIENTATION, 3, [orientation])
 
         entries.sort()  # spec: ascending tag order
         ifd_off = len(out)

@@ -545,3 +545,21 @@ def test_tiff_16bit_high_byte_fold_both_endians():
     ) + b"\x00\x00\x00\x00"
     data_be = b"MM\x00*" + struct.pack(">I", 8 + len(raw_be)) + raw_be + ifd_be
     assert (decode_tiff(data_be) == want).all()
+
+
+def test_tiff_orientation_tag_rights_pages():
+    """TIFF 6.0 Orientation (tag 274) shares EXIF's eight values:
+    stored-rotated pages decode upright, losslessly (no JPEG in the
+    loop), for every non-trivial orientation."""
+    from mcp_ocr_server_spark.imaging.codecs import (
+        apply_exif_orientation)
+    from mcp_ocr_server_spark.imaging.tiff import (
+        decode_tiff, encode_tiff)
+
+    upright = (np.arange(24).reshape(4, 6) * 10).astype(np.uint8)
+    inv = {1: 1, 2: 2, 3: 3, 4: 4, 5: 5, 6: 8, 7: 7, 8: 6}
+    for o in range(1, 9):
+        stored = np.ascontiguousarray(
+            apply_exif_orientation(upright, inv[o]))
+        blob = encode_tiff([stored], "lzw", orientation=o)
+        assert np.array_equal(decode_tiff(blob), upright), o
