@@ -1725,11 +1725,65 @@ def _pdf_date_iso(raw: bytes) -> str | None:
 _PDF_STRING_TOK = rb"(\((?:[^()\\]|\\.)*\)|<[0-9A-Fa-f\s]*>)"
 
 
+_XMP_SIMPLE = {
+    # property -> (field, is rdf:Alt/Seq list of rdf:li)
+    b"dc:title": ("title", True),
+    b"dc:creator": ("author", True),
+    b"dc:description": ("subject", True),
+    b"pdf:Producer": ("producer", False),
+}
+
+
+def _xmp_fields(xml: bytes) -> dict:
+    """title/author/subject/producer/created from an XMP packet
+    (ISO 16684-1 as PDF/A profiles it): dc:* properties hold their
+    value inside an rdf:Alt/Seq list's first rdf:li; pdf:Producer
+    and xmp:CreateDate are simple elements.  Regex-scoped to those
+    shapes — refusing to be an XML parser is deliberate (hostile
+    crawl bytes; the fields are flat text leaves)."""
+    out: dict = {}
+    for prop, (field, is_list) in _XMP_SIMPLE.items():
+        m = re.search(
+            rb"<" + prop + rb"(?:\s[^>]*)?>(.*?)</" + prop + rb">",
+            xml, re.S,
+        )
+        if m is None:
+            continue
+        body = m.group(1)
+        if is_list:
+            li = re.search(rb"<rdf:li(?:\s[^>]*)?>(.*?)</rdf:li>",
+                           body, re.S)
+            if li is None:
+                continue
+            body = li.group(1)
+        text = re.sub(rb"<[^>]*>", b"", body).strip()
+        if text:
+            out[field] = (
+                text.decode("utf-8", "replace")
+                .replace("&amp;", "&").replace("&lt;", "<")
+                .replace("&gt;", ">").replace("&quot;", '"')
+                .replace("&apos;", "'")
+            )
+    cm = re.search(
+        rb"<xmp:CreateDate(?:\s[^>]*)?>\s*"
+        rb"(\d{4})-(\d{2})-(\d{2})T(\d{2}):(\d{2}):(\d{2})",
+        xml,
+    )
+    if cm is not None:
+        y, mo, d, h, mi, s = (g.decode() for g in cm.groups())
+        out["created"] = f"{y}-{mo}-{d}T{h}:{mi}:{s}"
+    return out
+
+
 def extract_pdf_info(data: bytes) -> dict:
     """The /Info dictionary's standard text fields plus the page
     count: dict(title, author, subject, producer, created, n_pages).
-    Absent /Info or absent keys are None — absence is data; structural
-    failures (non-PDF, encrypted-without-rights) raise like
+    Fields the /Info dict does not provide fall back to the
+    catalog's XMP /Metadata stream (dc:title/creator/description,
+    pdf:Producer, xmp:CreateDate) — /Info wins per field where both
+    exist, the precedence ISO 32000-2 prescribes for legacy readers.
+    Absent everywhere is None — absence is data; structural failures
+    (non-PDF, encrypted-without-rights) raise like
     extract_pdf_text."""
     data = bytes(data)
     objs = _validated_objects(data)
@@ -1739,22 +1793,34 @@ def extract_pdf_info(data: bytes) -> dict:
     im = None
     for im in re.finditer(rb"/Info\s+(\d+)\s+\d+\s+R", data):
         pass  # LAST match wins: incremental updates append trailers
-    if im is None:
-        return out
-    info = objs.get(int(im.group(1)))
-    if info is None:
-        return out
-    for key, field in ((b"Title", "title"), (b"Author", "author"),
-                       (b"Subject", "subject"),
-                       (b"Producer", "producer")):
-        km = re.search(rb"/" + key + rb"\s*" + _PDF_STRING_TOK,
+    info = objs.get(int(im.group(1))) if im is not None else None
+    if info is not None:
+        for key, field in ((b"Title", "title"), (b"Author", "author"),
+                           (b"Subject", "subject"),
+                           (b"Producer", "producer")):
+            km = re.search(rb"/" + key + rb"\s*" + _PDF_STRING_TOK,
+                           info.body, re.S)
+            if km is not None:
+                out[field] = _pdf_text_string(
+                    _string_bytes(km.group(1)))
+        cm = re.search(rb"/CreationDate\s*" + _PDF_STRING_TOK,
                        info.body, re.S)
-        if km is not None:
-            out[field] = _pdf_text_string(_string_bytes(km.group(1)))
-    cm = re.search(rb"/CreationDate\s*" + _PDF_STRING_TOK,
-                   info.body, re.S)
-    if cm is not None:
-        out["created"] = _pdf_date_iso(_string_bytes(cm.group(1)))
+        if cm is not None:
+            out["created"] = _pdf_date_iso(_string_bytes(cm.group(1)))
+    if all(out[f] is not None
+           for f in ("title", "author", "subject", "producer",
+                     "created")):
+        return out
+    mm = re.search(rb"/Metadata\s+(\d+)\s+\d+\s+R", data)
+    if mm is not None:
+        try:
+            xml = _stream_of(objs.get(int(mm.group(1))))
+        except ValueError:
+            xml = None
+        if xml:
+            for field, val in _xmp_fields(xml).items():
+                if out.get(field) is None:
+                    out[field] = val
     return out
 
 

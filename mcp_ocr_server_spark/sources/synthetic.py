@@ -1756,6 +1756,7 @@ def make_pdf_bytes(
     pages: list[list[str]], compress: bool = False,
     stream_filter: str | None = None,
     info: dict | None = None, info_utf16: bool = False,
+    xmp: dict | None = None,
 ) -> bytes:
     """Minimal structurally-correct PDF writer: catalog -> page tree ->
     one content stream per page (one Tj per line), valid xref +
@@ -1765,7 +1766,9 @@ def make_pdf_bytes(
     to the historical Flate output).  `info` adds an /Info dictionary
     (keys among title/author/subject/producer/created — created is a
     raw `D:…` PDF date string); info_utf16 writes the Title as a
-    BOM-led UTF-16BE hex string (§7.9.2.2's other branch)."""
+    BOM-led UTF-16BE hex string (§7.9.2.2's other branch).  `xmp`
+    (same keys, created as ISO-8601) writes a catalog /Metadata XMP
+    packet instead — the modern-generator metadata channel."""
     import zlib
 
     objs: list[bytes] = []  # object number = index + 1
@@ -1819,6 +1822,54 @@ def make_pdf_bytes(
                 parts2.append(key + b" (" + _pdf_escape(v) + b")")
         objs.append(b"<< " + b" ".join(parts2) + b" >>")
         info_frag = b" /Info " + str(len(objs)).encode() + b" 0 R"
+    if xmp:
+        def _xesc(s: str) -> bytes:
+            return (s.replace("&", "&amp;").replace("<", "&lt;")
+                    .replace(">", "&gt;")).encode("utf-8")
+
+        frags = []
+        if xmp.get("title"):
+            frags.append(
+                b"<dc:title><rdf:Alt><rdf:li xml:lang=\"x-default\">"
+                + _xesc(xmp["title"])
+                + b"</rdf:li></rdf:Alt></dc:title>")
+        if xmp.get("author"):
+            frags.append(
+                b"<dc:creator><rdf:Seq><rdf:li>"
+                + _xesc(xmp["author"])
+                + b"</rdf:li></rdf:Seq></dc:creator>")
+        if xmp.get("subject"):
+            frags.append(
+                b"<dc:description><rdf:Alt><rdf:li>"
+                + _xesc(xmp["subject"])
+                + b"</rdf:li></rdf:Alt></dc:description>")
+        if xmp.get("producer"):
+            frags.append(b"<pdf:Producer>" + _xesc(xmp["producer"])
+                         + b"</pdf:Producer>")
+        if xmp.get("created"):
+            frags.append(b"<xmp:CreateDate>" + _xesc(xmp["created"])
+                         + b"Z</xmp:CreateDate>")
+        xml = (
+            b"<?xpacket begin=\"\xef\xbb\xbf\""
+            b" id=\"W5M0MpCehiHzreSzNTczkc9d\"?>\n"
+            b"<x:xmpmeta xmlns:x=\"adobe:ns:meta/\">"
+            b"<rdf:RDF xmlns:rdf=\"http://www.w3.org/1999/02/"
+            b"22-rdf-syntax-ns#\">"
+            b"<rdf:Description rdf:about=\"\""
+            b" xmlns:dc=\"http://purl.org/dc/elements/1.1/\""
+            b" xmlns:xmp=\"http://ns.adobe.com/xap/1.0/\""
+            b" xmlns:pdf=\"http://ns.adobe.com/pdf/1.3/\">"
+            + b"".join(frags)
+            + b"</rdf:Description></rdf:RDF></x:xmpmeta>\n"
+            b"<?xpacket end=\"w\"?>"
+        )
+        objs.append(
+            b"<< /Type /Metadata /Subtype /XML /Length "
+            + str(len(xml)).encode() + b" >>\nstream\n" + xml
+            + b"\nendstream"
+        )
+        objs[0] = (b"<< /Type /Catalog /Pages 2 0 R /Metadata "
+                   + str(len(objs)).encode() + b" 0 R >>")
     out = bytearray(b"%PDF-1.4\n")
     offsets = []
     for i, body in enumerate(objs):
@@ -2244,13 +2295,27 @@ def pdf_item(cfg: CorpusConfig, j: int) -> tuple[str, bytes, str]:
             ), "aes15"
         return pdf_ref(j), make_pdf15_bytes(pages), "ok15"
     if j % 3 == 0:
-        # plain docs carry an /Info dictionary on a third of the
-        # class: deterministic title/author/date (one doc per rotation
-        # writes the Title as BOM-led UTF-16BE), so pdf_info sees
-        # tagged, untagged, and UTF-16 shapes side by side
+        # plain docs carry metadata on a third of the class:
+        # deterministic title/author/date through BOTH channels — the
+        # classic /Info dictionary (one doc per rotation as BOM-led
+        # UTF-16BE) on even rotations, the catalog's XMP /Metadata
+        # packet (the modern-generator channel, exercising the
+        # per-field fallback) on odd — so pdf_info sees tagged,
+        # untagged, UTF-16 and XMP shapes side by side
+        title = f"Synthetic Report {j:03d}"
+        author = ("Ada Writer", "Grace Author")[j % 2]
+        if (j // 3) % 2 == 1:
+            xmp = dict(
+                title=title, author=author,
+                producer="spark-graft pdf writer",
+                created=f"202{j % 10}-0{1 + j % 9}-1{j % 10}"
+                        f"T1{j % 6}:00:00",
+            )
+            return pdf_ref(j), make_pdf_bytes(
+                pages, compress, xmp=xmp
+            ), "ok"
         info = dict(
-            title=f"Synthetic Report {j:03d}",
-            author=("Ada Writer", "Grace Author")[j % 2],
+            title=title, author=author,
             producer="spark-graft pdf writer",
             created=f"D:202{j % 10}0{1 + j % 9}1{j % 10}1{j % 6}0000",
         )

@@ -565,6 +565,26 @@ def test_pdf_info_metadata():
     assert row["error"] is not None and row["n_pages"] is None
 
 
+def test_pdf_info_xmp_fallback():
+    """XMP /Metadata fills fields the /Info dict lacks (per-field,
+    /Info winning where both exist), with XML entities unescaped and
+    the xpacket date normalized."""
+    from mcp_ocr_server_spark.functions.pdf import extract_pdf_info
+    from mcp_ocr_server_spark.sources.synthetic import make_pdf_bytes
+
+    xonly = make_pdf_bytes([["b"]], xmp=dict(
+        title="XMP & Títle", author="Creator X", subject="Sub",
+        producer="GenX", created="2023-07-04T08:30:00"))
+    m = extract_pdf_info(xonly)
+    assert m["title"] == "XMP & Títle" and m["author"] == "Creator X"
+    assert m["created"] == "2023-07-04T08:30:00"
+    both = make_pdf_bytes([["b"]], info=dict(title="InfoTitle"),
+                          xmp=dict(title="XmpTitle", author="XmpA"))
+    got = extract_pdf_info(both)
+    assert got["title"] == "InfoTitle"    # /Info wins per field
+    assert got["author"] == "XmpA"        # XMP fills the gap
+
+
 def test_lzw_mislabel_still_errors():
     """zlib bytes labeled /LZWDecode must raise (invalid code stream),
     not silently decode to garbage — the corpus's historical lzw
