@@ -193,7 +193,7 @@ def main() -> None:
         "source_quota",
         "events_json", "event_quantiles", "event_cardinality",
         "event_funnel", "user_retention",
-        "vocab_topk", "vocab_topk_per_lang", "pmi_pairs",
+        "vocab_topk", "vocab_topk_per_lang", "ngram_growth", "pmi_pairs",
         "bpe_pairs", "bpe_merges", "bpe_encode", "tfidf_topk",
         "corpus_split",
         "corpus_diff", "merge_upsert", "corpus_profile",
