@@ -1295,25 +1295,9 @@ def exif_orientation(data: bytes) -> int:
             return 1
         (seglen,) = struct.unpack_from(">H", data, pos + 2)
         if marker == 0xE1 and data[pos + 4:pos + 10] == b"Exif\x00\x00":
-            tiff = data[pos + 10:pos + 2 + seglen]
-            try:
-                from .tiff import _read_ifd
+            from .tiff import exif_blob_orientation
 
-                if tiff[:2] == b"II":
-                    e = "<"
-                elif tiff[:2] == b"MM":
-                    e = ">"
-                else:
-                    return 1
-                (magic,) = struct.unpack_from(e + "H", tiff, 2)
-                (ifd0,) = struct.unpack_from(e + "I", tiff, 4)
-                if magic != 42:
-                    return 1
-                entries, _nxt = _read_ifd(tiff, e, ifd0)
-                o = entries.get(0x0112, [1])[0]
-                return o if 1 <= o <= 8 else 1
-            except Exception:
-                return 1
+            return exif_blob_orientation(data[pos + 10:pos + 2 + seglen])
         pos += 2 + seglen
     return 1
 

@@ -157,6 +157,7 @@ def decode_png(data: bytes) -> np.ndarray:
     color_type = bit_depth = interlace = None
     palette = None
     trns = None
+    exif = None
     idat = bytearray()
     while pos + 8 <= len(data):
         (length,) = struct.unpack(">I", data[pos : pos + 4])
@@ -173,6 +174,8 @@ def decode_png(data: bytes) -> np.ndarray:
             palette = np.frombuffer(payload, np.uint8).reshape(-1, 3)
         elif tag == b"tRNS":
             trns = payload
+        elif tag == b"eXIf":
+            exif = payload  # bare EXIF TIFF structure (PNG 1.5)
         elif tag == b"IDAT":
             idat.extend(payload)
         elif tag == b"IEND":
@@ -231,6 +234,18 @@ def decode_png(data: bytes) -> np.ndarray:
         px = (px.astype(np.uint32) * 255 // ((1 << bit_depth) - 1)).astype(
             np.uint8
         )
+    def _orient(img: np.ndarray) -> np.ndarray:
+        # eXIf (PNG 1.5): the same advisory orientation JPEG carries
+        if exif is None:
+            return img
+        from .codecs import apply_exif_orientation
+        from .tiff import exif_blob_orientation
+
+        o = exif_blob_orientation(exif)
+        if o == 1:
+            return img
+        return np.ascontiguousarray(apply_exif_orientation(img, o))
+
     if color_type == 3:
         idx = px[:, :, 0]
         if int(idx.max(initial=0)) >= len(palette):
@@ -239,8 +254,8 @@ def decode_png(data: bytes) -> np.ndarray:
         if (rgb[:, :, 0] == rgb[:, :, 1]).all() and (
             rgb[:, :, 1] == rgb[:, :, 2]
         ).all():
-            return rgb[:, :, 0].copy()
-        return rgb
+            return _orient(rgb[:, :, 0].copy())
+        return _orient(rgb)
     if color_type in (4, 6):
         if not (px[:, :, -1] == 255).all():
             raise ValueError(
@@ -250,5 +265,5 @@ def decode_png(data: bytes) -> np.ndarray:
         px = px[:, :, :-1]
         channels -= 1
     if channels == 1:
-        return px.reshape(height, width)
-    return px.copy()
+        return _orient(px.reshape(height, width))
+    return _orient(px.copy())

@@ -125,6 +125,29 @@ def packbits_encode(data: bytes) -> bytes:
 _CLEAR, _EOI = 256, 257
 
 
+def exif_blob_orientation(tiff: bytes) -> int:
+    """Orientation (1-8) from a bare EXIF TIFF structure (the payload
+    after JPEG's APP1 'Exif\\0\\0' header or inside PNG's eXIf
+    chunk), 1 when absent or unparseable — orientation is advisory
+    display metadata, so malformed blobs degrade rather than error."""
+    try:
+        if tiff[:2] == b"II":
+            e = "<"
+        elif tiff[:2] == b"MM":
+            e = ">"
+        else:
+            return 1
+        (magic,) = struct.unpack_from(e + "H", tiff, 2)
+        (ifd0,) = struct.unpack_from(e + "I", tiff, 4)
+        if magic != 42:
+            return 1
+        entries, _nxt = _read_ifd(tiff, e, ifd0)
+        o = entries.get(0x0112, [1])[0]
+        return o if 1 <= o <= 8 else 1
+    except Exception:
+        return 1
+
+
 def lzw_decode(data: bytes, expected: int | None = None,
                cap: int = 1 << 26) -> bytes:
     """TIFF-variant LZW (MSB-first, early change).  `expected` is the

@@ -205,3 +205,25 @@ def test_empty_idat_refuses_loudly():
             + chunk(b"IEND", b""))
     with pytest.raises(ValueError, match="corrupt PNG"):
         png.decode_png(data)
+
+
+def test_exif_chunk_orientation():
+    """PNG 1.5 eXIf: the same advisory orientation JPEG carries —
+    stored-rotated pixels right themselves; garbage eXIf payloads
+    degrade to identity."""
+    import struct
+
+    from mcp_ocr_server_spark.imaging.codecs import (
+        apply_exif_orientation)
+    from mcp_ocr_server_spark.imaging.png import _chunk
+
+    img = (np.arange(24).reshape(4, 6) * 10).astype(np.uint8)
+    stored = np.ascontiguousarray(apply_exif_orientation(img, 8))
+    blob = png.encode_png(stored)
+    tiff = (b"II" + struct.pack("<HI", 42, 8) + struct.pack("<H", 1)
+            + struct.pack("<HHIHH", 0x0112, 3, 1, 6, 0)
+            + struct.pack("<I", 0))
+    spliced = blob[:33] + _chunk(b"eXIf", tiff) + blob[33:]
+    assert np.array_equal(png.decode_png(spliced), img)
+    junk = blob[:33] + _chunk(b"eXIf", b"garbage!") + blob[33:]
+    assert np.array_equal(png.decode_png(junk), stored)
