@@ -397,3 +397,134 @@ def extract_main_dom(doc: str) -> str | None:
         if ok:
             kept.append(text)
     return "\n".join(kept)
+
+
+# ---------------------------------------------------------------------------
+# page-level metadata (the curation signals a crawl pipeline dedups
+# and routes on BEFORE main-content extraction): <title>, meta
+# description, canonical link, OpenGraph og:title/og:type, the html
+# lang attribute, and schema.org JSON-LD @type values.  Reference
+# parity: none (no text path in mcp-ocr-server) — scale-pipeline
+# extension like the rest of the HTML family.
+
+class _HeadMetaParser(HTMLParser):
+    """Tolerant single-pass collector — html.parser never raises on
+    hostile bytes, and first-occurrence-wins matches browser
+    behavior for duplicated tags."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.title: str | None = None
+        self.description: str | None = None
+        self.canonical: str | None = None
+        self.og: dict[str, str] = {}
+        self.lang: str | None = None
+        self.ldjson: list[str] = []
+        self.n_meta = 0
+        self._in_title = False
+        self._in_ldjson = False
+        self._title_parts: list[str] = []
+        self._ld_parts: list[str] = []
+
+    def handle_starttag(self, tag, attrs):
+        a = dict(attrs)
+        if tag == "html" and self.lang is None and a.get("lang"):
+            self.lang = a["lang"].strip()
+        elif tag == "title" and self.title is None:
+            self._in_title = True
+            self._title_parts = []
+        elif tag == "meta":
+            self.n_meta += 1
+            name = (a.get("name") or "").lower()
+            prop = (a.get("property") or "").lower()
+            content = a.get("content")
+            if content is None:
+                return
+            if name == "description" and self.description is None:
+                self.description = " ".join(content.split())
+            elif prop.startswith("og:"):
+                self.og.setdefault(prop[3:], content.strip())
+        elif tag == "link":
+            rels = (a.get("rel") or "").lower().split()
+            if "canonical" in rels and self.canonical is None \
+                    and a.get("href"):
+                self.canonical = a["href"].strip()
+        elif tag == "script":
+            if (a.get("type") or "").lower() == "application/ld+json":
+                self._in_ldjson = True
+                self._ld_parts = []
+
+    def handle_endtag(self, tag):
+        if tag == "title" and self._in_title:
+            self._in_title = False
+            if self.title is None:
+                self.title = " ".join(
+                    "".join(self._title_parts).split())
+        elif tag == "script" and self._in_ldjson:
+            self._in_ldjson = False
+            self.ldjson.append("".join(self._ld_parts))
+
+    def handle_data(self, data):
+        if self._in_title:
+            self._title_parts.append(data)
+        elif self._in_ldjson:
+            self._ld_parts.append(data)
+
+
+def _jsonld_types(payloads: list[str]) -> str | None:
+    """Sorted, deduped, comma-joined @type values across every
+    ld+json script — top-level objects, top-level arrays, and one
+    @graph level; broken JSON is skipped (a lying script must not
+    error the page)."""
+    import json
+
+    types: set[str] = set()
+
+    def take(obj) -> None:
+        if isinstance(obj, dict):
+            t = obj.get("@type")
+            if isinstance(t, str):
+                types.add(t)
+            elif isinstance(t, list):
+                types.update(x for x in t if isinstance(x, str))
+            g = obj.get("@graph")
+            if isinstance(g, list):
+                for item in g:
+                    if isinstance(item, dict):
+                        take(item)
+
+    for raw in payloads:
+        try:
+            doc = json.loads(raw)
+        except ValueError:
+            continue
+        if isinstance(doc, list):
+            for item in doc:
+                take(item)
+        else:
+            take(doc)
+    return ",".join(sorted(types)) if types else None
+
+
+def extract_html_metadata(doc: str) -> dict:
+    """dict(title, description, canonical, og_title, og_type, lang,
+    jsonld_types, n_meta) — every field None when absent (absence is
+    data); the parse is total, so there is no error path."""
+    p = _HeadMetaParser()
+    try:
+        p.feed(doc)
+        p.close()
+    except Exception:
+        pass  # html.parser is documented-total; belt and braces
+    if p._in_title and p.title is None:
+        p.title = " ".join("".join(p._title_parts).split()) or None
+    return dict(
+        title=p.title or None,
+        description=p.description,
+        canonical=p.canonical,
+        og_title=p.og.get("title"),
+        og_type=p.og.get("type"),
+        lang=p.lang,
+        jsonld_types=_jsonld_types(p.ldjson),
+        n_meta=p.n_meta,
+    )

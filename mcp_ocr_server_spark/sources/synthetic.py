@@ -514,6 +514,129 @@ def html_md_df(spark, cfg: CorpusConfig, n: int = N_HTML_MD_DOCS):
 
 
 # ---------------------------------------------------------------------------
+# html-metadata corpus (functions/dom.extract_html_metadata): pages
+# whose head carries the curation signals — title / meta description /
+# canonical / OpenGraph / lang / JSON-LD — with EXPECTED values
+# constructed independently alongside the html (the html_md golden
+# pattern), plus adversarial classes (no head, broken JSON-LD,
+# duplicate titles, entities)
+
+_S_HTMLMETA = 15
+N_HTML_META_DOCS = 40
+
+_HTML_META_CLASSES = (
+    "full", "minimal", "no_head", "og_only", "jsonld_graph",
+    "broken_jsonld", "entities", "multi_title",
+)
+
+HTML_META_SCHEMA = (
+    "page_id string, cls string, html string, title string,"
+    " description string, canonical string, og_title string,"
+    " og_type string, lang string, jsonld_types string, n_meta int"
+)
+
+_HTML_META_COLS = [
+    "page_id", "cls", "html", "title", "description", "canonical",
+    "og_title", "og_type", "lang", "jsonld_types", "n_meta",
+]
+
+
+def html_meta_item(cfg: CorpusConfig, j: int) -> tuple:
+    """(page_id, cls, html, expected…) — expected fields are built
+    from the same random pieces as the html, never by running the
+    extractor (a true round-trip, not an echo)."""
+    rng = _rng(cfg.seed, _S_HTMLMETA, j)
+    cls = _HTML_META_CLASSES[j % len(_HTML_META_CLASSES)]
+    t = _words(rng, _PROSE_WORDS, 3).title()
+    desc = _words(rng, _PROSE_WORDS, int(rng.integers(8, 14)))
+    slug = _words(rng, _PROSE_WORDS, 1)
+    canon = f"https://example.org/{slug}"
+    body = f"<body><p>{_words(rng, _PROSE_WORDS, 20)}</p></body>"
+    exp = dict(title=None, description=None, canonical=None,
+               og_title=None, og_type=None, lang=None,
+               jsonld_types=None, n_meta=0)
+    if cls == "full":
+        og_t = ("article", "website")[j % 2]
+        ld = ('{"@context": "https://schema.org",'
+              f' "@type": "NewsArticle", "headline": "{t}"}}')
+        html = (
+            f'<html lang="en"><head><title>{t}</title>'
+            f'<meta name="description" content="{desc}">'
+            f'<link rel="canonical" href="{canon}">'
+            f'<meta property="og:title" content="{t}">'
+            f'<meta property="og:type" content="{og_t}">'
+            f'<script type="application/ld+json">{ld}</script>'
+            f"</head>{body}</html>"
+        )
+        exp.update(title=t, description=desc, canonical=canon,
+                   og_title=t, og_type=og_t, lang="en",
+                   jsonld_types="NewsArticle", n_meta=3)
+    elif cls == "minimal":
+        html = f"<html><head><title>{t}</title></head>{body}</html>"
+        exp.update(title=t)
+    elif cls == "no_head":
+        html = f"<html>{body}</html>"
+    elif cls == "og_only":
+        # the social-card-only page: og:* present, classic tags absent
+        html = (
+            "<html><head>"
+            f'<meta property="og:title" content="{t}">'
+            '<meta property="og:type" content="video.movie">'
+            f"</head>{body}</html>"
+        )
+        exp.update(og_title=t, og_type="video.movie", n_meta=2)
+    elif cls == "jsonld_graph":
+        ld = ('{"@graph": [{"@type": "Organization"},'
+              ' {"@type": ["Article", "CreativeWork"]}]}')
+        html = (
+            f'<html lang="de-DE"><head><title>{t}</title>'
+            f'<script type="application/ld+json">{ld}</script>'
+            f"</head>{body}</html>"
+        )
+        exp.update(title=t, lang="de-DE",
+                   jsonld_types="Article,CreativeWork,Organization")
+    elif cls == "broken_jsonld":
+        html = (
+            f"<html><head><title>{t}</title>"
+            '<script type="application/ld+json">{not json at all'
+            f"</script></head>{body}</html>"
+        )
+        exp.update(title=t)
+    elif cls == "entities":
+        # entity-bearing title + messy whitespace: decoded and
+        # collapsed like a browser tab renders it
+        html = (
+            "<html><head><title>  " + t.replace(" ", " &amp;\n ")
+            + " </title>"
+            f'<meta name="description" content="{desc}">'
+            f"</head>{body}</html>"
+        )
+        exp.update(title=t.replace(" ", " & "), description=desc,
+                   n_meta=1)
+    else:  # multi_title: first occurrence wins, like browsers
+        html = (
+            f"<html><head><title>{t}</title>"
+            f"<title>WRONG</title></head>{body}</html>"
+        )
+        exp.update(title=t)
+    return (f"hmeta-{j:06d}", cls, html, exp["title"],
+            exp["description"], exp["canonical"], exp["og_title"],
+            exp["og_type"], exp["lang"], exp["jsonld_types"],
+            exp["n_meta"])
+
+
+def html_meta_df(spark, cfg: CorpusConfig, n: int = N_HTML_META_DOCS):
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [html_meta_item(cfg, int(j)) for j in pdf["id"]]
+            yield pd.DataFrame(rows, columns=_HTML_META_COLS)
+
+    return spark.range(0, n, numPartitions=4).mapInPandas(
+        gen, schema=HTML_META_SCHEMA
+    )
+
+
+# ---------------------------------------------------------------------------
 # doc generation (pure function of (cfg, i))
 
 def doc_item(cfg: CorpusConfig, i: int) -> tuple[str, list[dict]]:

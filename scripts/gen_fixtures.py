@@ -282,6 +282,27 @@ def gen_word_boxes() -> pd.DataFrame:
     return df
 
 
+def gen_html_meta() -> pd.DataFrame:
+    """Expected html_metadata values — constructed INDEPENDENTLY by
+    the corpus generator (never by running the extractor), so the
+    query's parity is a true round-trip."""
+    rows = []
+    for j in range(S.N_HTML_META_DOCS):
+        (pid, cls, _html, title, desc, canon, og_t, og_ty, lang,
+         ld, n_meta) = S.html_meta_item(FLAGSHIP_CORPUS, j)
+        rows.append(dict(
+            page_id=pid, cls=cls, title=title, description=desc,
+            canonical=canon, og_title=og_t, og_type=og_ty, lang=lang,
+            jsonld_types=ld, n_meta=n_meta,
+        ))
+    df = pd.DataFrame(rows)
+    df["n_meta"] = df["n_meta"].astype("Int64")
+    for c in ("title", "description", "canonical", "og_title",
+              "og_type", "lang", "jsonld_types"):
+        df[c] = df[c].astype("string")
+    return df
+
+
 def gen_pdf_info() -> pd.DataFrame:
     """Golden for the document-metadata query: SAME row code the
     Spark stage runs (functions/pdf.pdf_info_rows) over the pdf
@@ -665,6 +686,12 @@ def main() -> None:
     print(f"pdf_info: {len(pinfo)} rows"
           f" ({int(pinfo.error.notna().sum())} errors;"
           f" titled {int(pinfo.title.notna().sum())})")
+    hmeta = gen_html_meta()
+    hmeta.to_parquet(
+        os.path.join(FIXTURES_DIR, "html_meta.parquet"), index=False
+    )
+    print(f"html_meta: {len(hmeta)} rows,"
+          f" classes {hmeta.cls.value_counts().to_dict()}")
     vid = gen_video_meta()
     vid.to_parquet(os.path.join(FIXTURES_DIR, "video_meta.parquet"), index=False)
     inv = gen_audio_inventory()

@@ -205,3 +205,37 @@ def test_decode_html_total_on_bytes(payload, ctype):
 
     text, charset, source = decode_html(ctype, payload)
     assert isinstance(text, str) and charset and source
+
+
+def test_html_metadata_classes_and_fuzz():
+    """extract_html_metadata matches the independently-constructed
+    expectation on every corpus class, and is TOTAL on hostile
+    input (never raises, absent = None)."""
+    from hypothesis import given, settings, strategies as st
+
+    from mcp_ocr_server_spark.functions.dom import extract_html_metadata
+    from mcp_ocr_server_spark.queries import FLAGSHIP_CORPUS
+    from mcp_ocr_server_spark.sources import synthetic as S
+
+    seen = set()
+    for j in range(S.N_HTML_META_DOCS):
+        (pid, cls, html, title, desc, canon, og_t, og_ty, lang, ld,
+         n_meta) = S.html_meta_item(FLAGSHIP_CORPUS, j)
+        seen.add(cls)
+        m = extract_html_metadata(html)
+        assert (m["title"], m["description"], m["canonical"],
+                m["og_title"], m["og_type"], m["lang"],
+                m["jsonld_types"], m["n_meta"]) == (
+            title, desc, canon, og_t, og_ty, lang, ld, n_meta), (
+            j, cls)
+    assert seen == set(S._HTML_META_CLASSES)
+
+    @settings(max_examples=100, deadline=None)
+    @given(st.text(max_size=300))
+    def run(doc):
+        m = extract_html_metadata(doc)
+        assert set(m) == {"title", "description", "canonical",
+                          "og_title", "og_type", "lang",
+                          "jsonld_types", "n_meta"}
+
+    run()
