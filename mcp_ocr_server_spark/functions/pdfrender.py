@@ -107,11 +107,54 @@ _NUM_RE = re.compile(rb"[-+]?[0-9]*\.?[0-9]+")
 _REFUSED_OPS = {
     b"Tz": "horizontal text scaling",
     b"Ts": "text rise",
-    b"sc": "non-device colorspaces",
-    b"scn": "non-device colorspaces",
     b"k": "CMYK color",
     b"K": "CMYK color",
 }
+
+
+def _resolve_colorspace(
+    name: bytes, colorspaces: dict[bytes, int] | None,
+    objs: dict[int, _Obj],
+) -> None:
+    """Validate a cs/CS operand: device spaces and the
+    DEVICE-EQUIVALENT families (/CalGray, /CalRGB, /ICCBased with
+    /N 1 or 3 — rendered through their device alternates, the
+    sanctioned fallback) are accepted; Pattern/Separation/Lab/
+    Indexed-as-fill and 4-component ICC refuse by name.  sc/scn then
+    set the color from their operand COUNT (1 = gray, 3 = RGB)."""
+    if name in (b"/DeviceGray", b"/DeviceRGB", b"/G", b"/RGB"):
+        return
+    if name == b"/Pattern":
+        raise ValueError("cs: /Pattern fills unsupported")
+    if name == b"/DeviceCMYK":
+        raise ValueError("cs: CMYK color unsupported")
+    ref = (colorspaces or {}).get(name)
+    body = None
+    if ref is not None:
+        cs_obj = objs.get(ref)
+        body = cs_obj.body if cs_obj is not None else None
+    if body is None:
+        raise ValueError(
+            "cs names a colorspace missing from /Resources"
+        )
+    if re.search(rb"/CalGray\b|/CalRGB\b", body):
+        return
+    icc = re.search(rb"/ICCBased\s+(\d+)\s+\d+\s+R", body)
+    if icc is not None:
+        stream_obj = objs.get(int(icc.group(1)))
+        nm = re.search(rb"/N\s+(\d+)",
+                       stream_obj.body if stream_obj else b"")
+        n = int(nm.group(1)) if nm else 0
+        if n in (1, 3):
+            return
+        raise ValueError(
+            f"cs: /ICCBased with {n} components unsupported"
+        )
+    fam = re.search(rb"/(\w+)", body)
+    raise ValueError(
+        "cs: /" + (fam.group(1).decode("latin-1") if fam else "?")
+        + " colorspace unsupported"
+    )
 
 
 _BEZIER_STEPS = 16  # fixed deterministic cubic flattening
@@ -1192,6 +1235,7 @@ def _exec_form(
     dash: tuple[list[float], float] | None,
     caller_shadings: dict[bytes, int],
     caller_extgstates: dict[bytes, int],
+    caller_colorspaces: dict[bytes, int] | None = None,
 ) -> None:
     """Execute a /Subtype /Form XObject (§8.10): apply its /Matrix to
     the CTM, clip to its /BBox, run its content stream with its own
@@ -1235,10 +1279,14 @@ def _exec_form(
     sub_gs = dict(
         _resources_entries(obj.body, objs, b"ExtGState")
     ) or caller_extgstates
+    sub_cs = dict(
+        _resources_entries(obj.body, objs, b"ColorSpace")
+    ) or caller_colorspaces
     try:
         _exec_content(objs, canvas, payload, form_ctm, sub, depth + 1,
                       fill_gray, stroke_gray, line_width, dash,
-                      shadings=sub_sh, extgstates=sub_gs)
+                      shadings=sub_sh, extgstates=sub_gs,
+                      colorspaces=sub_cs)
     finally:
         canvas.clip = saved_clip
 
@@ -1267,6 +1315,9 @@ def _render_page(
         extgstates=dict(
             _resources_entries(body, objs, b"ExtGState")
         ),
+        colorspaces=dict(
+            _resources_entries(body, objs, b"ColorSpace")
+        ),
     )
     if rot:
         return np.ascontiguousarray(np.rot90(canvas.img, k=-rot // 90))
@@ -1286,6 +1337,7 @@ def _exec_content(
     dash: tuple[list[float], float] | None = None,
     shadings: dict[bytes, int] | None = None,
     extgstates: dict[bytes, int] | None = None,
+    colorspaces: dict[bytes, int] | None = None,
 ) -> None:
     """Execute one content stream onto a shared canvas — the page's
     top-level stream at depth 0, and form XObjects recursively (each
@@ -1463,6 +1515,36 @@ def _exec_content(
             stroke_gray = int(round(max(0.0, min(1.0, v)) * 255))
         elif op == b"RG":
             stroke_gray = _luma(*nums(3))
+        elif op in (b"cs", b"CS"):
+            # §8.6.8: validate the space (device-equivalent families
+            # render through their alternates) and reset to black
+            if not stack or not isinstance(stack[-1], bytes):
+                raise ValueError("cs without a colorspace name")
+            _resolve_colorspace(stack[-1], colorspaces, objs)
+            if op == b"cs":
+                fill_gray = 0
+            else:
+                stroke_gray = 0
+        elif op in (b"sc", b"scn", b"SC", b"SCN"):
+            comps = [v for v in stack if isinstance(v, float)]
+            if len(comps) != len(stack):
+                raise ValueError(
+                    f"{op.decode()}: pattern operands unsupported"
+                )
+            if len(comps) == 1:
+                v = comps[0]
+                g = int(round(max(0.0, min(1.0, v)) * 255))
+            elif len(comps) == 3:
+                g = _luma(*comps)
+            else:
+                raise ValueError(
+                    f"{op.decode()}: {len(comps)}-component color"
+                    " unsupported"
+                )
+            if op in (b"sc", b"scn"):
+                fill_gray = g
+            else:
+                stroke_gray = g
         elif op == b"w":
             line_width = nums(1)[0]
         elif op == b"d":
@@ -1568,7 +1650,8 @@ def _exec_content(
             if re.search(rb"/Subtype\s*/Form\b", obj.body):
                 _exec_form(objs, canvas, obj, ctm, xobjects, depth,
                            fill_gray, stroke_gray, line_width, dash,
-                           shadings or {}, extgstates or {})
+                           shadings or {}, extgstates or {},
+                           colorspaces or {})
             elif re.search(rb"/Subtype\s*/Image\b", obj.body):
                 p0 = ctm.apply(0.0, 0.0)
                 p1 = ctm.apply(1.0, 1.0)

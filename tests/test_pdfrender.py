@@ -802,6 +802,57 @@ def test_mesh_shading_and_ps_calculator_refuse_by_name():
         render_pdf_pages(ps)
 
 
+def test_cs_scn_device_equivalent_colorspaces():
+    """cs/scn paint through device-equivalent families: device names
+    directly, /ICCBased via its /N alternate (the sanctioned
+    fallback), /CalRGB; Pattern and 4-component ICC refuse by name;
+    scn color comes from the operand count (1 = gray, 3 = RGB)."""
+    raw = b"/DeviceGray cs 0.5 scn 100 100 50 20 re f"
+    (out,) = render_pdf_pages(page([("raw", raw)]))
+    assert out[792 - 110, 120] == 128
+    # resource-resolved ICCBased (N=3) through a hand-built skeleton
+    def icc_pdf(n_comps: int, ops: bytes) -> bytes:
+        objs = [
+            b"<< /Type /Catalog /Pages 2 0 R >>",
+            b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+            b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 300 300]"
+            b" /Resources << /ColorSpace << /CS0 5 0 R >> >>"
+            b" /Contents 4 0 R >>",
+            b"<< /Length " + str(len(ops)).encode()
+            + b" >>\nstream\n" + ops + b"\nendstream",
+            b"[/ICCBased 6 0 R]",
+            b"<< /N " + str(n_comps).encode()
+            + b" /Length 4 >>\nstream\nICCP\nendstream",
+        ]
+        out_b = bytearray(b"%PDF-1.4\n")
+        offsets = []
+        for i, body in enumerate(objs):
+            offsets.append(len(out_b))
+            out_b += f"{i + 1} 0 obj\n".encode() + body + b"\nendobj\n"
+        xref_at = len(out_b)
+        out_b += f"xref\n0 {len(objs) + 1}\n".encode()
+        out_b += b"0000000000 65535 f \n"
+        for off in offsets:
+            out_b += f"{off:010d} 00000 n \n".encode()
+        out_b += (b"trailer\n<< /Size " + str(len(objs) + 1).encode()
+                  + b" /Root 1 0 R >>\nstartxref\n"
+                  + str(xref_at).encode() + b"\n%%EOF\n")
+        return bytes(out_b)
+
+    ops = b"/CS0 cs 1 0 0 scn 50 50 100 40 re f"
+    (img,) = render_pdf_pages(icc_pdf(3, ops))
+    assert img[300 - 70, 100] == 77  # pure-red BT.601 luma
+    with pytest.raises(ValueError, match="4 components"):
+        render_pdf_pages(icc_pdf(4, ops))
+    with pytest.raises(ValueError, match="Pattern"):
+        render_pdf_pages(page([("raw", b"/Pattern cs")]))
+    with pytest.raises(ValueError, match="missing from /Resources"):
+        render_pdf_pages(page([("raw", b"/CS9 cs 1 scn")]))
+    with pytest.raises(ValueError, match="2-component"):
+        render_pdf_pages(page([
+            ("raw", b"/DeviceGray cs 0.5 0.5 scn")]))
+
+
 def test_radial_nonuniform_scale_refuses():
     from mcp_ocr_server_spark.functions.pdfrender import (
         _Canvas, _Mat, _paint_shading)
