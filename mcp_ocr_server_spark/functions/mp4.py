@@ -73,7 +73,17 @@ def _parse_track(data: bytes, start: int, end: int) -> dict:
     for btype, p, e in walk_boxes(data, start, end):
         if btype == b"tkhd":
             ver, q = _full_box(data, p)
-            # width/height are the LAST 8 bytes (16.16 fixed-point)
+            # width/height are the LAST 8 bytes (16.16 fixed-point);
+            # the 36-byte display matrix precedes them — its a/b
+            # terms carry the phone-camera DISPLAY rotation
+            mat = data[e - 44 : e - 8]
+            if len(mat) == 36:
+                import math
+
+                vals = struct.unpack(">9i", mat)
+                a, b = vals[0] / 65536.0, vals[1] / 65536.0
+                ang = round(math.degrees(math.atan2(b, a))) % 360
+                tk["rotation"] = ang if ang % 90 == 0 else None
             tk["width"] = int.from_bytes(data[e - 8:e - 4], "big") >> 16
             tk["height"] = int.from_bytes(data[e - 4:e], "big") >> 16
         elif btype == b"mdia":
@@ -189,6 +199,7 @@ def mp4_metadata(data: bytes) -> dict:
                         meta["width"] = tk.get("width")
                         meta["height"] = tk.get("height")
                         meta["n_frames"] = tk.get("n_samples")
+                        meta["rotation"] = tk.get("rotation")
     if not saw_moov:
         raise ValueError("mp4: no moov box (streaming-only fragment?)")
     return meta
@@ -420,7 +431,8 @@ def encode_mp4(duration_s: float, timescale: int = 1000,
                codec: bytes = b"avc1", width: int = 640,
                height: int = 360, n_frames: int = 48,
                mdat: bytes = b"\x00" * 64,
-               frames: list[bytes] | None = None) -> bytes:
+               frames: list[bytes] | None = None,
+               rotation: int = 0) -> bytes:
     """Minimal spec-shaped mp4: ftyp + moov(mvhd, one video trak) +
     mdat.  With `frames`, the mdat carries the concatenated frame
     payloads and the trak gets REAL stsc/stsz/stco sample tables
@@ -437,10 +449,20 @@ def encode_mp4(duration_s: float, timescale: int = 1000,
         + struct.pack(">IHH", 0x00010000, 0x0100, 0)
         + b"\x00" * 8 + _UNITY_MATRIX + b"\x00" * 24
         + struct.pack(">I", 2))
+    if rotation % 360 == 0:
+        matrix = _UNITY_MATRIX
+    else:
+        import math
+
+        th = math.radians(rotation % 360)
+        fx = int(round(math.cos(th) * 65536))
+        fy = int(round(math.sin(th) * 65536))
+        matrix = struct.pack(">9i", fx, fy, 0, -fy, fx, 0, 0, 0,
+                             0x40000000)
     tkhd = _full(b"tkhd", 0, struct.pack(
         ">IIIII", 0, 0, 1, 0, dur)
         + b"\x00" * 8 + struct.pack(">HHHH", 0, 0, 0, 0)
-        + _UNITY_MATRIX
+        + matrix
         + struct.pack(">II", width << 16, height << 16))
     mdhd = _full(b"mdhd", 0, struct.pack(
         ">IIII", 0, 0, timescale, dur)

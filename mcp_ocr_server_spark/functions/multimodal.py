@@ -469,7 +469,8 @@ def video_keyframes(media: DataFrame, every_n: int = 4) -> DataFrame:
 
 VIDEO_INVENTORY_SCHEMA = (
     "media_ref string, container string, codec string, width int,"
-    " height int, duration_s double, n_frames int, error string"
+    " height int, duration_s double, n_frames int, rotation int,"
+    " error string"
 )
 
 
@@ -481,7 +482,8 @@ def video_inventory_row(ref: str, data: bytes) -> dict:
     functions/mkv.py; foreign payloads refuse loudly with a
     container-specific error string."""
     row = dict(media_ref=ref, container=None, codec=None, width=None,
-               height=None, duration_s=None, n_frames=None, error=None)
+               height=None, duration_s=None, n_frames=None,
+               rotation=None, error=None)
     try:
         data = bytes(data)
         if data[:4] == b"RIFF" and data[8:12] == b"AVI ":
@@ -527,6 +529,10 @@ def video_inventory_row(ref: str, data: bytes) -> dict:
                 width=m.get("width"), height=m.get("height"),
                 duration_s=m.get("duration_s"),
                 n_frames=m.get("n_frames"),
+                # the tkhd display matrix: the phone-camera rotation
+                # a transcode stage must apply (AVI/EBML have no
+                # equivalent channel -> null there)
+                rotation=m.get("rotation"),
             )
     except Exception as exc:
         row["error"] = str(exc)
@@ -542,7 +548,7 @@ def video_inventory(media: DataFrame) -> DataFrame:
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cols = ["media_ref", "container", "codec", "width", "height",
-                "duration_s", "n_frames", "error"]
+                "duration_s", "n_frames", "rotation", "error"]
         for pdf in batches:
             rows = [
                 video_inventory_row(ref, bytes(data))

@@ -1393,6 +1393,8 @@ def video_sniff_item(cfg: CorpusConfig, j: int) -> tuple[str, bytes, str]:
             codec=codec, width=320 + 64 * (j % 4),
             height=180 + 36 * (j % 4), n_frames=24 * (1 + j % 6),
             mdat=rng.integers(0, 256, 256).astype(np.uint8).tobytes(),
+            # the phone-camera display rotation rides the tkhd matrix
+            rotation=(0, 90, 180, 270)[(j // 7) % 4],
         )
         return vsniff_ref(j), data, f"mp4_{codec.decode()}"
     if cls == 4:

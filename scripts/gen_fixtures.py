@@ -213,10 +213,10 @@ def gen_video_inventory() -> pd.DataFrame:
         rows.append(row)
     df = pd.DataFrame(
         rows, columns=["media_ref", "container", "codec", "width",
-                       "height", "duration_s", "n_frames", "error",
-                       "kind"]
+                       "height", "duration_s", "n_frames", "rotation",
+                       "error", "kind"]
     )
-    for c in ("width", "height", "n_frames"):
+    for c in ("width", "height", "n_frames", "rotation"):
         df[c] = df[c].astype("Int64")
     return df
 

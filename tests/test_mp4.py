@@ -20,8 +20,32 @@ def test_roundtrip_metadata():
     assert mp4_metadata(d) == {
         "n_tracks": 1, "brand": "isom", "duration_s": 12.5,
         "codec": "hev1", "width": 1920, "height": 1080,
-        "n_frames": 300,
+        "n_frames": 300, "rotation": 0,
     }
+
+
+def test_tkhd_rotation_roundtrip():
+    """The tkhd display matrix carries the phone-camera rotation; all
+    four quarter-turns round-trip, and a sheared (non-90°) matrix
+    reports None rather than a wrong snap."""
+    for rot in (0, 90, 180, 270):
+        m = mp4_metadata(encode_mp4(1.0, rotation=rot))
+        assert m["rotation"] == rot, rot
+    import struct as _s
+
+    d = encode_mp4(1.0)
+    # overwrite the TKHD matrix (the SECOND unity matrix — mvhd
+    # carries the first) with a 45° rotation: not a multiple of 90
+    # -> rotation must surface as None
+    k = int(round(0.7071 * 65536))
+    unity = _s.pack(">9I", 0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0,
+                    0x40000000)
+    second = d.find(unity, d.find(unity) + 1)
+    assert second != -1
+    sheared = (d[:second]
+               + _s.pack(">9i", k, k, 0, -k, k, 0, 0, 0, 0x40000000)
+               + d[second + len(unity):])
+    assert mp4_metadata(sheared)["rotation"] is None
 
 
 def test_roundtrip_varied():
