@@ -45,6 +45,10 @@ ZERO_SHUFFLE = [
     "sitemap_urls", "robots_rules", "warc_redirects", "feed_entries",
     "dedup_simhash", "lang_id",
     "text_quality", "token_stats", "doc_fingerprint",
+    # closing-session additions: metadata extraction is row-local
+    # mapInPandas (pdf_info, html_metadata); bpe_encode's corpus
+    # rollup rides a broadcast join at this scale
+    "pdf_info", "html_metadata",
 ]
 
 # sf0.001 ceilings ~2.5x measured (2026-08, r5 probe); the comment is
