@@ -150,7 +150,7 @@ def main() -> None:
 
     analytics = [
         "extract_base64", "extract_docs", "html_main_content",
-        "html_main_markdown", "html_metadata",
+        "html_main_markdown", "html_metadata", "subtitle_cues",
         "html_links", "anchor_text", "link_rank", "keyword_rank",
         "extract_interleaved", "jsonl_ingest",
         "media_words", "media_image_features", "media_audio_features",

@@ -637,6 +637,123 @@ def html_meta_df(spark, cfg: CorpusConfig, n: int = N_HTML_META_DOCS):
 
 
 # ---------------------------------------------------------------------------
+# subtitle corpus (functions/subtitles.py): SRT + WebVTT transcript
+# files whose expected cues are the very list the writer consumed —
+# a true round-trip; error classes pin the refuse-loudly contract
+
+_S_SUBS = 16
+N_SUBTITLE_FILES = 32
+
+_SUB_CLASSES = (
+    "srt", "srt_crlf", "vtt", "vtt_tags", "vtt_notes", "vtt_empty",
+    "bad_ts", "garbage",
+)
+
+SUBTITLE_MEDIA_SCHEMA = "media_ref string, bytes binary, kind string"
+
+
+def _sub_ts_srt(s: float) -> str:
+    ms = int(round(s * 1000))
+    return (f"{ms // 3600000:02d}:{ms // 60000 % 60:02d}:"
+            f"{ms // 1000 % 60:02d},{ms % 1000:03d}")
+
+
+def _sub_ts_vtt(s: float) -> str:
+    ms = int(round(s * 1000))
+    return (f"{ms // 3600000:02d}:{ms // 60000 % 60:02d}:"
+            f"{ms // 1000 % 60:02d}.{ms % 1000:03d}")
+
+
+def make_srt_bytes(cues: list[tuple[float, float, str]],
+                   crlf: bool = False) -> bytes:
+    nl = "\r\n" if crlf else "\n"
+    blocks = []
+    for i, (a, b, text) in enumerate(cues):
+        blocks.append(
+            f"{i + 1}{nl}{_sub_ts_srt(a)} --> {_sub_ts_srt(b)}{nl}"
+            + text.replace("\n", nl)
+        )
+    return ((nl + nl).join(blocks) + nl).encode("utf-8")
+
+
+def make_vtt_bytes(cues: list[tuple[float, float, str]],
+                   tags: bool = False, notes: bool = False,
+                   ids: bool = False) -> bytes:
+    parts = ["WEBVTT"]
+    if notes:
+        parts.append("NOTE generated by the synthetic corpus")
+    for i, (a, b, text) in enumerate(cues):
+        lines = []
+        if ids:
+            lines.append(f"cue-{i}")
+        settings = " align:start" if tags else ""
+        lines.append(f"{_sub_ts_vtt(a)} --> {_sub_ts_vtt(b)}{settings}")
+        body = text
+        if tags:
+            body = f"<v Narrator><i>{body}</i></v>"
+        lines.append(body)
+        parts.append("\n".join(lines))
+    return ("\n\n".join(parts) + "\n").encode("utf-8")
+
+
+def subs_ref(j: int) -> str:
+    return f"subs-{j:06d}"
+
+
+def subtitle_item(
+    cfg: CorpusConfig, j: int
+) -> tuple[str, bytes, str, list[tuple[float, float, str]]]:
+    """(media_ref, bytes, kind, expected_cues).  Cue text/timing is
+    generated FIRST and fed to the writer, so the expectation is
+    independent of the parser."""
+    rng = _rng(cfg.seed, _S_SUBS, j)
+    n_cues = int(rng.integers(2, 6))
+    cues: list[tuple[float, float, str]] = []
+    t = float(rng.integers(0, 5))
+    for _ in range(n_cues):
+        dur = 1.0 + int(rng.integers(0, 2500)) / 1000.0
+        lines = int(rng.integers(1, 3))
+        text = "\n".join(
+            _words(rng, _PROSE_WORDS, int(rng.integers(3, 7)))
+            for _ in range(lines)
+        )
+        cues.append((round(t, 3), round(t + dur, 3), text))
+        t += dur + int(rng.integers(100, 900)) / 1000.0
+    kind = _SUB_CLASSES[j % len(_SUB_CLASSES)]
+    if kind == "srt":
+        return subs_ref(j), make_srt_bytes(cues), kind, cues
+    if kind == "srt_crlf":
+        return subs_ref(j), make_srt_bytes(cues, crlf=True), kind, cues
+    if kind == "vtt":
+        return subs_ref(j), make_vtt_bytes(cues, ids=j % 2 == 0), \
+            kind, cues
+    if kind == "vtt_tags":
+        return subs_ref(j), make_vtt_bytes(cues, tags=True), kind, cues
+    if kind == "vtt_notes":
+        return subs_ref(j), make_vtt_bytes(cues, notes=True), \
+            kind, cues
+    if kind == "vtt_empty":
+        return subs_ref(j), b"WEBVTT\n", kind, []
+    if kind == "bad_ts":
+        data = make_srt_bytes(cues).replace(b" --> ", b" -> ", 1)
+        return subs_ref(j), data, kind, []
+    return subs_ref(j), b"\x00plain bytes" + bytes([j % 256]) * 8, \
+        "garbage", []
+
+
+def subtitle_df(spark, cfg: CorpusConfig, n: int = N_SUBTITLE_FILES):
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [subtitle_item(cfg, int(j))[:3] for j in pdf["id"]]
+            yield pd.DataFrame(
+                rows, columns=["media_ref", "bytes", "kind"])
+
+    return spark.range(0, n, numPartitions=4).mapInPandas(
+        gen, schema=SUBTITLE_MEDIA_SCHEMA
+    )
+
+
+# ---------------------------------------------------------------------------
 # doc generation (pure function of (cfg, i))
 
 def doc_item(cfg: CorpusConfig, i: int) -> tuple[str, list[dict]]:

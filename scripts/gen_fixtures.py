@@ -282,6 +282,38 @@ def gen_word_boxes() -> pd.DataFrame:
     return df
 
 
+def gen_subtitle_cues() -> pd.DataFrame:
+    """Expected subtitle cues — the writer's own input cue list (a
+    true round-trip; the parser never runs here) plus the error/empty
+    contracts the row function promises."""
+    rows = []
+    for j in range(S.N_SUBTITLE_FILES):
+        ref, _data, kind, cues = S.subtitle_item(FLAGSHIP_CORPUS, j)
+        fmt = ("srt" if kind.startswith("srt")
+               else "vtt" if kind.startswith("vtt") else None)
+        if kind in ("bad_ts", "garbage"):
+            rows.append(dict(media_ref=ref, format=None, cue_idx=None,
+                             start_s=None, end_s=None, text=None,
+                             has_error=True))
+        elif not cues:
+            rows.append(dict(media_ref=ref, format=fmt, cue_idx=None,
+                             start_s=None, end_s=None, text=None,
+                             has_error=False))
+        else:
+            for i, (a, b, text) in enumerate(cues):
+                rows.append(dict(media_ref=ref, format=fmt, cue_idx=i,
+                                 start_s=a, end_s=b, text=text,
+                                 has_error=False))
+    df = pd.DataFrame(
+        rows, columns=["media_ref", "format", "cue_idx", "start_s",
+                       "end_s", "text", "has_error"]
+    )
+    df["cue_idx"] = df["cue_idx"].astype("Int64")
+    for c in ("format", "text"):
+        df[c] = df[c].astype("string")
+    return df
+
+
 def gen_html_meta() -> pd.DataFrame:
     """Expected html_metadata values — constructed INDEPENDENTLY by
     the corpus generator (never by running the extractor), so the
@@ -686,6 +718,13 @@ def main() -> None:
     print(f"pdf_info: {len(pinfo)} rows"
           f" ({int(pinfo.error.notna().sum())} errors;"
           f" titled {int(pinfo.title.notna().sum())})")
+    subs = gen_subtitle_cues()
+    subs.to_parquet(
+        os.path.join(FIXTURES_DIR, "subtitle_cues.parquet"),
+        index=False
+    )
+    print(f"subtitle_cues: {len(subs)} rows"
+          f" ({int(subs.has_error.sum())} errors)")
     hmeta = gen_html_meta()
     hmeta.to_parquet(
         os.path.join(FIXTURES_DIR, "html_meta.parquet"), index=False
