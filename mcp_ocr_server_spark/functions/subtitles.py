@@ -133,14 +133,20 @@ def parse_vtt(text: str) -> list[dict]:
 
 
 def parse_subtitles(data: bytes) -> tuple[str, list[dict]]:
-    """(format, cues) — WEBVTT by its header, else SRT when the first
-    block carries an SRT arrow; anything else refuses naming what
-    was seen."""
+    """(format, cues) — WEBVTT by its header, TTML by its <tt> root
+    (with or without an XML prolog), else SRT when the first block
+    carries an SRT arrow; anything else refuses naming what was
+    seen."""
     text = _decode(bytes(data))
     stripped = text.lstrip("﻿").lstrip()
     if stripped.startswith("WEBVTT"):
         return "vtt", parse_vtt(text)
-    if _SRT_TS.search(stripped[:256]):
+    head = stripped[:256]
+    if head.startswith("<?xml") or head.startswith("<tt"):
+        if re.search(r"<tt[\s>]", head) is None:
+            raise ValueError("xml payload without a <tt> root")
+        return "ttml", parse_ttml(text)
+    if _SRT_TS.search(head):
         return "srt", parse_srt(text)
     raise ValueError(
         f"unknown subtitle payload (head {stripped[:24]!r})"
@@ -170,3 +176,58 @@ def subtitle_rows(ref: str, data: bytes) -> list[dict]:
                      start_s=None, end_s=None, text=None, error=None)]
     return [dict(media_ref=ref, format=fmt, error=None, **c)
             for c in cues]
+
+
+# TTML (TTAF/IMSC — the broadcast/streaming-service caption XML):
+# <p begin="..." end="..."> cues inside <tt>.  Clock times are
+# HH:MM:SS(.fff) or offset times like "3.5s"/"1500ms"; nested spans
+# flatten to text with <br/> as a line break.
+
+_TTML_CLOCK = re.compile(r"^(\d{1,2}):(\d{2}):(\d{2})(?:\.(\d{1,3}))?$")
+_TTML_OFFSET = re.compile(r"^(\d+(?:\.\d+)?)(h|m|s|ms)$")
+_TTML_P = re.compile(
+    r"<p\b([^>]*)>(.*?)</p>", re.S | re.I,
+)
+_TTML_ATTR = re.compile(r"""(begin|end)\s*=\s*["']([^"']*)["']""", re.I)
+
+
+def _ttml_secs(tok: str) -> float:
+    m = _TTML_CLOCK.match(tok.strip())
+    if m is not None:
+        h, mi, s, frac = m.groups()
+        ms = int((frac or "0").ljust(3, "0")[:3])
+        return _secs(h, mi, s, str(ms))
+    m = _TTML_OFFSET.match(tok.strip())
+    if m is not None:
+        v = float(m.group(1))
+        return {"h": 3600.0, "m": 60.0, "s": 1.0,
+                "ms": 0.001}[m.group(2)] * v
+    raise ValueError(f"ttml: bad time expression {tok!r}")
+
+
+def parse_ttml(text: str) -> list[dict]:
+    """TTML cue list: every <p> carrying begin/end attributes, in
+    document order; <br/> becomes a newline, other markup is
+    stripped, XML entities decoded."""
+    cues: list[dict] = []
+    for m in _TTML_P.finditer(text):
+        attrs = dict(
+            (k.lower(), v) for k, v in _TTML_ATTR.findall(m.group(1))
+        )
+        if "begin" not in attrs or "end" not in attrs:
+            continue  # layout/metadata paragraphs carry no timing
+        start = _ttml_secs(attrs["begin"])
+        end = _ttml_secs(attrs["end"])
+        if end < start:
+            raise ValueError(f"ttml: cue {len(cues)}: end before start")
+        body = re.sub(r"<br\s*/?>", "\n", m.group(2), flags=re.I)
+        body = _TAG.sub("", body)
+        body = (body.replace("&amp;", "&").replace("&lt;", "<")
+                .replace("&gt;", ">").replace("&quot;", '"')
+                .replace("&apos;", "'"))
+        cues.append(dict(
+            cue_idx=len(cues), start_s=start, end_s=end,
+            text="\n".join(ln.strip() for ln in body.split("\n"))
+                 .strip(),
+        ))
+    return cues

@@ -642,11 +642,11 @@ def html_meta_df(spark, cfg: CorpusConfig, n: int = N_HTML_META_DOCS):
 # a true round-trip; error classes pin the refuse-loudly contract
 
 _S_SUBS = 16
-N_SUBTITLE_FILES = 32
+N_SUBTITLE_FILES = 40
 
 _SUB_CLASSES = (
     "srt", "srt_crlf", "vtt", "vtt_tags", "vtt_notes", "vtt_empty",
-    "bad_ts", "garbage",
+    "ttml", "ttml_offsets", "bad_ts", "garbage",
 )
 
 SUBTITLE_MEDIA_SCHEMA = "media_ref string, bytes binary, kind string"
@@ -696,6 +696,36 @@ def make_vtt_bytes(cues: list[tuple[float, float, str]],
     return ("\n\n".join(parts) + "\n").encode("utf-8")
 
 
+def make_ttml_bytes(cues: list[tuple[float, float, str]],
+                    offsets: bool = False) -> bytes:
+    """TTML caption document: <p begin end> cues with nested spans and
+    <br/> line breaks; offsets=True writes offset-time expressions
+    ("3.5s") instead of clock times."""
+    ps = []
+    for a, b, text in cues:
+        if offsets:
+            begin, end = f"{a}s", f"{b}s"
+        else:
+            def clock(s: float) -> str:
+                ms = int(round(s * 1000))
+                return (f"{ms // 3600000:02d}:{ms // 60000 % 60:02d}:"
+                        f"{ms // 1000 % 60:02d}.{ms % 1000:03d}")
+
+            begin, end = clock(a), clock(b)
+        body = text.replace("&", "&amp;").replace("<", "&lt;")
+        body = body.replace("\n", "<br/>")
+        ps.append(
+            f'<p begin="{begin}" end="{end}">'
+            f"<span>{body}</span></p>"
+        )
+    return (
+        '<?xml version="1.0" encoding="utf-8"?>\n'
+        '<tt xmlns="http://www.w3.org/ns/ttml"><head>'
+        "<styling/></head><body><div>"
+        + "".join(ps) + "</div></body></tt>\n"
+    ).encode("utf-8")
+
+
 def subs_ref(j: int) -> str:
     return f"subs-{j:06d}"
 
@@ -734,6 +764,11 @@ def subtitle_item(
             kind, cues
     if kind == "vtt_empty":
         return subs_ref(j), b"WEBVTT\n", kind, []
+    if kind == "ttml":
+        return subs_ref(j), make_ttml_bytes(cues), kind, cues
+    if kind == "ttml_offsets":
+        return subs_ref(j), make_ttml_bytes(cues, offsets=True), \
+            kind, cues
     if kind == "bad_ts":
         data = make_srt_bytes(cues).replace(b" --> ", b" -> ", 1)
         return subs_ref(j), data, kind, []

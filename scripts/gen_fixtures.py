@@ -290,7 +290,8 @@ def gen_subtitle_cues() -> pd.DataFrame:
     for j in range(S.N_SUBTITLE_FILES):
         ref, _data, kind, cues = S.subtitle_item(FLAGSHIP_CORPUS, j)
         fmt = ("srt" if kind.startswith("srt")
-               else "vtt" if kind.startswith("vtt") else None)
+               else "vtt" if kind.startswith("vtt")
+               else "ttml" if kind.startswith("ttml") else None)
         if kind in ("bad_ts", "garbage"):
             rows.append(dict(media_ref=ref, format=None, cue_idx=None,
                              start_s=None, end_s=None, text=None,

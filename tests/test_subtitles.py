@@ -100,3 +100,26 @@ def test_parse_magic_prefixed_fuzz(data):
             parse_subtitles(magic + data)
         except ValueError:
             pass
+
+
+def test_ttml_details():
+    from mcp_ocr_server_spark.functions.subtitles import parse_ttml
+
+    t = ('<?xml version="1.0"?>\n<tt xmlns="http://www.w3.org/ns/ttml">'
+         '<body><div>'
+         '<p begin="00:00:01.5" end="00:00:03.000">A &amp; B<br/>two</p>'
+         '<p begin="90s" end="1.6m">offset times</p>'
+         '<p region="r1">no timing: layout paragraph, skipped</p>'
+         '</div></body></tt>')
+    cues = parse_ttml(t)
+    assert len(cues) == 2
+    assert cues[0]["start_s"] == 1.5 and cues[0]["end_s"] == 3.0
+    assert cues[0]["text"] == "A & B\ntwo"
+    assert cues[1]["start_s"] == 90.0 and cues[1]["end_s"] == 96.0
+    with pytest.raises(ValueError, match="bad time"):
+        parse_ttml('<tt><p begin="soon" end="later">x</p></tt>')
+    # dispatcher: XML prolog routes to ttml; a <tt>-less XML refuses
+    fmt, _ = parse_subtitles(t.encode())
+    assert fmt == "ttml"
+    with pytest.raises(ValueError, match="<tt> root"):
+        parse_subtitles(b'<?xml version="1.0"?><other/>')
